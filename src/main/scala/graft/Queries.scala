@@ -1,0 +1,739 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Quality, Transforms}
+import graft.kpi.Kpi
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The engine's query surface over the driver testdata
+  * (`/root/testdata/sf*`), one named query per operator of SURVEY.md §2
+  * plus the KPI layer (§2.7) and the LLM-data-pipeline extensions.
+  *
+  * Determinism contract (every oracled query hash-matches DuckDB):
+  *  - double measures are summed as DECIMAL(18,2) — exact and
+  *    shuffle-order-independent — then cast back to double;
+  *  - averages are exact-decimal-sum / count so the float division is a
+  *    single identical operation in both engines;
+  *  - embedding math is quantized to BIGINT (floor(x*1000)) so dot
+  *    products are exact integers in both engines;
+  *  - every query ends in a total-order ORDER BY on non-null columns
+  *    (Spark sorts nulls first, DuckDB last — so order keys must not be
+  *    nullable);
+  *  - no `round()` on raw doubles whose scale could produce decimal
+  *    ties (Spark rounds half-up, DuckDB half-even).
+  */
+object Queries {
+
+  case class Q(name: String,
+               run: (SparkSession, String) => DataFrame,
+               oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4's
+    * parquet reader rejects outright; read nanos as long (legacy conf,
+    * runtime-settable) and convert to a micros timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Exact, order-independent sum of a 2-decimal double measure. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ======================================================================
+  // Core parity: the Wistia silver-layer operator set over testdata
+  // ======================================================================
+
+  /** Flagship (SURVEY §3.3 / §7.2): the fact_media_engagement aggregate
+    * re-expressed over the events table — filter to one event type,
+    * bucket by day, count/rate/sum/avg per (user, day).
+    * Ops: G1 G2 G3 G4 G5 P12 P14. */
+  private val factEngagement = Q("fact_engagement",
+    (s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(
+          count(lit(1)).as("play_count"),
+          round(count(lit(1)).cast("double") / lit(10.0), 2)
+            .as("play_rate"),
+          dsum(coalesce(col("value"), lit(0.0))).as("total_watch_time"),
+          (dsum(coalesce(col("value"), lit(0.0))) / count(lit(1)))
+            .as("avg_value"))
+        .orderBy("user_id", "date")
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
+      COUNT(*) AS play_count,
+      ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 2) AS play_rate,
+      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_watch_time,
+      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** dim_media shape: project+rename (P1), null default (P2), concat
+    * (P3), CASE WHEN channel chain (P4), lower/contains (P5),
+    * distinct (G6). */
+  private val dimMedia = Q("dim_media",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey").cast("string").as("media_id"),
+        coalesce(col("p_name"), lit("Unknown")).as("title"),
+        concat(lit(Transforms.UrlPrefix), col("p_partkey")).as("url"),
+        when(lower(col("p_name")).contains("blue"), "Facebook")
+          .when(lower(col("p_name")).contains("green"), "YouTube")
+          .when(lower(col("p_name")).contains("red"), "Instagram")
+          .otherwise("Wistia").as("channel"))
+        .distinct()
+        .orderBy("media_id"),
+    Some(s"""SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS media_id,
+      COALESCE(p_name, 'Unknown') AS title,
+      '${Transforms.UrlPrefix}' || CAST(p_partkey AS VARCHAR) AS url,
+      CASE WHEN contains(lower(p_name), 'blue') THEN 'Facebook'
+           WHEN contains(lower(p_name), 'green') THEN 'YouTube'
+           WHEN contains(lower(p_name), 'red') THEN 'Instagram'
+           ELSE 'Wistia' END AS channel
+      FROM part ORDER BY media_id"""))
+
+  /** dim_visitor shape: P1 P2 G6. */
+  private val dimVisitor = Q("dim_visitor",
+    (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("visitor_id"),
+        coalesce(col("c_name"), lit("Unknown")).as("name"),
+        coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
+        .distinct()
+        .orderBy("visitor_id"),
+    Some("""SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS visitor_id,
+      COALESCE(c_name, 'Unknown') AS name,
+      COALESCE(c_mktsegment, 'Unknown') AS segment
+      FROM customer ORDER BY visitor_id"""))
+
+  /** Gold-layer ADF type narrowing (S10/§1.3 "gold cast"): int + decimal
+    * downcasts with explicit truncation (floor) — implicit double→int
+    * casts truncate in Spark but round in other engines, so the
+    * truncation is spelled out. */
+  private val goldCast = Q("gold_cast",
+    (s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(
+          count(lit(1)).as("pc"),
+          round(count(lit(1)).cast("double") / lit(10.0), 2).as("pr"),
+          dsum(coalesce(col("value"), lit(0.0))).as("tw"))
+        .select(
+          col("user_id"), col("date"),
+          col("pc").cast(IntegerType).as("play_count"),
+          col("pr").cast(DecimalType(5, 2)).cast("double")
+            .as("play_rate"),
+          floor(col("tw")).cast(IntegerType).as("total_watch_time"))
+        .orderBy("user_id", "date")
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
+      CAST(COUNT(*) AS INTEGER) AS play_count,
+      CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 2) AS DECIMAL(5,2)) AS DOUBLE) AS play_rate,
+      CAST(FLOOR(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE)) AS INTEGER) AS total_watch_time
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Cast-guarded conversion (P6): try_cast + epoch→timestamp with a
+    * fallback, the reference's `created` guard (nb03:141-143). */
+  private val safeCast = Q("safe_cast_guard",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k")
+      events(s, dir).select(
+        col("event_id"),
+        when(k.try_cast("bigint").isNotNull,
+          timestamp_seconds(k.try_cast("bigint") * 3600))
+          .otherwise(timestamp_seconds(lit(0))).as("created_at"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+           THEN epoch_ms(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 3600000)
+           ELSE epoch_ms(0) END AS created_at
+      FROM events ORDER BY event_id"""))
+
+  /** regexp_extract with empty-match fallback + coalesce (P9), the
+    * lineage-recovery pattern of nb03:203-205, over the JSON props. */
+  private val regexpExtract = Q("regexp_extract_json",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        coalesce(
+          nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
+            lit("")),
+          lit("0")).cast("bigint").as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CAST(COALESCE(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), ''), '0') AS BIGINT) AS k_val
+      FROM events ORDER BY event_id"""))
+
+  /** Null/empty-key row filter (P10), the "final safety check"
+    * (nb03:284-300). */
+  private val filterValid = Q("filter_valid_rows",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("lang").isNotNull)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE text IS NOT NULL AND trim(text) != '' AND lang IS NOT NULL
+      ORDER BY doc_id"""))
+
+  /** Window dedup keep-first (W1) + SQL-string filter (P11) + drop (P15)
+    * — deterministic ordering replaces the reference's orderBy(lit(1)).
+    */
+  private val windowDedup = Q("window_dedup",
+    (s, dir) => {
+      val deduped = Quality.dedupByKeys(
+        events(s, dir),
+        Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      deduped.select("event_id", "user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT event_id, user_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id) AS row_num
+        FROM events)
+      WHERE row_num = 1 ORDER BY user_id, event_type"""))
+
+  /** Duplicate-group detection (G7): groupBy(keys).count().filter(>1). */
+  private val dupGroups = Q("dup_groups",
+    (s, dir) =>
+      Quality.duplicateGroups(
+        events(s, dir)
+          .withColumn("date", to_date(col("ts"))),
+        Seq("user_id", "event_type", "date"))
+        .select("user_id", "event_type", "date", "dup_count")
+        .orderBy("user_id", "event_type", "date"),
+    Some("""SELECT user_id, event_type, CAST(ts AS DATE) AS date,
+        COUNT(*) AS dup_count
+      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+      ORDER BY 1, 2, 3"""))
+
+  /** Quality report (G8/G9): counts + distinct-key counts in ONE pass
+    * (the reference runs ~20 separate actions; SURVEY §4.3.1). */
+  private val qualityReport = Q("quality_report",
+    (s, dir) =>
+      events(s, dir).agg(
+        count(lit(1)).as("total_rows"),
+        count_distinct(col("user_id")).as("distinct_users"),
+        count_distinct(col("user_id"), col("event_type"))
+          .as("distinct_user_types"),
+        count(when(col("value").isNull, 1)).as("null_values")),
+    Some("""SELECT
+      (SELECT COUNT(*) FROM events) AS total_rows,
+      (SELECT COUNT(DISTINCT user_id) FROM events) AS distinct_users,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS distinct_user_types,
+      (SELECT COUNT(*) FROM events WHERE value IS NULL) AS null_values"""))
+
+  /** Null/empty validation metrics in one aggregation pass
+    * (vs nb03:262-281's per-column actions). */
+  private val validateNulls = Q("validate_nulls",
+    (s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("total_rows"),
+        count(when(col("text").isNull || trim(col("text")) === "", 1))
+          .as("text_null_or_empty"),
+        count(when(col("lang").isNull, 1)).as("lang_null"),
+        count(when(col("source").isNull, 1)).as("source_null")),
+    Some("""SELECT COUNT(*) AS total_rows,
+      COUNT(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS text_null_or_empty,
+      COUNT(CASE WHEN lang IS NULL THEN 1 END) AS lang_null,
+      COUNT(CASE WHEN source IS NULL THEN 1 END) AS source_null
+      FROM documents"""))
+
+  /** limit after total-order sort (L1/L2 display sampling). */
+  private val limitSample = Q("limit_sample",
+    (s, dir) =>
+      events(s, dir).select("event_id", "user_id", "event_type")
+        .orderBy("event_id").limit(3),
+    Some("""SELECT event_id, user_id, event_type FROM events
+      ORDER BY event_id LIMIT 3"""))
+
+  /** Set op (union) — implicit in the reference's multi-dir glob scan
+    * (S6); explicit here. */
+  private val unionIds = Q("union_ids",
+    (s, dir) => {
+      val a = events(s, dir).select(col("user_id").as("id"))
+        .distinct().withColumn("src", lit("events"))
+      val b = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"))
+        .distinct().withColumn("src", lit("customer"))
+      a.unionByName(b).orderBy("id", "src")
+    },
+    Some("""SELECT id, src FROM (
+        SELECT DISTINCT user_id AS id, 'events' AS src FROM events
+        UNION ALL
+        SELECT DISTINCT c_custkey AS id, 'customer' AS src FROM customer)
+      ORDER BY id, src"""))
+
+  // ======================================================================
+  // KPI layer (SURVEY §2.7, guide p.33-34) over the lineitem star schema
+  // ======================================================================
+
+  private val kpiTotalPlays = Q("kpi_total_plays",
+    (s, dir) => Kpi.totalPlays(t(s, dir, "lineitem"), "l_quantity"),
+    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays FROM lineitem"""))
+
+  private val kpiAvgCompletion = Q("kpi_avg_completion",
+    (s, dir) => Kpi.avgCompletion(t(s, dir, "lineitem"), "l_discount"),
+    Some("""SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_completion FROM lineitem"""))
+
+  private val kpiWatchHours = Q("kpi_watch_hours",
+    (s, dir) => Kpi.totalWatchHours(t(s, dir, "lineitem"),
+      "l_extendedprice"),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 3600.0 AS total_watch_hours FROM lineitem"""))
+
+  private val kpiEngagementRate = Q("kpi_engagement_rate",
+    (s, dir) => t(s, dir, "lineitem").agg(
+      (dsum(col("l_quantity")) /
+        nullif(count_distinct(col("l_orderkey")).cast("double"),
+          lit(0.0))).as("engagement_rate")),
+    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 0.0) AS engagement_rate FROM lineitem"""))
+
+  private val kpiByChannel = Q("kpi_by_channel",
+    (s, dir) => Kpi.videosByChannel(t(s, dir, "part"), "p_brand"),
+    Some("""SELECT p_brand AS channel, COUNT(*) AS n_videos FROM part
+      GROUP BY 1 ORDER BY 1"""))
+
+  private val kpiDailyTrend = Q("kpi_daily_trend",
+    (s, dir) => Kpi.dailyTrend(
+      t(s, dir, "lineitem").withColumn("ship_date",
+        to_date(col("l_shipdate"))),
+      "ship_date", "l_quantity"),
+    Some("""SELECT CAST(l_shipdate AS DATE) AS date,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** K7: fact ⋈ broadcast(dim) rollup (J1 star join). */
+  private val kpiVideoPerformance = Q("kpi_video_performance",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name").as("title"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("title"),
+    Some("""SELECT p_name AS title, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** K8: top-N by measure — TakeOrdered, deterministic tie-break. */
+  private val kpiTopVideos = Q("kpi_top_videos",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name").as("title"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("title"))
+        .limit(10),
+    Some("""SELECT p_name AS title,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY revenue DESC, title LIMIT 10"""))
+
+  /** K9: 4-way dim chain — lineitem→orders→customer→nation→region, all
+    * dims broadcast. */
+  private val kpiByCountry = Q("kpi_by_country",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("country"))
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          count_distinct(col("o_custkey")).as("unique_customers"))
+        .orderBy("region", "country"),
+    Some("""SELECT r.r_name AS region, n.n_name AS country,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(DISTINCT o.o_custkey) AS unique_customers
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** K10: first-seen window → daily new-vs-returning split. */
+  private val kpiNewVsReturning = Q("kpi_new_vs_returning",
+    (s, dir) => Kpi.newVsReturning(
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("visitor_id"),
+          to_date(col("o_orderdate")).as("order_date")),
+      "visitor_id", "order_date"),
+    Some("""SELECT order_date AS date, is_new,
+      COUNT(DISTINCT visitor_id) AS visitors FROM (
+        SELECT o_custkey AS visitor_id,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CASE WHEN CAST(o_orderdate AS DATE) = MIN(CAST(o_orderdate AS DATE))
+            OVER (PARTITION BY o_custkey) THEN 1 ELSE 0 END AS is_new
+        FROM orders)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val kpiUniqueVisitors = Q("kpi_unique_visitors",
+    (s, dir) => Kpi.uniqueVisitors(
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "visitor"),
+      "visitor"),
+    Some("""SELECT COUNT(DISTINCT o_custkey) AS unique_visitors FROM orders"""))
+
+  // ======================================================================
+  // LLM-data-pipeline extensions: dedup
+  // ======================================================================
+
+  private val dedupExact = Q("dedup_exact",
+    (s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("keep_id"),
+    Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. xxhash64-based
+    * signatures are engine-specific → rows-only check (no SQL oracle).
+    */
+  private val dedupMinhash = Q("dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dup pairs (Hamming <= 16 of 64 bits) — rows-only. */
+  private val dedupSimhash = Q("dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 16)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** Exact token-set Jaccard near-dup pairs on a bounded id range —
+    * engine-portable (pure set sizes → integer division), oracled. */
+  private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_distinct(split(trim(lower(col("text"))), "\\s+"))
+            .as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH s AS (SELECT doc_id,
+        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+      FROM s a, s b WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9
+      ORDER BY id_a, id_b"""))
+
+  /** Embedding cosine near-dup pairs — quantized to BIGINT so dot
+    * products are exact integers in any engine; bounded id range keeps
+    * the O(n²) pair space constant across scale factors (the unbounded
+    * scale path is LSH bucketing, `sim_topk_lsh`). */
+  private def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def qcos(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  private val dedupEmbedding = Q("dedup_embedding",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", qcos(col("qa"), col("qb")))
+        .filter(col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id < 1000)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.q, b.q) /
+          (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos_sim
+      FROM e a, e b WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.q, b.q) /
+          (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  // ======================================================================
+  // LLM-data-pipeline extensions: similarity search
+  // ======================================================================
+
+  /** Brute-force cosine top-k (quantized for the oracle): query vectors
+    * vec_id < 5 against the full corpus, k = 5. */
+  private val simTopkBrute = Q("sim_topk_bruteforce",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", qcos(col("qq"), col("q")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(e.q, e.q))) AS cos_sim
+        FROM qs, e WHERE e.vec_id != query_id)
+      SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed approximate top-k — scale path; rows-only. */
+  private val simTopkLsh = Q("sim_topk_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** IVF coarse-quantizer approximate top-k — scale path; rows-only. */
+  private val simTopkIvf = Q("sim_topk_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // ======================================================================
+  // LLM-data-pipeline extensions: text analysis
+  // ======================================================================
+
+  private val textTokenCount = Q("text_token_count",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("n_bpeish"))
+        .orderBy("doc_id"),
+    Some(raw"""SELECT doc_id,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')), 0) AS BIGINT) AS n_bpeish
+      FROM documents ORDER BY doc_id"""))
+
+  private val textQualityProfile = Q("text_quality_profile",
+    (s, dir) =>
+      TextAnalysis.qualityProfile(t(s, dir, "documents"), "text",
+        "doc_id").orderBy("doc_id"),
+    Some(raw"""SELECT doc_id,
+      CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS BIGINT) AS n_punct,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
+      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS DOUBLE) /
+        NULLIF(CAST(length(COALESCE(text, '')) AS DOUBLE), 0.0) AS punct_ratio,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS stopword_ratio,
+      CAST(length(COALESCE(text, '')) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  private val textQualityGate = Q("text_quality_gate",
+    (s, dir) =>
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(raw"""WITH p AS (SELECT doc_id,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
+      CAST(length(COALESCE(text, '')) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
+      FROM documents)
+      SELECT doc_id, n_tokens,
+        COALESCE(n_tokens >= 5 AND mean_token_len >= 2.0 AND
+          mean_token_len <= 12.0 AND n_stopwords > 0, false) AS keep
+      FROM p ORDER BY doc_id"""))
+
+  private val textLangId = Q("text_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+             WHEN de > en AND de >= fr AND de >= es THEN 'de'
+             WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+             WHEN es > en AND es > de AND es > fr THEN 'es'
+             ELSE 'en' END AS lang_pred
+      FROM sc ORDER BY doc_id"""
+    })
+
+  private val textFingerprint = Q("text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling (Karp-Rabin) fingerprint — xxhash64-seeded, engine-specific
+    * → rows-only. */
+  private val textRollingFp = Q("text_rolling_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
+        .orderBy("doc_id"),
+    None)
+
+  // ======================================================================
+  // LLM-data-pipeline extensions: multimodal binary columns
+  // ======================================================================
+
+  private val multimodalMeta = Q("multimodal_metadata",
+    (s, dir) =>
+      Multimodal.blobMetadata(
+        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .orderBy("blob_id"),
+    Some("""SELECT doc_id AS blob_id, COALESCE(source, 'unknown') AS kind,
+      CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+      sha256(COALESCE(text, '')) AS sha256,
+      hex(encode(substring(COALESCE(text, ''), 1, 4))) AS magic
+      FROM documents ORDER BY blob_id"""))
+
+  /** Decode stage (STUB codec, real plumbing) — rows-only. */
+  private val multimodalDecode = Q("multimodal_decode",
+    (s, dir) =>
+      Multimodal.decode(s,
+        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .toDF().drop("features").orderBy("blob_id"),
+    None)
+
+  /** Frame sampling over binary payloads — rows-only. */
+  private val multimodalFrames = Q("multimodal_frames",
+    (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .select(col("blob_id"), size(col("frames")).as("n_frames"))
+        .orderBy("blob_id"),
+    None)
+
+  // ======================================================================
+  // Streaming: the daily engagement aggregate over a bounded stream,
+  // oracle = the equivalent batch SQL (stream/batch parity).
+  // ======================================================================
+
+  private val streamDaily = Q("stream_daily_engagement",
+    (s, dir) => {
+      val name = "stream_daily_out"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 day")
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 day").as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("play_count"))
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(to_date(col("day.start")).as("date"), col("user_id"),
+          col("play_count"))
+        .orderBy("date", "user_id")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS date, user_id,
+      COUNT(*) AS play_count
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ======================================================================
+
+  val all: Seq[Q] = Seq(
+    factEngagement, dimMedia, dimVisitor, goldCast, safeCast,
+    regexpExtract, filterValid, windowDedup, dupGroups, qualityReport,
+    validateNulls, limitSample, unionIds,
+    kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
+    kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
+    kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    dedupEmbedding,
+    simTopkBrute, simTopkLsh, simTopkIvf,
+    textTokenCount, textQualityProfile, textQualityGate, textLangId,
+    textFingerprint, textRollingFp,
+    multimodalMeta, multimodalDecode, multimodalFrames,
+    streamDaily)
+}

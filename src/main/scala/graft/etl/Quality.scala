@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality machinery: validation, dedup, quality report.
+  *
+  * Replaces the reference's ~20 repeated `filter().count()` actions
+  * (`notebool-03.py:262-346`, each re-running the full uncached lineage)
+  * with single-pass aggregations — same metrics, one job
+  * (SURVEY.md §4.3.1). At 100 TB the reference pattern means ~20 full
+  * re-scans; this is one.
+  */
+object Quality {
+
+  private def isEmptyStr(c: Column): Column = c.isNull || trim(c) === ""
+
+  /** Null/empty counts for each key column in ONE aggregation pass
+    * (vs nb03:262-281's per-column filter().count() actions).
+    * Output: total_rows, <key>_null_or_empty per key. */
+  def validateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val metrics = count(lit(1)).as("total_rows") +:
+      keys.map(k => count(when(isEmptyStr(col(k)), 1))
+        .as(s"${k}_null_or_empty"))
+    df.agg(metrics.head, metrics.tail: _*)
+  }
+
+  /** The "final safety check" (nb03:284-300): drop rows with any
+    * null/empty key. */
+  def filterValidKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(k => !isEmptyStr(col(k))).reduce(_ && _))
+
+  /** Duplicate-group report (nb03:311-313, 326-329):
+    * groupBy(keys).count().filter(count > 1). */
+  def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Window dedup, keep-first (nb03:315-317). The reference orders by
+    * `lit(1)` — a nondeterministic "arbitrary first" (SURVEY.md §4.3.4);
+    * we keep the operator but order by `orderCols` (callers pass a total
+    * order, e.g. all non-key columns) so the survivor is deterministic.
+    */
+  def dedupByKeys(df: DataFrame, keys: Seq[String],
+                  orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("row_num", row_number().over(w))
+      .filter("row_num = 1")
+      .drop("row_num")
+  }
+
+  /** Quality report in one pass (vs nb03:335-346's count/count-distinct
+    * action storm). Exact distinct via count_distinct plus the
+    * 100 TB-scale variant approx_count_distinct (HLL++, no exact
+    * distinct shuffle of the full key space). */
+  def qualityReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val metrics = Seq(
+      count(lit(1)).as("total_rows"),
+      count_distinct(struct(keys.map(col): _*)).as("distinct_keys"),
+      approx_count_distinct(struct(keys.map(col): _*))
+        .as("approx_distinct_keys")) ++
+      keys.map(k => count(when(isEmptyStr(col(k)), 1))
+        .as(s"${k}_null_or_empty"))
+    df.agg(metrics.head, metrics.tail: _*)
+  }
+}

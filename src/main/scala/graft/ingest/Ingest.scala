@@ -1,0 +1,102 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.model.Schemas
+
+/** Bronze-layer ingestion: fetcher abstraction with retry/backoff,
+  * incremental watermark, JSON bronze writes.
+  *
+  * Mirrors `wistia-Databricks notebool-02.py` semantics with the HTTP
+  * client behind a trait so tests (and this zero-egress environment)
+  * inject canned JSON. The watermark is the reference's plain-JSON
+  * singleton (nb02:190-213) — kept as-is for parity.
+  */
+object Ingest {
+
+  /** Pluggable page fetcher (reference: GET stats/medias/{id}.json and
+    * …/visitors.json with per_page=100, page cap 100; nb02:141-168). */
+  trait Fetcher {
+    /** One page of results; None when the API 404s or pages exhaust. */
+    def fetchPage(mediaId: String, endpoint: String,
+                  page: Int): Option[String]
+  }
+
+  /** Retry/backoff policy of nb02:105-126: up to `maxRetries` attempts,
+    * rate-limit (Retryable) → exponential backoff (2^attempt)*baseDelayMs,
+    * not-found → give up immediately. Sleeps are injectable for tests.
+    */
+  final class RateLimited extends RuntimeException("429")
+  final class NotFound extends RuntimeException("404")
+
+  def withRetry[T](maxRetries: Int = 3, baseDelayMs: Long = 5000,
+                   sleep: Long => Unit = Thread.sleep)(f: => T): Option[T] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return Some(f)
+      catch {
+        case _: NotFound => return None
+        case _: RateLimited =>
+          sleep((1L << attempt) * baseDelayMs)
+          attempt += 1
+      }
+    }
+    None
+  }
+
+  /** Paginated pull of all pages for one media id (page cap = reference's
+    * 100-page guard, nb02:148-167). Driver-side by design: volume is
+    * bounded (≤100 pages × 100 rows); the heavy path is the files, not
+    * the API. */
+  def fetchAllPages(fetcher: Fetcher, mediaId: String, endpoint: String,
+                    pageCap: Int = 100): Seq[String] =
+    Iterator.from(1).take(pageCap)
+      .map(p => withRetry()(fetcher.fetchPage(mediaId, endpoint, p)).flatten)
+      .takeWhile(_.isDefined).flatten.toSeq
+
+  /** Bronze write: JSON docs → DataFrame → overwrite JSON dir
+    * (nb02:170-188). The explicit schema replaces the reference's
+    * Row-field inference (sparse dicts → schema union; missing fields
+    * become nulls here, same effective behavior). */
+  def writeBronzeJson(spark: SparkSession, docs: Seq[String], path: String,
+                      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import spark.implicits._
+    val df = spark.read.schema(schema).json(docs.toDS)
+    df.write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  // --- Incremental watermark (nb02:190-213) ---------------------------
+
+  /** Read the last successful run timestamp; absent/malformed → default
+    * lookback (reference default 7 days). Returns ISO-8601 string. */
+  def readWatermark(spark: SparkSession, metaPath: String,
+                    lookbackDays: Int = 7,
+                    now: java.time.Instant = java.time.Instant.now())
+  : String = {
+    val default = now.minus(java.time.Duration.ofDays(lookbackDays))
+      .toString
+    try {
+      val rows = spark.read.schema(Schemas.lastRun).json(metaPath)
+        .select("timestamp").collect()
+      rows.headOption.flatMap(r => Option(r.getString(0)))
+        .getOrElse(default)
+    } catch { case _: Exception => default }
+  }
+
+  /** Commit the watermark: overwrite `last_run.json` with
+    * {timestamp, status: "success"} (nb02:204-213). */
+  def commitWatermark(spark: SparkSession, metaPath: String,
+                      timestamp: String): Unit = {
+    import spark.implicits._
+    Seq((timestamp, "success")).toDF("timestamp", "status")
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(metaPath)
+  }
+
+  /** Health check (nb01:96-123): write/read round-trip under the target
+    * path; returns the row count read back. */
+  def healthCheck(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    Seq(("ok", 1L)).toDF("status", "n")
+      .write.mode(SaveMode.Overwrite).json(path)
+    spark.read.json(path).count()
+  }
+}

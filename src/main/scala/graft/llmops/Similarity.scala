@@ -1,0 +1,164 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — query set broadcast against the
+  * corpus, score with a codegen'd higher-order-function dot product,
+  * rank per query with a window. At 100 TB the corpus side never
+  * shuffles: broadcast(queries) ⋈ corpus is a map-side nested loop, and
+  * the per-query top-k is a partial TakeOrdered under the window.
+  *
+  * Scale path: LSH bucketing (random hyperplane signs) cuts the
+  * scored pair space; see [[lshTopK]]. An IVF variant (coarse
+  * centroids → probe nearest cells) is [[ivfTopK]].
+  */
+object Similarity {
+
+  /** Elementwise double-precision dot product of two array columns.
+    * Elements are cast to double BEFORE multiplying so accumulation is
+    * pure float64 left-to-right — bit-identical to any engine that does
+    * the same (e.g. DuckDB's list_dot_product on FLOAT lists). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded). Rank ties broken by corpus
+    * id so results are deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  // --- LSH (random hyperplane) ----------------------------------------
+
+  /** Deterministic pseudo-random hyperplane weights: plane p, dim i →
+    * a fixed value in [-1, 1) derived from a SplitMix64 mix of (p, i).
+    * Constants-only, reproducible across runs/partitions. */
+  private def planeWeight(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-bit LSH bucket id from `numPlanes` hyperplane projections.
+    * dim must be the (fixed) embedding dimensionality. */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, array((0 until dim).map(i =>
+          lit(planeWeight(p, i))): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: score only corpus vectors that
+    * share a bucket with the query under at least one of `numTables`
+    * independent hash tables. Recall/cost trade by numPlanes/numTables.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, numPlanes: Int = 8,
+              numTables: Int = 4): DataFrame = {
+    def buckets(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        explode(array((0 until numTables).map(t => struct(
+          lit(t).as("table_id"),
+          // planes of table t start at offset t*numPlanes
+          (0 until numPlanes).map { p =>
+            val proj = aggregate(
+              zip_with(col(vecCol), array((0 until dim).map(i =>
+                lit(planeWeight(t * numPlanes + p, i))): _*),
+                (x, w) => x.cast("double") * w),
+              lit(0.0), (acc, v) => acc + v)
+            when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce(_ + _).as("bucket"))): _*)).as("tb"))
+        .select(col(idAs), col(vecAs), col("tb.table_id"),
+          col("tb.bucket"))
+    val qb = buckets(queries, "query_id", "qv")
+    val cb = buckets(corpus, "neighbor_id", "cv")
+    val cand = qb.join(cb, Seq("table_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cand.withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  // --- IVF (inverted file / coarse quantizer) -------------------------
+
+  /** IVF-style approximate top-k: assign every vector to its nearest
+    * coarse centroid (the first `numCells` corpus vectors serve as the
+    * codebook — a real system would k-means them; the plan shape is the
+    * same), then search only the query's `nProbe` nearest cells.
+    * The centroid assignment is a broadcast nested-loop over numCells
+    * rows; the search join is an equi-join on cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    def assign(df: DataFrame, idAs: String, vecAs: String, nCells: Int) = {
+      val scored = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", cosine(col(vecAs), col("centroid")))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("cdist").desc, col("cell_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= nCells)
+        .select(col(idAs), col(vecAs), col("cell_id"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "cv", 1)
+    val queryCells = assign(queries, "query_id", "qv", nProbe)
+    val scored = queryCells.join(corpusCells, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
+    * Brute force O(n²) — correct baseline; swap the candidate generator
+    * for LSH buckets at scale (same verify stage). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

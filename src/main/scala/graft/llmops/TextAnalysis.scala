@@ -1,0 +1,116 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `functions._` expressions
+  * (no UDFs) so the whole stage stays inside WholeStageCodegen and the
+  * operators are embarrassingly parallel — no shuffle at all; at 100 TB
+  * these run at scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. 0 for null/blank. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: runs of letters, single digits, and single
+    * non-alnum symbols — a cheap deterministic stand-in for a real BPE
+    * vocab (which would be a broadcast lookup at scale). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpeishPattern)), lit(0))
+
+  /** Punctuation count over a fixed ASCII class (engine-portable). */
+  def punctCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[.,!?;:]")), lit(0))
+
+  val StopwordPattern = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  def stopwordCount(text: Column): Column =
+    coalesce(regexp_count(lower(text), lit(StopwordPattern)), lit(0))
+
+  /** Quality heuristics: length, token count, punct ratio, stopword
+    * ratio, mean word length. Ratios are raw doubles (identical
+    * arithmetic in any engine — deliberately NOT rounded: rounding a
+    * ratio whose denominator is a power of two hits exact decimal ties
+    * where round-half-up and round-half-even engines disagree). */
+  def qualityProfile(df: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(coalesce(t, lit(""))).cast("long")
+    val toks = tokenCount(t).cast("long")
+    df.select(
+      col(idCol),
+      chars.as("n_chars"),
+      toks.as("n_tokens"),
+      punctCount(t).cast("long").as("n_punct"),
+      stopwordCount(t).cast("long").as("n_stopwords"),
+      (punctCount(t) / nullif(chars.cast("double"), lit(0.0)))
+        .as("punct_ratio"),
+      (stopwordCount(t) / nullif(toks.cast("double"), lit(0.0)))
+        .as("stopword_ratio"),
+      (chars.cast("double") / nullif(toks.cast("double"), lit(0.0)))
+        .as("mean_token_len"))
+  }
+
+  /** Boolean keep/drop quality gate in the Gopher/C4 style:
+    * enough tokens, sane mean word length, some stopwords. */
+  def qualityGate(df: DataFrame, textCol: String, idCol: String,
+                  minTokens: Int = 5, minMeanLen: Double = 2.0,
+                  maxMeanLen: Double = 12.0): DataFrame = {
+    val p = qualityProfile(df, textCol, idCol)
+    p.select(col(idCol), col("n_tokens"),
+      (col("n_tokens") >= minTokens &&
+        col("mean_token_len") >= minMeanLen &&
+        col("mean_token_len") <= maxMeanLen &&
+        col("n_stopwords") > 0).as("keep"))
+  }
+
+  /** Stopword-profile language ID. Scores a handful of high-frequency
+    * function words per language and picks the max with a fixed
+    * priority tie-break (en > de > fr > es). A real system would use
+    * char-n-gram profiles; the operator shape (pure per-row expression,
+    * no shuffle) is identical.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|was|that|with)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|dans|pour)\\b",
+    "es" -> "\\b(el|los|las|y|es|una|con|para)\\b")
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, pat) =>
+      lang -> coalesce(regexp_count(lower(text), lit(pat)), lit(0))
+    }
+    // strict-greater chain == max with first-listed priority on ties
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+      .when(de > en && de >= fr && de >= es, "de")
+      .when(fr > en && fr > de && fr >= es, "fr")
+      .when(es > en && es > de && es > fr, "es")
+      .otherwise("en")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * The canonical near-dup pre-key (exact dedup groups on this). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** 32-bit rolling (polynomial) fingerprint over whitespace tokens —
+    * Karp-Rabin style, base 1000003 over the token hash stream, reduced
+    * to a 32-bit field each step so the arithmetic never overflows a
+    * long (ANSI mode makes silent overflow an error). Pure expression
+    * via the `aggregate` higher-order function: order-dependent by
+    * construction (it is a *rolling* hash) but deterministic — no
+    * shuffle, no UDF. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(trim(coalesce(text, lit(""))), "\\s+"),
+        t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))),
+      lit(0L),
+      (acc, h) => (acc * lit(1000003L) + h).bitwiseAND(lit(0xFFFFFFFFL)))
+}

@@ -1,0 +1,95 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the same engagement aggregation as the
+  * batch fact build, expressed over an unbounded event stream.
+  *
+  * The reference is batch-only (daily 2:00 AM trigger, guide p.30) but
+  * the workload is inherently a time-series event stream (SURVEY.md
+  * §1.1) — this is the additive streaming path over the same schema.
+  * Watermark = 1 day to mirror the daily batch grain; tumbling 1-day
+  * windows; stateful sessionization via mapGroupsWithState for the
+  * per-visitor session metrics a batch window can't express
+  * incrementally.
+  */
+object StreamingFact {
+
+  /** Daily engagement per (user, day) with late-data handling: events
+    * later than the watermark are dropped exactly like the daily batch
+    * would have missed them. Append-mode compatible (watermarked
+    * window). */
+  def dailyEngagement(events: DataFrame, tsCol: String, userCol: String,
+                      typeCol: String, valueCol: String,
+                      playType: String = "play",
+                      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol) === playType)
+      .groupBy(window(col(tsCol), "1 day").as("day"),
+        col(userCol).as("user_id"))
+      .agg(
+        count(lit(1)).as("play_count"),
+        sum(coalesce(col(valueCol), lit(0.0))).as("total_value"),
+        avg(coalesce(col(valueCol), lit(0.0))).as("avg_value"))
+
+  // --- Stateful sessionization ---------------------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long,
+                          total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        total_value: Double)
+
+  /** Per-user session roll-up with a processing-time idle timeout:
+    * emits one row per closed session. State is one small struct per
+    * active user — bounded by active-user cardinality, not event
+    * volume, which is what makes it viable on an unbounded stream. */
+  def sessionize(spark: SparkSession, events: Dataset[Ev],
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val init = state.getOption.getOrElse(
+              SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime,
+                0L, 0.0))
+            val s = sorted.foldLeft(init) { (acc, e) =>
+              SessionState(acc.start, math.max(acc.lastSeen, e.ts.getTime),
+                acc.nEvents + 1, acc.total + e.value)
+            }
+            state.update(s)
+            state.setTimeoutDuration(gapMs)
+            SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
+          }
+      }
+  }
+
+  /** Run a watermarked aggregation over a bounded parquet dir as if it
+    * streamed in (memory sink, synchronous) — the local smoke harness
+    * for the streaming path. */
+  def runBoundedToMemory(spark: SparkSession, dir: String,
+                         queryName: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = dailyEngagement(stream, "ts", "user_id", "event_type",
+      "value", playType = "purchase")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
