@@ -20,6 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JIT + codegen + parquet footer/file-listing caches, so
+    // per-query timings measure the queries, not first-touch JVM costs.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Queries.all.find(_.name == "limit_sample")
+        .foreach(_.run(spark, sfDir).collect())
+      Queries.all.find(_.name == "kpi_total_plays")
+        .foreach(_.run(spark, sfDir).collect())
+    } catch { case _: Throwable => () }
     val results = Queries.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -470,7 +470,7 @@ object Queries {
     transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
 
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.HashExprs.dotLong(a, b)
 
   private def qcos(a: Column, b: Column): Column =
     qdot(a, b).cast("double") /

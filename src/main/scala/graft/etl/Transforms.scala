@@ -36,7 +36,7 @@ object Transforms {
     val others = df.columns.filterNot(_ == key).map(col).toSeq
     df.withColumn(key,
       when(col(key).isNull || trim(col(key)) === "",
-        concat(lit(prefix), sha2(concat_ws("", others: _*), 256)))
+        concat(lit(prefix), sha2(to_json(struct(others: _*)), 256)))
         .otherwise(col(key)))
   }
 
@@ -54,8 +54,11 @@ object Transforms {
           .when(lower(col("name")).contains("youtube"), "YouTube")
           .when(lower(col("name")).contains("instagram"), "Instagram")
           .otherwise("Wistia").as("channel"),
-        when(col("created").cast("bigint").isNotNull,
-          to_timestamp(from_unixtime(col("created").cast("bigint"))))
+        // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+        // cast THROW on malformed input; the reference's guard expects
+        // null-on-failure (nb03:141-143).
+        when(col("created").try_cast("bigint").isNotNull,
+          to_timestamp(from_unixtime(col("created").try_cast("bigint"))))
           .otherwise(processedAt).as("created_at"),
         processedAt.as("processed_at"))
       .distinct()

@@ -29,44 +29,21 @@ object Dedup {
   // --- Shingling -------------------------------------------------------
 
   /** Word k-shingles as a deduplicated array column; the whole pipeline
-    * below stays array-valued per row (no explode). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(trim(lower(coalesce(text, lit("")))), "\\s+")
-    val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-    array_distinct(grams)
-  }
+    * below stays array-valued per row (no explode). Computed by the
+    * custom expression [[graft.functions.ShingleSet]] — one tight eval
+    * per row instead of interpreted per-element HOFs. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.HashExprs.shingleSet(coalesce(text, lit("")), k)
 
   // --- MinHash + LSH ---------------------------------------------------
 
-  /** Permutation hash h_j(x) = (a_j*(x & MASK31) + b_j) mod P31 over the
-    * 31-bit Mersenne field: operands stay < 2^31 so the product fits a
-    * long WITHOUT wraparound — required under ANSI mode (Spark 4
-    * default), where silent long overflow is an error. a/b are fixed
-    * pseudo-random constants derived from the permutation index —
-    * deterministic across runs and partitions. */
-  private val P31 = 2147483647L // 2^31 - 1, Mersenne prime
-  private val Mask31 = 0x7FFFFFFFL
-  private def mix(z0: Long): Long = { // SplitMix64 finalizer
-    var z = z0 * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-  private def permA(j: Int): Long = (mix(2L * j + 1) & Mask31) | 1L
-  private def permB(j: Int): Long = mix(j + 7L) & Mask31
-
   /** MinHash signature (array<long> of length numPerm) from a shingle
-    * array — one pass per permutation over the row-local hash array. */
-  def minhashSignature(shingleCol: Column, numPerm: Int = 64): Column = {
-    val hashes = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(Mask31)))
-    val sig = (0 until numPerm).map { j =>
-      array_min(transform(hashes,
-        h => pmod(h * lit(permA(j)) + lit(permB(j)), lit(P31))))
-    }
-    array(sig: _*)
-  }
+    * array. Delegates to the custom Catalyst expression
+    * [[graft.functions.MinHashSig]]: the higher-order-function
+    * formulation (64 × array_min(transform(...))) is interpreted
+    * per-element and measured ~40× slower. */
+  def minhashSignature(shingleCol: Column, numPerm: Int = 64): Column =
+    graft.functions.HashExprs.minhashSig(shingleCol, numPerm)
 
   /** LSH banding: rows (id, band_id, band_key) — one row per band, key =
     * hash of the signature slice. Docs sharing any band collide. */
@@ -129,21 +106,13 @@ object Dedup {
 
   // --- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens, computed entirely row-local:
-    * bit b of the output is set iff more than half the token hashes have
-    * bit b set. Power-of-two addends are bitwise disjoint, so summing
-    * them assembles the word without carries (incl. the sign bit). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(trim(lower(coalesce(text, lit("")))),
-      "\\s+"), t => xxhash64(t))
-    val n = size(hashes)
-    val word = (0 until 64).map { b =>
-      val setCnt = size(filter(hashes,
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(setCnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    word
-  }
+  /** 64-bit SimHash over whitespace tokens, computed entirely row-local
+    * by the custom Catalyst expression [[graft.functions.SimHash64]]:
+    * bit b of the output is set iff more than half the token hashes
+    * have bit b set. */
+  def simhash(text: Column): Column =
+    graft.functions.HashExprs.simhash64(
+      split(trim(lower(coalesce(text, lit("")))), "\\s+"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidate generation: split the 64-bit hash into 4 16-bit chunks —

@@ -28,8 +28,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Custom Catalyst expression ([[graft.functions.CosineSim]]) — the
+    * HOF formulation above is interpreted per-element and an order of
+    * magnitude slower on 64-dim vectors. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.HashExprs.cosineF(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded). Rank ties broken by corpus

@@ -49,11 +49,14 @@ object StreamingFact {
     * active user — bounded by active-user cardinality, not event
     * volume, which is what makes it viable on an unbounded stream. */
   def sessionize(spark: SparkSession, events: Dataset[Ev],
-                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+                 gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout)
+  : Dataset[SessionOut] = {
     import spark.implicits._
+    val useTimers = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionOut](timeout) {
         case (user, evs, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -70,7 +73,7 @@ object StreamingFact {
                 acc.nEvents + 1, acc.total + e.value)
             }
             state.update(s)
-            state.setTimeoutDuration(gapMs)
+            if (useTimers) state.setTimeoutDuration(gapMs)
             SessionOut(user, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
           }

@@ -1,0 +1,64 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("withRetry: backoff on rate limit, then success") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = Ingest.withRetry(maxRetries = 3, baseDelayMs = 5,
+      sleep = sleeps.append(_)) {
+      calls += 1
+      if (calls < 3) throw new Ingest.RateLimited else "ok"
+    }
+    assert(out.contains("ok"))
+    assert(sleeps.toSeq == Seq(5L, 10L)) // (2^attempt)*base
+  }
+
+  test("withRetry: 404 gives up immediately") {
+    var calls = 0
+    val out = Ingest.withRetry(maxRetries = 3, baseDelayMs = 1,
+      sleep = _ => ()) { calls += 1; throw new Ingest.NotFound }
+    assert(out.isEmpty && calls == 1)
+  }
+
+  test("fetchAllPages pulls pages until exhaustion, capped") {
+    val fetcher = new Ingest.Fetcher {
+      def fetchPage(id: String, ep: String, page: Int): Option[String] =
+        if (page <= 3) Some(s"""{"page":$page}""") else None
+    }
+    val pages = Ingest.fetchAllPages(fetcher, "m1", "visitors", pageCap = 10)
+    assert(pages.length == 3)
+  }
+
+  test("watermark: absent → lookback default; commit → read back") {
+    val dir = Files.createTempDirectory("graft_wm").toString + "/last_run"
+    val now = java.time.Instant.parse("2024-06-08T00:00:00Z")
+    val absent = Ingest.readWatermark(spark, dir, lookbackDays = 7, now = now)
+    assert(absent == "2024-06-01T00:00:00Z")
+    Ingest.commitWatermark(spark, dir, "2024-06-07T12:00:00Z")
+    assert(Ingest.readWatermark(spark, dir, 7, now) == "2024-06-07T12:00:00Z")
+  }
+
+  test("bronze JSON write honors the explicit schema (sparse docs → nulls)") {
+    val dir = Files.createTempDirectory("graft_bronze").toString + "/media"
+    Ingest.writeBronzeJson(spark,
+      Seq("""{"hashed_id":"a1","name":"x"}""",
+        """{"hashed_id":"b2","created":"123"}"""),
+      dir, graft.model.Schemas.rawMedia)
+    val back = spark.read.schema(graft.model.Schemas.rawMedia).json(dir)
+    assert(back.count() == 2)
+    assert(back.filter("name IS NULL").count() == 1)
+  }
+
+  test("healthCheck round-trip") {
+    val dir = Files.createTempDirectory("graft_hc").toString + "/hc"
+    assert(Ingest.healthCheck(spark, dir) == 1L)
+  }
+}

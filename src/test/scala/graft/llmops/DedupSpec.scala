@@ -1,0 +1,88 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps on the warm mat near the door"
+  // near-dup: one word changed; unrelated: disjoint vocabulary
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("warm", "cold")),
+    (3L, "completely different content about spark catalyst optimizer " +
+      "rules and physical execution strategies for distributed joins"),
+    (4L, base), // exact duplicate of 1
+    (5L, ""), (6L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized text, keeps min id") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    val dups = out.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("keep_id") == 1L)
+    assert(dups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("shingles: k-grams, deduplicated, short-text degenerates to " +
+    "whole text") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("sh"))).toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(5L).toSeq == Seq("")) // degenerate
+  }
+
+  test("minhash signatures of near-identical docs share most components") {
+    val sigs = docs.filter(col("doc_id") <= 3)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64)
+          .as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    def agree(a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(1L), sigs(2L)) > 32) // high jaccard → many equal mins
+    assert(agree(sigs(1L), sigs(3L)) < 8)  // unrelated → few
+  }
+
+  test("minhashDedup finds the near-dup pair and the exact pair, " +
+    "not the unrelated doc") {
+    val pairs = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardVerify computes exact set jaccard") {
+    val cand = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(docs, cand, "text", "doc_id",
+      threshold = 0.0).collect()
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical text → distance 0; near-dup close; " +
+    "unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s"))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < 16)
+    assert(ham(sh(1L), sh(3L)) > 10)
+  }
+
+  test("simhashPairs returns near pairs under the hamming cap") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

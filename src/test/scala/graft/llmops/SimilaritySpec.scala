@@ -1,0 +1,65 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // close to 0
+    (2L, Array(0f, 1f, 0f, 0f)),     // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f, 0f)),    // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression matches hand-computed values") {
+    val c = vecs.filter(col("vec_id") === 0L).as("a")
+      .crossJoin(vecs.filter(col("vec_id") === 2L).as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+        .as("c")).collect().head.getDouble(0)
+    assert(math.abs(c) < 1e-12) // orthogonal
+    val self = vecs.select(Similarity.cosine(col("embedding"),
+      col("embedding")).as("c")).collect().map(_.getDouble(0))
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, deterministic") {
+    val top = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 4)
+      .collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq ==
+      Seq(1L, 4L, 2L, 3L)) // by descending cosine: .994, .5, 0, -1
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("lshTopK returns a subset ranked identically to brute force " +
+    "on its candidates") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", dim = 4, k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 0L))
+    // ranks are contiguous from 1
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      (1 to rows.length).toSeq)
+  }
+
+  test("ivfTopK probes cells and never returns self") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, numCells = 2, nProbe = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+  }
+
+  test("embeddingNearDupPairs honors the threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L))) // only the .994 pair
+  }
+}

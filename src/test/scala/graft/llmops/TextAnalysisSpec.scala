@@ -1,0 +1,75 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox, and the lazy dog!"),
+    (2L, "  spaced   out   tokens  "),
+    (3L, ""), (4L, null.asInstanceOf[String]),
+    (5L, "der hund und die katze ist nicht hier mit der maus"),
+    (6L, "le chat est dans la maison et le chien pour toujours")
+  ).toDF("doc_id", "text")
+
+  private def one(c: org.apache.spark.sql.Column, id: Long): Any =
+    docs.filter(col("doc_id") === id).select(c.as("x")).collect().head.get(0)
+
+  test("tokenCount: whitespace runs, trims, blank/null → 0") {
+    assert(one(TextAnalysis.tokenCount(col("text")), 1L) == 8)
+    assert(one(TextAnalysis.tokenCount(col("text")), 2L) == 3)
+    assert(one(TextAnalysis.tokenCount(col("text")), 3L) == 0)
+    assert(one(TextAnalysis.tokenCount(col("text")), 4L) == 0)
+  }
+
+  test("bpeish token count splits letter runs / digits / symbols") {
+    val n = one(TextAnalysis.bpeishTokenCount(lit("ab1!cd")), 1L)
+    assert(n == 4) // "ab","1","!","cd"
+  }
+
+  test("punct and stopword counting") {
+    assert(one(TextAnalysis.punctCount(col("text")), 1L) == 2) // , !
+    assert(one(TextAnalysis.stopwordCount(col("text")), 1L) == 3) // the,and,the
+  }
+
+  test("qualityProfile ratios are null-safe") {
+    val p = TextAnalysis.qualityProfile(docs, "text", "doc_id")
+      .filter(col("doc_id") === 3L).collect().head
+    assert(p.getAs[Long]("n_tokens") == 0L)
+    assert(p.isNullAt(p.fieldIndex("stopword_ratio")))
+  }
+
+  test("qualityGate keeps normal prose, drops blank docs") {
+    val keep = TextAnalysis.qualityGate(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(keep(1L)); assert(!keep(3L)); assert(!keep(4L))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    assert(one(TextAnalysis.langId(col("text")), 1L) == "en")
+    assert(one(TextAnalysis.langId(col("text")), 5L) == "de")
+    assert(one(TextAnalysis.langId(col("text")), 6L) == "fr")
+    assert(one(TextAnalysis.langId(col("text")), 3L) == "unknown")
+  }
+
+  test("fingerprintMd5 is whitespace/case-insensitive") {
+    val a = one(TextAnalysis.fingerprintMd5(lit("Hello  World")), 1L)
+    val b = one(TextAnalysis.fingerprintMd5(lit("hello world")), 1L)
+    assert(a == b)
+  }
+
+  test("rollingFingerprint: deterministic, order-sensitive, 32-bit") {
+    val a = one(TextAnalysis.rollingFingerprint(lit("a b c")), 1L)
+    val b = one(TextAnalysis.rollingFingerprint(lit("c b a")), 1L)
+    val a2 = one(TextAnalysis.rollingFingerprint(lit("a b c")), 1L)
+    assert(a == a2 && a != b)
+    assert(a.asInstanceOf[Long] >= 0 &&
+      a.asInstanceOf[Long] <= 0xFFFFFFFFL)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingFactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dailyEngagement over a memory stream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+
+    val agg = StreamingFact.dailyEngagement(df, "ts", "user_id",
+      "event_type", "value")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sf_test").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "play", 10.0),
+      (ts("2024-01-01 11:00:00"), 1L, "play", 20.0),
+      (ts("2024-01-01 12:00:00"), 1L, "pause", 5.0),
+      (ts("2024-01-02 09:00:00"), 1L, "play", 7.0),
+      (ts("2024-01-01 23:00:00"), 2L, "play", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sf_test")
+      .select(to_date(col("day.start")).as("d"), col("user_id"),
+        col("play_count"), col("total_value"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("2024-01-01", 1L)) == (2L, 30.0)) // pause excluded
+    assert(out(("2024-01-02", 1L)) == (1L, 7.0))
+    assert(out(("2024-01-01", 2L)) == (1L, 1.0))
+  }
+
+  test("sessionize: stateful session rollup emits per-user sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingFact.Ev]
+    // NoTimeout: processing-time timers re-arm on every batch, so
+    // neither processAllAvailable nor AvailableNow ever settles in a
+    // test harness; the rollup logic is identical without timers.
+    val out = StreamingFact.sessionize(spark, mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    mem.addData(
+      StreamingFact.Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+      StreamingFact.Ev(1L, ts("2024-01-01 10:05:00"), 2.0),
+      StreamingFact.Ev(2L, ts("2024-01-01 10:01:00"), 5.0))
+    // AvailableNow: process everything then self-terminate. With a
+    // ProcessingTimeTimeout in play, processAllAvailable never settles
+    // (each batch re-arms timers that schedule another batch).
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sess_test").start()
+    assert(q.awaitTermination(120000))
+    val sessions = spark.table("sess_test").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(sessions(1L) == (2L, 3.0))
+    assert(sessions(2L) == (1L, 5.0))
+  }
+}
