@@ -50,6 +50,20 @@ object Quality {
       .drop("row_num")
   }
 
+  /** Zero-extra-pass DQ: attach the null/empty-key metrics to a frame
+    * via `observe()` — they are collected as a side effect of whatever
+    * action materializes the frame (e.g. the silver write), costing no
+    * additional job at all. Read `observation.get` AFTER an action.
+    * This is the 100 TB replacement for validation re-scans. */
+  def observedValidation(df: DataFrame, name: String, keys: Seq[String])
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("total_rows") +:
+      keys.map(k => count(when(isEmptyStr(col(k)), 1))
+        .as(s"${k}_null_or_empty"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** Quality report in one pass (vs nb03:335-346's count/count-distinct
     * action storm). Exact distinct via count_distinct plus the
     * 100 TB-scale variant approx_count_distinct (HLL++, no exact

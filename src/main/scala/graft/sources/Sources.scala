@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface of the reference, Spark-first (SURVEY §2.1).
+  *
+  * S6  multiline JSON scan over per-run directory globs
+  * S8  Parquet silver writes (+ the 100 TB variant: partitioned by date)
+  * S9  Parquet scans
+  * S10 JDBC truncate-and-insert gold sink
+  * S11 storage-config bootstrap
+  * S12 catalog listing
+  */
+object Sources {
+
+  /** S6: the reference's `spark.read.option("multiline","true")
+    * .json(RAW + "/media/STAR/STAR.json")` (nb03:90-104) — with an explicit
+    * schema instead of inference (inference = one extra full scan of
+    * the data per read; at 100 TB that is the difference between one
+    * pass and two). Globbing over per-run directories is the
+    * reference's implicit union. */
+  def readBronzeJson(spark: SparkSession, glob: String,
+                     schema: StructType, multiline: Boolean = true)
+  : DataFrame =
+    spark.read
+      .schema(schema)
+      .option("multiLine", multiline)
+      .json(glob)
+
+  /** Diagnostic mode: schema inference like the reference. Never on the
+    * hot path. */
+  def readBronzeJsonInferred(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("multiLine", true).json(glob)
+
+  /** S8: silver Parquet write. `partitionCol` (the fact's date) enables
+    * partition pruning for every downstream date-ranged query — the
+    * single most important layout decision at 100 TB. Dims pass None
+    * (small, unpartitioned). */
+  def writeSilverParquet(df: DataFrame, path: String,
+                         partitionCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+  }
+
+  /** S10: gold JDBC truncate-and-insert (adf:115-207 semantics —
+    * `TRUNCATE TABLE stg_*` then bulk insert). `truncate=true` +
+    * Overwrite reproduces ADF's staging-isolation exactly: target DDL
+    * (and its PRIMARY KEY constraints, the last-line integrity check)
+    * survives the overwrite. Untested live here (no database in this
+    * environment); the options object is what a cluster deployment
+    * needs. */
+  def writeGoldJdbc(df: DataFrame, url: String, table: String,
+                    user: String, password: String,
+                    batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("truncate", value = true)
+      .option("batchsize", batchSize)
+      .mode(SaveMode.Overwrite)
+      .save()
+
+  /** S11: storage-config bootstrap — the reference sets
+    * `fs.azure.account.key...` from a secret (nb01:44-127); locally any
+    * fs.* confs pass through the Hadoop configuration the same way. */
+  def configureStorage(spark: SparkSession,
+                       confs: Map[String, String]): Unit =
+    confs.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+
+  /** S12: catalog listing (the reference's `dbutils.fs.ls` existence
+    * checks, nb01:113-123) via the Hadoop FileSystem API — works on any
+    * supported filesystem, not just local. */
+  def listDir(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.toString).toSeq
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
