@@ -516,7 +516,7 @@ object Queries {
         .withColumn("cos_sim", qcos(col("qq"), col("q")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"), col("cos_sim"))
@@ -535,6 +535,36 @@ object Queries {
           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Map-side partial top-k via a typed Aggregator — identical output
+    * to sim_topk_bruteforce (same oracle), but the shuffle moves at
+    * most k rows per (query, partition) instead of every scored row:
+    * the 100 TB formulation of top-k. */
+  private val simTopkAgg = Q("sim_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          qcos(col("qq"), col("q")).as("cos_sim"))
+        .as[(Long, Long, Double)]
+      val top = scored.groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(graft.functions.TopKAggregator(5).toColumn.name("topk"))
+      top.toDF("query_id", "topk")
+        .select(col("query_id"),
+          posexplode(col("topk")).as(Seq("pos", "pair")))
+        .select(col("query_id"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("pair._2").as("neighbor_id"),
+          col("pair._1").as("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    simTopkBrute.oracle)
 
   /** LSH-bucketed approximate top-k — scale path; rows-only. */
   private val simTopkLsh = Q("sim_topk_lsh",
@@ -731,7 +761,7 @@ object Queries {
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding,
-    simTopkBrute, simTopkLsh, simTopkIvf,
+    simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp,
     multimodalMeta, multimodalDecode, multimodalFrames,
