@@ -104,7 +104,13 @@ object Transforms {
     * Input must already carry `media_id` (see [[withMediaIdFromPath]]).
     */
   def factEngagement(visitorsWithMedia: DataFrame,
-                     loadedAt: Column = current_timestamp()): DataFrame =
+                     loadedAt: Column = current_timestamp()): DataFrame = {
+    // Plan-time schema introspection (reference nb03:215, P16): a batch
+    // with no `events` column yields an empty fact of the right shape.
+    if (!visitorsWithMedia.columns.contains("events"))
+      return visitorsWithMedia.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.model.Schemas.factEngagement)
     visitorsWithMedia
       .transform(backfillKey("visitor_key", "visitor_"))
       .filter(col("events").isNotNull && size(col("events")) > 0)
@@ -126,6 +132,7 @@ object Transforms {
       .withColumn("loaded_at", loadedAt)
       .filter(col("media_id").isNotNull && col("visitor_id").isNotNull &&
         col("date").isNotNull)
+  }
 
   /** Gold-layer type narrowing, replicating the ADF TabularTranslator
     * (`wistia-Azure-Data-Factory-ETL-Pipeline.json:388-489`): renames

@@ -55,6 +55,11 @@ object HashExprs {
 
   def cosineF(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def randomProjectionBits(vec: Column, numPlanes: Int,
+                           planeOffset: Int): Column =
+    ColumnBridge.column(RandomProjectionBits(ColumnBridge.expr(vec),
+      numPlanes, planeOffset))
 }
 
 /** MinHash signature: array<string> shingles → array<long> of
@@ -240,4 +245,52 @@ case class ShingleSet(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): ShingleSet =
     copy(child = c)
+}
+
+/** Sign-bit random-hyperplane LSH bucket: long whose bit p is the sign
+  * of the projection onto pseudo-random hyperplane `planeOffset + p`.
+  * Weights are SplitMix64-derived constants of (plane, dim) — identical
+  * across rows, partitions and runs, computed inline (~5 ALU ops per
+  * weight; cheaper than materializing a weight matrix per batch). */
+case class RandomProjectionBits(child: Expression, numPlanes: Int,
+                                planeOffset: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "random_projection_bits"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @inline private def weight(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x * weight(planeOffset + p, i)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+  : RandomProjectionBits = copy(child = c)
 }

@@ -56,28 +56,11 @@ object Similarity {
 
   // --- LSH (random hyperplane) ----------------------------------------
 
-  /** Deterministic pseudo-random hyperplane weights: plane p, dim i →
-    * a fixed value in [-1, 1) derived from a SplitMix64 mix of (p, i).
-    * Constants-only, reproducible across runs/partitions. */
-  private def planeWeight(p: Int, i: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
-
-  /** Sign-bit LSH bucket id from `numPlanes` hyperplane projections.
-    * dim must be the (fixed) embedding dimensionality. */
+  /** Sign-bit LSH bucket id from `numPlanes` hyperplane projections
+    * (custom expression — one tight eval per row; the HOF formulation
+    * was numPlanes interpreted array traversals). */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column =
-    (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, array((0 until dim).map(i =>
-          lit(planeWeight(p, i))): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.HashExprs.randomProjectionBits(vec, numPlanes, 0)
 
   /** LSH-bucketed approximate top-k: score only corpus vectors that
     * share a bucket with the query under at least one of `numTables`
@@ -91,21 +74,18 @@ object Similarity {
         explode(array((0 until numTables).map(t => struct(
           lit(t).as("table_id"),
           // planes of table t start at offset t*numPlanes
-          (0 until numPlanes).map { p =>
-            val proj = aggregate(
-              zip_with(col(vecCol), array((0 until dim).map(i =>
-                lit(planeWeight(t * numPlanes + p, i))): _*),
-                (x, w) => x.cast("double") * w),
-              lit(0.0), (acc, v) => acc + v)
-            when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-          }.reduce(_ + _).as("bucket"))): _*)).as("tb"))
+          graft.functions.HashExprs.randomProjectionBits(col(vecCol),
+            numPlanes, t * numPlanes).as("bucket"))): _*)).as("tb"))
         .select(col(idAs), col(vecAs), col("tb.table_id"),
           col("tb.bucket"))
     val qb = buckets(queries, "query_id", "qv")
     val cb = buckets(corpus, "neighbor_id", "cv")
     val cand = qb.join(cb, Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "neighbor_id", "cv")
+      // dedup on the id pair only: dropDuplicates hashes two longs,
+      // distinct() would hash and compare the vector payloads
+      .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("cos_sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -142,7 +122,8 @@ object Similarity {
     val queryCells = assign(queries, "query_id", "qv", nProbe)
     val scored = queryCells.join(corpusCells, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
