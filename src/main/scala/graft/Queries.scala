@@ -750,6 +750,145 @@ object Queries {
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+
+  // ======================================================================
+  // Event-analytics extensions: sessionization, funnel, retention, tf-idf
+  // ======================================================================
+
+  /** Batch sessionization: 30-min-gap sessions via lag + running sum —
+    * the batch twin of StreamingFact.sessionize. Frames are ROWS-bound
+    * explicitly (DuckDB's default SUM frame is RANGE, which groups
+    * peer rows differently). */
+  private val sessionBatch = Q("session_batch",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSess = when(
+        col("ts_us") - lag(col("ts_us"), 1).over(byUser)
+          > lit(1800L * 1000000L), 1).otherwise(0)
+      val runFrame = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      ev.withColumn("new_sess", newSess)
+        .withColumn("session_id",
+          sum(col("new_sess")).over(runFrame))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      FROM (
+        SELECT user_id, event_id, ts_us,
+          SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Funnel: users whose first 'purchase' follows their first 'signup'.
+    */
+  private val funnel = Q("funnel_signup_purchase",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_signup"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts_us") > col("first_signup"))
+        .select("user_id").distinct()
+      signup.agg(count(lit(1)).as("n_signup_users"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+    },
+    Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT DISTINCT e.user_id FROM events e
+        JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s.first_signup)
+      SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
+             (SELECT COUNT(*) FROM p) AS n_converted"""))
+
+  /** Retention cohorts: users grouped by first-seen day, activity
+    * counted per whole-week offset. */
+  private val retention = Q("retention_cohorts",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / 7)
+            .cast("long").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1)
+      SELECT cohort_day, week_offset, COUNT(*) AS active_users FROM (
+        SELECT DISTINCT f.cohort_day,
+          CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+          e.user_id
+        FROM events e JOIN f ON e.user_id = f.user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Smoothed TF-IDF over whitespace tokens, bounded doc set. The
+    * explode→groupBy(term) pattern is the canonical two-shuffle text
+    * pipeline; N and df are exact counts. */
+  private val textTfidf = Q("text_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 50 && col("text").isNotNull &&
+          trim(col("text")) =!= "")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          // round(…,6): JVM Math.log and libm ln differ in the last
+          // ulp for some inputs; 6-dp rounding absorbs it (tf/df stay
+          // exact)
+          round(col("tf").cast("double") *
+            (log((col("n_docs").cast("double") + 1.0) /
+              (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) != ''),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
+          trim(lower(text)), '\s+')) AS term FROM docs),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        WHERE term != '' GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM docs)
+      SELECT tf.doc_id, tf.term AS term, tf.tf, df.df,
+        ROUND(CAST(tf.tf AS DOUBLE) *
+          (ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
+            (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      ORDER BY doc_id, tf.term"""))
+
   // ======================================================================
 
   val all: Seq[Q] = Seq(
@@ -765,5 +904,6 @@ object Queries {
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp,
     multimodalMeta, multimodalDecode, multimodalFrames,
+    sessionBatch, funnel, retention, textTfidf,
     streamDaily)
 }

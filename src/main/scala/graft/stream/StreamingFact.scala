@@ -80,6 +80,43 @@ object StreamingFact {
       }
   }
 
+  /** Streaming dedup under a watermark: duplicate events (same key)
+    * arriving within the watermark horizon are dropped with bounded
+    * state — the streaming twin of Quality.dedupByKeys. State size is
+    * bounded by keys-per-watermark-window, not stream length
+    * (SURVEY §7.4.6). */
+  def dedupStream(events: DataFrame, tsCol: String,
+                  keys: Seq[String], watermark: String = "1 day")
+  : DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** foreachBatch upsert into a silver parquet dir: each micro-batch
+    * key-dedupes against itself, then overwrites only the date
+    * partitions it touches (dynamic partition overwrite) — the
+    * streaming write pattern that scales: no global rewrite, and
+    * replayed batches converge to the same partitions. */
+  def upsertToSilver(spark: SparkSession, agg: DataFrame, path: String,
+                     checkpoint: String): Unit = {
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .withColumn("date", to_date(col("day.start")))
+          .drop("day")
+          .write.mode("overwrite")
+          .partitionBy("date")
+          .parquet(path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a watermarked aggregation over a bounded parquet dir as if it
     * streamed in (memory sink, synchronous) — the local smoke harness
     * for the streaming path. */

@@ -42,6 +42,43 @@ class StreamingFactSpec extends AnyFunSuite {
     assert(out(("2024-01-01", 2L)) == (1L, 1.0))
   }
 
+  test("dedupStream drops watermark-window duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "payload")
+    val out = StreamingFact.dedupStream(df, "ts", Seq("event_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "a"),
+      (ts("2024-01-01 10:00:01"), 1L, "a-dup"),
+      (ts("2024-01-01 10:00:02"), 2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_test").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("upsertToSilver: foreachBatch lands date-partitioned parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = StreamingFact.dailyEngagement(df, "ts", "user_id",
+      "event_type", "value")
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "play", 10.0),
+      (ts("2024-01-02 11:00:00"), 2L, "play", 20.0))
+    StreamingFact.upsertToSilver(spark, agg, s"$root/fact",
+      s"$root/ckpt")
+    val back = spark.read.parquet(s"$root/fact")
+    assert(back.count() == 2)
+    assert(back.columns.contains("date"))
+    assert(graft.sources.Sources.listDir(spark, s"$root/fact")
+      .exists(_.contains("date=")))
+  }
+
   test("sessionize: stateful session rollup emits per-user sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingFact.Ev]
