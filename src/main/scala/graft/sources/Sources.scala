@@ -44,6 +44,19 @@ object Sources {
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles data into `numBuckets` by
+    * `bucketCol` at write time so every later equi-join or aggregation
+    * on that key runs with NO exchange — the amortize-the-shuffle-once
+    * strategy for fact tables that join repeatedly on the same key at
+    * 100 TB. `sortBy` gives sort-merge-ready buckets. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         numBuckets: Int, sortCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCol)
+      .saveAsTable(table)
+
   /** S10: gold JDBC truncate-and-insert (adf:115-207 semantics —
     * `TRUNCATE TABLE stg_*` then bulk insert). `truncate=true` +
     * Overwrite reproduces ADF's staging-isolation exactly: target DDL

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sources.writeBucketedTable(a, "bkt_a", "k", 8, "k")
+    Sources.writeBucketedTable(b, "bkt_b", "k", 8, "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("date-partitioned silver scan prunes partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part")
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3))
+      .toDF("date", "v")
+    Sources.writeSilverParquet(df, s"$root/fact", Some("date"))
+    val q = spark.read.parquet(s"$root/fact")
+      .filter(col("date") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    // the date predicate must land in PartitionFilters (dir pruning),
+    // not PushedFilters (row-group pruning)
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters:.*date.*2024-01-02.*"), scan)
+    assert(q.count() == 1)
+  }
+
+  test("multiline JSON glob scan with explicit schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ml")
+    java.nio.file.Files.createDirectories(root.resolve("r1"))
+    java.nio.file.Files.writeString(root.resolve("r1/d.json"),
+      """[{"hashed_id": "x1", "name": "N"},
+         {"hashed_id": "x2"}]""")
+    val df = Sources.readBronzeJson(spark, s"$root/*/",
+      graft.model.Schemas.rawMedia)
+    assert(df.count() == 2)
+    assert(df.filter("name IS NULL").count() == 1)
+  }
+}
