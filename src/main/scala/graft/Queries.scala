@@ -725,6 +725,11 @@ object Queries {
     (s, dir) => {
       val name = "stream_daily_out"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // state-store instances scale with shuffle partitions; this agg
+      // keys on (day, user) with tiny cardinality, so fewer partitions
+      // = fewer state commits per batch (restored after the run)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -740,6 +745,7 @@ object Queries {
         .outputMode("complete").format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select(to_date(col("day.start")).as("date"), col("user_id"),
           col("play_count"))

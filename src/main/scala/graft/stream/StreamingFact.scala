@@ -117,6 +117,14 @@ object StreamingFact {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dim table. Spark re-plans the static side per micro-batch and
+    * broadcasts it when small — no stream-side state at all (unlike
+    * stream-stream joins). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a watermarked aggregation over a bounded parquet dir as if it
     * streamed in (memory sink, synchronous) — the local smoke harness
     * for the streaming path. */

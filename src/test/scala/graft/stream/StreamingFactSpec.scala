@@ -79,6 +79,25 @@ class StreamingFactSpec extends AnyFunSuite {
       .exists(_.contains("date=")))
   }
 
+  test("enrichWithDim: stream-static broadcast join enriches events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val dim = Seq((1L, "DE"), (2L, "US")).toDF("user_id", "country")
+    val out = StreamingFact.enrichWithDim(df, dim, "user_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_test").start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:00:01"), 3L)) // 3 has no dim row → null
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_test").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("country"))
+      .toMap
+    assert(rows(1L) == "DE")
+    assert(rows(3L) == null)
+  }
+
   test("sessionize: stateful session rollup emits per-user sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingFact.Ev]
