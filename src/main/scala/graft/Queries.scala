@@ -462,6 +462,49 @@ object Queries {
           CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9
       ORDER BY id_a, id_b"""))
 
+  /** Corpus dedup decision: cluster the exact-Jaccard near-dup pairs
+    * (same bounded pair set as dedup_ngram_jaccard) into connected
+    * components and pick the min-id canonical doc per cluster. Oracle:
+    * transitive closure via a recursive CTE. */
+  private val dedupCorpus = Q("dedup_corpus",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_distinct(split(trim(lower(col("text"))), "\\s+"))
+            .as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+      graft.llmops.Dedup.dedupClusters(pairs).orderBy("id")
+    },
+    Some("""WITH s AS (SELECT doc_id,
+        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a, s b WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges)
+      , reach AS (
+        WITH RECURSIVE r(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT a, b FROM r)
+      SELECT id, keep_id, id = keep_id AS is_kept FROM (
+        SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a)
+      ORDER BY id"""))
+
   /** Embedding cosine near-dup pairs — quantized to BIGINT so dot
     * products are exact integers in any engine; bounded id range keeps
     * the O(n²) pair space constant across scale factors (the unbounded
@@ -905,7 +948,7 @@ object Queries {
     kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
-    dedupEmbedding,
+    dedupCorpus, dedupEmbedding,
     simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp,

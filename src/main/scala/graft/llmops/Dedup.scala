@@ -104,6 +104,43 @@ object Dedup {
     jaccardVerify(df, minhashCandidates(df, textCol, idCol), textCol,
       idCol, threshold = threshold)
 
+  // --- Clustering ------------------------------------------------------
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: after `iterations` rounds every node carries the
+    * minimum id reachable within that many hops — equal to its true
+    * component min when `iterations` >= component diameter (near-dup
+    * clusters are near-cliques, so a handful of rounds suffices).
+    * Deterministic, shuffle-order-independent (min is commutative);
+    * each round is one join + one aggregate on (id, comp) longs only.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          iterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+    for (_ <- 1 to iterations) {
+      val viaEdges = edges.join(labels,
+        edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      labels = labels.union(viaEdges)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+    }
+    labels
+  }
+
+  /** Corpus-level dedup decision: cluster near-dup pairs, keep the
+    * minimum id of each cluster. Docs not in any pair are implicit
+    * keeps (callers left-anti join the drop list). Output:
+    * (doc id, canonical keep_id, is_kept). */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("id"), col("comp").as("keep_id"),
+        (col("id") === col("comp")).as("is_kept"))
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens, computed entirely row-local

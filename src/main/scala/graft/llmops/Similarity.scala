@@ -97,29 +97,75 @@ object Similarity {
 
   // --- IVF (inverted file / coarse quantizer) -------------------------
 
+  /** Lloyd-iteration k-means codebook for IVF: deterministic init (the
+    * `numCells` lowest-id vectors), then `iterations` rounds of
+    * assign-to-nearest (broadcast centroids) + per-cell elementwise
+    * mean (posexplode → groupBy(cell, pos) → avg). Centroids come back
+    * to the driver between rounds — numCells × dim doubles, the same
+    * bounded model state any distributed k-means keeps. Empty cells
+    * retain their previous centroid. */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    numCells: Int, iterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(corpus.select(col(idCol).as("vid"),
+        col(vecCol).as("v")), cents, "vid", "v", 1)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val prev = cents.collect()
+        .map(r => r.getAs[Long]("cell_id") -> r.getSeq[Any](1)).toMap
+      val updated = means.groupBy(_.getAs[Long]("cell_id")).map {
+        case (cell, rows) =>
+          val arr = rows.sortBy(_.getAs[Int]("pos"))
+            .map(_.getAs[Double]("m")).toArray
+          cell -> arr
+      }
+      val newCents = prev.keys.toSeq.sorted.map { cell =>
+        updated.get(cell) match {
+          case Some(arr) => (cell, arr.toSeq)
+          case None => (cell,
+            prev(cell).map(v => v.toString.toDouble).toSeq)
+        }
+      }
+      cents = newCents.toDF("cell_id", "centroid")
+    }
+    cents
+  }
+
+  private def assignCells(df: DataFrame, cents: DataFrame, idAs: String,
+                          vecAs: String, nCells: Int): DataFrame = {
+    val scored = df.select(col(idAs), col(vecAs))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", cosine(col(vecAs), col("centroid")))
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("cdist").desc, col("cell_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nCells)
+      .select(col(idAs), col(vecAs), col("cell_id"))
+  }
+
   /** IVF-style approximate top-k: assign every vector to its nearest
-    * coarse centroid (the first `numCells` corpus vectors serve as the
-    * codebook — a real system would k-means them; the plan shape is the
-    * same), then search only the query's `nProbe` nearest cells.
+    * coarse centroid (k-means codebook, see [[trainCodebook]]), then
+    * search only the query's `nProbe` nearest cells.
     * The centroid assignment is a broadcast nested-loop over numCells
     * rows; the search join is an equi-join on cell id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nProbe: Int = 2): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(numCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    def assign(df: DataFrame, idAs: String, vecAs: String, nCells: Int) = {
-      val scored = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .crossJoin(broadcast(cents))
-        .withColumn("cdist", cosine(col(vecAs), col("centroid")))
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("cdist").desc, col("cell_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= nCells)
-        .select(col(idAs), col(vecAs), col("cell_id"))
-    }
-    val corpusCells = assign(corpus, "neighbor_id", "cv", 1)
-    val queryCells = assign(queries, "query_id", "qv", nProbe)
+              nProbe: Int = 2, kmeansIterations: Int = 1): DataFrame = {
+    val cents = trainCodebook(corpus, idCol, vecCol, numCells,
+      kmeansIterations)
+    val corpusCells = assignCells(corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv")), cents,
+      "neighbor_id", "cv", 1)
+    val queryCells = assignCells(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")), cents,
+      "query_id", "qv", nProbe)
     val scored = queryCells.join(corpusCells, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")

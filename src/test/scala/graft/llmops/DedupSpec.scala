@@ -79,6 +79,18 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(3L)) > 10)
   }
 
+  test("dedupClusters: chains collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_kept"))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false)) // reached via the 2-3 chain
+    assert(out(10L) == (10L, true))
+    assert(out(11L) == (10L, false))
+  }
+
   test("simhashPairs returns near pairs under the hamming cap") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
