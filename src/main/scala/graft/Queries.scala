@@ -938,6 +938,174 @@ object Queries {
       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
       ORDER BY doc_id, tf.term"""))
 
+
+  // ======================================================================
+  // Relational completeness: set ops, semi/anti, pivot, rollup, moments,
+  // as-of join
+  // ======================================================================
+
+  /** INTERSECT / EXCEPT set operations. */
+  private val setOps = Q("set_ops",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("id")).distinct()
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("id")).distinct()
+      p.intersect(g).withColumn("op", lit("intersect"))
+        .unionByName(g.except(p).withColumn("op", lit("except")))
+        .orderBy("op", "id")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id AS id FROM events
+        WHERE event_type = 'purchase'),
+      s AS (SELECT DISTINCT user_id AS id FROM events
+        WHERE event_type = 'signup')
+      SELECT id, 'intersect' AS op FROM (SELECT id FROM p INTERSECT SELECT id FROM s)
+      UNION ALL
+      SELECT id, 'except' AS op FROM (SELECT id FROM s EXCEPT SELECT id FROM p)
+      ORDER BY op, id"""))
+
+  /** left_semi / left_anti joins (EXISTS / NOT EXISTS). */
+  private val semiAnti = Q("semi_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("id")).withColumn("op", lit("semi"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("id")).withColumn("op", lit("anti"))
+      semi.unionByName(anti).orderBy("op", "id")
+    },
+    Some("""SELECT c_custkey AS id, 'semi' AS op FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey AS id, 'anti' AS op FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY op, id"""))
+
+  /** Pivot: quantity matrix returnflag × linestatus (explicit pivot
+    * values keep the output schema static — mandatory at scale, a
+    * values-discovery pass is an extra job). */
+  private val pivotFlagStatus = Q("pivot_flag_status",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("returnflag"),
+    Some("""SELECT l_returnflag AS returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** ROLLUP over (region, nation) with GROUPING indicators; subtotal
+    * rows get 'ALL' labels so order keys stay non-null. */
+  private val rollupRegionNation = Q("rollup_region_nation",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("g_region"), col("g_nation"), col("total_acctbal"))
+        .orderBy("g_region", "g_nation", "region", "nation"),
+    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+      COALESCE(n_name, 'ALL') AS nation,
+      CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+      CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_region, g_nation, region, nation"""))
+
+  /** Sample variance / stddev / correlation from EXACT decimal moment
+    * sums (float moment aggregates are shuffle-order-dependent and can
+    * never hash-match across engines; decimal sums make the final
+    * double arithmetic a fixed expression over identical inputs). */
+  private val statsExact = Q("stats_exact",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def d2(c: Column) = sum(c.cast(DecimalType(18, 2))).cast("double")
+      def d4(c: Column) = sum(c.cast(DecimalType(38, 4))).cast("double")
+      li.agg(
+        count(lit(1)).cast("double").as("n"),
+        d2(col("l_extendedprice")).as("sx"),
+        d4(col("l_extendedprice") * col("l_extendedprice")).as("sxx"),
+        d2(col("l_quantity")).as("sy"),
+        d4(col("l_quantity") * col("l_quantity")).as("syy"),
+        d4(col("l_extendedprice") * col("l_quantity")).as("sxy"))
+        .select(
+          ((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0)).as("stddev_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_price_qty"))
+    },
+    Some("""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      FROM lineitem)
+      SELECT (sxx - sx * sx / n) / (n - 1.0) AS var_price,
+        sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_price,
+        (sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+      FROM m"""))
+
+  /** As-of join composed from built-ins (SURVEY §7.3 preference (a)):
+    * each purchase picks the latest signup at-or-before it per user,
+    * via a tagged union + last(ignoreNulls) running window — one
+    * shuffle on user, no range-join explosion. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  private val asofJoin = Q("asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          lit(1).as("is_left"),
+          lit(null).cast("bigint").as("signup_event_id"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(lit(null).cast("bigint").as("event_id"), col("user_id"),
+          col("ts_us"), lit(0).as("is_left"),
+          col("event_id").as("signup_event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_left"), col("signup_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purch.unionByName(signup)
+        .withColumn("asof_signup",
+          last(col("signup_event_id"), ignoreNulls = true).over(w))
+        .filter(col("is_left") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof_signup").as("signup_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT event_id AS signup_event_id, user_id,
+          epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'signup')
+      SELECT p.event_id, p.user_id, s.signup_event_id
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+      ORDER BY p.event_id"""))
+
   // ======================================================================
 
   val all: Seq[Q] = Seq(
@@ -954,5 +1122,7 @@ object Queries {
     textFingerprint, textRollingFp,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, retention, textTfidf,
+    setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
+    asofJoin,
     streamDaily)
 }
