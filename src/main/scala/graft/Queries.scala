@@ -1067,6 +1067,21 @@ object Queries {
           (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
       FROM m"""))
 
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition and
+    * produce bit-identical doubles (verified empirically). */
+  private val statsQuantiles = Q("stats_quantiles",
+    (s, dir) =>
+      events(s, dir).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.95)").as("p95")),
+    Some("""SELECT quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.75) AS p75,
+      quantile_cont(value, 0.95) AS p95 FROM events"""))
+
   /** As-of join composed from built-ins (SURVEY §7.3 preference (a)):
     * each purchase picks the latest signup at-or-before it per user,
     * via a tagged union + last(ignoreNulls) running window — one
@@ -1123,6 +1138,6 @@ object Queries {
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
-    asofJoin,
+    statsQuantiles, asofJoin,
     streamDaily)
 }

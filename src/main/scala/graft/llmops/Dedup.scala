@@ -117,17 +117,35 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           iterations: Int = 10): DataFrame = {
+    // Iterative plans MUST truncate lineage: `labels` feeds the next
+    // round twice (directly + via the edge join), so without a
+    // materialization barrier the upstream pair computation re-executes
+    // O(2^rounds) times. localCheckpoint each round + cached edges is
+    // the standard distributed-CC shape; the comp-sum is a monotone
+    // convergence signal (labels only decrease), so near-clique dedup
+    // clusters stop after ~2 rounds instead of burning the cap.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .cache()
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("comp"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (i < iterations && !converged) {
       val viaEdges = edges.join(labels,
         edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
       labels = labels.union(viaEdges)
         .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("comp"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
     }
+    edges.unpersist()
     labels
   }
 
