@@ -148,12 +148,18 @@ object Queries {
     * fallback, the reference's `created` guard (nb03:141-143). */
   private val safeCast = Q("safe_cast_guard",
     (s, dir) => {
-      val k = get_json_object(col("props"), "$.k")
-      events(s, dir).select(
-        col("event_id"),
-        when(k.try_cast("bigint").isNotNull,
-          timestamp_seconds(k.try_cast("bigint") * 3600))
-          .otherwise(timestamp_seconds(lit(0))).as("created_at"))
+      // stage the JSON extraction in its own projection: inlining it
+      // into both try_cast sites parses the JSON twice per row (the
+      // optimizer only collapses projections when duplication is cheap)
+      val k = col("k")
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k"))
+        .select(
+          col("event_id"),
+          when(k.try_cast("bigint").isNotNull,
+            timestamp_seconds(k.try_cast("bigint") * 3600))
+            .otherwise(timestamp_seconds(lit(0))).as("created_at"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id,
@@ -1067,6 +1073,78 @@ object Queries {
           (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
       FROM m"""))
 
+  /** 7-day moving average of the daily measure: window sums stay in
+    * exact decimal through the ROWS frame, divided in double at the
+    * end. Global ordered window — fine at daily grain (one row per
+    * day); a per-key moving average would partition first. */
+  private val movingAvg7d = Q("kpi_moving_avg_7d",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(sum(coalesce(col("value"), lit(0.0))
+          .cast(DecimalType(18, 2))).as("t_dec"))
+      val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+      daily.select(
+        col("date"),
+        col("t_dec").cast("double").as("daily_total"),
+        (sum(col("t_dec")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_7d"))
+        .orderBy("date")
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date,
+        SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS t_dec
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT date, CAST(t_dec AS DOUBLE) AS daily_total,
+        CAST(SUM(t_dec) OVER (ORDER BY date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST(COUNT(*) OVER (ORDER BY date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg_7d
+      FROM d ORDER BY date"""))
+
+  /** NTILE decile segmentation of customers by balance (total order via
+    * the custkey tie-break). */
+  private val customerDeciles = Q("customer_deciles",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("decile")
+    },
+    Some("""SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
+        MAX(c_acctbal) AS max_bal
+      FROM (SELECT c_acctbal,
+        NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Date-spine gap fill: a generated calendar left-joined to the daily
+    * counts so empty days appear as zeros (every reporting layer needs
+    * this; a missing day is not the same as a zero day). */
+  private val dailySpine = Q("kpi_daily_spine",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.agg(min(col("date")).as("mn"),
+        max(col("date")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("date"))
+      spine.join(daily, Seq("date"), "left")
+        .select(col("date"), coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("date")
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+        FROM events GROUP BY 1),
+      b AS (SELECT MIN(date) AS mn, MAX(date) AS mx FROM d),
+      spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+        INTERVAL 1 DAY)) AS DATE) AS date FROM b)
+      SELECT s.date, COALESCE(d.n, 0) AS n_events
+      FROM spine s LEFT JOIN d USING (date) ORDER BY s.date"""))
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */
@@ -1138,6 +1216,6 @@ object Queries {
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
-    statsQuantiles, asofJoin,
+    statsQuantiles, asofJoin, movingAvg7d, customerDeciles, dailySpine,
     streamDaily)
 }
