@@ -77,6 +77,38 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .save()
 
+  /** Batch upsert into a partitioned dir: dynamic partition overwrite
+    * rewrites ONLY the partitions present in `df` — the batch twin of
+    * the streaming foreachBatch upsert; replays converge. */
+  def upsertByPartition(df: DataFrame, path: String,
+                        partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(path)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Small-file compaction: rewrite a parquet dir into ~`targetFiles`
+    * files. Streaming upserts and incremental loads accumulate small
+    * files; scan cost at 100 TB is dominated by file count, so
+    * compaction is part of table maintenance, not an optimization.
+    * (Writes to a temp dir first, then swaps — a failed compaction
+    * never destroys the source.) */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(path); val t = new Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
   /** S11: storage-config bootstrap — the reference sets
     * `fs.azure.account.key...` from a secret (nb01:44-127); locally any
     * fs.* confs pass through the Hadoop configuration the same way. */

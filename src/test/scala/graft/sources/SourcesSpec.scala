@@ -41,6 +41,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == 1)
   }
 
+  test("upsertByPartition rewrites only the touched partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert2")
+    val v1 = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("date", "v")
+    Sources.writeSilverParquet(v1, s"$root/t", Some("date"))
+    // upsert touches only 01-02 (new value) and 01-03 (new partition)
+    val v2 = Seq(("2024-01-02", 20), ("2024-01-03", 3)).toDF("date", "v")
+    Sources.upsertByPartition(v2, s"$root/t", "date")
+    val back = spark.read.parquet(s"$root/t")
+      .collect().map(r => r.get(r.fieldIndex("date")).toString ->
+        r.getInt(r.fieldIndex("v"))).toMap
+    assert(back == Map("2024-01-01" -> 1, "2024-01-02" -> 20,
+      "2024-01-03" -> 3))
+  }
+
+  test("compact rewrites a dir to the target file count, same rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    (1 to 100).toDF("v").repartition(20).write.parquet(s"$root/t")
+    assert(spark.read.parquet(s"$root/t").inputFiles.length >= 10)
+    Sources.compact(spark, s"$root/t", 2)
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.inputFiles.length <= 3)
+    assert(back.count() == 100)
+  }
+
+  test("GraftExtensions: functions injected at session build time") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session on the same context, built through extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_long(array(1L,2L), array(3L,4L)) AS d")
+        .collect().head
+      assert(r.getAs[Long]("d") == 11L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("multiline JSON glob scan with explicit schema") {
     val root = java.nio.file.Files.createTempDirectory("graft_ml")
     java.nio.file.Files.createDirectories(root.resolve("r1"))
