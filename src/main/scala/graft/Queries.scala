@@ -730,6 +730,75 @@ object Queries {
         .orderBy("doc_id"),
     None)
 
+  /** Unigram log-probability scoring (the perplexity-style quality
+    * filter): corpus term frequencies with add-one smoothing, each doc
+    * scored by its mean token log-prob. Per-token logprobs are rounded
+    * to 6dp and summed as DECIMAL so the aggregate is shuffle-order-
+    * independent (raw double sums are not associative). */
+  private val textUnigramLogprob = Q("text_unigram_logprob",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+      val totals = freq.agg(sum(col("tf")).as("total"),
+        count(lit(1)).as("vocab"))
+      val scored = terms.filter(col("doc_id") < 100)
+        .join(freq, Seq("term"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"),
+          round(log((col("tf").cast("double") + 1.0) /
+            (col("total").cast("double") + col("vocab").cast("double"))),
+            6).cast(DecimalType(18, 6)).as("lp"))
+      scored.groupBy("doc_id")
+        .agg((sum(col("lp")).cast("double") / count(lit(1)))
+          .as("mean_logprob"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
+          trim(lower(text)), '\s+')) AS term FROM docs),
+      t2 AS (SELECT doc_id, term FROM terms WHERE term != ''),
+      freq AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY 1),
+      totals AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM freq)
+      SELECT doc_id,
+        CAST(SUM(CAST(ROUND(ln((CAST(tf AS DOUBLE) + 1.0) /
+          (CAST(total AS DOUBLE) + CAST(vocab AS DOUBLE))), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_logprob,
+        COUNT(*) AS n_tokens
+      FROM t2 JOIN freq USING (term) CROSS JOIN totals
+      WHERE doc_id < 100
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Language-ID evaluation: confusion matrix of labeled vs predicted
+    * language. */
+  private val textLangConfusion = Q("text_lang_confusion",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+      SELECT lang, lang_pred, COUNT(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+               WHEN de > en AND de >= fr AND de >= es THEN 'de'
+               WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+               WHEN es > en AND es > de AND es > fr THEN 'es'
+               ELSE 'en' END AS lang_pred
+        FROM sc)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
   // ======================================================================
   // LLM-data-pipeline extensions: multimodal binary columns
   // ======================================================================
@@ -1212,7 +1281,8 @@ object Queries {
     dedupCorpus, dedupEmbedding,
     simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
-    textFingerprint, textRollingFp,
+    textFingerprint, textRollingFp, textUnigramLogprob,
+    textLangConfusion,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
