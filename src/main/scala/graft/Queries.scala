@@ -975,6 +975,42 @@ object Queries {
       SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
              (SELECT COUNT(*) FROM p) AS n_converted"""))
 
+  /** Three-stage sequential funnel: signup → first click AFTER signup →
+    * first purchase AFTER that click. Each stage joins on the previous
+    * stage's first-timestamp, so ordering constraints are enforced, not
+    * just set membership. */
+  private val funnel3 = Q("funnel_3stage",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("fs"))
+      val ck = ev.filter(col("event_type") === "click")
+        .join(sg, Seq("user_id"))
+        .filter(col("ts_us") > col("fs"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(ck, Seq("user_id"))
+        .filter(col("ts_us") > col("fc"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
+      sg.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(ck.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""WITH sg AS (SELECT user_id, MIN(epoch_us(ts)) AS fs
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      ck AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
+        FROM events e JOIN sg ON e.user_id = sg.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > sg.fs
+        GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp
+        FROM events e JOIN ck ON e.user_id = ck.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.fc
+        GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM sg) AS n_signup,
+             (SELECT COUNT(*) FROM ck) AS n_click_after,
+             (SELECT COUNT(*) FROM pu) AS n_purchase_after"""))
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per whole-week offset. */
   private val retention = Q("retention_cohorts",
@@ -1314,7 +1350,7 @@ object Queries {
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion,
     multimodalMeta, multimodalDecode, multimodalFrames,
-    sessionBatch, funnel, retention, textTfidf,
+    sessionBatch, funnel, funnel3, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
     statsQuantiles, asofJoin, movingAvg7d, customerDeciles, dailySpine,
     streamDaily)

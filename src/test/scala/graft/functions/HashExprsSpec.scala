@@ -53,6 +53,26 @@ class HashExprsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("ShingleSet: unicode text, punctuation, multi-byte chars") {
+    val df = Seq((1L, "Füße größer ÄLTER wäre schön"),
+      (2L, "日本語 テキスト の 処理 確認"),
+      (3L, "emoji 🎬 in 🎬 text 🎬 here")).toDF("id", "t")
+    val sh = df.select(col("id"), HashExprs.shingleSet(col("t"), 2)
+      .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).contains("füße größer")) // lowercase incl. umlauts
+    assert(sh(2L).contains("日本語 テキスト"))
+    assert(sh(3L).contains("emoji 🎬"))
+    // deterministic across calls on multi-byte content
+    val again = df.select(HashExprs.minhashSig(
+      HashExprs.shingleSet(col("t"), 2), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val again2 = df.select(HashExprs.minhashSig(
+      HashExprs.shingleSet(col("t"), 2), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(again.toSeq == again2.toSeq)
+  }
+
   test("CosineSim: float arrays, zero-norm → null") {
     val df = Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(1f, 0f)))
       .toDF("a", "b")
