@@ -1169,6 +1169,29 @@ object Queries {
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY g_region, g_nation, region, nation"""))
 
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * (both, each alone, grand total) with GROUPING indicators. */
+  private val cubeFlagStatus = Q("cube_flag_status",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_flag"), col("g_status"), col("total_qty"))
+        .orderBy("g_flag", "g_status", "returnflag", "linestatus"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, returnflag, linestatus"""))
+
   /** Sample variance / stddev / correlation from EXACT decimal moment
     * sums (float moment aggregates are shuffle-order-dependent and can
     * never hash-match across engines; decimal sums make the final
@@ -1351,7 +1374,8 @@ object Queries {
     textLangConfusion,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
-    setOps, semiAnti, pivotFlagStatus, rollupRegionNation, statsExact,
+    setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
+    cubeFlagStatus, statsExact,
     statsQuantiles, asofJoin, movingAvg7d, customerDeciles, dailySpine,
     streamDaily)
 }
