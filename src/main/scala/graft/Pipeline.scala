@@ -39,7 +39,11 @@ object Pipeline {
   def ingest(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher,
              runTs: java.time.Instant = java.time.Instant.now()): Unit = {
     val metaPath = s"${conf.rawPath}/metadata/last_run"
-    Ingest.readWatermark(spark, metaPath, conf.lookbackDays, runTs)
+    // incremental pull: the visitor fetch asks the API only for events
+    // newer than the last successful run (nb02:247 since=last_run_date);
+    // the media catalog is small and always pulled in full, as in nb02
+    val since = Ingest.readWatermark(spark, metaPath, conf.lookbackDays,
+      runTs)
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(runTs)
@@ -48,7 +52,8 @@ object Pipeline {
       if (media.nonEmpty)
         Ingest.writeBronzeJson(spark, media,
           s"${conf.rawPath}/media/${id}_$stamp", Schemas.rawMedia)
-      val visitors = Ingest.fetchAllPages(fetcher, id, "visitors")
+      val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
+        since = Some(since))
       if (visitors.nonEmpty)
         Ingest.writeBronzeJson(spark, visitors,
           s"${conf.rawPath}/visitors/${id}_$stamp", Schemas.rawVisitor)

@@ -19,8 +19,8 @@ object PipelineDemo {
       java.nio.file.Files.createTempDirectory("graft_demo").toString)
 
     val fetcher = new Ingest.Fetcher {
-      def fetchPage(id: String, endpoint: String, page: Int)
-      : Option[String] =
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
         if (page > 1) None
         else if (endpoint == "media")
           Some(s"""{"hashed_id":"$id","name":"Video $id on YouTube","created":1700000000}""")

@@ -428,11 +428,15 @@ object Queries {
         .orderBy("id_a", "id_b"),
     None)
 
-  /** SimHash near-dup pairs (Hamming <= 16 of 64 bits) — rows-only. */
+  /** SimHash near-dup pairs (Hamming <= 3 of 64 bits): 4 × 16-bit chunk
+    * pigeonhole is COMPLETE at this radius (the previous Hamming-16
+    * setting silently missed pairs differing in every chunk) — and the
+    * 16-bit bucket keys keep the candidate join sparse at scale. The
+    * simhash value itself is engine-specific → rows-only. */
   private val dedupSimhash = Q("dedup_simhash",
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 16)
+        maxHamming = 3)
         .orderBy("id_a", "id_b"),
     None)
 
@@ -871,7 +875,6 @@ object Queries {
 
   private val streamDaily = Q("stream_daily_engagement",
     (s, dir) => {
-      val name = "stream_daily_out"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // state-store instances scale with shuffle partitions; this agg
       // keys on (day, user) with tiny cardinality, so fewer partitions
@@ -889,14 +892,18 @@ object Queries {
         .groupBy(window(col("ts"), "1 day").as("day"),
           col("user_id"))
         .agg(count(lit(1)).as("play_count"))
-      val q = agg.writeStream
-        .outputMode("complete").format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      // update mode + foreachBatch merge-upsert: each batch rewrites
+      // only the date partitions it touches, state holds only keys in
+      // the watermark horizon — the pattern that survives an unbounded
+      // stream (a complete-mode memory sink would retain the whole
+      // result in state AND collect it to the driver).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_daily").toString
+      graft.stream.StreamingFact.upsertToSilver(
+        s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name)
-        .select(to_date(col("day.start")).as("date"), col("user_id"),
-          col("play_count"))
+      s.read.parquet(s"$root/fact")
+        .select(col("date"), col("user_id"), col("play_count"))
         .orderBy("date", "user_id")
     },
     Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS date, user_id,
@@ -938,9 +945,10 @@ object Queries {
       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
       FROM (
         SELECT user_id, event_id, ts_us,
-          SUM(new_sess) OVER (PARTITION BY user_id
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
             ORDER BY ts_us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
         FROM (
           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (

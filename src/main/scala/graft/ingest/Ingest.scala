@@ -16,9 +16,12 @@ object Ingest {
   /** Pluggable page fetcher (reference: GET stats/medias/{id}.json and
     * …/visitors.json with per_page=100, page cap 100; nb02:141-168). */
   trait Fetcher {
-    /** One page of results; None when the API 404s or pages exhaust. */
-    def fetchPage(mediaId: String, endpoint: String,
-                  page: Int): Option[String]
+    /** One page of results; None when the API 404s or pages exhaust.
+      * `since` is the incremental watermark (ISO-8601): when set, the
+      * fetcher asks the API only for rows newer than it (the
+      * reference's `since=last_run_date` query param, nb02:247). */
+    def fetchPage(mediaId: String, endpoint: String, page: Int,
+                  since: Option[String] = None): Option[String]
   }
 
   /** Retry/backoff policy of nb02:105-126: up to `maxRetries` attempts,
@@ -48,9 +51,11 @@ object Ingest {
     * bounded (≤100 pages × 100 rows); the heavy path is the files, not
     * the API. */
   def fetchAllPages(fetcher: Fetcher, mediaId: String, endpoint: String,
-                    pageCap: Int = 100): Seq[String] =
+                    pageCap: Int = 100,
+                    since: Option[String] = None): Seq[String] =
     Iterator.from(1).take(pageCap)
-      .map(p => withRetry()(fetcher.fetchPage(mediaId, endpoint, p)).flatten)
+      .map(p =>
+        withRetry()(fetcher.fetchPage(mediaId, endpoint, p, since)).flatten)
       .takeWhile(_.isDefined).flatten.toSeq
 
   /** Bronze write: JSON docs → DataFrame → overwrite JSON dir

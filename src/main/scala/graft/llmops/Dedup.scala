@@ -170,16 +170,33 @@ object Dedup {
       split(trim(lower(coalesce(text, lit("")))), "\\s+"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Candidate generation: split the 64-bit hash into 4 16-bit chunks —
-    * any pair within Hamming 3 must agree on >= 1 chunk (pigeonhole) —
-    * and equi-join per chunk. Verification: bit_count(a XOR b). */
+    * Candidate generation by pigeonhole: split the 64-bit hash into
+    * (maxHamming + 1) chunks — a pair differing in <= maxHamming bits
+    * must agree on at least one whole chunk — and equi-join per chunk.
+    * Verification: bit_count(a XOR b). COMPLETENESS requires the chunk
+    * count to track the radius (4 fixed chunks are only complete for
+    * Hamming <= 3). Cost tracks it too: chunk width 64/(maxHamming+1)
+    * bits sets the bucket key space, so large radii (> ~7) collapse
+    * buckets toward all-pairs — keep maxHamming small or pre-partition
+    * the corpus. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val numChunks = maxHamming + 1
+    // even bit split: chunk c covers [c*64/n, (c+1)*64/n) — all 64 bits
+    // covered, every chunk non-empty, widths differ by at most 1
+    val chunkCols = (0 until numChunks).map { c =>
+      val lo = c * 64 / numChunks
+      val width = (c + 1) * 64 / numChunks - lo
+      val key =
+        if (width == 64) col("sh")
+        else shiftright(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(c).as("chunk_id"), key.as("chunk_key"))
+    }
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"), explode(array(
-      (0 until 4).map(c => struct(lit(c).as("chunk_id"),
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
-          .as("chunk_key"))): _*)).as("ck"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sh"), col("ck.chunk_id"), col("ck.chunk_key"))
     val a = chunked.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("chunk_id"), col("chunk_key"))

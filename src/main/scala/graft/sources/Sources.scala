@@ -97,16 +97,26 @@ object Sources {
     * files. Streaming upserts and incremental loads accumulate small
     * files; scan cost at 100 TB is dominated by file count, so
     * compaction is part of table maintenance, not an optimization.
-    * (Writes to a temp dir first, then swaps — a failed compaction
-    * never destroys the source.) */
+    * (Writes to a temp dir, then rename-swap-delete: the source is
+    * moved to a backup path BEFORE anything is deleted, so the data is
+    * recoverable at every step — a crash leaves either the original or
+    * the compacted table plus at most a stale `_backup`/`_compacting`
+    * dir to sweep, never a missing table.) */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = path + "_compacting"
+    val bak = path + "_backup"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new Path(path); val t = new Path(tmp)
+    val p = new Path(path); val t = new Path(tmp); val b = new Path(bak)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    fs.delete(b, true) // clear any stale backup from a prior crash
+    if (!fs.rename(p, b))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(t, p)) {
+      fs.rename(b, p) // roll back: restore the original table
+      throw new java.io.IOException(s"compact: swap failed for $path")
+    }
+    fs.delete(b, true)
   }
 
   /** S11: storage-config bootstrap — the reference sets

@@ -91,30 +91,61 @@ object StreamingFact {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** foreachBatch upsert into a silver parquet dir: each micro-batch
-    * key-dedupes against itself, then overwrites only the date
-    * partitions it touches (dynamic partition overwrite) — the
-    * streaming write pattern that scales: no global rewrite, and
-    * replayed batches converge to the same partitions. */
+  /** foreachBatch upsert into a silver parquet dir. Update mode emits
+    * only the keys that CHANGED in each micro-batch, so the merge has
+    * to be against what's already on disk — see [[upsertBatch]]. The
+    * write pattern still scales: only touched date partitions are read
+    * and rewritten, never the whole table, and replayed batches
+    * converge (key-dedup + anti-join make the merge idempotent). */
   def upsertToSilver(spark: SparkSession, agg: DataFrame, path: String,
-                     checkpoint: String): Unit = {
+                     checkpoint: String,
+                     keyCols: Seq[String] = Seq("user_id")): Unit = {
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch
-          .withColumn("date", to_date(col("day.start")))
-          .drop("day")
-          .write.mode("overwrite")
-          .partitionBy("date")
-          .parquet(path)
-        ()
+        upsertBatch(batch, path, keyCols)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch of the silver upsert. An update-mode batch carries
+    * only changed keys, so overwriting a date partition with the batch
+    * alone would delete that date's unchanged rows landed by earlier
+    * batches. Instead: key-dedup the batch (a replayed batch can
+    * overlap itself), read back ONLY the touched partitions, anti-join
+    * out the keys this batch supersedes, and overwrite the touched
+    * partitions with the union. localCheckpoint materializes the merge
+    * before the overwrite deletes the files it was read from. The
+    * touched-date collect is bounded by dates-per-batch, not data. */
+  private[stream] def upsertBatch(batch: DataFrame, path: String,
+                                  keyCols: Seq[String]): Unit = {
+    val ss = batch.sparkSession
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val fresh = batch
+      .withColumn("date", to_date(col("day.start")))
+      .drop("day")
+      .dropDuplicates("date" +: keyCols)
+    if (fresh.isEmpty) return
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(target)) fresh
+      else {
+        val touched = fresh.select("date").distinct()
+          .collect().map(_.getDate(0)).toSeq
+        val prior = ss.read.parquet(path)
+          .filter(col("date").isin(touched: _*))
+          .join(fresh.select("date", keyCols: _*),
+            "date" +: keyCols, "left_anti")
+        fresh.unionByName(prior)
+      }
+    merged.localCheckpoint(eager = true)
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(path)
   }
 
   /** Stream-static enrichment: join the event stream against a static

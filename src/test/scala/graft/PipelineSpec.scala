@@ -13,14 +13,18 @@ import graft.ingest.Ingest
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  private val sinceSeen =
+    scala.collection.mutable.Map[String, Option[String]]()
   private val fetcher = new Ingest.Fetcher {
-    def fetchPage(id: String, endpoint: String, page: Int)
-    : Option[String] =
+    def fetchPage(id: String, endpoint: String, page: Int,
+                  since: Option[String]): Option[String] = {
+      sinceSeen(endpoint) = since
       if (page > 1) None
       else if (endpoint == "media")
         Some(s"""{"hashed_id":"$id","name":"Video $id on YouTube","created":1700000000}""")
       else
         Some(s"""{"visitor_key":"vis_$id","ip_address":"9.9.9.9","country":"DE","events":[{"type":"play","time":1700000000,"duration_watched":"5","percent_watched":"50"},{"type":"end","time":1700000500,"duration_watched":"1","percent_watched":"100"}]}""")
+    }
   }
 
   test("full run: ingest → silver → gold, lineage through dir names") {
@@ -49,6 +53,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(Ingest.readWatermark(spark, s"$root/raw/metadata/last_run",
       7, java.time.Instant.parse("2030-01-01T00:00:00Z"))
       != "2029-12-25T00:00:00Z")
+    // incremental pull: the visitors fetch received the watermark read
+    // at run start (first run → the 7-day lookback default), nb02:247
+    assert(sinceSeen("visitors").isDefined)
+    assert(sinceSeen("media").isEmpty) // catalog always pulled in full
   }
 
   test("observedValidation collects DQ metrics as a write side-effect") {

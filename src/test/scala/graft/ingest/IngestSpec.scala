@@ -30,11 +30,26 @@ class IngestSpec extends AnyFunSuite {
 
   test("fetchAllPages pulls pages until exhaustion, capped") {
     val fetcher = new Ingest.Fetcher {
-      def fetchPage(id: String, ep: String, page: Int): Option[String] =
+      def fetchPage(id: String, ep: String, page: Int,
+                    since: Option[String]): Option[String] =
         if (page <= 3) Some(s"""{"page":$page}""") else None
     }
     val pages = Ingest.fetchAllPages(fetcher, "m1", "visitors", pageCap = 10)
     assert(pages.length == 3)
+  }
+
+  test("fetchAllPages forwards the incremental watermark to every page") {
+    val seen = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val fetcher = new Ingest.Fetcher {
+      def fetchPage(id: String, ep: String, page: Int,
+                    since: Option[String]): Option[String] = {
+        seen += since
+        if (page <= 2) Some(s"""{"page":$page}""") else None
+      }
+    }
+    Ingest.fetchAllPages(fetcher, "m1", "visitors", pageCap = 10,
+      since = Some("2024-06-01T00:00:00Z"))
+    assert(seen.nonEmpty && seen.forall(_.contains("2024-06-01T00:00:00Z")))
   }
 
   test("watermark: absent → lookback default; commit → read back") {

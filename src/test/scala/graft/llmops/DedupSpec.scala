@@ -97,4 +97,33 @@ class DedupSpec extends AnyFunSuite {
       .toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("simhashPairs is COMPLETE at every radius: equals brute force") {
+    // 40 short docs with overlapping vocab → a spread of distances
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => words((i + j * (i % 3 + 1)) % 10))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val hashes = corpus
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (radius <- Seq(0, 3, 7, 16)) {
+      val expected = (for {
+        a <- hashes.keys; b <- hashes.keys if a < b
+        if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= radius
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(corpus, "text", "doc_id", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"radius=$radius: pigeonhole candidates missed true pairs")
+    }
+  }
+
+  test("simhashPairs rejects radii the 64-bit split cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)
+    }
+  }
 }

@@ -65,6 +65,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 100)
   }
 
+  test("writeGoldJdbc round-trip: truncate-not-drop, types land (Derby)") {
+    // embedded Derby (ships with Spark) stands in for the reference's
+    // SQL gold store: adf:115-207 truncate-and-insert, adf:388-489 DDL
+    val url = "jdbc:derby:memory:golddb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE gold_fact (
+      media_id VARCHAR(50) NOT NULL,
+      watched_percent DECIMAL(5,2),
+      play_count INT,
+      PRIMARY KEY (media_id))""")
+    st.execute("INSERT INTO gold_fact VALUES ('stale', 1.00, 1)")
+
+    val df = Seq(("m1", BigDecimal("12.34"), 7), ("m2", BigDecimal("99.99"), 3))
+      .toDF("media_id", "watched_percent", "play_count")
+      .select(col("media_id"),
+        col("watched_percent").cast("decimal(5,2)").as("watched_percent"),
+        col("play_count").cast("int").as("play_count"))
+    Sources.writeGoldJdbc(df, url, "gold_fact", "app", "app")
+
+    // truncate semantics: stale row gone, new rows in
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "gold_fact").load()
+    val rows = back.collect()
+      .map(r => r.getAs[String]("MEDIA_ID") ->
+        (r.getAs[java.math.BigDecimal]("WATCHED_PERCENT").toPlainString,
+          r.getAs[Int]("PLAY_COUNT"))).toMap
+    assert(!rows.contains("stale"), "truncate must remove prior rows")
+    assert(rows("m1") == ("12.34", 7))
+    assert(rows("m2") == ("99.99", 3))
+
+    // DDL survived (truncate, not drop/create): the narrowed DECIMAL(5,2)
+    // column and the PRIMARY KEY constraint are still in force
+    val rs = conn.getMetaData.getColumns(null, null, "GOLD_FACT",
+      "WATCHED_PERCENT")
+    assert(rs.next())
+    assert(rs.getInt("COLUMN_SIZE") == 5 && rs.getInt("DECIMAL_DIGITS") == 2)
+    intercept[java.sql.SQLIntegrityConstraintViolationException] {
+      st.execute("INSERT INTO gold_fact VALUES ('m1', 0.00, 0)")
+    }
+
+    // second write through the same path: still truncate, idempotent
+    Sources.writeGoldJdbc(df, url, "gold_fact", "app", "app")
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "gold_fact").load().count() == 2)
+    conn.close()
+  }
+
+  test("compact recovers: a stale backup dir does not break the swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact2")
+    (1 to 50).toDF("v").repartition(10).write.parquet(s"$root/t")
+    // simulate debris from a crashed earlier compaction
+    (1 to 5).toDF("v").write.parquet(s"$root/t_backup")
+    Sources.compact(spark, s"$root/t", 1)
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() == 50)
+    assert(!Sources.exists(spark, s"$root/t_backup"),
+      "backup must be cleaned up after a successful swap")
+  }
+
   test("GraftExtensions: functions injected at session build time") {
     import org.apache.spark.sql.SparkSession
     // a sibling session on the same context, built through extensions

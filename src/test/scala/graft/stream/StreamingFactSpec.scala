@@ -79,6 +79,47 @@ class StreamingFactSpec extends AnyFunSuite {
       .exists(_.contains("date=")))
   }
 
+  test("upsertToSilver: a later batch on the same date keeps earlier keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert2")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = StreamingFact.dailyEngagement(df, "ts", "user_id",
+      "event_type", "value")
+    // batch 1: user 1 on Jan-01
+    mem.addData((ts("2024-01-01 10:00:00"), 1L, "play", 10.0))
+    StreamingFact.upsertToSilver(spark, agg, s"$root/fact", s"$root/ckpt")
+    // batch 2 (resumed from checkpoint): user 2 on the SAME date, plus
+    // an update for user 1 — update mode emits only these changed keys.
+    mem.addData(
+      (ts("2024-01-01 11:00:00"), 1L, "play", 5.0),
+      (ts("2024-01-01 12:00:00"), 2L, "play", 20.0))
+    StreamingFact.upsertToSilver(spark, agg, s"$root/fact", s"$root/ckpt")
+    val back = spark.read.parquet(s"$root/fact")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("play_count"), r.getAs[Double]("total_value")))
+      .toMap
+    assert(back.size == 2, "user 1's row must survive the second batch")
+    assert(back(1L) == (2L, 15.0)) // superseded by the batch-2 update
+    assert(back(2L) == (1L, 20.0))
+  }
+
+  test("upsertBatch is idempotent under replay (same batch twice)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert3")
+    import spark.implicits._
+    val batch = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), 1L, 3L, 9.0),
+      (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), 1L, 3L, 9.0))
+      .toDF("start", "end", "user_id", "play_count", "total_value")
+      .select(struct(col("start"), col("end")).as("day"),
+        col("user_id"), col("play_count"), col("total_value"))
+    StreamingFact.upsertBatch(batch, s"$root/fact", Seq("user_id"))
+    StreamingFact.upsertBatch(batch, s"$root/fact", Seq("user_id"))
+    assert(spark.read.parquet(s"$root/fact").count() == 1)
+  }
+
   test("enrichWithDim: stream-static broadcast join enriches events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
