@@ -26,7 +26,8 @@ object Pipeline {
 
   case class Conf(rawPath: String, silverPath: String,
                   mediaIds: Seq[String], lookbackDays: Int = 7,
-                  clock: Option[Column] = None)
+                  clock: Option[Column] = None,
+                  retrySleep: Long => Unit = Thread.sleep)
 
   case class Result(dimMedia: DataFrame, dimVisitor: DataFrame,
                     fact: DataFrame, goldFact: DataFrame,
@@ -35,9 +36,19 @@ object Pipeline {
   /** Stage 1 — ingestion (nb02 semantics): read watermark, fetch pages
     * per media id through the retrying fetcher, write bronze JSON dirs
     * named `{media}_{yyyyMMdd_HHmmss}` (the names ARE the lineage —
-    * §2.1 S7/P9 depends on them), commit watermark. */
+    * §2.1 S7/P9 depends on them), commit watermark.
+    *
+    * The watermark advances ONLY when every media id fetched cleanly.
+    * A fetch that exhausts its retries (Ingest.RetriesExhausted) is
+    * not end-of-pages: whatever landed for other ids stays in bronze
+    * (replays converge — the writes are per-run-dir overwrites) but
+    * the watermark holds, so the next incremental run re-requests the
+    * window that was never fully seen. Committing anyway would skip
+    * the unfetched pages forever. Returns true iff the run was clean
+    * and the watermark advanced. */
   def ingest(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher,
-             runTs: java.time.Instant = java.time.Instant.now()): Unit = {
+             runTs: java.time.Instant = java.time.Instant.now())
+  : Boolean = {
     val metaPath = s"${conf.rawPath}/metadata/last_run"
     // incremental pull: the visitor fetch asks the API only for events
     // newer than the last successful run (nb02:247 since=last_run_date);
@@ -47,18 +58,25 @@ object Pipeline {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(runTs)
+    var clean = true
     conf.mediaIds.foreach { id =>
-      val media = Ingest.fetchAllPages(fetcher, id, "media")
-      if (media.nonEmpty)
-        Ingest.writeBronzeJson(spark, media,
-          s"${conf.rawPath}/media/${id}_$stamp", Schemas.rawMedia)
-      val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
-        since = Some(since))
-      if (visitors.nonEmpty)
-        Ingest.writeBronzeJson(spark, visitors,
-          s"${conf.rawPath}/visitors/${id}_$stamp", Schemas.rawVisitor)
+      try {
+        val media = Ingest.fetchAllPages(fetcher, id, "media",
+          sleep = conf.retrySleep)
+        if (media.nonEmpty)
+          Ingest.writeBronzeJson(spark, media,
+            s"${conf.rawPath}/media/${id}_$stamp", Schemas.rawMedia)
+        val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
+          since = Some(since), sleep = conf.retrySleep)
+        if (visitors.nonEmpty)
+          Ingest.writeBronzeJson(spark, visitors,
+            s"${conf.rawPath}/visitors/${id}_$stamp", Schemas.rawVisitor)
+      } catch {
+        case _: Ingest.RetriesExhausted => clean = false
+      }
     }
-    Ingest.commitWatermark(spark, metaPath, runTs.toString)
+    if (clean) Ingest.commitWatermark(spark, metaPath, runTs.toString)
+    clean
   }
 
   /** Stages 2-4 — transform, validate, dedup, write silver + gold.

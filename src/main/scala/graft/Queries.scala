@@ -899,9 +899,11 @@ object Queries {
       // result in state AND collect it to the driver).
       val root = java.nio.file.Files
         .createTempDirectory("graft_stream_daily").toString
-      graft.stream.StreamingFact.upsertToSilver(
-        s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try
+        graft.stream.StreamingFact.upsertToSilver(
+          s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
+      finally // a failed stream must not leave the session at 8 parts
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$root/fact")
         .select(col("date"), col("user_id"), col("play_count"))
         .orderBy("date", "user_id")

@@ -26,36 +26,50 @@ object Ingest {
 
   /** Retry/backoff policy of nb02:105-126: up to `maxRetries` attempts,
     * rate-limit (Retryable) → exponential backoff (2^attempt)*baseDelayMs,
-    * not-found → give up immediately. Sleeps are injectable for tests.
+    * not-found → give up immediately (None — the normal end-of-pages
+    * signal). Exhausting every retry is NOT end-of-pages: it throws
+    * [[RetriesExhausted]] so callers can distinguish "no more data"
+    * from "data exists but could not be fetched" — conflating the two
+    * would let an incremental run commit its watermark past pages it
+    * never saw (permanent skip). Sleeps are injectable for tests.
     */
   final class RateLimited extends RuntimeException("429")
   final class NotFound extends RuntimeException("404")
+  final class RetriesExhausted(cause: Throwable)
+    extends RuntimeException("retries exhausted", cause)
 
   def withRetry[T](maxRetries: Int = 3, baseDelayMs: Long = 5000,
                    sleep: Long => Unit = Thread.sleep)(f: => T): Option[T] = {
     var attempt = 0
+    var last: Throwable = null
     while (attempt < maxRetries) {
       try return Some(f)
       catch {
         case _: NotFound => return None
-        case _: RateLimited =>
+        case e: RateLimited =>
+          last = e
           sleep((1L << attempt) * baseDelayMs)
           attempt += 1
       }
     }
-    None
+    throw new RetriesExhausted(last)
   }
 
   /** Paginated pull of all pages for one media id (page cap = reference's
     * 100-page guard, nb02:148-167). Driver-side by design: volume is
     * bounded (≤100 pages × 100 rows); the heavy path is the files, not
-    * the API. */
+    * the API. Throws [[RetriesExhausted]] if any page fetch burns all
+    * its retries — the caller must then NOT advance the watermark
+    * (pages past the failure were never seen). `sleep` is injectable
+    * for tests. */
   def fetchAllPages(fetcher: Fetcher, mediaId: String, endpoint: String,
                     pageCap: Int = 100,
-                    since: Option[String] = None): Seq[String] =
+                    since: Option[String] = None,
+                    sleep: Long => Unit = Thread.sleep): Seq[String] =
     Iterator.from(1).take(pageCap)
       .map(p =>
-        withRetry()(fetcher.fetchPage(mediaId, endpoint, p, since)).flatten)
+        withRetry(sleep = sleep)(
+          fetcher.fetchPage(mediaId, endpoint, p, since)).flatten)
       .takeWhile(_.isDefined).flatten.toSeq
 
   /** Bronze write: JSON docs → DataFrame → overwrite JSON dir

@@ -123,14 +123,19 @@ object Dedup {
     // O(2^rounds) times. localCheckpoint each round + cached edges is
     // the standard distributed-CC shape; the comp-sum is a monotone
     // convergence signal (labels only decrease), so near-clique dedup
-    // clusters stop after ~2 rounds instead of burning the cap.
+    // clusters stop after ~2 rounds instead of burning the cap. The
+    // sum accumulates as DECIMAL(38,0): a LongType sum over billions of
+    // 63-bit ids can wrap (ANSI mode would throw mid-job); 38 digits
+    // holds 2^63 × 10^19 rows, so the signal stays exact at any scale.
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .cache()
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = compSum(labels)
     var converged = false
     var i = 0
     while (i < iterations && !converged) {
@@ -140,8 +145,8 @@ object Dedup {
       labels = labels.union(viaEdges)
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("comp"))).head.getLong(0)
-      converged = s == prevSum
+      val s = compSum(labels)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }

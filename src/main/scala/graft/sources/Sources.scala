@@ -98,17 +98,25 @@ object Sources {
     * files; scan cost at 100 TB is dominated by file count, so
     * compaction is part of table maintenance, not an optimization.
     * (Writes to a temp dir, then rename-swap-delete: the source is
-    * moved to a backup path BEFORE anything is deleted, so the data is
-    * recoverable at every step — a crash leaves either the original or
-    * the compacted table plus at most a stale `_backup`/`_compacting`
-    * dir to sweep, never a missing table.) */
+    * moved to a backup path BEFORE anything is deleted, so the DATA is
+    * recoverable at every step. A crash in the swap window — between
+    * rename(path,_backup) and rename(_compacting,path) — does leave
+    * `path` itself missing with the table parked at `_backup`; the
+    * entry check below detects exactly that state and restores the
+    * backup before proceeding, so the next compact self-heals instead
+    * of failing its initial read.) */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = path + "_compacting"
     val bak = path + "_backup"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
     val p = new Path(path); val t = new Path(tmp); val b = new Path(bak)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a prior run that died mid-swap left the table at
+    // _backup and nothing at path — put it back before reading
+    if (!fs.exists(p) && fs.exists(b) && !fs.rename(b, p))
+      throw new java.io.IOException(
+        s"compact: cannot restore $bak after interrupted swap")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
     fs.delete(b, true) // clear any stale backup from a prior crash
     if (!fs.rename(p, b))
       throw new java.io.IOException(s"compact: cannot move $path aside")

@@ -123,29 +123,37 @@ object StreamingFact {
   private[stream] def upsertBatch(batch: DataFrame, path: String,
                                   keyCols: Seq[String]): Unit = {
     val ss = batch.sparkSession
+    // dynamic overwrite is scoped to this batch write: restore the
+    // session's previous mode so later mode(overwrite) writes elsewhere
+    // keep full-table semantics (same pattern as Sources.upsertByPartition)
+    val prevMode = ss.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
     ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val fresh = batch
-      .withColumn("date", to_date(col("day.start")))
-      .drop("day")
-      .dropDuplicates("date" +: keyCols)
-    if (fresh.isEmpty) return
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(target)) fresh
-      else {
-        val touched = fresh.select("date").distinct()
-          .collect().map(_.getDate(0)).toSeq
-        val prior = ss.read.parquet(path)
-          .filter(col("date").isin(touched: _*))
-          .join(fresh.select("date", keyCols: _*),
-            "date" +: keyCols, "left_anti")
-        fresh.unionByName(prior)
-      }
-    merged.localCheckpoint(eager = true)
-      .write.mode("overwrite")
-      .partitionBy("date")
-      .parquet(path)
+    try {
+      val fresh = batch
+        .withColumn("date", to_date(col("day.start")))
+        .drop("day")
+        .dropDuplicates("date" +: keyCols)
+      if (fresh.isEmpty) return
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val merged =
+        if (!fs.exists(target)) fresh
+        else {
+          val touched = fresh.select("date").distinct()
+            .collect().map(_.getDate(0)).toSeq
+          val prior = ss.read.parquet(path)
+            .filter(col("date").isin(touched: _*))
+            .join(fresh.select("date", keyCols: _*),
+              "date" +: keyCols, "left_anti")
+          fresh.unionByName(prior)
+        }
+      merged.localCheckpoint(eager = true)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(path)
+    } finally
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   /** Stream-static enrichment: join the event stream against a static

@@ -59,6 +59,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sinceSeen("media").isEmpty) // catalog always pulled in full
   }
 
+  test("ingest holds the watermark when a fetch exhausts its retries") {
+    val root = Files.createTempDirectory("graft_pipe_dirty").toString
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("ok1", "bad2"), retrySleep = _ => ())
+    val flaky = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
+        if (id == "bad2" && endpoint == "visitors")
+          throw new Ingest.RateLimited // perma-throttled → exhausts retries
+        else if (page > 1) None
+        else Some(s"""{"hashed_id":"$id","name":"v","created":1700000000}""")
+    }
+    val runTs = java.time.Instant.parse("2024-06-08T00:00:00Z")
+    val clean = Pipeline.ingest(spark, conf, flaky, runTs)
+    assert(!clean)
+    // watermark did NOT advance to runTs: readWatermark still returns
+    // the lookback default, so the next run re-requests the window
+    assert(Ingest.readWatermark(spark, s"$root/raw/metadata/last_run",
+      7, runTs) == "2024-06-01T00:00:00Z")
+    // the clean id's bronze still landed (partial progress preserved)
+    assert(graft.sources.Sources.listDir(spark, s"$root/raw/media")
+      .exists(_.contains("ok1_")))
+    // a subsequent clean run commits
+    val ok = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
+        if (page > 1) None
+        else Some(s"""{"hashed_id":"$id","name":"v","created":1700000000}""")
+    }
+    assert(Pipeline.ingest(spark, conf, ok, runTs))
+    assert(Ingest.readWatermark(spark, s"$root/raw/metadata/last_run",
+      7, runTs) == "2024-06-08T00:00:00Z")
+  }
+
   test("observedValidation collects DQ metrics as a write side-effect") {
     import spark.implicits._
     val df = Seq(("a", 1), ("", 2), (null, 3)).toDF("k", "v")

@@ -28,6 +28,30 @@ class IngestSpec extends AnyFunSuite {
     assert(out.isEmpty && calls == 1)
   }
 
+  test("withRetry: exhausting retries throws, not end-of-pages None") {
+    var calls = 0
+    val ex = intercept[Ingest.RetriesExhausted] {
+      Ingest.withRetry(maxRetries = 3, baseDelayMs = 1, sleep = _ => ()) {
+        calls += 1; throw new Ingest.RateLimited
+      }
+    }
+    assert(calls == 3)
+    assert(ex.getCause.isInstanceOf[Ingest.RateLimited])
+  }
+
+  test("fetchAllPages: retry exhaustion mid-pagination propagates") {
+    val fetcher = new Ingest.Fetcher {
+      def fetchPage(id: String, ep: String, page: Int,
+                    since: Option[String]): Option[String] =
+        if (page <= 2) Some(s"""{"page":$page}""")
+        else throw new Ingest.RateLimited // page 3 perma-throttled
+    }
+    intercept[Ingest.RetriesExhausted] {
+      Ingest.fetchAllPages(fetcher, "m1", "visitors", pageCap = 10,
+        sleep = _ => ())
+    }
+  }
+
   test("fetchAllPages pulls pages until exhaustion, capped") {
     val fetcher = new Ingest.Fetcher {
       def fetchPage(id: String, ep: String, page: Int,
