@@ -849,14 +849,27 @@ object Queries {
       hex(encode(substring(COALESCE(text, ''), 1, 4))) AS magic
       FROM documents ORDER BY blob_id"""))
 
-  /** Decode stage (STUB codec, real plumbing) — rows-only. */
+  /** Decode stage over REAL images: corpus bytes are packed into
+    * genuine 16-wide grayscale PNGs, then decoded by the actual JDK
+    * ImageIO reader (javax.imageio — no stub). The recovered dimensions
+    * are pure functions of the source byte length, so the real decode
+    * path is fully oracle-checked; the luma-histogram features are
+    * golden-tested in MultimodalSpec. */
   private val multimodalDecode = Q("multimodal_decode",
     (s, dir) =>
       Multimodal.decode(s,
-        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
-          "source"))
-        .toDF().drop("features").orderBy("blob_id"),
-    None)
+        Multimodal.bytesToPngBlobs(s,
+          Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+            "source")))
+        .toDF()
+        .select(col("blob_id"), col("width"), col("height"),
+          col("n_frames"))
+        .orderBy("blob_id"),
+    Some("""SELECT doc_id AS blob_id, CAST(16 AS INTEGER) AS width,
+      CAST(GREATEST(CEIL(octet_length(encode(COALESCE(text, ''))) / 16.0), 1)
+        AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY blob_id"""))
 
   /** Frame sampling over binary payloads — rows-only. */
   private val multimodalFrames = Q("multimodal_frames",
@@ -1271,18 +1284,22 @@ object Queries {
       FROM d ORDER BY date"""))
 
   /** NTILE decile segmentation of customers by balance (total order via
-    * the custkey tie-break). */
+    * the custkey tie-break) — computed WITHOUT a global sort via
+    * [[graft.etl.Ranking.ntileByValue]]: the raw table never funnels
+    * through one task; the only unpartitioned window runs over the
+    * value-aggregated CDF (bounded by the balance domain, not row
+    * count). Bit-identical to the window NTILE, so the oracle is
+    * unchanged. */
   private val customerDeciles = Q("customer_deciles",
-    (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .withColumn("decile", ntile(10).over(w))
+    (s, dir) =>
+      graft.etl.Ranking.ntileByValue(
+        t(s, dir, "customer"), "c_acctbal", "c_custkey", 10)
+        .withColumnRenamed("ntile", "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"))
-        .orderBy("decile")
-    },
+        .orderBy("decile"),
     Some("""SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
         MAX(c_acctbal) AS max_bal
       FROM (SELECT c_acctbal,

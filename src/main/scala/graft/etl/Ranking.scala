@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking without a global sort.
+  *
+  * `Window.orderBy(...).ntile(n)` funnels the ENTIRE relation through a
+  * single task (one global sort partition) — correct at test scale, a
+  * guaranteed OOM/stall at 100 TB. The equivalent here reconstructs each
+  * row's exact global rank from two scale-safe pieces:
+  *
+  *   1. a value-level CDF over the AGGREGATED distinct order values —
+  *      the only unpartitioned window in the plan, and it runs on the
+  *      aggregate, so its size is bounded by the value domain (e.g.
+  *      ~1.1M possible cent values for a TPC-H acctbal) no matter how
+  *      many rows the input has;
+  *   2. a per-value `row_number` partitioned BY the order value (ties
+  *      broken by `tieBreak`) — a partitioned window whose skew is
+  *      bounded by the duplicate count of the hottest value.
+  *
+  * global rank = cdf(count of rows below this value) + rank-within-value,
+  * and the NTILE bucket formula applied to that rank reproduces the
+  * window function's assignment bit-for-bit, ties split across buckets
+  * and all.
+  */
+object Ranking {
+
+  /** Exact NTILE(`n`) over (`orderCol`, `tieBreak`) with no full-table
+    * single-reducer window; adds an `ntile` int column. `tieBreak`
+    * must make the order total (unique within each order value) — the
+    * same requirement the deterministic window formulation has. */
+  def ntileByValue(df: DataFrame, orderCol: String, tieBreak: String,
+                   n: Int): DataFrame = {
+    val cdfW = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy() // whole relation — but the AGGREGATED one
+    val cdf = df.groupBy(orderCol).agg(count(lit(1)).as("cnt"))
+      .select(col(orderCol),
+        (sum(col("cnt")).over(cdfW) - col("cnt")).as("below"),
+        sum(col("cnt")).over(allW).as("n_total"))
+    val inVal = Window.partitionBy(col(orderCol)).orderBy(col(tieBreak))
+    val rk = col("below") + row_number().over(inVal)
+    // NTILE semantics for 1-based rank rk over n_total rows: the first
+    // (n_total mod n) buckets hold base+1 rows, the rest hold base
+    val base = floor(col("n_total") / lit(n))
+    val rem = col("n_total") % lit(n)
+    val cut = rem * (base + lit(1))
+    val bucket = when(rk <= cut,
+        floor((rk - lit(1)) / (base + lit(1))) + lit(1))
+      .otherwise(rem + floor((rk - lit(1) - cut) /
+        greatest(base, lit(1L))) + lit(1)) // greatest guards n_total < n
+    df.join(cdf, orderCol)
+      .withColumn("ntile", bucket.cast("int"))
+      .drop("below", "n_total")
+  }
+}

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The Spark-side design is real and tested: schema, partitioning, batch
-  * shape, and the typed `mapPartitions` pipeline are exactly what a
-  * production decode stage needs. The codec itself is a clearly marked
-  * STUB (this container has no image/audio libraries): it derives
-  * deterministic fake dimensions/features from the payload bytes, so
-  * tests are reproducible. Swapping in a real decoder changes only the
-  * body of [[stubDecode]].
+  * The decode stage is REAL for image payloads: `javax.imageio` (in the
+  * JDK — zero added dependencies) decodes PNG/BMP/GIF/JPEG/WBMP to true
+  * width/height/frame-count and an 8-bin luma histogram feature vector.
+  * Payloads no JDK reader recognizes (audio, video, arbitrary bytes —
+  * this container ships no codecs for those) fall back to a
+  * deterministic byte-derived signature so the stage is total and
+  * reproducible; swapping in an audio/video codec changes only
+  * [[fallbackDecode]].
   *
   * Scale notes: decode is the classic CPU-bound per-row stage — it runs
   * in `mapPartitions` so library/codec init happens once per partition
@@ -46,16 +47,18 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"),
       hex(substring(col("payload"), 1, 4)).as("magic"))
 
-  /** STUB decoder ??? — deterministic fake: real implementation would
-    * call an image/audio codec here. Dimensions and features are pure
-    * functions of the payload so results are reproducible. */
-  private def stubDecode(b: Blob): DecodedMeta = {
+  /** Fallback for payloads no JDK image reader recognizes (audio/video/
+    * arbitrary bytes — no codecs in this container): a deterministic
+    * byte-derived signature. Dimensions and features are pure functions
+    * of the payload so results are reproducible; a real audio/video
+    * codec would replace this body. */
+  private[llmops] def fallbackDecode(b: Blob): DecodedMeta = {
     val n = b.payload.length
     val h = java.util.Arrays.hashCode(b.payload)
     val width = 16 + math.abs(h % 1024)
     val height = 16 + math.abs((h / 1024) % 1024)
     val frames = 1 + n % 32
-    // fake "embedding": mean byte value per 16-byte block, 8 blocks
+    // byte-signature "embedding": mean byte value per 16-byte block
     val feats = (0 until 8).map { blk =>
       val from = blk * 16
       val slice = b.payload.slice(from, from + 16)
@@ -65,15 +68,97 @@ object Multimodal {
     DecodedMeta(b.blob_id, b.kind, n.toLong, width, height, frames, feats)
   }
 
+  /** Real image decode via `javax.imageio` (JDK-shipped readers: PNG,
+    * BMP, GIF, JPEG, WBMP). True width/height from the decoded raster,
+    * frame count from the reader (animated GIFs > 1), features = 8-bin
+    * luma histogram of frame 0. Unrecognized or corrupt payloads fall
+    * through to [[fallbackDecode]] — the stage is total. */
+  private[llmops] def decodeOne(b: Blob): DecodedMeta = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) fallbackDecode(b)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val frames =
+            try math.max(r.getNumImages(true), 1)
+            catch { case _: Exception => 1 }
+          val img = r.read(0)
+          DecodedMeta(b.blob_id, b.kind, b.payload.length.toLong,
+            img.getWidth, img.getHeight, frames, lumaHistogram(img))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => fallbackDecode(b) // truncated/corrupt image
+    } finally if (in != null) in.close()
+  }
+
+  /** 8-bin normalized luma histogram (Rec.601 integer weights) — a real,
+    * deterministic per-image feature vector: bin i counts pixels with
+    * luma in [i·32, (i+1)·32); values sum to 1. */
+  private[llmops] def lumaHistogram(img: java.awt.image.BufferedImage,
+                                    bins: Int = 8): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val counts = new Array[Long](bins)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w) // one row per call bounds memory
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        counts(luma * bins / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = w.toLong * h
+    counts.map(c => c.toFloat / total)
+  }
+
   /** Decode stage: typed mapPartitions so per-partition codec init is
     * amortized (the Scala analogue of a mapInPandas batch UDF — the
     * iterator IS the batch). */
   def decode(spark: SparkSession, blobs: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
     blobs.as[Blob].mapPartitions { it =>
-      // real codec/library init would happen once, here
-      it.map(stubDecode)
+      // per-partition codec init: ImageIO's plugin registry scan happens
+      // once per executor JVM on first use; nothing else to warm up
+      it.map(decodeOne)
     }
+  }
+
+  /** Pack arbitrary payload bytes into a REAL grayscale PNG (fixed
+    * `width`, rows = ceil(n/width), zero-padded tail): turns any corpus
+    * into genuine image payloads, so the encode→decode path exercises
+    * the actual JDK codec end-to-end on driver test data — and the
+    * decoded dimensions become oracle-checkable pure functions of the
+    * source byte length. Runs in the same mapPartitions shape as
+    * [[decode]]. */
+  def bytesToPngBlobs(spark: SparkSession, blobs: DataFrame,
+                      width: Int = 16): DataFrame = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val h = math.max(1, (b.payload.length + width - 1) / width)
+        val img = new java.awt.image.BufferedImage(width, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < b.payload.length) {
+          raster.setSample(i % width, i / width, 0, b.payload(i) & 0xFF)
+          i += 1
+        }
+        val os = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", os)
+        Blob(b.blob_id, "image/png", os.toByteArray)
+      }
+    }.toDF()
   }
 
   /** Frame sampling: every `stride`-th 16-byte slice of the payload as a
