@@ -927,6 +927,68 @@ object Queries {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
 
+  /** Event-time session windows over the same bounded stream — the
+    * strongest check the streaming path can have: the oracle is the
+    * BATCH sessionization SQL (session_batch re-keyed to window
+    * bounds), so stream/batch parity is hash-verified row by row.
+    * session_window closes a session at last_event + gap with an
+    * EXCLUSIVE end, so an event exactly one gap after its predecessor
+    * starts a new session — hence >= in this oracle's gap test where
+    * the lag/cumsum batch twin uses >. A far-future sentinel row
+    * (user_id -1, filtered from the output) advances the event-time
+    * watermark past every real session's close: a production stream
+    * flushes as new events arrive; a bounded replay needs the nudge. */
+  private val streamSessions = Q("stream_sessions",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        import s.implicits._
+        val ev = events(s, dir).select(col("user_id"), col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_sess").toString
+        val sentinel = Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + 3L * 86400 * 1000)))
+          .toDF("user_id", "ts")
+        ev.unionByName(sentinel).write.parquet(s"$root/in")
+        val schema = s.read.parquet(s"$root/in").schema
+        val stream = s.readStream.schema(schema).parquet(s"$root/in")
+        val sess = graft.stream.StreamingFact.sessionWindows(
+          stream, "ts", "user_id")
+        val q = sess.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT user_id, MIN(ts_us) AS session_start_us,
+      MAX(ts_us) + 1800 * 1000000 AS session_end_us,
+      COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts_us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY user_id, session_id ORDER BY 1, 2"""))
+
   // ======================================================================
   // Event-analytics extensions: sessionization, funnel, retention, tf-idf
   // ======================================================================
@@ -1404,5 +1466,5 @@ object Queries {
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
     cubeFlagStatus, statsExact,
     statsQuantiles, asofJoin, movingAvg7d, customerDeciles, dailySpine,
-    streamDaily)
+    streamDaily, streamSessions)
 }

@@ -44,41 +44,79 @@ object StreamingFact {
                         session_end: java.sql.Timestamp, n_events: Long,
                         total_value: Double)
 
-  /** Per-user session roll-up with a processing-time idle timeout:
-    * emits one row per closed session. State is one small struct per
+  /** Per-user session roll-up via flatMapGroupsWithState with an
+    * EVENT-TIME idle timeout: emits one row per CLOSED session, and
+    * nothing for sessions still open — the contract a
+    * mapGroupsWithState formulation cannot honor (it must return a
+    * value per invocation, leaking in-progress sessions every batch).
+    * A session closes when (a) a later event for the same user arrives
+    * past the gap — the closed session emits immediately, intra-batch
+    * gaps included — or (b) the event-time watermark passes
+    * last_event + gap with no successor (the timeout). Input must
+    * carry `withWatermark` on `ts`. State is one small struct per
     * active user — bounded by active-user cardinality, not event
     * volume, which is what makes it viable on an unbounded stream. */
   def sessionize(spark: SparkSession, events: Dataset[Ev],
-                 gapMs: Long = 30 * 60 * 1000L,
-                 timeout: GroupStateTimeout =
-                   GroupStateTimeout.ProcessingTimeTimeout)
+                 gapMs: Long = 30 * 60 * 1000L)
   : Dataset[SessionOut] = {
     import spark.implicits._
-    val useTimers = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](timeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         case (user, evs, state: GroupState[SessionState]) =>
+          def close(s: SessionState) =
+            SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionOut(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
+            Iterator.single(close(s))
           } else {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            val init = state.getOption.getOrElse(
-              SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime,
-                0L, 0.0))
-            val s = sorted.foldLeft(init) { (acc, e) =>
-              SessionState(acc.start, math.max(acc.lastSeen, e.ts.getTime),
-                acc.nEvents + 1, acc.total + e.value)
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null)
+                cur = SessionState(t, t, 1L, e.value)
+              else if (t - cur.lastSeen > gapMs) {
+                closed += close(cur) // gap inside the batch: emit now
+                cur = SessionState(t, t, 1L, e.value)
+              } else
+                cur = SessionState(cur.start, math.max(cur.lastSeen, t),
+                  cur.nEvents + 1, cur.total + e.value)
             }
-            state.update(s)
-            if (useTimers) state.setTimeoutDuration(gapMs)
-            SessionOut(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
+            state.update(cur)
+            // timeout = idle close; clamp above the watermark (a batch
+            // of late events may carry lastSeen+gap below it, which
+            // setTimeoutTimestamp rejects)
+            state.setTimeoutTimestamp(math.max(cur.lastSeen + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            closed.iterator
           }
       }
   }
+
+  /** Event-time session windows via the built-in `session_window`:
+    * gap-based sessions computed on event time under a watermark — the
+    * streaming twin of the batch lag/cumsum sessionization
+    * (Queries `session_batch`), which makes stream/batch parity
+    * directly oracle-checkable: same events → same
+    * (user, start, end, n_events) rows. Append mode: each session
+    * emits exactly once, when the watermark passes its close
+    * (last event + gap); state is bounded by open sessions within the
+    * watermark horizon. */
+  def sessionWindows(events: DataFrame, tsCol: String, userCol: String,
+                     gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 
   /** Streaming dedup under a watermark: duplicate events (same key)
     * arriving within the watermark horizon are dropped with bounded

@@ -139,29 +139,87 @@ class StreamingFactSpec extends AnyFunSuite {
     assert(rows(3L) == null)
   }
 
-  test("sessionize: stateful session rollup emits per-user sessions") {
+  test("sessionize emits ONLY closed sessions (event-time timeout)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingFact.Ev]
-    // NoTimeout: processing-time timers re-arm on every batch, so
-    // neither processAllAvailable nor AvailableNow ever settles in a
-    // test harness; the rollup logic is identical without timers.
-    val out = StreamingFact.sessionize(spark, mem.toDS(),
-      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val out = StreamingFact.sessionize(spark,
+      mem.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_closed_test").start()
     mem.addData(
       StreamingFact.Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
       StreamingFact.Ev(1L, ts("2024-01-01 10:05:00"), 2.0),
       StreamingFact.Ev(2L, ts("2024-01-01 10:01:00"), 5.0))
-    // AvailableNow: process everything then self-terminate. With a
-    // ProcessingTimeTimeout in play, processAllAvailable never settles
-    // (each batch re-arms timers that schedule another batch).
-    val q = out.writeStream.outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory").queryName("sess_test").start()
-    assert(q.awaitTermination(120000))
-    val sessions = spark.table("sess_test").collect()
+    q.processAllAvailable()
+    // watermark (10:05) has not passed any session's close → NO rows:
+    // in-progress sessions must not leak
+    assert(spark.table("sess_closed_test").isEmpty,
+      "partial sessions leaked before timeout")
+    // a much later event pushes the watermark past both idle sessions'
+    // close (last_event + 30 min) and opens a session for user 3
+    mem.addData(StreamingFact.Ev(3L, ts("2024-01-01 12:00:00"), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_closed_test").collect()
       .map(r => r.getAs[Long]("user_id") ->
         (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(sessions.keySet == Set(1L, 2L)) // user 3 still open → absent
     assert(sessions(1L) == (2L, 3.0))
     assert(sessions(2L) == (1L, 5.0))
+  }
+
+  test("sessionize splits an intra-batch gap, emitting the closed half") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingFact.Ev]
+    val out = StreamingFact.sessionize(spark,
+      mem.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_split_test").start()
+    // one batch, one user, 60-min gap inside it → two sessions, the
+    // first closed by its successor (no timeout involved)
+    mem.addData(
+      StreamingFact.Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+      StreamingFact.Ev(1L, ts("2024-01-01 11:00:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_split_test").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[java.sql.Timestamp]("session_start")
+      == ts("2024-01-01 10:00:00"))
+    assert(rows.head.getAs[Long]("n_events") == 1L)
+    assert(rows.head.getAs[Double]("total_value") == 1.0)
+  }
+
+  test("sessionWindows: event-time gap sessions, append-once emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val out = StreamingFact.sessionWindows(df, "ts", "user_id",
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sw_test").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:10:00"), 1L), // same session (10 min gap)
+      (ts("2024-01-01 11:30:00"), 1L)) // new session (80 min gap)
+    q.processAllAvailable()
+    // watermark 11:30 passed the first session's close (10:40) but not
+    // the second's (12:00)
+    val first = spark.table("sw_test").collect()
+    assert(first.length == 1)
+    assert(first.head.getAs[java.sql.Timestamp]("session_start")
+      == ts("2024-01-01 10:00:00"))
+    assert(first.head.getAs[java.sql.Timestamp]("session_end")
+      == ts("2024-01-01 10:40:00")) // last event + gap
+    assert(first.head.getAs[Long]("n_events") == 2L)
+    // advance the watermark far enough to close the second session
+    mem.addData((ts("2024-01-02 00:00:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sw_test").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").toString))
+    assert(all.length == 2) // user 9's session is still open → absent
+    assert(all.contains((1L, "2024-01-01 11:30:00.0")))
   }
 }
