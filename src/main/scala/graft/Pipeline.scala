@@ -29,9 +29,12 @@ object Pipeline {
                   clock: Option[Column] = None,
                   retrySleep: Long => Unit = Thread.sleep)
 
+  /** `qualityReports` are MATERIALIZED metric maps (frame name →
+    * metric → value), collected via `observe()` as a side effect of the
+    * silver writes — consuming them costs zero additional jobs. */
   case class Result(dimMedia: DataFrame, dimVisitor: DataFrame,
                     fact: DataFrame, goldFact: DataFrame,
-                    qualityReports: Map[String, DataFrame])
+                    qualityReports: Map[String, Map[String, Any]])
 
   /** Stage 1 — ingestion (nb02 semantics): read watermark, fetch pages
     * per media id through the retrying fetcher, write bronze JSON dirs
@@ -40,12 +43,15 @@ object Pipeline {
     *
     * The watermark advances ONLY when every media id fetched cleanly.
     * A fetch that exhausts its retries (Ingest.RetriesExhausted) is
-    * not end-of-pages: whatever landed for other ids stays in bronze
-    * (replays converge — the writes are per-run-dir overwrites) but
-    * the watermark holds, so the next incremental run re-requests the
-    * window that was never fully seen. Committing anyway would skip
-    * the unfetched pages forever. Returns true iff the run was clean
-    * and the watermark advanced. */
+    * not end-of-pages: the watermark holds, so the next incremental run
+    * re-requests the window that was never fully seen — and every
+    * bronze dir THIS run wrote is deleted before returning. Keeping the
+    * clean ids' partial progress would double-count them: the retry
+    * runs under a NEW stamp, re-fetches the same held window for ALL
+    * ids, and `transform` globs every stamped visitors dir — two dirs
+    * for one window means every event aggregates twice. Committing the
+    * watermark anyway would instead skip the unfetched pages forever.
+    * Returns true iff the run was clean and the watermark advanced. */
   def ingest(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher,
              runTs: java.time.Instant = java.time.Instant.now())
   : Boolean = {
@@ -59,31 +65,46 @@ object Pipeline {
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(runTs)
     var clean = true
+    val written = scala.collection.mutable.ArrayBuffer[String]()
     conf.mediaIds.foreach { id =>
       try {
         val media = Ingest.fetchAllPages(fetcher, id, "media",
           sleep = conf.retrySleep)
-        if (media.nonEmpty)
-          Ingest.writeBronzeJson(spark, media,
-            s"${conf.rawPath}/media/${id}_$stamp", Schemas.rawMedia)
+        if (media.nonEmpty) {
+          val p = s"${conf.rawPath}/media/${id}_$stamp"
+          Ingest.writeBronzeJson(spark, media, p, Schemas.rawMedia)
+          written += p
+        }
         val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
           since = Some(since), sleep = conf.retrySleep)
-        if (visitors.nonEmpty)
-          Ingest.writeBronzeJson(spark, visitors,
-            s"${conf.rawPath}/visitors/${id}_$stamp", Schemas.rawVisitor)
+        if (visitors.nonEmpty) {
+          val p = s"${conf.rawPath}/visitors/${id}_$stamp"
+          Ingest.writeBronzeJson(spark, visitors, p, Schemas.rawVisitor)
+          written += p
+        }
       } catch {
         case _: Ingest.RetriesExhausted => clean = false
       }
     }
     if (clean) Ingest.commitWatermark(spark, metaPath, runTs.toString)
+    else written.foreach(deleteDir(spark, _)) // see docstring: a dirty
+    // run leaves NO trace under its stamp, so held-watermark retries
+    // re-fetch the window exactly once
     clean
   }
 
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+
   /** Stages 2-4 — transform, validate, dedup, write silver + gold.
-    * Every DQ metric is a single-pass aggregation; silver frames are
-    * cached at their materialization points instead of recomputing the
-    * bronze scan per action (the reference re-ran its lineage ~20×,
-    * SURVEY §4.3.1). */
+    * Every DQ metric rides the silver write via `observe()` — the
+    * metrics are collected as a side effect of the write job itself,
+    * costing ZERO extra passes (the reference re-ran its lineage ~20×
+    * for its DQ counts, SURVEY §4.3.1; the round-3 shape here still
+    * paid three aggregation scans when the reports were consumed). */
   def transform(spark: SparkSession, conf: Conf): Result = {
     val clock = conf.clock.getOrElse(current_timestamp())
 
@@ -93,32 +114,45 @@ object Pipeline {
       s"${conf.rawPath}/visitors/*/", Schemas.rawVisitor,
       multiline = false)
 
-    val dimMedia = Quality.dedupByKeys(
-      Transforms.dimMedia(rawMedia, clock),
-      Seq("media_id"), Seq(col("title"), col("url"))).cache()
-    val dimVisitor = Quality.dedupByKeys(
-      Transforms.dimVisitor(rawVisitors, clock),
-      Seq("visitor_id"), Seq(col("ip_address"), col("country"))).cache()
-    val fact = Quality.filterValidKeys(
-      Transforms.factEngagement(
-        Transforms.withMediaIdFromPath(rawVisitors), clock),
-      Seq("media_id", "visitor_id")).cache()
+    // Observation names must be unique per session; transform can run
+    // more than once (tests, replays), hence the nano suffix.
+    val tag = System.nanoTime()
+    val (dimMedia, dimMediaObs) = Quality.observedReport(
+      Quality.dedupByKeys(
+        Transforms.dimMedia(rawMedia, clock),
+        Seq("media_id"), Seq(col("title"), col("url"))),
+      s"dq_dim_media_$tag", Seq("media_id"))
+    val (dimVisitor, dimVisitorObs) = Quality.observedReport(
+      Quality.dedupByKeys(
+        Transforms.dimVisitor(rawVisitors, clock),
+        Seq("visitor_id"), Seq(col("ip_address"), col("country"))),
+      s"dq_dim_visitor_$tag", Seq("visitor_id"))
+    val (fact, factObs) = Quality.observedReport(
+      Quality.filterValidKeys(
+        Transforms.factEngagement(
+          Transforms.withMediaIdFromPath(rawVisitors), clock),
+        Seq("media_id", "visitor_id")),
+      s"dq_fact_$tag", Seq("media_id", "visitor_id", "date"))
+    val dimMediaC = dimMedia.cache()
+    val dimVisitorC = dimVisitor.cache()
+    val factC = fact.cache()
 
-    val reports = Map(
-      "dim_media" -> Quality.qualityReport(dimMedia, Seq("media_id")),
-      "dim_visitor" -> Quality.qualityReport(dimVisitor, Seq("visitor_id")),
-      "fact" -> Quality.qualityReport(fact,
-        Seq("media_id", "visitor_id", "date")))
-
-    Sources.writeSilverParquet(dimMedia, s"${conf.silverPath}/dim-media")
-    Sources.writeSilverParquet(dimVisitor,
+    Sources.writeSilverParquet(dimMediaC, s"${conf.silverPath}/dim-media")
+    Sources.writeSilverParquet(dimVisitorC,
       s"${conf.silverPath}/dim-visitor")
     // fact partitioned by date: partition pruning for every downstream
     // date-ranged query (100 TB posture, SURVEY §7.4.7)
-    Sources.writeSilverParquet(fact, s"${conf.silverPath}/fact-engagement",
+    Sources.writeSilverParquet(factC, s"${conf.silverPath}/fact-engagement",
       partitionCol = Some("date"))
 
-    Result(dimMedia, dimVisitor, fact, Transforms.goldCastFact(fact),
+    // The writes above are the actions that populated the observations;
+    // .get is now a pure read of already-collected metrics.
+    val reports = Map(
+      "dim_media" -> dimMediaObs.get,
+      "dim_visitor" -> dimVisitorObs.get,
+      "fact" -> factObs.get)
+
+    Result(dimMediaC, dimVisitorC, factC, Transforms.goldCastFact(factC),
       reports)
   }
 

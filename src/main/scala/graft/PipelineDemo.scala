@@ -38,8 +38,11 @@ object PipelineDemo {
     println("=== dim_visitor ==="); res.dimVisitor.show(false)
     println("=== fact_engagement ==="); res.fact.show(false)
     println("=== gold fact ==="); res.goldFact.show(false)
-    res.qualityReports.foreach { case (n, df) =>
-      println(s"=== DQ $n ==="); df.show(false)
+    res.qualityReports.foreach { case (n, metrics) =>
+      println(s"=== DQ $n (observed, zero extra jobs) ===")
+      metrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        println(f"  $k%-28s $v")
+      }
     }
     spark.stop()
   }

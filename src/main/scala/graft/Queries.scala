@@ -440,6 +440,86 @@ object Queries {
         .orderBy("id_a", "id_b"),
     None)
 
+  /** Precision invariant of the MinHash+LSH pipeline, oracle-checked
+    * against a constant: every pair `minhashDedup` emits must have exact
+    * Jaccard >= threshold. The Jaccard is RECOMPUTED here from portable
+    * built-ins (split/sequence/slice/array_join — the HOF formulation
+    * the custom ShingleSet expression replaced), so the check is
+    * independent of the codegen'd signature path: a bug in ShingleSet,
+    * the banding join, or jaccardVerify's arithmetic shows up as a
+    * nonzero count. (LSH *recall* is probabilistic by design — see
+    * sim_lsh_recall — but false positives must be exactly zero.) */
+  private val dedupMinhashPrecision = Q("dedup_minhash_precision",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
+        threshold = 0.4)
+      val k = 3
+      val toks = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
+      val grams = when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      val sh = docs.select(col("doc_id"), grams.as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("ra")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("rb")),
+          Seq("id_b"))
+        .withColumn("j2",
+          size(array_intersect(col("ra"), col("rb"))).cast("double") /
+            size(array_union(col("ra"), col("rb"))).cast("double"))
+        .agg(
+          count(when(col("j2") < 0.4, 1)).as("below_threshold"),
+          count(when(abs(col("j2") - col("jaccard")) > 1e-12, 1))
+            .as("mismatched"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_threshold,
+      CAST(0 AS BIGINT) AS mismatched"""))
+
+  /** SimHash invariants, oracle-checked against constants. Precision:
+    * every emitted pair's Hamming distance — recomputed from fresh
+    * per-doc simhashes through an independent join — is within the
+    * radius and equal to the reported value. Completeness: the
+    * pigeonhole chunking must find EVERY pair within the radius, so a
+    * bounded-id brute-force sweep left-anti-joined against the operator
+    * output must come back empty (this is the property the round-2 fix
+    * restored; now it is regression-proofed in the oracle gate, not
+    * just a spec). */
+  private val dedupSimhashInvariants = Q("dedup_simhash_invariants",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3)
+      val sh = docs.select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sh"))
+      val recomputed = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")),
+          Seq("id_b"))
+        .withColumn("h2", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .agg(
+          count(when(col("h2") > 3, 1)).as("over_radius"),
+          count(when(col("h2") =!= col("hamming"), 1)).as("mismatched"))
+      val bounded = docs.filter(col("doc_id") < 2000)
+      val bsh = bounded.select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sh"))
+      val brute = bsh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        .crossJoin(bsh.select(col("doc_id").as("id_b"),
+          col("sh").as("sb")))
+        .filter(col("id_a") < col("id_b") &&
+          bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select("id_a", "id_b")
+      val missed = brute
+        .join(Dedup.simhashPairs(bounded, "text", "doc_id", maxHamming = 3),
+          Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed"))
+      recomputed.crossJoin(missed)
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS over_radius,
+      CAST(0 AS BIGINT) AS mismatched, CAST(0 AS BIGINT) AS missed"""))
+
   /** Exact token-set Jaccard near-dup pairs on a bounded id range —
     * engine-portable (pure set sizes → integer division), oracled. */
   private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
@@ -669,6 +749,38 @@ object Queries {
     },
     None)
 
+  /** Scoring invariant of the approximate indexes, oracle-checked
+    * against a constant: every (query, neighbor, cos_sim) row the LSH
+    * and IVF indexes return must carry the TRUE cosine — recomputed
+    * here with the interpreted HOF dot product (`Similarity.dot`),
+    * independent of the codegen'd CosineSim expression both indexes
+    * score with. Approximate search may MISS neighbors (recall is
+    * measured by sim_lsh_recall); it must never MIS-SCORE the ones it
+    * returns, or downstream thresholds silently shift. */
+  private val simScoreCheck = Q("sim_score_check",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      def violations(res: DataFrame, tag: String): DataFrame = res
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv2")), Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv2")), Seq("neighbor_id"))
+        .withColumn("true_cos",
+          Similarity.dot(col("qv2"), col("cv2")) /
+            (Similarity.norm(col("qv2")) * Similarity.norm(col("cv2"))))
+        .agg(count(when(abs(col("true_cos") - col("cos_sim")) > 1e-9, 1))
+          .as(tag))
+      violations(
+        Similarity.lshTopK(e, qs, "vec_id", "embedding", dim = 64, k = 5,
+          numPlanes = 6, numTables = 8), "lsh_misscored")
+        .crossJoin(violations(
+          Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5),
+          "ivf_misscored"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS lsh_misscored,
+      CAST(0 AS BIGINT) AS ivf_misscored"""))
+
   // ======================================================================
   // LLM-data-pipeline extensions: text analysis
   // ======================================================================
@@ -754,15 +866,23 @@ object Queries {
       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
       FROM documents ORDER BY doc_id"""))
 
-  /** Rolling (Karp-Rabin) fingerprint — xxhash64-seeded, engine-specific
-    * → rows-only. */
+  /** Rolling (Karp-Rabin) fingerprint over md5-hashed tokens — fully
+    * portable, so the whole recurrence is oracle-checked: DuckDB folds
+    * the same token-hash stream with `list_reduce` under the identical
+    * base/modulus. */
   private val textRollingFp = Q("text_rolling_fingerprint",
     (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
         .orderBy("doc_id"),
-    None)
+    Some(raw"""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+            t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+        (acc, h) -> (acc * 1000003 + h) % 4294967296) AS fp_rolling
+      FROM documents ORDER BY doc_id"""))
 
   /** Unigram log-probability scoring (the perplexity-style quality
     * filter): corpus term frequencies with add-one smoothing, each doc
@@ -871,7 +991,10 @@ object Queries {
       CAST(1 AS INTEGER) AS n_frames
       FROM documents ORDER BY blob_id"""))
 
-  /** Frame sampling over binary payloads — rows-only. */
+  /** Frame sampling over binary payloads. The sampled frame COUNT is a
+    * pure function of byte length (stride 4 → one 16-byte frame per 64
+    * payload bytes, minimum one), so it is fully oracle-checked; the
+    * frame contents are golden-tested in MultimodalSpec. */
   private val multimodalFrames = Q("multimodal_frames",
     (s, dir) =>
       Multimodal.frameSample(
@@ -879,7 +1002,10 @@ object Queries {
           "source"))
         .select(col("blob_id"), size(col("frames")).as("n_frames"))
         .orderBy("blob_id"),
-    None)
+    Some("""SELECT doc_id AS blob_id,
+      CAST(GREATEST(CAST(FLOOR(octet_length(encode(COALESCE(text, ''))) / 64.0)
+        AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY blob_id"""))
 
   // ======================================================================
   // Streaming: the daily engagement aggregate over a bounded stream,
@@ -1455,9 +1581,11 @@ object Queries {
     kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
     kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    dedupExact, dedupMinhash, dedupSimhash, dedupMinhashPrecision,
+    dedupSimhashInvariants, dedupNgramJaccard,
     dedupCorpus, dedupEmbedding,
     simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf, simLshRecall,
+    simScoreCheck,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion,

@@ -64,6 +64,24 @@ object Quality {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** Full quality report as a ZERO-extra-pass observation: total rows,
+    * approximate distinct keys (HLL++ — `observe()` disallows exact
+    * distinct aggregates, and at 100 TB the approximate count is the
+    * one you want anyway), and per-key null/empty counts, all collected
+    * as a side effect of whatever action materializes the frame (the
+    * silver write in [[graft.Pipeline.transform]]). */
+  def observedReport(df: DataFrame, name: String, keys: Seq[String])
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = Seq(
+      count(lit(1)).as("total_rows"),
+      approx_count_distinct(struct(keys.map(col): _*))
+        .as("approx_distinct_keys")) ++
+      keys.map(k => count(when(isEmptyStr(col(k)), 1))
+        .as(s"${k}_null_or_empty"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** Quality report in one pass (vs nb03:335-346's count/count-distinct
     * action storm). Exact distinct via count_distinct plus the
     * 100 TB-scale variant approx_count_distinct (HLL++, no exact

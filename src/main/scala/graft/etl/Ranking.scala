@@ -30,14 +30,27 @@ object Ranking {
   /** Exact NTILE(`n`) over (`orderCol`, `tieBreak`) with no full-table
     * single-reducer window; adds an `ntile` int column. `tieBreak`
     * must make the order total (unique within each order value) — the
-    * same requirement the deterministic window formulation has. */
+    * same requirement the deterministic window formulation has.
+    *
+    * PRECONDITION — bounded value domain: the CDF window runs over the
+    * DISTINCT values of `orderCol`, so it is scale-safe exactly when
+    * that cardinality is bounded (e.g. TPC-H `c_acctbal`: decimal cents
+    * in a fixed range ⇒ ≤1.1M values at ANY row count). On a continuous
+    * column where distinct ≈ rows, the "aggregated" window degenerates
+    * back into the single-task global sort this exists to avoid — use
+    * [[ntileApprox]] there instead.
+    *
+    * NULL order values rank first (Spark's NULLS FIRST default for
+    * ascending windows): the CDF sort puts the null group first and the
+    * join back is null-safe (`<=>`), so the window-NTILE equivalence
+    * holds on nullable columns too. */
   def ntileByValue(df: DataFrame, orderCol: String, tieBreak: String,
                    n: Int): DataFrame = {
-    val cdfW = Window.orderBy(col(orderCol))
+    val cdfW = Window.orderBy(col(orderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.partitionBy() // whole relation — but the AGGREGATED one
     val cdf = df.groupBy(orderCol).agg(count(lit(1)).as("cnt"))
-      .select(col(orderCol),
+      .select(col(orderCol).as("__ord"),
         (sum(col("cnt")).over(cdfW) - col("cnt")).as("below"),
         sum(col("cnt")).over(allW).as("n_total"))
     val inVal = Window.partitionBy(col(orderCol)).orderBy(col(tieBreak))
@@ -51,8 +64,32 @@ object Ranking {
         floor((rk - lit(1)) / (base + lit(1))) + lit(1))
       .otherwise(rem + floor((rk - lit(1) - cut) /
         greatest(base, lit(1L))) + lit(1)) // greatest guards n_total < n
-    df.join(cdf, orderCol)
+    df.join(cdf, df(orderCol) <=> cdf("__ord"))
       .withColumn("ntile", bucket.cast("int"))
-      .drop("below", "n_total")
+      .drop("__ord", "below", "n_total")
+  }
+
+  /** Approximate NTILE for CONTINUOUS order columns, where
+    * [[ntileByValue]]'s bounded-domain precondition fails: bucket
+    * boundaries come from `approx_percentile` (one aggregate — no
+    * window anywhere in the plan), rows are assigned by comparing
+    * against the n-1 broadcast boundaries. Bucket populations are
+    * approximate at the boundaries (that is the trade); every row is
+    * assigned, boundaries are exact corpus values, and the plan
+    * contains zero unpartitioned windows at any cardinality. NULL
+    * order values go to bucket 1, mirroring NULLS FIRST. */
+  def ntileApprox(df: DataFrame, orderCol: String, n: Int,
+                  accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until n).map(_.toDouble / n)
+    val bounds = df.agg(expr(
+      s"approx_percentile($orderCol, array(${probs.mkString(",")}), " +
+        s"$accuracy)").as("bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("ntile",
+        when(col(orderCol).isNull, lit(1)).otherwise(
+          aggregate(col("bs"),
+            lit(1),
+            (acc, b) => acc + when(col(orderCol) > b, 1).otherwise(0))))
+      .drop("bs")
   }
 }

@@ -48,8 +48,11 @@ object Ingest {
         case _: NotFound => return None
         case e: RateLimited =>
           last = e
-          sleep((1L << attempt) * baseDelayMs)
           attempt += 1
+          // back off only when another attempt remains — sleeping after
+          // the final failure would stall the caller for the longest
+          // delay of the schedule just to then throw
+          if (attempt < maxRetries) sleep((1L << (attempt - 1)) * baseDelayMs)
       }
     }
     throw new RetriesExhausted(last)

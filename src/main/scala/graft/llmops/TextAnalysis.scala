@@ -102,15 +102,19 @@ object TextAnalysis {
 
   /** 32-bit rolling (polynomial) fingerprint over whitespace tokens —
     * Karp-Rabin style, base 1000003 over the token hash stream, reduced
-    * to a 32-bit field each step so the arithmetic never overflows a
-    * long (ANSI mode makes silent overflow an error). Pure expression
-    * via the `aggregate` higher-order function: order-dependent by
-    * construction (it is a *rolling* hash) but deterministic — no
-    * shuffle, no UDF. */
+    * mod 2^32 each step so the arithmetic never overflows a long (ANSI
+    * mode makes silent overflow an error): acc < 2^32, so
+    * acc·1000003 + h < 2^52 + 2^32. The per-token hash is the first 32
+    * bits of md5 — fully engine-portable (the previous xxhash64 seed-42
+    * variant was Spark-specific, leaving this the only fingerprint
+    * without a DuckDB oracle; md5 exists everywhere and the recurrence
+    * maps to DuckDB's `list_reduce`). Pure expression via the
+    * `aggregate` higher-order function: order-dependent by construction
+    * (it is a *rolling* hash) but deterministic — no shuffle, no UDF. */
   def rollingFingerprint(text: Column): Column =
     aggregate(
       transform(split(trim(coalesce(text, lit(""))), "\\s+"),
-        t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
       lit(0L),
-      (acc, h) => (acc * lit(1000003L) + h).bitwiseAND(lit(0xFFFFFFFFL)))
+      (acc, h) => (acc * lit(1000003L) + h) % lit(4294967296L))
 }

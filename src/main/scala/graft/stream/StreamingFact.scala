@@ -89,7 +89,14 @@ object StreamingFact {
             state.update(cur)
             // timeout = idle close; clamp above the watermark (a batch
             // of late events may carry lastSeen+gap below it, which
-            // setTimeoutTimestamp rejects)
+            // setTimeoutTimestamp rejects). Known trade-off of the
+            // clamp: when lastSeen+gap is ALREADY below the watermark,
+            // the session closes at the very next watermark tick, so a
+            // late successor that lands within the gap starts a NEW
+            // session where the batch twin (session_batch) would have
+            // merged the two. Accepted: such events are later than the
+            // declared watermark tolerance, and holding state open past
+            // the watermark to maybe merge them would unbound state.
             state.setTimeoutTimestamp(math.max(cur.lastSeen + gapMs,
               state.getCurrentWatermarkMs() + 1))
             closed.iterator

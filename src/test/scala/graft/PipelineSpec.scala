@@ -78,9 +78,13 @@ class PipelineSpec extends AnyFunSuite {
     // the lookback default, so the next run re-requests the window
     assert(Ingest.readWatermark(spark, s"$root/raw/metadata/last_run",
       7, runTs) == "2024-06-01T00:00:00Z")
-    // the clean id's bronze still landed (partial progress preserved)
-    assert(graft.sources.Sources.listDir(spark, s"$root/raw/media")
-      .exists(_.contains("ok1_")))
+    // the dirty run left NO bronze under its stamp — even the clean
+    // id's partial progress is rolled back, because the retry runs
+    // under a new stamp against the SAME held window and two stamped
+    // dirs for one window double-count every event in transform
+    assert(!graft.sources.Sources.exists(spark, s"$root/raw/media") ||
+      !graft.sources.Sources.listDir(spark, s"$root/raw/media")
+        .exists(_.contains("ok1_")))
     // a subsequent clean run commits
     val ok = new Ingest.Fetcher {
       def fetchPage(id: String, endpoint: String, page: Int,
@@ -91,6 +95,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.ingest(spark, conf, ok, runTs))
     assert(Ingest.readWatermark(spark, s"$root/raw/metadata/last_run",
       7, runTs) == "2024-06-08T00:00:00Z")
+  }
+
+  test("dirty run then clean retry counts each event exactly once") {
+    val root = Files.createTempDirectory("graft_pipe_retry").toString
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("ok1", "bad2"), retrySleep = _ => (),
+      clock = Some(to_timestamp(lit("2024-06-01 00:00:00"))))
+    def mediaJson(id: String) =
+      s"""{"hashed_id":"$id","name":"v","created":1700000000}"""
+    def visitorJson(id: String) =
+      s"""{"visitor_key":"vis_$id","ip_address":"9.9.9.9","country":"DE","events":[{"type":"play","time":1700000000,"duration_watched":"5","percent_watched":"50"}]}"""
+    val flaky = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
+        if (id == "bad2" && endpoint == "visitors")
+          throw new Ingest.RateLimited
+        else if (page > 1) None
+        else if (endpoint == "media") Some(mediaJson(id))
+        else Some(visitorJson(id))
+    }
+    assert(!Pipeline.ingest(spark, conf, flaky,
+      java.time.Instant.parse("2024-06-08T00:00:00Z")))
+    val ok = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
+        if (page > 1) None
+        else if (endpoint == "media") Some(mediaJson(id))
+        else Some(visitorJson(id))
+    }
+    // retry under a DIFFERENT stamp — the double-count hazard
+    assert(Pipeline.ingest(spark, conf, ok,
+      java.time.Instant.parse("2024-06-08T01:00:00Z")))
+    val res = Pipeline.transform(spark, conf)
+    val fact = res.fact.collect()
+    assert(fact.length == 2)
+    // without the dirty-run rollback, ok1's visitor would sit in two
+    // stamped bronze dirs and its play_count here would be 2
+    assert(fact.forall(_.getAs[Long]("play_count") == 1))
+  }
+
+  test("transform DQ metrics ride the silver writes — no extra jobs") {
+    val root = Files.createTempDirectory("graft_pipe_obs").toString
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1", "zzz9"),
+      clock = Some(to_timestamp(lit("2024-06-01 00:00:00"))))
+    Pipeline.ingest(spark, conf, fetcher)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // a job's result-stage name is the action's call site, e.g.
+        // "parquet at Sources.scala:41"
+        jobs.add(j.stageInfos.map(_.name).mkString("|"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        val r = Pipeline.transform(spark, conf)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // every job transform ran belongs to a silver parquet write: its
+    // result stage is the write call site, or it is an AQE-internal
+    // stage-materialization sub-job of one (withThreadLocalCaptured).
+    // The DQ metrics were collected by observe() INSIDE those jobs —
+    // a reintroduced separate aggregation would surface here as a job
+    // whose result stage names collect/count/head.
+    val seen = jobs.toArray(Array.empty[String]).toSeq
+    assert(seen.exists(_.contains("parquet at")))
+    assert(seen.forall(s => s.contains("parquet at") ||
+        s.contains("withThreadLocalCaptured")),
+      s"non-write jobs ran during transform: $seen")
+    // and the observed values match an independent aggregation
+    val vk = graft.etl.Quality.validateKeys(res.fact,
+      Seq("media_id", "visitor_id", "date")).collect()(0)
+    val m = res.qualityReports("fact")
+    assert(m("total_rows") == vk.getAs[Long]("total_rows"))
+    Seq("media_id", "visitor_id", "date").foreach { k =>
+      assert(m(s"${k}_null_or_empty") ==
+        vk.getAs[Long](s"${k}_null_or_empty"))
+    }
+    assert(res.qualityReports("dim_media")("total_rows") == 2L)
+    assert(res.qualityReports("dim_visitor")("total_rows") == 2L)
   }
 
   test("observedValidation collects DQ metrics as a write side-effect") {

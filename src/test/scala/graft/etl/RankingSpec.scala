@@ -38,6 +38,44 @@ class RankingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("ntileByValue ranks NULL order values first, like window NTILE") {
+    val withNulls = Seq(
+      (1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(1L)),
+      (4L, Option.empty[Long]), (5L, Option(5L)), (6L, Option(1L)))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v").asc_nulls_first, col("id"))
+    val expect = withNulls.withColumn("nt", ntile(3).over(w))
+      .select("id", "nt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ranking.ntileByValue(withNulls, "v", "id", 3)
+      .select("id", "ntile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect) // the null-safe <=> join keeps the null group
+  }
+
+  test("ntileApprox: continuous domain, zero windows, all rows bucketed") {
+    // near-unique values: distinct ≈ rows, the case where ntileByValue's
+    // bounded-domain precondition fails and the CDF window degenerates
+    val cont = (1 to 5000).map(i => (i.toLong, i * 0.000317 + 1.0 / i))
+      .toDF("id", "v")
+    val res = Ranking.ntileApprox(cont, "v", 10)
+    assert(!res.queryExecution.executedPlan.toString.contains("Window"))
+    val counts = res.groupBy("ntile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    assert(counts.keySet == (1 to 10).toSet)
+    // approx boundaries keep buckets near-balanced (±30% here)
+    assert(counts.values.forall(c => c > 350 && c < 650), counts)
+    // assignment is monotone in v by construction: max(v) of bucket i
+    // never exceeds min(v) of bucket i+1
+    val edges = res.groupBy("ntile").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("ntile").collect()
+    edges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(1))
+    case _ => ()
+    }
+  }
+
   test("the full-data window is partitioned by value, not global") {
     val plan = Ranking.ntileByValue(df, "v", "id", 7)
       .queryExecution.executedPlan.toString

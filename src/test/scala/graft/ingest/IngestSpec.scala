@@ -39,6 +39,17 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getCause.isInstanceOf[Ingest.RateLimited])
   }
 
+  test("withRetry: no sleep after the final failed attempt") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    intercept[Ingest.RetriesExhausted] {
+      Ingest.withRetry(maxRetries = 3, baseDelayMs = 5,
+        sleep = sleeps.append(_)) { throw new Ingest.RateLimited }
+    }
+    // 3 attempts → 2 backoffs; the old shape slept a wasted 20ms-scale
+    // (2^2·base) third time before throwing
+    assert(sleeps.toSeq == Seq(5L, 10L))
+  }
+
   test("fetchAllPages: retry exhaustion mid-pagination propagates") {
     val fetcher = new Ingest.Fetcher {
       def fetchPage(id: String, ep: String, page: Int,
