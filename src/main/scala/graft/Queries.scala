@@ -1063,23 +1063,42 @@ object Queries {
     * the lag/cumsum batch twin uses >. A far-future sentinel row
     * (user_id -1, filtered from the output) advances the event-time
     * watermark past every real session's close: a production stream
-    * flushes as new events arrive; a bounded replay needs the nudge. */
+    * flushes as new events arrive; a bounded replay needs the nudge.
+    * The sentinel lands as its own one-row parquet file NEXT TO an
+    * OS-level copy of the source file — the harness costs one file
+    * copy, not a full Spark read+rewrite of the input (the ts
+    * conversion happens inside the stream instead). */
   private val streamSessions = Q("stream_sessions",
     (s, dir) => {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        import s.implicits._
-        val ev = events(s, dir).select(col("user_id"), col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val maxNanos = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head.getLong(0)
         val root = java.nio.file.Files
           .createTempDirectory("graft_stream_sess").toString
-        val sentinel = Seq((-1L,
-          new java.sql.Timestamp(maxTs.getTime + 3L * 86400 * 1000)))
-          .toDF("user_id", "ts")
-        ev.unionByName(sentinel).write.parquet(s"$root/in")
-        val schema = s.read.parquet(s"$root/in").schema
-        val stream = s.readStream.schema(schema).parquet(s"$root/in")
+        val sentinel = s.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
+              f => f.name match {
+                case "user_id" => -1L
+                case "ts" => maxNanos + 3L * 86400 * 1000000000L
+                case _ => null
+              }
+            })), rawSchema)
+        sentinel.coalesce(1).write.parquet(s"$root/in")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val files = // rehearsal layouts split the table into a dir
+          if (src.isDirectory)
+            src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(src)
+        files.foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$root/in/src_${f.getName}")))
+        val stream = s.readStream.schema(rawSchema).parquet(s"$root/in")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("ts"))
         val sess = graft.stream.StreamingFact.sessionWindows(
           stream, "ts", "user_id")
         val q = sess.writeStream.outputMode("append")

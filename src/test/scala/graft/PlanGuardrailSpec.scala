@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guardrails over the WHOLE registered query surface: walks every
+  * query's plan and fails if a future change reintroduces one of the
+  * known 100 TB killers —
+  *   1. a CartesianProduct outside the documented bounded-id demos,
+  *   2. an unpartitioned Window over non-aggregated input (the
+  *      single-task global sort),
+  *   3. a star-join KPI that lost its broadcast hash join.
+  * The two streaming queries are excluded: their builders EXECUTE the
+  * stream (their plans are audited in StreamingFactSpec), as are the
+  * eager model-training collects documented in Similarity/Dedup. */
+class PlanGuardrailSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Bounded-id crossJoin oracle demos (doc_id/vec_id-filtered), each
+    * documented in Queries.scala with its LSH/banded scale path. */
+  private val cartesianOk = Set("dedup_ngram_jaccard", "dedup_corpus",
+    "dedup_embedding")
+
+  /** Queries allowed an unpartitioned window — and ONLY over aggregated
+    * input, asserted below: the window's size is bounded by a value
+    * domain (customer_deciles CDF) or a calendar grain (moving avg),
+    * not by row count. */
+  private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d")
+
+  private lazy val frames: Seq[(String, DataFrame)] =
+    Queries.all.filterNot(_.name.startsWith("stream_"))
+      .map(q => q.name -> q.run(spark, dir))
+
+  test("no CartesianProduct outside the documented bounded demos") {
+    frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        assert(cartesianOk(name),
+          s"$name grew a CartesianProduct — broadcast the small side " +
+            s"or bucket the join:\n$plan")
+    }
+  }
+
+  test("every unpartitioned window runs over aggregated input") {
+    frames.foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty) {
+        assert(globalWindowOk(name),
+          s"$name grew an unpartitioned window — a single-task global " +
+            s"sort at scale")
+        wins.foreach { w =>
+          assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+            s"$name: unpartitioned window over NON-aggregated input — " +
+              s"its size tracks row count, not a bounded domain")
+        }
+      }
+    }
+  }
+
+  test("star-join KPIs broadcast their dimension sides") {
+    val byName = frames.toMap
+    Seq("kpi_video_performance", "kpi_top_videos", "kpi_by_country")
+      .foreach { n =>
+        assert(byName(n).queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"), s"$n lost its broadcast join")
+      }
+  }
+}
