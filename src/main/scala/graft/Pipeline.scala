@@ -156,10 +156,19 @@ object Pipeline {
       reports)
   }
 
-  /** Full run: ingest → transform. */
-  def run(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher)
+  /** Full run: ingest → transform → run report. The report artifact
+    * (`_run_report.json` next to the silver layer) carries the run
+    * timestamp, ingest status, and every frame's observed DQ metrics —
+    * the machine-readable replacement for the reference's eyeball-the-
+    * notebook-output ops checklist (guide p.32). */
+  def run(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher,
+          runTs: java.time.Instant = java.time.Instant.now())
   : Result = {
-    ingest(spark, conf, fetcher)
-    transform(spark, conf)
+    val clean = ingest(spark, conf, fetcher, runTs)
+    val res = transform(spark, conf)
+    graft.etl.RunReport.write(spark,
+      s"${conf.silverPath}/_run_report.json", runTs.toString,
+      if (clean) "success" else "ingest_dirty", res.qualityReports)
+    res
   }
 }

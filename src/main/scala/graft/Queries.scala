@@ -452,15 +452,22 @@ object Queries {
   private val dedupMinhashPrecision = Q("dedup_minhash_precision",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialize the (small) pair set once: it feeds both the id
+      // semi-join and the verification join, and the interpreted HOF
+      // recompute below must only ever run over docs IN pairs — not
+      // the whole corpus (measured 2.5 s of wasted shingling at sf0.1)
       val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
-        threshold = 0.4)
+        threshold = 0.4).localCheckpoint(true)
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
       val k = 3
       val toks = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
       val grams = when(size(toks) < k, array(array_join(toks, " ")))
         .otherwise(array_distinct(transform(
           sequence(lit(0), size(toks) - k),
           i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
-      val sh = docs.select(col("doc_id"), grams.as("sh"))
+      val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), grams.as("sh"))
       pairs
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("ra")),
           Seq("id_a"))
@@ -952,6 +959,84 @@ object Queries {
         FROM sc)
       GROUP BY 1, 2 ORDER BY 1, 2"""
     })
+
+  /** PII scrub (emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+    * <PHONE>): the standard pre-training redaction pass, pure per-row
+    * regexp_replace chain — scan speed, no shuffle, and the patterns
+    * are Java/RE2-portable so the full scrubbed text is hash-checked
+    * against DuckDB. */
+  private val textPiiScrub = Q("text_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("clean_text"),
+        TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"))
+        .orderBy("doc_id"),
+    Some {
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      raw"""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+        AS clean_text,
+      CAST(COALESCE(len(regexp_extract_all(text, '$em')), 0) +
+        COALESCE(len(regexp_extract_all(text, '$ip')), 0) +
+        COALESCE(len(regexp_extract_all(text, '$ph')), 0) AS BIGINT) AS n_pii
+      FROM documents ORDER BY doc_id"""
+    })
+
+  /** Deterministic train/test split by content-independent id hash:
+    * bucket = first 16 bits of md5(doc_id), <10% of the bucket space →
+    * test. The scale-correct way to split training data — no RNG seed
+    * to disagree across engines or partitionings, stable under corpus
+    * growth (a doc's split never changes when other docs arrive),
+    * embarrassingly parallel. */
+  private val sampleHashSplit = Q("sample_hash_split",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < lit(6554), "test").otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        AS BIGINT) AS INTEGER) AS bucket,
+      CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Sequence packing for training: docs are packed per source in
+    * doc_id order into ~2048-token bins — pack_id = exclusive prefix
+    * token count div budget (a doc may straddle its bin boundary; the
+    * standard streaming-friendly approximation). The window is
+    * PARTITIONED by source, so at 100 TB each source packs
+    * independently — no global sort anywhere. */
+  private val docPack = Q("doc_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+            lit(2048)).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""SELECT doc_id, source, n_tokens,
+      CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        / 2048.0) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, source,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+        FROM documents)
+      ORDER BY doc_id"""))
 
   // ======================================================================
   // LLM-data-pipeline extensions: multimodal binary columns
@@ -1607,7 +1692,7 @@ object Queries {
     simScoreCheck,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
-    textLangConfusion,
+    textLangConfusion, textPiiScrub, sampleHashSplit, docPack,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,

@@ -1,0 +1,64 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+/** The run-level ops artifact: one JSON document per pipeline run tying
+  * together the run timestamp, completion status, and every frame's
+  * observed DQ metrics (total rows, approx distinct keys, null/empty
+  * key counts — collected by `observe()` as a side effect of the
+  * silver writes, see [[Quality.observedReport]]).
+  *
+  * This is the monitoring surface the reference operates by hand (its
+  * ops checklist asks operators to eyeball row counts and failure logs
+  * daily, guide p.32): here a run's health is a single machine-readable
+  * file next to the data it describes, so an orchestrator alert is a
+  * file read, not a log grep. Driver-side write of a few hundred bytes
+  * through the Hadoop FS API — works against any storage scheme, no
+  * Spark job. */
+object RunReport {
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case n: Long => n.toString
+    case n: Int => n.toString
+    case n: Double =>
+      if (n.isNaN || n.isInfinite) "null" else n.toString
+    case b: Boolean => b.toString
+    case other => "\"" + other.toString.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  }
+
+  private[graft] def render(runTs: String, status: String,
+                          reports: Map[String, Map[String, Any]]): String = {
+    val frames = reports.toSeq.sortBy(_._1).map { case (frame, metrics) =>
+      val ms = metrics.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonValue(k)}:${jsonValue(v)}" }
+        .mkString("{", ",", "}")
+      s"${jsonValue(frame)}:$ms"
+    }.mkString("{", ",", "}")
+    s"""{"run_ts":${jsonValue(runTs)},"status":${jsonValue(status)},""" +
+      s""""frames":$frames}"""
+  }
+
+  /** Write the artifact (overwrite — one report per silver root, the
+    * previous run's report is superseded like the watermark is). */
+  def write(spark: SparkSession, path: String, runTs: String,
+            status: String,
+            reports: Map[String, Map[String, Any]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(render(runTs, status, reports)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -95,6 +95,34 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  // --- PII scrubbing ---------------------------------------------------
+
+  /** Redaction patterns for the standard pre-training scrub: emails,
+    * IPv4 addresses, long digit runs (phone-ish). Kept to constructs
+    * with identical semantics in Java regex and RE2 (no backrefs, no
+    * lookaround) so the scrub is engine-portable and oracle-checkable.
+    * Order matters: emails first (an email can contain digits), then
+    * IPs (dotted digits would partially match the phone run), then
+    * phones. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Scrubbed text: PII spans replaced by typed placeholder tokens —
+    * pure per-row regexp_replace chain, runs at scan speed. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII spans found (pre-scrub), for the DQ report. */
+  def piiCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(EmailPattern)), lit(0)) +
+      coalesce(regexp_count(text, lit(Ipv4Pattern)), lit(0)) +
+      coalesce(regexp_count(text, lit(PhonePattern)), lit(0))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * The canonical near-dup pre-key (exact dedup groups on this). */
   def fingerprintMd5(text: Column): Column =

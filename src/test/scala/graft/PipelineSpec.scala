@@ -57,6 +57,22 @@ class PipelineSpec extends AnyFunSuite {
     // at run start (first run → the 7-day lookback default), nb02:247
     assert(sinceSeen("visitors").isDefined)
     assert(sinceSeen("media").isEmpty) // catalog always pulled in full
+    // the run-report ops artifact landed next to the silver layer with
+    // the observed DQ metrics inside
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/silver/_run_report.json"))
+    assert(report.contains("\"status\":\"success\""))
+    assert(report.contains("\"dim_media\""))
+    assert(report.contains("\"total_rows\":2"))
+    assert(report.contains("\"media_id_null_or_empty\":0"))
+  }
+
+  test("RunReport.render escapes strings and orders deterministically") {
+    val json = graft.etl.RunReport.render("2024-06-01T00:00:00Z", "ok",
+      Map("f" -> Map("b" -> 1L, "a" -> 2.5, "q\"x" -> "v\nw")))
+    assert(json ==
+      """{"run_ts":"2024-06-01T00:00:00Z","status":"ok","frames":""" +
+        """{"f":{"a":2.5,"b":1,"q\"x":"v\nw"}}}""")
   }
 
   test("ingest holds the watermark when a fetch exhausts its retries") {
