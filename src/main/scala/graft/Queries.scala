@@ -451,7 +451,11 @@ object Queries {
     * sim_lsh_recall — but false positives must be exactly zero.) */
   private val dedupMinhashPrecision = Q("dedup_minhash_precision",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // one row per doc id: under duplicate ids "pair (a,b)" is
+      // ill-defined and the verification joins amplify quadratically
+      // (the 10x rehearsal, which replicates files id-and-all, went
+      // 28x superlinear without this)
+      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
       // materialize the (small) pair set once: it feeds both the id
       // semi-join and the verification join, and the interpreted HOF
       // recompute below must only ever run over docs IN pairs — not
@@ -601,6 +605,36 @@ object Queries {
       SELECT id, keep_id, id = keep_id AS is_kept FROM (
         SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a)
       ORDER BY id"""))
+
+  /** Incremental corpus dedup — the shape every RUNNING training-data
+    * pipeline needs: a new batch is deduped against the accumulated
+    * corpus by content fingerprint (left-anti on the digest — the
+    * shuffle carries 16-byte md5s, never text) and within itself
+    * (min-id survivor per fingerprint). Here the corpus/batch split is
+    * a deterministic id cut so the whole decision is oracle-checkable. */
+  private val dedupIncremental = Q("dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = TextAnalysis.fingerprintMd5(col("text"))
+      val existing = docs.filter(col("doc_id") < 250)
+        .select(fp.as("fingerprint")).distinct()
+      val firstIn = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
+      firstIn.join(existing, Seq("fingerprint"), "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH fp AS (SELECT doc_id,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+      existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+      firstin AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp
+        WHERE doc_id >= 250 GROUP BY 1)
+      SELECT doc_id, fingerprint FROM firstin f
+      WHERE NOT EXISTS (SELECT 1 FROM existing e
+        WHERE e.fingerprint = f.fingerprint)
+      ORDER BY doc_id"""))
 
   /** Embedding cosine near-dup pairs — quantized to BIGINT so dot
     * products are exact integers in any engine; bounded id range keeps
@@ -1599,6 +1633,72 @@ object Queries {
         FROM customer)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Invariants of the continuous-domain NTILE ([[graft.etl.Ranking
+    * .ntileApprox]]), oracle-checked against constants: bucket
+    * assignment must be monotone in the order value (no adjacent-bucket
+    * inversion) and total (every row lands in a bucket). The bucket
+    * POPULATIONS are approximate by design — that is the trade that
+    * buys a plan with zero windows — but order correctness and
+    * totality are exact properties, so they gate like any other
+    * oracle row. */
+  private val decilesApproxCheck = Q("deciles_approx_check",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val per = graft.etl.Ranking.ntileApprox(cust, "c_acctbal", 10)
+        .groupBy("ntile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+      val w = Window.orderBy(col("ntile"))
+      val stats = per.withColumn("prev_mx", lag(col("mx"), 1).over(w))
+      val total = cust.agg(count(lit(1)).as("total"))
+      stats.agg(
+        count(when(col("prev_mx") > col("mn"), 1)).as("order_violations"),
+        sum(col("n")).as("assigned"))
+        .crossJoin(total)
+        .select(col("order_violations"),
+          (col("total") - col("assigned")).as("unassigned"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS order_violations,
+      CAST(0 AS BIGINT) AS unassigned"""))
+
+  /** SCD Type-2 dimension maintenance over the customer dim: a
+    * deterministic update batch (every 7th key gets a new segment) is
+    * merged into a versioned snapshot — changed keys close their old
+    * version at the effective date and open a new current one, full
+    * history retained. See [[graft.etl.Scd.scd2Merge]]. */
+  private val scd2Customer = Q("scd2_customer",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val current = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("key"), lit("UPDATED").as("segment"))
+      graft.etl.Scd.scd2Merge(current, updates, "key", Seq("segment"),
+        to_date(lit("2024-06-01")))
+        .select("key", "segment", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "valid_from")
+    },
+    Some("""WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment
+        FROM customer),
+      changed AS (SELECT u.key, u.segment FROM
+        (SELECT c_custkey AS key, 'UPDATED' AS segment FROM customer
+         WHERE c_custkey % 7 = 0) u
+        JOIN cur c ON u.key = c.key
+        WHERE u.segment IS DISTINCT FROM c.segment)
+      SELECT key, segment, CAST('2024-01-01' AS DATE) AS valid_from,
+        CASE WHEN key IN (SELECT key FROM changed)
+          THEN CAST('2024-06-01' AS DATE) END AS valid_to,
+        key NOT IN (SELECT key FROM changed) AS is_current
+      FROM cur
+      UNION ALL
+      SELECT key, segment, CAST('2024-06-01' AS DATE) AS valid_from,
+        NULL AS valid_to, true AS is_current
+      FROM changed
+      ORDER BY key, valid_from"""))
+
   /** Date-spine gap fill: a generated calendar left-joined to the daily
     * counts so empty days appear as zeros (every reporting layer needs
     * this; a missing day is not the same as a zero day). */
@@ -1687,7 +1787,7 @@ object Queries {
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
     dedupExact, dedupMinhash, dedupSimhash, dedupMinhashPrecision,
     dedupSimhashInvariants, dedupNgramJaccard,
-    dedupCorpus, dedupEmbedding,
+    dedupCorpus, dedupIncremental, dedupEmbedding,
     simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf, simLshRecall,
     simScoreCheck,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
@@ -1697,6 +1797,7 @@ object Queries {
     sessionBatch, funnel, funnel3, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
     cubeFlagStatus, statsExact,
-    statsQuantiles, asofJoin, movingAvg7d, customerDeciles, dailySpine,
+    statsQuantiles, asofJoin, movingAvg7d, customerDeciles,
+    decilesApproxCheck, scd2Customer, dailySpine,
     streamDaily, streamSessions)
 }

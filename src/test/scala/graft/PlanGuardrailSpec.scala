@@ -27,7 +27,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     * input, asserted below: the window's size is bounded by a value
     * domain (customer_deciles CDF) or a calendar grain (moving avg),
     * not by row count. */
-  private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d")
+  private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d",
+    "deciles_approx_check") // lag over the 10-row bucket aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
