@@ -406,6 +406,42 @@ object Queries {
       "visitor"),
     Some("""SELECT COUNT(DISTINCT o_custkey) AS unique_visitors FROM orders"""))
 
+  /** Mergeable-sketch distinct counting, invariant-oracled: per-day HLL
+    * sketches of the visitor set are built once, then UNIONED to answer
+    * the all-time distinct — the architecture that answers any
+    * date-range distinct query at 100 TB from kilobyte sketches without
+    * re-touching raw data (precompute daily, merge at query time).
+    * Sketch bits are engine-specific, but the ERROR CONTRACT is not:
+    * both the merged estimate and every daily estimate must land within
+    * 5% of the exact count (HLL lgConfigK=12 ⇒ ~1.6% std error), so the
+    * registered output is the violation count — constant 0. */
+  private val sketchDistinctUnion = Q("sketch_distinct_union",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("date"), col("user_id"))
+      val daily = ev.groupBy("date")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("exact_daily"))
+      val dailyViolations = daily
+        .select(when(
+          abs(hll_sketch_estimate(col("sk")).cast("double") -
+            col("exact_daily").cast("double")) /
+            col("exact_daily").cast("double") > 0.05, 1L).otherwise(0L)
+          .as("v"))
+        .agg(sum(col("v")).as("daily_violations"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact"))
+      merged.crossJoin(exact).crossJoin(dailyViolations)
+        .select(
+          when(abs(col("est").cast("double") - col("exact").cast("double"))
+            / col("exact").cast("double") > 0.05, 1L).otherwise(0L)
+            .as("union_violations"),
+          col("daily_violations"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS union_violations,
+      CAST(0 AS BIGINT) AS daily_violations"""))
+
   // ======================================================================
   // LLM-data-pipeline extensions: dedup
   // ======================================================================
@@ -1785,6 +1821,7 @@ object Queries {
     kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
     kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
+    sketchDistinctUnion,
     dedupExact, dedupMinhash, dedupSimhash, dedupMinhashPrecision,
     dedupSimhashInvariants, dedupNgramJaccard,
     dedupCorpus, dedupIncremental, dedupEmbedding,

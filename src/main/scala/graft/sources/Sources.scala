@@ -127,6 +127,24 @@ object Sources {
     fs.delete(b, true)
   }
 
+  /** Range-clustered write: `repartitionByRange` on the cluster columns
+    * + sort within each partition, so every output file covers a
+    * narrow, mostly-disjoint value range. Parquet footer min/max stats
+    * then let ANY reader skip whole files for range predicates — the
+    * poor man's Z-order, and at 100 TB the difference between scanning
+    * one file and scanning ten thousand for `WHERE ship_date BETWEEN
+    * …`. The range exchange samples the column to build balanced
+    * boundaries, so skew in the cluster column does not skew file
+    * sizes. */
+  def writeRangeClustered(df: DataFrame, path: String,
+                          clusterCols: Seq[String],
+                          numFiles: Int): Unit =
+    df.repartitionByRange(numFiles,
+        clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(
+        clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** S11: storage-config bootstrap — the reference sets
     * `fs.azure.account.key...` from a secret (nb01:44-127); locally any
     * fs.* confs pass through the Hadoop configuration the same way. */

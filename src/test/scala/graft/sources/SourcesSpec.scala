@@ -55,6 +55,33 @@ class SourcesSpec extends AnyFunSuite {
       "2024-01-03" -> 3))
   }
 
+  test("writeRangeClustered: files cover disjoint ranges, skippable") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000, s"r$i"))
+      .toDF("k", "v") // k unordered on input
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rc").toString + "/t"
+    Sources.writeRangeClustered(df, dir, Seq("k"), numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1)
+    // per-file min/max of k must form non-overlapping ranges — exactly
+    // what parquet footer stats expose for file skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).head
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("compact rewrites a dir to the target file count, same rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact")
     (1 to 100).toDF("v").repartition(20).write.parquet(s"$root/t")
