@@ -93,6 +93,55 @@ object Sources {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Targeted key deletion from a partitioned parquet table — the
+    * right-to-be-forgotten / compliance delete, without a table format:
+    * locate the partitions that actually contain the doomed keys (one
+    * filtered scan, partition-pruned where the filter allows), anti-join
+    * the keys out, and dynamically overwrite ONLY those partitions.
+    * Partitions without a match are never read or written. The
+    * touched-partition collect is bounded by partition count, not data.
+    * Returns the number of partitions rewritten. */
+  def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
+                 keyCol: String, keys: Seq[Any]): Int = {
+    import org.apache.spark.sql.functions.col
+    val table = spark.read.parquet(path)
+    val touched = table.filter(col(keyCol).isin(keys: _*))
+      .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return 0
+    val prev = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val kept = table
+        .filter(col(partitionCol).isin(touched: _*))
+        .filter(!col(keyCol).isin(keys: _*))
+        // materialize before the overwrite deletes the files being read
+        .localCheckpoint(true)
+      kept.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(path)
+      // a partition whose every row was doomed writes nothing under
+      // dynamic overwrite and would survive intact — remove it directly
+      val keptParts = kept.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(keptParts).foreach { v =>
+        fs.delete(new Path(s"$path/$partitionCol=$v"), true)
+      }
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    touched.size
+  }
+
+  /** Schema-evolution read: union parquet files written under different
+    * schema versions (columns added over time) into the superset schema,
+    * missing columns null-filled. `mergeSchema` costs a footer read per
+    * file — bounded and parallel, nothing like JSON inference — and is
+    * how a long-lived silver table absorbs new columns without
+    * rewriting history. */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", value = true).parquet(path)
+
   /** Small-file compaction: rewrite a parquet dir into ~`targetFiles`
     * files. Streaming upserts and incremental loads accumulate small
     * files; scan cost at 100 TB is dominated by file count, so

@@ -55,6 +55,39 @@ class SourcesSpec extends AnyFunSuite {
       "2024-01-03" -> 3))
   }
 
+  test("deleteKeys: rewrites only touched partitions, removes emptied ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del").toString + "/t"
+    Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    // record untouched partition's file set to prove it was not rewritten
+    def filesOf(p: String) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val bBefore = filesOf("b")
+    // delete id 1 (partition a keeps id 2) and id 4 (partition c empties)
+    val rewritten = Sources.deleteKeys(spark, dir, "part", "id", Seq(1L, 4L))
+    assert(rewritten == 2)
+    val back = spark.read.parquet(dir).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(back == Seq(2L, 3L))
+    assert(filesOf("b") == bBefore) // untouched partition: same files
+    assert(!new java.io.File(s"$dir/part=c").exists) // emptied: removed
+  }
+
+  test("readMergedSchema unions schema versions, null-filling old files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/v1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "score").write.parquet(s"$dir/v2")
+    val merged = Sources.readMergedSchema(spark, s"$dir/*")
+    assert(merged.columns.sorted.toSeq == Seq("a", "id", "score"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("score").isNull).count() == 1)
+  }
+
   test("writeRangeClustered: files cover disjoint ranges, skippable") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ((i * 7919) % 10000, s"r$i"))
