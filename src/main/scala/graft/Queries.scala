@@ -24,7 +24,14 @@ import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
   *    (Spark sorts nulls first, DuckDB last — so order keys must not be
   *    nullable);
   *  - no `round()` on raw doubles whose scale could produce decimal
-  *    ties (Spark rounds half-up, DuckDB half-even).
+  *    ties (Spark rounds half-up, DuckDB half-even);
+  *  - engine-specific APPROXIMATE operators (xxhash64 LSH buckets,
+  *    simhash chunks, IVF cells, HLL sketches) register their
+  *    INVARIANTS as constant-0 oracle rows instead: zero false
+  *    positives after independent recompute, pigeonhole completeness
+  *    vs brute force, exact score fidelity, bounded estimate error —
+  *    the properties a user of an approximate operator relies on,
+  *    hash-gated like any exact query.
   */
 object Queries {
 
@@ -1174,7 +1181,7 @@ object Queries {
       // keys on (day, user) with tiny cardinality, so fewer partitions
       // = fewer state commits per batch (restored after the run)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -1226,7 +1233,7 @@ object Queries {
   private val streamSessions = Q("stream_sessions",
     (s, dir) => {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema

@@ -100,6 +100,9 @@ object Sources {
     * the keys out, and dynamically overwrite ONLY those partitions.
     * Partitions without a match are never read or written. The
     * touched-partition collect is bounded by partition count, not data.
+    * Crash-safe by idempotence: a failure mid-delete leaves some doomed
+    * rows in place and a re-run converges (rewritten partitions no
+    * longer match, remaining ones are re-touched).
     * Returns the number of partitions rewritten. */
   def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
                  keyCol: String, keys: Seq[Any]): Int = {
