@@ -1819,6 +1819,37 @@ object Queries {
         ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
       ORDER BY p.event_id"""))
 
+  /** Interval (range) join, scale-safe: purchases attributed to any
+    * 7-day window after a signup by the SAME user — the classic
+    * attribution query. Spark would plan the raw `BETWEEN` join as a
+    * nested loop; [[graft.etl.IntervalJoin.bucketed]] reformulates it
+    * as an equi-join on (user, day-bucket) + exact filter. Oracle:
+    * DuckDB executes the naive range join directly — same rows. */
+  private val intervalAttribution = Q("interval_attribution",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("lo"),
+          (col("ts_us") + lit(7L * 86400 * 1000000)).as("hi"))
+      graft.etl.IntervalJoin.bucketed(purchases, "ts_us", windows,
+        "lo", "hi", bucketWidth = 86400L * 1000000, keys = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count_distinct(col("event_id")).as("attributed_purchases"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT p.user_id,
+      COUNT(DISTINCT p.event_id) AS attributed_purchases
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, epoch_us(ts) AS lo,
+          epoch_us(ts) + CAST(604800000000 AS BIGINT) AS hi FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
+      GROUP BY 1 ORDER BY 1"""))
+
   // ======================================================================
 
   val all: Seq[Q] = Seq(
@@ -1841,7 +1872,7 @@ object Queries {
     sessionBatch, funnel, funnel3, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
     cubeFlagStatus, statsExact,
-    statsQuantiles, asofJoin, movingAvg7d, customerDeciles,
-    decilesApproxCheck, scd2Customer, dailySpine,
+    statsQuantiles, asofJoin, intervalAttribution, movingAvg7d,
+    customerDeciles, decilesApproxCheck, scd2Customer, dailySpine,
     streamDaily, streamSessions)
 }

@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 100L), (1L, 250L), (1L, 900L), (2L, 250L), (3L, 50L))
+    .toDF("user", "t")
+  private lazy val intervals = Seq(
+    (1L, 100L, 300L),  // catches t=100 (inclusive lo) and 250
+    (1L, 900L, 900L),  // empty: hi == lo, must match nothing
+    (2L, 0L, 250L),    // t=250 NOT caught (exclusive hi)
+    (2L, 200L, 260L),  // t=250 caught
+    (4L, 0L, 1000L))   // no points for this user
+    .toDF("user", "lo", "hi")
+
+  test("bucketed equals the brute-force range join, boundary semantics") {
+    val got = IntervalJoin.bucketed(points, "t", intervals, "lo", "hi",
+      bucketWidth = 128, keys = Seq("user"))
+      .select("user", "t", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val brute = points.as("p")
+      .join(intervals.as("i"), col("p.user") === col("i.user") &&
+        col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("p.user"), col("t"), col("lo"), col("hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute)
+    assert(got == Set((1L, 100L, 100L, 300L), (1L, 250L, 100L, 300L),
+      (2L, 250L, 200L, 260L)))
+  }
+
+  test("bucketed is an equi-join in the plan, not a nested loop") {
+    val plan = IntervalJoin.bucketed(points, "t", intervals, "lo", "hi",
+      bucketWidth = 128, keys = Seq("user"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("an interval spanning many buckets still matches every point") {
+    val pts = (0L until 1000L by 10).map(t => (1L, t)).toDF("user", "t")
+    val iv = Seq((1L, 5L, 995L)).toDF("user", "lo", "hi")
+    val n = IntervalJoin.bucketed(pts, "t", iv, "lo", "hi",
+      bucketWidth = 7, keys = Seq("user")).count()
+    // t in {10,20,...,990}: 99 points inside [5, 995)
+    assert(n == 99)
+  }
+}
