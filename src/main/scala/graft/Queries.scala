@@ -1037,6 +1037,23 @@ object Queries {
       GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
+  /** Unicode NFC normalization — the mandatory first step of text
+    * dedup (NFD vs NFC spellings of one string fingerprint
+    * differently). Custom expression [[graft.functions.NfcNormalize]]
+    * (Spark has no built-in); the full normalized text is hash-checked
+    * against DuckDB's `nfc_normalize`, plus a changed-row count. */
+  private val textNfcNormalize = Q("text_nfc_normalize",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextExprs.nfcNormalize(col("text")).as("nfc_text"),
+        (!(graft.functions.TextExprs.nfcNormalize(col("text"))
+          <=> col("text"))).as("changed"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, nfc_normalize(text) AS nfc_text,
+      nfc_normalize(text) IS DISTINCT FROM text AS changed
+      FROM documents ORDER BY doc_id"""))
+
   /** PII scrub (emails → <EMAIL>, IPv4 → <IP>, long digit runs →
     * <PHONE>): the standard pre-training redaction pass, pure per-row
     * regexp_replace chain — scan speed, no shuffle, and the patterns
@@ -1867,7 +1884,8 @@ object Queries {
     simScoreCheck,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
-    textLangConfusion, textPiiScrub, sampleHashSplit, docPack,
+    textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,
+    docPack,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,

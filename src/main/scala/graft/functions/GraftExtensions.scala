@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity"),
       es => CosineSim(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC form"),
+      es => NfcNormalize(es.head)))
   }
 }

@@ -28,5 +28,7 @@ object GraftFunctions {
       es => DotLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "scala_udf")
   }
 }

@@ -64,6 +64,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("nfcNormalize: composes NFD, identity on NFC, null-safe") {
+    import spark.implicits._
+    val nfd = "Café"        // e + combining acute (NFD)
+    val nfc = "Café"         // é precomposed (NFC)
+    val rows = Seq(Some(nfd), Some(nfc), None).toDF("t")
+      .select(graft.functions.TextExprs.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows(0).contains(nfc)) // NFD composed
+    assert(rows(1).contains(nfc)) // already-NFC untouched
+    assert(rows(2).isEmpty)       // null in, null out
+    // the dedup motivation: the two spellings fingerprint identically
+    // only AFTER normalization
+    val fps = Seq(nfd, nfc).toDF("t").select(
+      TextAnalysis.fingerprintMd5(
+        graft.functions.TextExprs.nfcNormalize(col("t"))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
   test("rollingFingerprint: deterministic, order-sensitive, 32-bit") {
     val a = one(TextAnalysis.rollingFingerprint(lit("a b c")), 1L)
     val b = one(TextAnalysis.rollingFingerprint(lit("c b a")), 1L)
