@@ -292,6 +292,30 @@ object Queries {
         SELECT DISTINCT c_custkey AS id, 'customer' AS src FROM customer)
       ORDER BY id, src"""))
 
+  /** Data-contract expectations over lineitem, one pass for all rules
+    * ([[graft.etl.Quality.checkExpectations]]): domain, range, and
+    * presence checks as named violation counts. NULL rule results
+    * count as violations on both engines (NOT COALESCE(pred, false)).
+    */
+  private val dqExpectations = Q("dq_expectations",
+    (s, dir) =>
+      Quality.checkExpectations(t(s, dir, "lineitem"), Seq(
+        Quality.Expectation("quantity_in_range",
+          col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        Quality.Expectation("price_positive", col("l_extendedprice") > 0),
+        Quality.Expectation("shipdate_present", col("l_shipdate").isNotNull),
+        Quality.Expectation("discount_unit_interval",
+          col("l_discount") >= 0 && col("l_discount") <= 1),
+        Quality.Expectation("returnflag_domain",
+          col("l_returnflag").isin("A", "N", "R")))),
+    Some("""SELECT COUNT(*) AS total_rows,
+      COUNT(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, false) THEN 1 END) AS quantity_in_range,
+      COUNT(CASE WHEN NOT COALESCE(l_extendedprice > 0, false) THEN 1 END) AS price_positive,
+      COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, false) THEN 1 END) AS shipdate_present,
+      COUNT(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, false) THEN 1 END) AS discount_unit_interval,
+      COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), false) THEN 1 END) AS returnflag_domain
+      FROM lineitem"""))
+
   // ======================================================================
   // KPI layer (SURVEY §2.7, guide p.33-34) over the lineitem star schema
   // ======================================================================
@@ -1872,7 +1896,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     factEngagement, dimMedia, dimVisitor, goldCast, safeCast,
     regexpExtract, filterValid, windowDedup, dupGroups, qualityReport,
-    validateNulls, limitSample, unionIds,
+    validateNulls, dqExpectations, limitSample, unionIds,
     kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
     kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,

@@ -82,6 +82,26 @@ object Quality {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** A named data contract: `predicate` evaluating TRUE means the row
+    * passes. NULL predicate results count as violations (a rule that
+    * cannot be evaluated on a row has not been satisfied by it). */
+  case class Expectation(name: String, predicate: Column)
+
+  /** Evaluate a set of expectations in ONE aggregation pass: output is
+    * a single row of total_rows plus one violation count per rule —
+    * the dbt-tests/Great-Expectations shape without N table scans. At
+    * 100 TB this is one job however many rules there are; compose with
+    * `observe()` by passing the same metric expressions if the frame
+    * is being written anyway. */
+  def checkExpectations(df: DataFrame,
+                        expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "no expectations given")
+    val metrics = count(lit(1)).as("total_rows") +:
+      expectations.map(e =>
+        count(when(!coalesce(e.predicate, lit(false)), 1)).as(e.name))
+    df.agg(metrics.head, metrics.tail: _*)
+  }
+
   /** Quality report in one pass (vs nb03:335-346's count/count-distinct
     * action storm). Exact distinct via count_distinct plus the
     * 100 TB-scale variant approx_count_distinct (HLL++, no exact

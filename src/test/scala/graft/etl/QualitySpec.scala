@@ -61,4 +61,17 @@ class QualitySpec extends AnyFunSuite {
     assert(m.getAs[Long]("distinct_keys") == 5)
     assert(m.getAs[Long]("approx_distinct_keys") >= 4)
   }
+
+  test("checkExpectations: one pass, NULL rule results are violations") {
+    val d = Seq((1, Some(10)), (2, Some(-5)), (3, None))
+      .toDF("id", "score")
+    val m = Quality.checkExpectations(d, Seq(
+      Quality.Expectation("score_positive", col("score") > 0),
+      Quality.Expectation("id_present", col("id").isNotNull)))
+      .collect().head
+    assert(m.getAs[Long]("total_rows") == 3)
+    // -5 fails outright; NULL score cannot satisfy the rule → 2
+    assert(m.getAs[Long]("score_positive") == 2)
+    assert(m.getAs[Long]("id_present") == 0)
+  }
 }
