@@ -1337,6 +1337,50 @@ object Queries {
           FROM events))
       GROUP BY user_id, session_id ORDER BY 1, 2"""))
 
+  /** STREAM-STREAM join (two unbounded sides, state-store buffered,
+    * watermark-evicted): purchases ⋈ signups of the same user within 7
+    * days, both sides branches of one replayed event stream. Oracle:
+    * the identical range join run as batch SQL — stream/batch parity
+    * on the full pair set. Inner join emits on arrival; watermarks
+    * bound state, so the bounded replay needs no sentinel. */
+  private val streamAttribution = Q("stream_attribution",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_attr").toString
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val joined = graft.stream.StreamingFact.attributionJoin(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "signup"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .orderBy("user_id", "purchase_event_id", "signup_event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
+      s.event_id AS signup_event_id
+      FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+        AND p.ts < s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
   // ======================================================================
   // Event-analytics extensions: sessionization, funnel, retention, tf-idf
   // ======================================================================
@@ -1916,5 +1960,5 @@ object Queries {
     cubeFlagStatus, statsExact,
     statsQuantiles, asofJoin, intervalAttribution, movingAvg7d,
     customerDeciles, decilesApproxCheck, scd2Customer, dailySpine,
-    streamDaily, streamSessions)
+    streamDaily, streamSessions, streamAttribution)
 }

@@ -125,6 +125,33 @@ object StreamingFact {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** STREAM-STREAM inner join with an event-time range condition: each
+    * purchase pairs with every signup of the same user in the preceding
+    * `windowDays` days — both sides unbounded streams. The watermarks
+    * bound the join state: a buffered signup can be dropped once the
+    * watermark passes signup_ts + window (no future purchase can match
+    * it), a buffered purchase once its own watermark passes. This is
+    * the canonical shape Spark's state-store join was built for;
+    * without the time bound in the join condition the state would grow
+    * forever. Inner join emits each match as soon as both rows have
+    * arrived — the watermark governs state EVICTION, not emission. */
+  def attributionJoin(purchases: DataFrame, signups: DataFrame,
+                      windowDays: Int = 7): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val s = signups
+      .select(col("user_id").as("s_user"),
+        col("event_id").as("signup_event_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", s"${windowDays + 1} days")
+    p.join(s, expr(
+      s"""p_user = s_user AND p_ts >= s_ts AND
+          p_ts < s_ts + interval $windowDays days"""))
+      .select(col("p_user").as("user_id"), col("purchase_event_id"),
+        col("signup_event_id"))
+  }
+
   /** Streaming dedup under a watermark: duplicate events (same key)
     * arriving within the watermark horizon are dropped with bounded
     * state — the streaming twin of Quality.dedupByKeys. State size is
