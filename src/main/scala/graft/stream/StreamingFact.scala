@@ -104,6 +104,79 @@ object StreamingFact {
       }
   }
 
+  // --- transformWithState (Spark 4 arbitrary-state API) ----------------
+
+  /** The [[sessionize]] contract re-expressed on `transformWithState` —
+    * Spark 4's successor to flatMapGroupsWithState: typed state handles
+    * (`ValueState`) instead of one opaque state object, EXPLICIT timers
+    * (register/delete) instead of the single implicit timeout, and
+    * composable multi-state processors. Output contract is identical
+    * (closed sessions only; StreamingFactSpec proves row-level parity
+    * with the fMGWS twin on the same input). Requires the RocksDB
+    * state-store provider — the only provider implementing this
+    * operator's state layout. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def close(user: Long, s: SessionState) =
+      SessionOut(user, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var cur = if (session.exists()) session.get() else null
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) cur = SessionState(t, t, 1L, e.value)
+        else if (t - cur.lastSeen > gapMs) {
+          closed += close(user, cur) // gap inside the batch: emit now
+          cur = SessionState(t, t, 1L, e.value)
+        } else cur = SessionState(cur.start, math.max(cur.lastSeen, t),
+          cur.nEvents + 1, cur.total + e.value)
+      }
+      session.update(cur)
+      // explicit timer management replaces setTimeoutTimestamp: drop
+      // the superseded timer, arm the idle-close one (same watermark
+      // clamp and session-split trade-off as the fMGWS twin)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(cur.lastSeen + gapMs,
+        timers.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (!session.exists()) Iterator.empty
+      else {
+        val s = session.get()
+        session.clear()
+        Iterator.single(close(user, s))
+      }
+  }
+
+  /** [[sessionize]] on the transformWithState API — see
+    * [[SessionProcessor]]. Input must carry `withWatermark` on `ts`;
+    * the session must run the RocksDB state-store provider. */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Ev],
+                    gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Event-time session windows via the built-in `session_window`:
     * gap-based sessions computed on event time under a watermark — the
     * streaming twin of the batch lag/cumsum sessionization

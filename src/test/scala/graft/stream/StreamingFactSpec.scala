@@ -190,6 +190,55 @@ class StreamingFactSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("total_value") == 1.0)
   }
 
+  test("transformWithState sessionizer matches the fMGWS twin row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+              f: org.apache.spark.sql.Dataset[StreamingFact.Ev] =>
+                org.apache.spark.sql.Dataset[StreamingFact.SessionOut])
+      : Set[(Long, String, String, Long, Double)] = {
+        val mem = MemoryStream[StreamingFact.Ev]
+        val out = f(mem.toDS().withWatermark("ts", "0 seconds"))
+        val q = out.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name).start()
+        // batch 1: two sessions for user 1 (intra-batch 60-min gap),
+        // one open session for user 2
+        mem.addData(
+          StreamingFact.Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+          StreamingFact.Ev(1L, ts("2024-01-01 10:05:00"), 2.0),
+          StreamingFact.Ev(1L, ts("2024-01-01 11:30:00"), 4.0),
+          StreamingFact.Ev(2L, ts("2024-01-01 10:01:00"), 5.0))
+        q.processAllAvailable()
+        // batch 2: watermark jump closes the idle sessions
+        mem.addData(StreamingFact.Ev(3L, ts("2024-01-01 14:00:00"), 9.0))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).collect().map(r =>
+          (r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").toString,
+            r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events"),
+            r.getAs[Double]("total_value"))).toSet
+      }
+      val tws = run("tws_sess",
+        ds => StreamingFact.sessionizeTws(spark, ds))
+      val fmgws = run("fmgws_sess",
+        ds => StreamingFact.sessionize(spark, ds))
+      assert(tws == fmgws)
+      assert(tws.map(_._1) == Set(1L, 2L)) // user 3 still open
+      assert(tws.size == 3) // user 1 × 2 sessions + user 2 × 1
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionWindows: event-time gap sessions, append-once emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
