@@ -1562,6 +1562,48 @@ object Queries {
   // as-of join
   // ======================================================================
 
+  /** Salted join, oracled for RESULT EQUIVALENCE with the plain join:
+    * the salt machinery (deterministic row-hash sub-keys on the fact
+    * side, `saltFactor`× replication of the dim side —
+    * [[graft.etl.Skew.saltedJoin]]) must be invisible in the output.
+    * The oracle is the unsalted SQL join, so any salt-induced row loss,
+    * duplication, or column drift fails the hash. */
+  private val skewSaltedJoin = Q("skew_salted_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      graft.etl.Skew.saltedJoin(ev, dim, "user_id", saltFactor = 8)
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment", "event_type")
+    },
+    Some("""SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Fixed-width numeric histogram over the value measure — bin
+    * boundaries derived from the corpus min (floor((v-min)/width)), one
+    * aggregate + one scan, no window. */
+  private val valueHistogram = Q("value_histogram",
+    (s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val bounds = ev.agg(min(col("value")).as("mn"))
+      ev.crossJoin(broadcast(bounds))
+        .select(floor((col("value") - col("mn")) / lit(10.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT MIN(value) AS mn FROM events
+        WHERE value IS NOT NULL)
+      SELECT CAST(FLOOR((value - mn) / 10.0) AS BIGINT) AS bin,
+        COUNT(*) AS n
+      FROM events, b WHERE value IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** INTERSECT / EXCEPT set operations. */
   private val setOps = Q("set_ops",
     (s, dir) => {
@@ -1956,6 +1998,7 @@ object Queries {
     docPack,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
+    skewSaltedJoin, valueHistogram,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
     cubeFlagStatus, statsExact,
     statsQuantiles, asofJoin, intervalAttribution, movingAvg7d,
