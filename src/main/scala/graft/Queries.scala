@@ -1907,6 +1907,49 @@ object Queries {
       quantile_cont(value, 0.75) AS p75,
       quantile_cont(value, 0.95) AS p95 FROM events"""))
 
+  /** Grouped exact percentiles — the partitioned (scale-safe) form of
+    * stats_quantiles: one sort per group key, not one global sort. */
+  private val statsQuantilesByGroup = Q("stats_quantiles_by_group",
+    (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Rank-error invariant of `approx_percentile`, oracle-checked
+    * against a constant: with accuracy `acc`, the sketch guarantees
+    * rank error <= n/acc. For each probed quantile the TRUE rank of
+    * the returned value (counted exactly from the data) must land
+    * within that bound of p·n — the quantile-sketch counterpart of the
+    * HLL error gate in sketch_distinct_union. */
+  private val statsApproxCheck = Q("stats_approx_quantile_check",
+    (s, dir) => {
+      val acc = 1000
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("value"))
+      val apx = ev.agg(
+        expr(s"approx_percentile(value, array(0.25, 0.5, 0.75), $acc)")
+          .as("aps"),
+        count(lit(1)).as("n"))
+      val probes = apx.select(posexplode(col("aps")).as(Seq("i", "av")),
+        col("n"))
+        .withColumn("p", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+          col("i") + 1))
+      ev.crossJoin(broadcast(probes))
+        .groupBy("i", "p", "av", "n")
+        .agg(count(when(col("value") <= col("av"), 1)).as("rank_le"))
+        .agg(count(when(
+          abs(col("rank_le").cast("double") - col("p") * col("n")) >
+            col("n").cast("double") / acc + 1.0, 1))
+          .as("rank_violations"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS rank_violations"""))
+
   /** As-of join composed from built-ins (SURVEY §7.3 preference (a)):
     * each purchase picks the latest signup at-or-before it per user,
     * via a tagged union + last(ignoreNulls) running window — one
@@ -2001,7 +2044,8 @@ object Queries {
     skewSaltedJoin, valueHistogram,
     setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
     cubeFlagStatus, statsExact,
-    statsQuantiles, asofJoin, intervalAttribution, movingAvg7d,
+    statsQuantiles, statsQuantilesByGroup, statsApproxCheck,
+    asofJoin, intervalAttribution, movingAvg7d,
     customerDeciles, decilesApproxCheck, scd2Customer, dailySpine,
     streamDaily, streamSessions, streamAttribution)
 }
