@@ -1078,6 +1078,36 @@ object Queries {
       nfc_normalize(text) IS DISTINCT FROM text AS changed
       FROM documents ORDER BY doc_id"""))
 
+  /** Training-mix construction: each source is down-sampled to a
+    * target weight (here derived from the source id: 1.0 / 0.5 / 0.25
+    * tiers) with the same deterministic md5-bucket machinery as
+    * sample_hash_split — no RNG, stable under corpus growth, and a
+    * doc's keep/drop never depends on partitioning. Output is the
+    * per-source kept/total census the mixing report needs; the kept
+    * set itself is the same predicate un-aggregated. */
+  private val mixSources = Q("mix_sources",
+    (s, dir) => {
+      val srcNum = substring(col("source"), 4, 10).try_cast("int")
+      val rate = when(srcNum < 5, 1.0).when(srcNum < 10, 0.5)
+        .otherwise(0.25)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      t(s, dir, "documents")
+        .withColumn("keep", bucket < rate * 65536)
+        .groupBy(coalesce(col("source"), lit("(none)")).as("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(col("keep"), 1)).as("kept_docs"))
+        .orderBy("source")
+    },
+    Some("""SELECT COALESCE(source, '(none)') AS source,
+      COUNT(*) AS total_docs,
+      COUNT(CASE WHEN
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        < (CASE WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 5 THEN 1.0
+                WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 10 THEN 0.5
+                ELSE 0.25 END) * 65536 THEN 1 END) AS kept_docs
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
   /** PII scrub (emails → <EMAIL>, IPv4 → <IP>, long digit runs →
     * <PHONE>): the standard pre-training redaction pass, pure per-row
     * regexp_replace chain — scan speed, no shuffle, and the patterns
@@ -2038,7 +2068,7 @@ object Queries {
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,
-    docPack,
+    mixSources, docPack,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     skewSaltedJoin, valueHistogram,
