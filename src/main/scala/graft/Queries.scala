@@ -1424,20 +1424,8 @@ object Queries {
       val ev = events(s, dir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      val newSess = when(
-        col("ts_us") - lag(col("ts_us"), 1).over(byUser)
-          > lit(1800L * 1000000L), 1).otherwise(0)
-      val runFrame = byUser.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      ev.withColumn("new_sess", newSess)
-        .withColumn("session_id",
-          sum(col("new_sess")).over(runFrame))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts_us")).as("session_start_us"),
-          max(col("ts_us")).as("session_end_us"))
+      graft.etl.Temporal.sessionizeBatch(ev, "user_id", "ts_us",
+        "event_id")
         .orderBy("user_id", "session_id")
     },
     Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1991,22 +1979,12 @@ object Queries {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
       val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          lit(1).as("is_left"),
-          lit(null).cast("bigint").as("signup_event_id"))
+        .select("event_id", "user_id", "ts_us")
       val signup = ev.filter(col("event_type") === "signup")
-        .select(lit(null).cast("bigint").as("event_id"), col("user_id"),
-          col("ts_us"), lit(0).as("is_left"),
-          col("event_id").as("signup_event_id"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("is_left"), col("signup_event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      purch.unionByName(signup)
-        .withColumn("asof_signup",
-          last(col("signup_event_id"), ignoreNulls = true).over(w))
-        .filter(col("is_left") === 1)
-        .select(col("event_id"), col("user_id"),
-          col("asof_signup").as("signup_event_id"))
+        .select("user_id", "ts_us", "event_id")
+      graft.etl.Temporal.asofJoinBackward(purch, signup, "user_id",
+        "ts_us", "event_id", "signup_event_id")
+        .select("event_id", "user_id", "signup_event_id")
         .orderBy("event_id")
     },
     Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
