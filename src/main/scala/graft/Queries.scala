@@ -1186,6 +1186,50 @@ object Queries {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** The composed curation pipeline end-to-end
+    * ([[graft.llmops.CorpusPipeline.curate]]): NFC normalize → quality
+    * gate → PII scrub → exact dedup → hash split, one scan + one
+    * digest-keyed shuffle — and because every stage is portable, the
+    * ENTIRE composition is hash-gated, not just its pieces. */
+  private val corpusCurate = Q("corpus_curate",
+    (s, dir) =>
+      graft.llmops.CorpusPipeline.curate(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some {
+      val stop = TextAnalysis.StopwordPattern
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      raw"""WITH prep AS (SELECT doc_id,
+        nfc_normalize(COALESCE(text, '')) AS norm FROM documents),
+      prof AS (SELECT doc_id, norm,
+        CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(norm), '\s+')) END AS BIGINT)
+          AS n_tokens,
+        COALESCE(len(regexp_extract_all(lower(norm), '$stop')), 0)
+          AS n_stop,
+        CAST(length(COALESCE(norm, '')) AS DOUBLE) /
+          NULLIF(CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(norm), '\s+')) END
+            AS DOUBLE), 0.0) AS mtl
+        FROM prep),
+      kept AS (SELECT doc_id, norm, n_tokens FROM prof
+        WHERE COALESCE(n_tokens >= 5 AND mtl >= 2.0 AND mtl <= 12.0
+          AND n_stop > 0, false)),
+      scrub AS (SELECT doc_id, n_tokens,
+        regexp_replace(regexp_replace(regexp_replace(norm,
+          '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+          AS clean_text FROM kept),
+      fp AS (SELECT *, md5(regexp_replace(trim(lower(clean_text)),
+        '\s+', ' ', 'g')) AS f FROM scrub),
+      surv AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY 1)
+      SELECT fp.doc_id, clean_text, n_tokens,
+        CASE WHEN CAST('0x' || substring(md5(CAST(fp.doc_id AS VARCHAR)),
+          1, 4) AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
+      FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.doc_id
+      ORDER BY fp.doc_id"""
+    })
+
   // ======================================================================
   // LLM-data-pipeline extensions: multimodal binary columns
   // ======================================================================
@@ -2046,7 +2090,7 @@ object Queries {
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,
-    mixSources, docPack,
+    mixSources, docPack, corpusCurate,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     skewSaltedJoin, valueHistogram,

@@ -20,9 +20,12 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops whose signatures are
-    * engine-specific (xxhash64 MinHash/SimHash, LSH buckets, stub
-    * decode) → driver records a weaker rows-only check. */
+    * the same parquet tables. Omitted only for the five ops whose
+    * OUTPUT is engine-specific (xxhash64 MinHash/SimHash pair sets,
+    * LSH/IVF candidate sets, LSH recall) → rows-only there, with each
+    * op's correctness INVARIANTS gated separately as constant-0 oracle
+    * rows (dedup_minhash_precision, dedup_simhash_invariants,
+    * sim_score_check). */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }
