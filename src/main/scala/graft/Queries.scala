@@ -175,6 +175,25 @@ object Queries {
            ELSE epoch_ms(0) END AS created_at
       FROM events ORDER BY event_id"""))
 
+  /** VARIANT JSON path (Spark 4's typed semi-structured column):
+    * `try_parse_json` → `variant_get` replaces per-access string
+    * re-parsing — parse once, extract many, malformed input → null
+    * instead of a job-killing exception. The modern form of the
+    * reference's get_json_object guard chain. */
+  private val variantJson = Q("variant_json",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
+          .as("k_val"),
+        expr("variant_get(try_parse_json(props), '$.missing', 'string')")
+          .as("missing_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      json_extract_string(props, '$.missing') AS missing_val
+      FROM events ORDER BY event_id"""))
+
   /** regexp_extract with empty-match fallback + coalesce (P9), the
     * lineage-recovery pattern of nb03:203-205, over the JSON props. */
   private val regexpExtract = Q("regexp_extract_json",
@@ -2076,7 +2095,8 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     factEngagement, dimMedia, dimVisitor, goldCast, safeCast,
-    regexpExtract, filterValid, windowDedup, dupGroups, qualityReport,
+    variantJson, regexpExtract, filterValid, windowDedup, dupGroups,
+    qualityReport,
     validateNulls, dqExpectations, limitSample, unionIds,
     kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
     kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,

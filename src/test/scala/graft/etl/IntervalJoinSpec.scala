@@ -45,6 +45,27 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("property: bucketed == brute force on seeded random data") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val pts = List.fill(300)((rnd.nextInt(5).toLong,
+        rnd.nextInt(10000).toLong)).toDF("user", "t")
+      val ivs = List.fill(60) {
+        val lo = rnd.nextInt(10000).toLong
+        (rnd.nextInt(5).toLong, lo, lo + rnd.nextInt(2000).toLong)
+      }.toDF("user", "lo", "hi")
+      // bucket width deliberately mismatched to interval lengths
+      val width = 1 + rnd.nextInt(3000)
+      val got = IntervalJoin.bucketed(pts, "t", ivs, "lo", "hi",
+        bucketWidth = width, keys = Seq("user"))
+        .groupBy().count().head.getLong(0)
+      val brute = pts.as("p").join(ivs.as("i"),
+        col("p.user") === col("i.user") &&
+          col("t") >= col("lo") && col("t") < col("hi")).count()
+      assert(got == brute, s"seed=$seed width=$width")
+    }
+  }
+
   test("an interval spanning many buckets still matches every point") {
     val pts = (0L until 1000L by 10).map(t => (1L, t)).toDF("user", "t")
     val iv = Seq((1L, 5L, 995L)).toDF("user", "lo", "hi")
