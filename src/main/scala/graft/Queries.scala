@@ -1792,6 +1792,97 @@ object Queries {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY g_flag, g_status, returnflag, linestatus"""))
 
+  /** Unpivot (melt) — the inverse of pivot: wide measure columns to
+    * (measure, value) long form, schema static by construction. */
+  private val unpivotMeasures = Q("unpivot_measures",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — value joins the sort to totalize the order
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_quantity AS DOUBLE) AS quantity,
+          CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+          CAST(l_discount AS DOUBLE) AS discount
+        FROM lineitem WHERE l_orderkey < 100)
+      UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+      ORDER BY l_orderkey, l_linenumber, measure, value"""))
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * here per-region totals and per-segment totals in one pass, no
+    * union of two aggregations. */
+  private val groupingSets = Q("grouping_sets_region_segment",
+    (s, dir) => {
+      val joined = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
+          col("r_name"), col("c_mktsegment"))
+        .agg(dsum(col("c_acctbal")).as("total_acctbal"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("total_acctbal"), col("n"))
+        .orderBy("region", "segment")
+    },
+    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+      COALESCE(c_mktsegment, 'ALL') AS segment,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      COUNT(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+      ORDER BY region, segment"""))
+
+  /** OFFSET pagination under a total order — page 3 of the event log
+    * (rows 20-29). Driver-side only at the LIMIT boundary; the sort is
+    * a TakeOrdered, not a full materialization. */
+  private val limitOffset = Q("limit_offset_page",
+    (s, dir) =>
+      events(s, dir).select("event_id", "user_id", "event_type")
+        .orderBy("event_id").offset(20).limit(10),
+    Some("""SELECT event_id, user_id, event_type FROM events
+      ORDER BY event_id LIMIT 10 OFFSET 20"""))
+
+  /** RANGE-interval window: per-user running sum over the PRECEDING
+    * HOUR of event time (a value-range frame, not a row-count frame —
+    * rows at unequal spacing see different peer sets). Partitioned by
+    * user: scale-safe. */
+  private val rangeWindowSum = Q("range_window_sum",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("value"), lit(0.0)).cast(DecimalType(18, 2))
+            .as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      ev.select(col("user_id"), col("event_id"),
+          sum(col("v")).over(w).cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS sum_1h
+      FROM events ORDER BY user_id, event_id"""))
+
   /** Sample variance / stddev / correlation from EXACT decimal moment
     * sums (float moment aggregates are shuffle-order-dependent and can
     * never hash-match across engines; decimal sums make the final
@@ -2114,7 +2205,8 @@ object Queries {
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     skewSaltedJoin, valueHistogram,
-    setOps, semiAnti, pivotFlagStatus, rollupRegionNation,
+    setOps, semiAnti, pivotFlagStatus, unpivotMeasures,
+    rollupRegionNation, groupingSets, limitOffset, rangeWindowSum,
     cubeFlagStatus, statsExact,
     statsQuantiles, statsQuantilesByGroup, statsApproxCheck,
     asofJoin, intervalAttribution, movingAvg7d,
