@@ -2041,6 +2041,32 @@ object Queries {
       FROM changed
       ORDER BY key, valid_from"""))
 
+  /** Rank-function family on a partitioned window: dense_rank,
+    * percent_rank, cume_dist per market segment by (acctbal, custkey)
+    * — the tie-break totalizes the order so ranks are deterministic;
+    * the rank ratios are exact integer divisions evaluated identically
+    * in both engines. Bounded id range keeps the output readable. */
+  private val windowRanks = Q("window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("segment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment AS segment, c_custkey,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+      PERCENT_RANK() OVER w AS prank,
+      CUME_DIST() OVER w AS cdist
+      FROM customer WHERE c_custkey < 200
+      WINDOW w AS (PARTITION BY c_mktsegment
+        ORDER BY c_acctbal, c_custkey)
+      ORDER BY segment, c_custkey"""))
+
   /** Date-spine gap fill: a generated calendar left-joined to the daily
     * counts so empty days appear as zeros (every reporting layer needs
     * this; a missing day is not the same as a zero day). */
@@ -2210,6 +2236,7 @@ object Queries {
     cubeFlagStatus, statsExact,
     statsQuantiles, statsQuantilesByGroup, statsApproxCheck,
     asofJoin, intervalAttribution, movingAvg7d,
-    customerDeciles, decilesApproxCheck, scd2Customer, dailySpine,
+    customerDeciles, decilesApproxCheck, scd2Customer, windowRanks,
+    dailySpine,
     streamDaily, streamSessions, streamAttribution)
 }
