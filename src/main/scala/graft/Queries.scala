@@ -1372,7 +1372,7 @@ object Queries {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).head.getLong(0)
+          .agg(max(col("ts"))).head().getLong(0)
         val root = java.nio.file.Files
           .createTempDirectory("graft_stream_sess").toString
         val sentinel = s.createDataFrame(

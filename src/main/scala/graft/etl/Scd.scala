@@ -52,6 +52,6 @@ object Scd {
     val history = current.filter(!col("is_current"))
     history.unionByName(untouchedCurrent)
       .unionByName(closed)
-      .unionByName(opened.select(current.columns.map(col): _*))
+      .unionByName(opened.select(current.columns.toIndexedSeq.map(col): _*))
   }
 }

@@ -34,7 +34,8 @@ object Temporal {
     val r = right
       .withColumn("__is_left", lit(0))
       .withColumn("__asof_v", col(valueCol))
-      .select(l.columns.filter(c => c != "__is_left" && c != "__asof_v")
+      .select(l.columns.toIndexedSeq
+        .filter(c => c != "__is_left" && c != "__asof_v")
         .map(c =>
           if (c == keyCol || c == tsCol) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))

@@ -82,7 +82,7 @@ object Ingest {
   def writeBronzeJson(spark: SparkSession, docs: Seq[String], path: String,
                       schema: org.apache.spark.sql.types.StructType): Unit = {
     import spark.implicits._
-    val df = spark.read.schema(schema).json(docs.toDS)
+    val df = spark.read.schema(schema).json(docs.toDS())
     df.write.mode(SaveMode.Overwrite).json(path)
   }
 

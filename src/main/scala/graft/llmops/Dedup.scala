@@ -128,7 +128,7 @@ object Dedup {
     // 63-bit ids can wrap (ANSI mode would throw mid-job); 38 digits
     // holds 2^63 × 10^19 rows, so the signal stays exact at any scale.
     def compSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .cache()
