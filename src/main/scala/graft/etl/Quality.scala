@@ -50,20 +50,6 @@ object Quality {
       .drop("row_num")
   }
 
-  /** Zero-extra-pass DQ: attach the null/empty-key metrics to a frame
-    * via `observe()` — they are collected as a side effect of whatever
-    * action materializes the frame (e.g. the silver write), costing no
-    * additional job at all. Read `observation.get` AFTER an action.
-    * This is the 100 TB replacement for validation re-scans. */
-  def observedValidation(df: DataFrame, name: String, keys: Seq[String])
-  : (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = org.apache.spark.sql.Observation(name)
-    val metrics = count(lit(1)).as("total_rows") +:
-      keys.map(k => count(when(isEmptyStr(col(k)), 1))
-        .as(s"${k}_null_or_empty"))
-    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
-  }
-
   /** Full quality report as a ZERO-extra-pass observation: total rows,
     * approximate distinct keys (HLL++ — `observe()` disallows exact
     * distinct aggregates, and at 100 TB the approximate count is the

@@ -196,14 +196,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.qualityReports("dim_visitor")("total_rows") == 2L)
   }
 
-  test("observedValidation collects DQ metrics as a write side-effect") {
+  test("observedReport collects DQ metrics as a write side-effect") {
     import spark.implicits._
     val df = Seq(("a", 1), ("", 2), (null, 3)).toDF("k", "v")
-    val (observed, obs) = graft.etl.Quality.observedValidation(df,
+    val (observed, obs) = graft.etl.Quality.observedReport(df,
       "dq_" + System.nanoTime(), Seq("k"))
     observed.write.format("noop").mode("overwrite").save()
     val m = obs.get
     assert(m("total_rows") == 3L)
     assert(m("k_null_or_empty") == 2L)
+    assert(m("approx_distinct_keys").asInstanceOf[Long] >= 2L)
   }
 }
