@@ -1205,6 +1205,52 @@ object Queries {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** Benchmark decontamination — the training-data op that keeps eval
+    * sets honest: any TRAIN doc sharing a 5-gram with any TEST doc
+    * (the deterministic hash split defines the sets) is flagged for
+    * removal. Grams stay array-valued per doc (no row explosion until
+    * the join), the test-gram side is distinct-deduped BEFORE the
+    * semi-join, and the join keys are md5 digests of grams, not the
+    * gram text — at 100 TB the shuffle carries 16-byte digests. */
+  private val textDecontaminate = Q("text_decontaminate",
+    (s, dir) => {
+      val k = 5
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val grams = when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      val g = docs.select(col("doc_id"), (bucket < lit(6554)).as("is_test"),
+        explode(grams).as("gram"))
+        .withColumn("gh", md5(col("gram"))).drop("gram")
+      val testGrams = g.filter(col("is_test")).select("gh").distinct()
+      g.filter(!col("is_test"))
+        .join(testGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH d AS (SELECT doc_id, lower(trim(text)) AS txt
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      toks AS (SELECT doc_id, regexp_split_to_array(txt, '\s+') AS t
+        FROM d),
+      grams AS (SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(t) - 5 + 2),
+          i -> array_to_string(t[i:i+4], ' '))) END AS gs,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          AS BIGINT) < 6554 AS is_test
+        FROM toks),
+      tg AS (SELECT DISTINCT md5(unnest(gs)) AS gh FROM grams
+        WHERE is_test),
+      tr AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM grams
+        WHERE NOT is_test)
+      SELECT DISTINCT doc_id FROM tr JOIN tg USING (gh)
+      ORDER BY doc_id"""))
+
   /** The composed curation pipeline end-to-end
     * ([[graft.llmops.CorpusPipeline.curate]]): NFC normalize → quality
     * gate → PII scrub → exact dedup → hash split, one scan + one
@@ -2227,7 +2273,7 @@ object Queries {
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,
-    mixSources, docPack, corpusCurate,
+    mixSources, docPack, corpusCurate, textDecontaminate,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     skewSaltedJoin, valueHistogram,
