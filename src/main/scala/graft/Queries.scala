@@ -1520,6 +1520,80 @@ object Queries {
         AND p.ts < s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
+  /** STREAM-STREAM LEFT OUTER join — the hardest streaming-join
+    * semantic: matched pairs emit on arrival, while a never-matched
+    * purchase emits (with a null signup side) only when the watermark
+    * PROVES no future signup can still match it — i.e. at state
+    * eviction. Far-future sentinel rows (user -1, one per branch,
+    * filtered from the output) push the watermark past every real
+    * purchase's window so the bounded replay flushes the unmatched
+    * rows a production stream would emit as time advances. Oracle: the
+    * batch LEFT JOIN twin; nulls are coalesced to -1 so the order keys
+    * stay non-null. */
+  private val streamAttributionOuter = Q("stream_attribution_outer",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val maxNanos = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_attr_outer").toString
+        def sentinelRow(eventType: String) =
+          org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
+            f => f.name match {
+              case "user_id" => -1L
+              case "event_type" => eventType
+              case "ts" => maxNanos + 10L * 86400 * 1000000000L
+              case _ => null
+            }
+          })
+        val sentinels = s.createDataFrame(
+          java.util.Arrays.asList(sentinelRow("purchase"),
+            sentinelRow("signup")), rawSchema)
+        sentinels.coalesce(1).write.parquet(s"$root/in")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val files =
+          if (src.isDirectory)
+            src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(src)
+        files.foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$root/in/src_${f.getName}")))
+        val stream = s.readStream.schema(rawSchema).parquet(s"$root/in")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val joined = graft.stream.StreamingFact.attributionJoin(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "signup"),
+          joinType = "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("purchase_event_id"),
+            coalesce(col("signup_event_id"), lit(-1L))
+              .as("signup_event_id"))
+          .orderBy("user_id", "purchase_event_id", "signup_event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
+      COALESCE(s.event_id, -1) AS signup_event_id
+      FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+        AND p.ts < s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
   // ======================================================================
   // Event-analytics extensions: sessionization, funnel, retention, tf-idf
   // ======================================================================
@@ -2284,5 +2358,6 @@ object Queries {
     asofJoin, intervalAttribution, movingAvg7d,
     customerDeciles, decilesApproxCheck, scd2Customer, windowRanks,
     dailySpine,
-    streamDaily, streamSessions, streamAttribution)
+    streamDaily, streamSessions, streamAttribution,
+    streamAttributionOuter)
 }

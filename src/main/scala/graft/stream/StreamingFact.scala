@@ -209,7 +209,8 @@ object StreamingFact {
     * forever. Inner join emits each match as soon as both rows have
     * arrived — the watermark governs state EVICTION, not emission. */
   def attributionJoin(purchases: DataFrame, signups: DataFrame,
-                      windowDays: Int = 7): DataFrame = {
+                      windowDays: Int = 7,
+                      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("user_id").as("p_user"),
         col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
@@ -218,9 +219,14 @@ object StreamingFact {
       .select(col("user_id").as("s_user"),
         col("event_id").as("signup_event_id"), col("ts").as("s_ts"))
       .withWatermark("s_ts", s"${windowDays + 1} days")
+    // left_outer additionally emits never-matched purchases with a
+    // null signup side — but only once the watermark proves no future
+    // signup can still match (the row emits at state EVICTION, the
+    // fundamental stream-outer-join semantic; a bounded replay must
+    // push the watermark past the window to flush them)
     p.join(s, expr(
       s"""p_user = s_user AND p_ts >= s_ts AND
-          p_ts < s_ts + interval $windowDays days"""))
+          p_ts < s_ts + interval $windowDays days"""), joinType)
       .select(col("p_user").as("user_id"), col("purchase_event_id"),
         col("signup_event_id"))
   }
