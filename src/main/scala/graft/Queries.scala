@@ -1826,6 +1826,31 @@ object Queries {
       SELECT id, 'except' AS op FROM (SELECT id FROM s EXCEPT SELECT id FROM p)
       ORDER BY op, id"""))
 
+  /** FULL OUTER join — both-sides null extension; keys coalesced so
+    * the output order stays total and non-null. */
+  private val fullOuterJoin = Q("full_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ok"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("ck") === col("ok"), "full_outer")
+        .select(coalesce(col("ck"), col("ok")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("(no customer)"))
+            .as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      COALESCE(c.c_mktsegment, '(no customer)') AS segment,
+      COALESCE(o.n_orders, 0) AS n_orders
+      FROM customer c
+      FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY custkey"""))
+
   /** left_semi / left_anti joins (EXISTS / NOT EXISTS). */
   private val semiAnti = Q("semi_anti_join",
     (s, dir) => {
@@ -2351,7 +2376,7 @@ object Queries {
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
     skewSaltedJoin, valueHistogram,
-    setOps, semiAnti, pivotFlagStatus, unpivotMeasures,
+    setOps, semiAnti, fullOuterJoin, pivotFlagStatus, unpivotMeasures,
     rollupRegionNation, groupingSets, limitOffset, rangeWindowSum,
     cubeFlagStatus, statsExact,
     statsQuantiles, statsQuantilesByGroup, statsApproxCheck,
