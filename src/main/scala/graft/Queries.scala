@@ -1210,8 +1210,10 @@ object Queries {
     * (the deterministic hash split defines the sets) is flagged for
     * removal. Grams stay array-valued per doc (no row explosion until
     * the join), the test-gram side is distinct-deduped BEFORE the
-    * semi-join, and the join keys are md5 digests of grams, not the
-    * gram text — at 100 TB the shuffle carries 16-byte digests. */
+    * semi-join, and the join keys are xxhash64 digests of grams, not
+    * the gram text — at 100 TB the shuffle carries 8-byte longs. (The
+    * digest choice is internal to the join: the oracle compares only
+    * the flagged doc ids, so DuckDB keys on its own md5.) */
   private val textDecontaminate = Q("text_decontaminate",
     (s, dir) => {
       val k = 5
@@ -1226,7 +1228,7 @@ object Queries {
           i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
       val g = docs.select(col("doc_id"), (bucket < lit(6554)).as("is_test"),
         explode(grams).as("gram"))
-        .withColumn("gh", md5(col("gram"))).drop("gram")
+        .withColumn("gh", xxhash64(col("gram"))).drop("gram")
       val testGrams = g.filter(col("is_test")).select("gh").distinct()
       g.filter(!col("is_test"))
         .join(testGrams, Seq("gh"), "left_semi")
