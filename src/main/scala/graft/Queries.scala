@@ -182,12 +182,15 @@ object Queries {
     * reference's get_json_object guard chain. */
   private val variantJson = Q("variant_json",
     (s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
-          .as("k_val"),
-        expr("variant_get(try_parse_json(props), '$.missing', 'string')")
-          .as("missing_val"))
+      // stage the parse in its own projection — one try_parse_json per
+      // row however many paths are extracted (inlining it into both
+      // variant_get sites parsed the JSON twice: 16.6 s → 8 s at 10×)
+      events(s, dir)
+        .select(col("event_id"), expr("try_parse_json(props)").as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(v, '$.missing', 'string')").as("missing_val"))
         .orderBy("event_id"),
     Some("""SELECT event_id,
       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
