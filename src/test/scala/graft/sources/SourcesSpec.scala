@@ -76,6 +76,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/part=c").exists) // emptied: removed
   }
 
+  test("deleteKeys: date-typed partitions — emptied date dir removed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del_date").toString + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("id", "d")
+      .select(col("id"), to_date(col("d")).as("date"))
+      .write.partitionBy("date").parquet(dir)
+    val rewritten = Sources.deleteKeys(spark, dir, "date", "id", Seq(3L))
+    assert(rewritten == 1)
+    assert(!new java.io.File(s"$dir/date=2024-01-02").exists)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("readMergedSchema unions schema versions, null-filling old files") {
     import spark.implicits._
     val dir = java.nio.file.Files
