@@ -1790,6 +1790,16 @@ object Queries {
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The skew diagnosis that decides WHICH keys need salting
+    * ([[graft.etl.Skew.keySkewReport]]): top hot keys by row count,
+    * deterministic tie-break. At 100 TB this runs on a sample; the
+    * operator shape is identical. */
+  private val skewReport = Q("skew_report",
+    (s, dir) =>
+      graft.etl.Skew.keySkewReport(events(s, dir), "user_id", topN = 20),
+    Some("""SELECT user_id, COUNT(*) AS rows FROM events
+      GROUP BY 1 ORDER BY rows DESC, user_id LIMIT 20"""))
+
   /** Fixed-width numeric histogram over the value measure — bin
     * boundaries derived from the corpus min (floor((v-min)/width)), one
     * aggregate + one scan, no window. */
@@ -2380,7 +2390,7 @@ object Queries {
     mixSources, docPack, corpusCurate, textDecontaminate,
     multimodalMeta, multimodalDecode, multimodalFrames,
     sessionBatch, funnel, funnel3, retention, textTfidf,
-    skewSaltedJoin, valueHistogram,
+    skewSaltedJoin, skewReport, valueHistogram,
     setOps, semiAnti, fullOuterJoin, pivotFlagStatus, unpivotMeasures,
     rollupRegionNation, groupingSets, limitOffset, rangeWindowSum,
     cubeFlagStatus, statsExact,
