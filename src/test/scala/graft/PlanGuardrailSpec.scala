@@ -70,4 +70,37 @@ class PlanGuardrailSpec extends AnyFunSuite {
           .contains("BroadcastHashJoin"), s"$n lost its broadcast join")
       }
   }
+
+  test("filters and projections reach the parquet scan") {
+    val probe = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select("doc_id", "lang")
+    val plan = probe.queryExecution.executedPlan.toString
+    // predicate pushed into the scan, not evaluated post-scan only
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "LessThan(doc_id,200)]"), plan)
+    // column pruning: the scan reads the 2 projected columns, not the
+    // full document row (text would dominate the IO)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang")
+      && !readSchema.contains("text"), readSchema)
+  }
+
+  test("the flagship aggregation runs inside WholeStageCodegen") {
+    // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
+    // are compiled lazily) — plan the probe with AQE off to see the
+    // codegen structure the stages will actually run with
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "fact_engagement").get
+        .run(spark, dir)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees"))
+      assert(!codegen.startsWith("Found 0 WholeStageCodegen"),
+        codegen.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
