@@ -40,7 +40,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Totals LAST: the harness keeps only the tail of this line, so the
+    // per-query dict (the longest, least-essential part) goes first and
+    // the total + top-10-slowest summary land at the very end where a
+    // truncated tail still captures them.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"slowest":$slowest,"value":$total}""")
     spark.stop()
   }
 }

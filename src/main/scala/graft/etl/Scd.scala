@@ -32,13 +32,17 @@ object Scd {
   def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
                 attrs: Seq[String], effective: Column): DataFrame = {
     val cur = current.filter(col("is_current"))
-    val curKeyed = cur.select(col(key) +:
+    // __cur_exists is an explicit presence marker: a brand-new key whose
+    // update attributes are ALL null would otherwise vanish (NULL <=> NULL
+    // is true for every attr, so attribute diffs alone can't distinguish
+    // "no live version" from "live version with identical null attrs").
+    val curKeyed = cur.select(col(key) +: lit(true).as("__cur_exists") +:
       attrs.map(a => col(a).as(s"__cur_$a")): _*)
     // changed = updates whose attrs differ from the live version, plus
-    // keys with no live version at all (left join → nulls → differ)
+    // keys with no live version at all (left join → null marker)
     val changed = updates.join(curKeyed, Seq(key), "left")
-      .filter(attrs.map(a => !(col(a) <=> col(s"__cur_$a")))
-        .reduce(_ || _))
+      .filter(col("__cur_exists").isNull ||
+        attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _))
       .select((key +: attrs).map(col): _*)
     val changedKeys = changed.select(key)
     val closed = cur.join(changedKeys, Seq(key), "left_semi")

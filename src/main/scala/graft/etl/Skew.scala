@@ -22,12 +22,20 @@ object Skew {
     *
     * The salt is derived from a hash of the large side's whole row
     * (deterministic, partition-independent) — never `rand()`, which
-    * breaks retry/replay semantics at scale. */
+    * breaks retry/replay semantics at scale. LIMIT: if a hot key's rows
+    * are BIT-IDENTICAL (no timestamp/id column differs), they all hash
+    * to one salt bucket and the key stays hot. Pass a `disambiguator`
+    * column to mix into the salt for that case — since the rows are
+    * identical, ANY spread of the copies yields the same join result,
+    * so even a partition-dependent disambiguator like
+    * `monotonically_increasing_id()` is semantically safe there. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int,
+                 disambiguator: Option[Column] = None): DataFrame = {
     val largeCols = large.columns.toSeq
     val salted = large.withColumn("__salt",
-      pmod(hash(largeCols.map(col): _*), lit(saltFactor)))
+      pmod(hash(largeCols.map(col) ++ disambiguator.toSeq: _*),
+        lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     val out = salted.join(replicated, Seq(key, "__salt")).drop("__salt")

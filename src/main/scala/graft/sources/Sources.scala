@@ -106,30 +106,61 @@ object Sources {
     * Returns the number of partitions rewritten. */
   def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
                  keyCol: String, keys: Seq[Any]): Int = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val table = spark.read.parquet(path)
-    val touched = table.filter(col(keyCol).isin(keys: _*))
-      .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    // Collect (partition value, on-disk partition directory) pairs from
+    // the files that actually hold doomed rows. Reconstructing the dir
+    // as "$partitionCol=$value" would be WRONG for values Spark escapes
+    // on write (':' '%' '#' in timestamps, and null →
+    // __HIVE_DEFAULT_PARTITION__): the delete would silently target a
+    // nonexistent path and the doomed rows would survive a compliance
+    // delete that reported success. _metadata.file_path is the truth.
+    val touchedRows = table.filter(col(keyCol).isin(keys: _*))
+      .select(col(partitionCol), col("_metadata.file_path").as("__file"))
+      .distinct().collect()
+    val dirsByValue: Map[Any, Set[Path]] = touchedRows
+      .groupBy(_.get(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => new Path(r.getString(1)).getParent).toSet
+      }
+    val touched = dirsByValue.keys.toSeq
     if (touched.isEmpty) return 0
+    val touchedNonNull = touched.filterNot(_ == null)
+    // isin never matches null: a null partition value needs an explicit
+    // isNull branch or its kept rows would be dropped (and the doomed
+    // ones kept). Likewise rows whose KEY is null are never doomed —
+    // coalesce the three-valued isin to false before negating.
+    val partPred = {
+      val in = if (touchedNonNull.nonEmpty)
+        col(partitionCol).isin(touchedNonNull: _*) else lit(false)
+      if (touched.contains(null)) in || col(partitionCol).isNull else in
+    }
     val prev = spark.conf
       .get("spark.sql.sources.partitionOverwriteMode", "static")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val kept = table
-        .filter(col(partitionCol).isin(touched: _*))
-        .filter(!col(keyCol).isin(keys: _*))
+        .filter(partPred)
+        .filter(not(coalesce(col(keyCol).isin(keys: _*), lit(false))))
         // materialize before the overwrite deletes the files being read
         .localCheckpoint(true)
       kept.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(path)
       // a partition whose every row was doomed writes nothing under
-      // dynamic overwrite and would survive intact — remove it directly
+      // dynamic overwrite and would survive intact — remove its
+      // directory (located above from real file paths) directly, and
+      // FAIL loudly if the removal doesn't happen: silent survival of
+      // doomed rows is the one unacceptable outcome of this operator.
       val keptParts = kept.select(partitionCol).distinct()
         .collect().map(_.get(0)).toSet
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       touched.filterNot(keptParts).foreach { v =>
-        fs.delete(new Path(s"$path/$partitionCol=$v"), true)
+        dirsByValue(v).foreach { dir =>
+          if (fs.exists(dir) && !fs.delete(dir, true))
+            throw new java.io.IOException(
+              s"deleteKeys: failed to remove emptied partition dir $dir")
+        }
       }
     } finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

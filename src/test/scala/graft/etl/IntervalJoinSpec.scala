@@ -66,6 +66,31 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("an open-ended sentinel interval fails fast with an actionable " +
+    "error instead of exploding a giant sequence") {
+    val pts = Seq((1L, 100L)).toDF("user", "t")
+    val iv = Seq((1L, 0L, Long.MaxValue)).toDF("user", "lo", "hi")
+    val e = intercept[Exception] {
+      IntervalJoin.bucketed(pts, "t", iv, "lo", "hi",
+        bucketWidth = 1000, keys = Seq("user")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("IntervalJoin.bucketed")),
+      s"error must name the operator and the fix: $e")
+    // a tight custom limit trips too; a generous one admits the row
+    val small = Seq((1L, 0L, 10000L)).toDF("user", "lo", "hi")
+    intercept[Exception] {
+      IntervalJoin.bucketed(pts, "t", small, "lo", "hi",
+        bucketWidth = 10, keys = Seq("user"),
+        maxBucketsPerInterval = 100).count()
+    }
+    assert(IntervalJoin.bucketed(pts, "t", small, "lo", "hi",
+      bucketWidth = 10, keys = Seq("user"),
+      maxBucketsPerInterval = 2000).count() == 1)
+  }
+
   test("an interval spanning many buckets still matches every point") {
     val pts = (0L until 1000L by 10).map(t => (1L, t)).toDF("user", "t")
     val iv = Seq((1L, 5L, 995L)).toDF("user", "lo", "hi")

@@ -54,6 +54,20 @@ class ScdSpec extends AnyFunSuite {
       k9.head.getAs[java.sql.Date]("valid_from").toString == "2024-06-01")
   }
 
+  test("scd2Merge: a brand-new key with ALL-NULL attributes still opens " +
+    "a first current version (presence marker, not attribute diffs)") {
+    val updates = Seq((9L, Option.empty[String])).toDF("key", "segment")
+    val out = Scd.scd2Merge(snapshot(), updates, "key", Seq("segment"), eff)
+    val k9 = out.filter(col("key") === 9L).collect()
+    assert(k9.length == 1, "the all-NULL new key must not be dropped")
+    assert(k9.head.getAs[Boolean]("is_current") &&
+      k9.head.getAs[String]("segment") == null &&
+      k9.head.getAs[java.sql.Date]("valid_from").toString == "2024-06-01")
+    // and replaying it is still a no-op (NULL <=> NULL on a now-live key)
+    val twice = Scd.scd2Merge(out, updates, "key", Seq("segment"), eff)
+    assert(twice.count() == out.count())
+  }
+
   test("scd2Merge: NULL attribute transitions count as changes") {
     val cur = Seq((1L, Option("A"))).toDF("key", "segment")
       .withColumn("valid_from", to_date(lit("2024-01-01")))

@@ -90,6 +90,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("deleteKeys: escaped partition values (':' etc.) and null " +
+    "partitions — dirs located from real file paths, not reconstructed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del_esc").toString + "/t"
+    // 'a:b' is written as part=a%3Ab on disk; a naive
+    // "$path/part=$value" reconstruction misses it. The null partition
+    // lands in __HIVE_DEFAULT_PARTITION__.
+    Seq((1L, Option("a:b")), (2L, Option("a:b")), (3L, Option("plain")),
+      (4L, Option.empty[String]), (5L, Option.empty[String]))
+      .toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    assert(new java.io.File(s"$dir/part=a%3Ab").exists)
+    assert(new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__").exists)
+    // empty the escaped partition entirely; empty the null partition
+    // partially (id 4 doomed, id 5 kept)
+    val rewritten = Sources.deleteKeys(spark, dir, "part", "id",
+      Seq(1L, 2L, 4L))
+    assert(rewritten == 2)
+    assert(!new java.io.File(s"$dir/part=a%3Ab").exists,
+      "emptied escaped partition dir must be gone")
+    val back = spark.read.parquet(dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(back == Seq(3L, 5L),
+      "null-partition survivor and untouched partition must remain")
+  }
+
+  test("deleteKeys: timestamp-typed partitions (':' escaped on write) " +
+    "— emptied dir removed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del_ts").toString + "/t"
+    Seq((1L, "2024-01-01 10:30:00"), (2L, "2024-01-02 11:45:00"))
+      .toDF("id", "s")
+      .select(col("id"), to_timestamp(col("s")).as("ts"))
+      .write.partitionBy("ts").parquet(dir)
+    // the on-disk dirs carry %3A escapes
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("%3A")))
+    val rewritten = Sources.deleteKeys(spark, dir, "ts", "id", Seq(2L))
+    assert(rewritten == 1)
+    assert(spark.read.parquet(dir).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    // the emptied timestamp partition's dir is physically gone
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("ts=")) == 1)
+  }
+
   test("readMergedSchema unions schema versions, null-filling old files") {
     import spark.implicits._
     val dir = java.nio.file.Files
@@ -117,7 +165,7 @@ class SourcesSpec extends AnyFunSuite {
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
         .agg(org.apache.spark.sql.functions.min("k"),
-          org.apache.spark.sql.functions.max("k")).head
+          org.apache.spark.sql.functions.max("k")).head()
       (r.getInt(0), r.getInt(1))
     }.sortBy(_._1)
     ranges.sliding(2).foreach {
@@ -229,3 +277,4 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter("name IS NULL").count() == 1)
   }
 }
+
