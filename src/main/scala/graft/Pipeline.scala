@@ -105,6 +105,26 @@ object Pipeline {
     * costing ZERO extra passes (the reference re-ran its lineage ~20×
     * for its DQ counts, SURVEY §4.3.1; the round-3 shape here still
     * paid three aggregation scans when the reports were consumed). */
+  /** The silver data contracts (dbt-tests shape, SURVEY §2 G9): each
+    * rule's violation count rides the same `observe()` as the DQ
+    * metrics — zero extra jobs — and lands in `_run_report.json` as a
+    * per-frame contract block plus an overall pass/fail status (the
+    * machine-readable form of the reference's ops checklist, guide
+    * p.32). */
+  private[graft] val mediaContract = Seq(
+    Quality.Expectation("url_has_prefix",
+      col("url").startsWith(Transforms.UrlPrefix)),
+    Quality.Expectation("channel_known",
+      col("channel").isin("Facebook", "YouTube", "Instagram", "Wistia")))
+  private[graft] val visitorContract = Seq(
+    Quality.Expectation("country_present",
+      col("country").isNotNull && trim(col("country")) =!= ""))
+  private[graft] val factContract = Seq(
+    Quality.Expectation("play_count_positive", col("play_count") > 0),
+    Quality.Expectation("watch_time_non_negative",
+      col("total_watch_time_seconds") >= 0),
+    Quality.Expectation("date_present", col("date").isNotNull))
+
   def transform(spark: SparkSession, conf: Conf): Result = {
     val clock = conf.clock.getOrElse(current_timestamp())
 
@@ -121,18 +141,19 @@ object Pipeline {
       Quality.dedupByKeys(
         Transforms.dimMedia(rawMedia, clock),
         Seq("media_id"), Seq(col("title"), col("url"))),
-      s"dq_dim_media_$tag", Seq("media_id"))
+      s"dq_dim_media_$tag", Seq("media_id"), mediaContract)
     val (dimVisitor, dimVisitorObs) = Quality.observedReport(
       Quality.dedupByKeys(
         Transforms.dimVisitor(rawVisitors, clock),
         Seq("visitor_id"), Seq(col("ip_address"), col("country"))),
-      s"dq_dim_visitor_$tag", Seq("visitor_id"))
+      s"dq_dim_visitor_$tag", Seq("visitor_id"), visitorContract)
     val (fact, factObs) = Quality.observedReport(
       Quality.filterValidKeys(
         Transforms.factEngagement(
           Transforms.withMediaIdFromPath(rawVisitors), clock),
         Seq("media_id", "visitor_id")),
-      s"dq_fact_$tag", Seq("media_id", "visitor_id", "date"))
+      s"dq_fact_$tag", Seq("media_id", "visitor_id", "date"),
+      factContract)
     val dimMediaC = dimMedia.cache()
     val dimVisitorC = dimVisitor.cache()
     val factC = fact.cache()

@@ -620,6 +620,39 @@ object Queries {
     Some("""SELECT CAST(0 AS BIGINT) AS over_radius,
       CAST(0 AS BIGINT) AS mismatched, CAST(0 AS BIGINT) AS missed"""))
 
+  /** COVERAGE floor of the MinHash+LSH candidate generator, oracled
+    * against a constant. The precision invariant above is one-sided: a
+    * regression that makes `minhashCandidates` silently emit ZERO pairs
+    * still passes it (0 pairs → 0 violations). The pipeline is fully
+    * deterministic for a fixed corpus (xxhash64 signatures, fixed band
+    * geometry), so the sf0.01 pair count is a frozen constant — 25,
+    * measured 2026-08-12 — and any drop below it means candidate
+    * generation degraded. The id-dedup keeps the count well-defined
+    * under rehearsal layouts that replicate files id-and-all. */
+  private val dedupMinhashFloor = Q("dedup_minhash_floor",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
+      Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.4)
+        .agg(greatest(lit(0L), lit(25L) - count(lit(1)))
+          .as("pair_shortfall"))
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS pair_shortfall"))
+
+  /** COVERAGE floor of the SimHash pigeonhole candidate generator —
+    * same rationale as dedup_minhash_floor (the invariants query proves
+    * emitted pairs are correct and the bounded sweep is complete, but a
+    * zero-candidate regression outside the bounded id range would slip
+    * through). sf0.01 pair count frozen at 17 (measured 2026-08-12;
+    * deterministic: xxhash64 token hashes, fixed chunk geometry). */
+  private val dedupSimhashFloor = Q("dedup_simhash_floor",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .agg(greatest(lit(0L), lit(17L) - count(lit(1)))
+          .as("pair_shortfall"))
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS pair_shortfall"))
+
   /** Exact token-set Jaccard near-dup pairs on a bounded id range —
     * engine-portable (pure set sizes → integer division), oracled. */
   private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
@@ -878,6 +911,51 @@ object Queries {
         .orderBy("query_id")
     },
     None)
+
+  /** RECALL + row-count floor of the approximate indexes, oracled
+    * against constants. sim_lsh_recall SHIPS the measurement but
+    * nothing gated it: a regression collapsing every LSH bucket (or
+    * IVF probe) to nothing would sail through the score-fidelity check
+    * (0 rows → 0 mis-scores). Hyperplanes and centroid seeds are fixed,
+    * so on the sf0.01 corpus the per-query recalls are deterministic —
+    * [0.2, 0.2, 0.8, 0.0, 0.2], mean 0.28 (measured 2026-08-12; the
+    * mean is the gate because query 3's true neighbors genuinely share
+    * no bucket at this plane count). Floors: mean recall >= 0.2799
+    * (just under the exact value to absorb float-sum ulp) and both
+    * indexes returning the full k×|queries| = 25 rows. */
+  private val simLshRecallGate = Q("sim_lsh_recall_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 6, numTables = 8)
+        .localCheckpoint(true) // feeds both the semi-join and the count
+      val recall = exact
+        .join(lsh.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("avg_recall"))
+      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5)
+      recall
+        .crossJoin(lsh.agg(count(lit(1)).as("lsh_rows")))
+        .crossJoin(ivf.agg(count(lit(1)).as("ivf_rows")))
+        .select(
+          when(col("avg_recall") >= 0.2799, 0L).otherwise(1L)
+            .as("below_recall_floor"),
+          greatest(lit(0L), lit(25L) - col("lsh_rows"))
+            .as("lsh_row_shortfall"),
+          greatest(lit(0L), lit(25L) - col("ivf_rows"))
+            .as("ivf_row_shortfall"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
+      CAST(0 AS BIGINT) AS lsh_row_shortfall,
+      CAST(0 AS BIGINT) AS ivf_row_shortfall"""))
 
   /** Scoring invariant of the approximate indexes, oracle-checked
     * against a constant: every (query, neighbor, cos_sim) row the LSH
@@ -2380,10 +2458,11 @@ object Queries {
     kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
     sketchDistinctUnion,
     dedupExact, dedupMinhash, dedupSimhash, dedupMinhashPrecision,
-    dedupSimhashInvariants, dedupNgramJaccard,
+    dedupSimhashInvariants, dedupMinhashFloor, dedupSimhashFloor,
+    dedupNgramJaccard,
     dedupCorpus, dedupIncremental, dedupEmbedding,
     simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf, simLshRecall,
-    simScoreCheck,
+    simScoreCheck, simLshRecallGate,
     textTokenCount, textQualityProfile, textQualityGate, textLangId,
     textFingerprint, textRollingFp, textUnigramLogprob,
     textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,

@@ -53,10 +53,14 @@ object Quality {
   /** Full quality report as a ZERO-extra-pass observation: total rows,
     * approximate distinct keys (HLL++ — `observe()` disallows exact
     * distinct aggregates, and at 100 TB the approximate count is the
-    * one you want anyway), and per-key null/empty counts, all collected
-    * as a side effect of whatever action materializes the frame (the
-    * silver write in [[graft.Pipeline.transform]]). */
-  def observedReport(df: DataFrame, name: String, keys: Seq[String])
+    * one you want anyway), per-key null/empty counts, and — when
+    * `expectations` are given — one `expect_<rule>` violation count per
+    * contract rule (the [[checkExpectations]] metrics riding the same
+    * observation, so contract checking stays zero extra jobs too). All
+    * collected as a side effect of whatever action materializes the
+    * frame (the silver write in [[graft.Pipeline.transform]]). */
+  def observedReport(df: DataFrame, name: String, keys: Seq[String],
+                     expectations: Seq[Expectation] = Nil)
   : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation(name)
     val metrics = Seq(
@@ -64,7 +68,9 @@ object Quality {
       approx_count_distinct(struct(keys.map(col): _*))
         .as("approx_distinct_keys")) ++
       keys.map(k => count(when(isEmptyStr(col(k)), 1))
-        .as(s"${k}_null_or_empty"))
+        .as(s"${k}_null_or_empty")) ++
+      expectations.map(e => count(when(!coalesce(e.predicate, lit(false)),
+        1)).as(s"expect_${e.name}"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 

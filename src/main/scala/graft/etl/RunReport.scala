@@ -37,16 +37,42 @@ object RunReport {
     } + "\""
   }
 
+  /** Contract metrics are the `expect_<rule>` violation counts emitted
+    * by [[Quality.observedReport]]; they render as their own
+    * `contracts` block (rule → violations, per-frame and overall
+    * pass/fail) so an orchestrator gate is one boolean read, while
+    * `frames` keeps the plain observed DQ metrics. */
+  private def isViolated(v: Any): Boolean = v match {
+    case n: Long => n != 0L
+    case n: Int => n != 0
+    case n: Double => n != 0.0
+    case _ => true // a contract metric that isn't a count is a bug
+  }
+
   private[graft] def render(runTs: String, status: String,
                           reports: Map[String, Map[String, Any]]): String = {
-    val frames = reports.toSeq.sortBy(_._1).map { case (frame, metrics) =>
-      val ms = metrics.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonValue(k)}:${jsonValue(v)}" }
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"${jsonValue(k)}:$v" }
         .mkString("{", ",", "}")
-      s"${jsonValue(frame)}:$ms"
-    }.mkString("{", ",", "}")
+    val frames = obj(reports.toSeq.sortBy(_._1).map { case (frame, ms) =>
+      frame -> obj(ms.toSeq.filterNot(_._1.startsWith("expect_"))
+        .sortBy(_._1).map { case (k, v) => k -> jsonValue(v) })
+    })
+    val contractFrames = reports.toSeq.sortBy(_._1).flatMap {
+      case (frame, ms) =>
+        val rules = ms.toSeq.filter(_._1.startsWith("expect_")).sortBy(_._1)
+        if (rules.isEmpty) None
+        else Some(frame -> (rules, rules.forall(r => !isViolated(r._2))))
+    }
+    val contracts = obj(contractFrames.map { case (frame, (rules, ok)) =>
+      frame -> obj(rules.map { case (k, v) =>
+        k.stripPrefix("expect_") -> jsonValue(v) } :+
+        ("passed" -> ok.toString))
+    })
+    val allOk = contractFrames.forall(_._2._2)
     s"""{"run_ts":${jsonValue(runTs)},"status":${jsonValue(status)},""" +
-      s""""frames":$frames}"""
+      s""""contracts_status":${jsonValue(if (allOk) "pass" else "fail")},""" +
+      s""""contracts":$contracts,"frames":$frames}"""
   }
 
   /** Write the artifact (overwrite — one report per silver root, the

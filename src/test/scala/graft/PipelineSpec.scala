@@ -65,14 +65,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.contains("\"dim_media\""))
     assert(report.contains("\"total_rows\":2"))
     assert(report.contains("\"media_id_null_or_empty\":0"))
+    // the contract block: every rule's violation count plus pass/fail,
+    // sourced from the same observe() pass as the DQ metrics
+    assert(report.contains("\"contracts_status\":\"pass\""))
+    assert(report.contains("\"play_count_positive\":0"))
+    assert(report.contains("\"url_has_prefix\":0"))
+    assert(report.contains("\"passed\":true"))
   }
 
   test("RunReport.render escapes strings and orders deterministically") {
     val json = graft.etl.RunReport.render("2024-06-01T00:00:00Z", "ok",
       Map("f" -> Map("b" -> 1L, "a" -> 2.5, "q\"x" -> "v\nw")))
     assert(json ==
-      """{"run_ts":"2024-06-01T00:00:00Z","status":"ok","frames":""" +
+      """{"run_ts":"2024-06-01T00:00:00Z","status":"ok",""" +
+        """"contracts_status":"pass","contracts":{},"frames":""" +
         """{"f":{"a":2.5,"b":1,"q\"x":"v\nw"}}}""")
+  }
+
+  test("RunReport.render splits contract metrics and fails the status") {
+    val json = graft.etl.RunReport.render("2024-06-01T00:00:00Z", "ok",
+      Map("f" -> Map("total_rows" -> 5L, "expect_no_nulls" -> 2L,
+        "expect_positive" -> 0L)))
+    assert(json ==
+      """{"run_ts":"2024-06-01T00:00:00Z","status":"ok",""" +
+        """"contracts_status":"fail","contracts":""" +
+        """{"f":{"no_nulls":2,"positive":0,"passed":false}},""" +
+        """"frames":{"f":{"total_rows":5}}}""")
   }
 
   test("ingest holds the watermark when a fetch exhausts its retries") {
@@ -194,6 +212,14 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(res.qualityReports("dim_media")("total_rows") == 2L)
     assert(res.qualityReports("dim_visitor")("total_rows") == 2L)
+    // contract violation counts observed during the write match an
+    // independent one-pass checkExpectations aggregation
+    val ce = graft.etl.Quality.checkExpectations(res.fact,
+      Pipeline.factContract).collect()(0)
+    Pipeline.factContract.foreach { e =>
+      assert(m(s"expect_${e.name}") == ce.getAs[Long](e.name),
+        s"contract metric expect_${e.name} drifted from checkExpectations")
+    }
   }
 
   test("observedReport collects DQ metrics as a write side-effect") {
