@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
   * column via the noop sink (a bare `count()` would let Catalyst prune
   * the computed columns and benchmark an empty projection).
   * Prints exactly one JSON line with per-query seconds.
+  *
+  * `SPARK_GRAFT_ONLY=name1,name2` restricts the run to a subset —
+  * for targeted scale rehearsals of the heavy queries (unset = all).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +34,9 @@ object Bench {
       Queries.all.find(_.name == "kpi_total_plays")
         .foreach(_.run(spark, sfDir).collect())
     } catch { case _: Throwable => () }
-    val results = Queries.all.map { q =>
+    val results = Queries.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

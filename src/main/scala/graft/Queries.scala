@@ -1,14 +1,5 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-
-import graft.etl.{Quality, Transforms}
-import graft.kpi.Kpi
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
-
 /** The engine's query surface over the driver testdata
   * (`/root/testdata/sf*`), one named query per operator of SURVEY.md §2
   * plus the KPI layer (§2.7) and the LLM-data-pipeline extensions.
@@ -35,2448 +26,38 @@ import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Queries {
 
-  case class Q(name: String,
-               run: (SparkSession, String) => DataFrame,
-               oracle: Option[String])
-
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4's
-    * parquet reader rejects outright; read nanos as long (legacy conf,
-    * runtime-settable) and convert to a micros timestamp. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
-
-  /** Exact, order-independent sum of a 2-decimal double measure. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
-
-  // ======================================================================
-  // Core parity: the Wistia silver-layer operator set over testdata
-  // ======================================================================
-
-  /** Flagship (SURVEY §3.3 / §7.2): the fact_media_engagement aggregate
-    * re-expressed over the events table — filter to one event type,
-    * bucket by day, count/rate/sum/avg per (user, day).
-    * Ops: G1 G2 G3 G4 G5 P12 P14. */
-  private val factEngagement = Q("fact_engagement",
-    (s, dir) => {
-      val ev = events(s, dir)
-      ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
-        .agg(
-          count(lit(1)).as("play_count"),
-          round(count(lit(1)).cast("double") / lit(10.0), 2)
-            .as("play_rate"),
-          dsum(coalesce(col("value"), lit(0.0))).as("total_watch_time"),
-          (dsum(coalesce(col("value"), lit(0.0))) / count(lit(1)))
-            .as("avg_value"))
-        .orderBy("user_id", "date")
-    },
-    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
-      COUNT(*) AS play_count,
-      ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 2) AS play_rate,
-      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_watch_time,
-      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** dim_media shape: project+rename (P1), null default (P2), concat
-    * (P3), CASE WHEN channel chain (P4), lower/contains (P5),
-    * distinct (G6). */
-  private val dimMedia = Q("dim_media",
-    (s, dir) =>
-      t(s, dir, "part").select(
-        col("p_partkey").cast("string").as("media_id"),
-        coalesce(col("p_name"), lit("Unknown")).as("title"),
-        concat(lit(Transforms.UrlPrefix), col("p_partkey")).as("url"),
-        when(lower(col("p_name")).contains("blue"), "Facebook")
-          .when(lower(col("p_name")).contains("green"), "YouTube")
-          .when(lower(col("p_name")).contains("red"), "Instagram")
-          .otherwise("Wistia").as("channel"))
-        .distinct()
-        .orderBy("media_id"),
-    Some(s"""SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS media_id,
-      COALESCE(p_name, 'Unknown') AS title,
-      '${Transforms.UrlPrefix}' || CAST(p_partkey AS VARCHAR) AS url,
-      CASE WHEN contains(lower(p_name), 'blue') THEN 'Facebook'
-           WHEN contains(lower(p_name), 'green') THEN 'YouTube'
-           WHEN contains(lower(p_name), 'red') THEN 'Instagram'
-           ELSE 'Wistia' END AS channel
-      FROM part ORDER BY media_id"""))
-
-  /** dim_visitor shape: P1 P2 G6. */
-  private val dimVisitor = Q("dim_visitor",
-    (s, dir) =>
-      t(s, dir, "customer").select(
-        col("c_custkey").cast("string").as("visitor_id"),
-        coalesce(col("c_name"), lit("Unknown")).as("name"),
-        coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
-        .distinct()
-        .orderBy("visitor_id"),
-    Some("""SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS visitor_id,
-      COALESCE(c_name, 'Unknown') AS name,
-      COALESCE(c_mktsegment, 'Unknown') AS segment
-      FROM customer ORDER BY visitor_id"""))
-
-  /** Gold-layer ADF type narrowing (S10/§1.3 "gold cast"): int + decimal
-    * downcasts with explicit truncation (floor) — implicit double→int
-    * casts truncate in Spark but round in other engines, so the
-    * truncation is spelled out. */
-  private val goldCast = Q("gold_cast",
-    (s, dir) => {
-      val ev = events(s, dir)
-      ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
-        .agg(
-          count(lit(1)).as("pc"),
-          round(count(lit(1)).cast("double") / lit(10.0), 2).as("pr"),
-          dsum(coalesce(col("value"), lit(0.0))).as("tw"))
-        .select(
-          col("user_id"), col("date"),
-          col("pc").cast(IntegerType).as("play_count"),
-          col("pr").cast(DecimalType(5, 2)).cast("double")
-            .as("play_rate"),
-          floor(col("tw")).cast(IntegerType).as("total_watch_time"))
-        .orderBy("user_id", "date")
-    },
-    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
-      CAST(COUNT(*) AS INTEGER) AS play_count,
-      CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 2) AS DECIMAL(5,2)) AS DOUBLE) AS play_rate,
-      CAST(FLOOR(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE)) AS INTEGER) AS total_watch_time
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** Cast-guarded conversion (P6): try_cast + epoch→timestamp with a
-    * fallback, the reference's `created` guard (nb03:141-143). */
-  private val safeCast = Q("safe_cast_guard",
-    (s, dir) => {
-      // stage the JSON extraction in its own projection: inlining it
-      // into both try_cast sites parses the JSON twice per row (the
-      // optimizer only collapses projections when duplication is cheap)
-      val k = col("k")
-      events(s, dir)
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").as("k"))
-        .select(
-          col("event_id"),
-          when(k.try_cast("bigint").isNotNull,
-            timestamp_seconds(k.try_cast("bigint") * 3600))
-            .otherwise(timestamp_seconds(lit(0))).as("created_at"))
-        .orderBy("event_id")
-    },
-    Some("""SELECT event_id,
-      CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-           THEN epoch_ms(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 3600000)
-           ELSE epoch_ms(0) END AS created_at
-      FROM events ORDER BY event_id"""))
-
-  /** VARIANT JSON path (Spark 4's typed semi-structured column):
-    * `try_parse_json` → `variant_get` replaces per-access string
-    * re-parsing — parse once, extract many, malformed input → null
-    * instead of a job-killing exception. The modern form of the
-    * reference's get_json_object guard chain. */
-  private val variantJson = Q("variant_json",
-    (s, dir) =>
-      // stage the parse in its own projection — one try_parse_json per
-      // row however many paths are extracted (inlining it into both
-      // variant_get sites parsed the JSON twice: 16.6 s → 8 s at 10×)
-      events(s, dir)
-        .select(col("event_id"), expr("try_parse_json(props)").as("v"))
-        .select(
-          col("event_id"),
-          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
-          expr("variant_get(v, '$.missing', 'string')").as("missing_val"))
-        .orderBy("event_id"),
-    Some("""SELECT event_id,
-      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-      json_extract_string(props, '$.missing') AS missing_val
-      FROM events ORDER BY event_id"""))
-
-  /** regexp_extract with empty-match fallback + coalesce (P9), the
-    * lineage-recovery pattern of nb03:203-205, over the JSON props. */
-  private val regexpExtract = Q("regexp_extract_json",
-    (s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        coalesce(
-          nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
-            lit("")),
-          lit("0")).cast("bigint").as("k_val"))
-        .orderBy("event_id"),
-    Some("""SELECT event_id,
-      CAST(COALESCE(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), ''), '0') AS BIGINT) AS k_val
-      FROM events ORDER BY event_id"""))
-
-  /** Null/empty-key row filter (P10), the "final safety check"
-    * (nb03:284-300). */
-  private val filterValid = Q("filter_valid_rows",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
-          col("lang").isNotNull)
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id, lang, source, n_chars FROM documents
-      WHERE text IS NOT NULL AND trim(text) != '' AND lang IS NOT NULL
-      ORDER BY doc_id"""))
-
-  /** Window dedup keep-first (W1) + SQL-string filter (P11) + drop (P15)
-    * — deterministic ordering replaces the reference's orderBy(lit(1)).
-    */
-  private val windowDedup = Q("window_dedup",
-    (s, dir) => {
-      val deduped = Quality.dedupByKeys(
-        events(s, dir),
-        Seq("user_id", "event_type"),
-        Seq(col("ts"), col("event_id")))
-      deduped.select("event_id", "user_id", "event_type", "value")
-        .orderBy("user_id", "event_type")
-    },
-    Some("""SELECT event_id, user_id, event_type, value FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY user_id, event_type ORDER BY ts, event_id) AS row_num
-        FROM events)
-      WHERE row_num = 1 ORDER BY user_id, event_type"""))
-
-  /** Duplicate-group detection (G7): groupBy(keys).count().filter(>1). */
-  private val dupGroups = Q("dup_groups",
-    (s, dir) =>
-      Quality.duplicateGroups(
-        events(s, dir)
-          .withColumn("date", to_date(col("ts"))),
-        Seq("user_id", "event_type", "date"))
-        .select("user_id", "event_type", "date", "dup_count")
-        .orderBy("user_id", "event_type", "date"),
-    Some("""SELECT user_id, event_type, CAST(ts AS DATE) AS date,
-        COUNT(*) AS dup_count
-      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
-      ORDER BY 1, 2, 3"""))
-
-  /** Quality report (G8/G9): counts + distinct-key counts in ONE pass
-    * (the reference runs ~20 separate actions; SURVEY §4.3.1). */
-  private val qualityReport = Q("quality_report",
-    (s, dir) =>
-      events(s, dir).agg(
-        count(lit(1)).as("total_rows"),
-        count_distinct(col("user_id")).as("distinct_users"),
-        count_distinct(col("user_id"), col("event_type"))
-          .as("distinct_user_types"),
-        count(when(col("value").isNull, 1)).as("null_values")),
-    Some("""SELECT
-      (SELECT COUNT(*) FROM events) AS total_rows,
-      (SELECT COUNT(DISTINCT user_id) FROM events) AS distinct_users,
-      (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS distinct_user_types,
-      (SELECT COUNT(*) FROM events WHERE value IS NULL) AS null_values"""))
-
-  /** Null/empty validation metrics in one aggregation pass
-    * (vs nb03:262-281's per-column actions). */
-  private val validateNulls = Q("validate_nulls",
-    (s, dir) =>
-      t(s, dir, "documents").agg(
-        count(lit(1)).as("total_rows"),
-        count(when(col("text").isNull || trim(col("text")) === "", 1))
-          .as("text_null_or_empty"),
-        count(when(col("lang").isNull, 1)).as("lang_null"),
-        count(when(col("source").isNull, 1)).as("source_null")),
-    Some("""SELECT COUNT(*) AS total_rows,
-      COUNT(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS text_null_or_empty,
-      COUNT(CASE WHEN lang IS NULL THEN 1 END) AS lang_null,
-      COUNT(CASE WHEN source IS NULL THEN 1 END) AS source_null
-      FROM documents"""))
-
-  /** limit after total-order sort (L1/L2 display sampling). */
-  private val limitSample = Q("limit_sample",
-    (s, dir) =>
-      events(s, dir).select("event_id", "user_id", "event_type")
-        .orderBy("event_id").limit(3),
-    Some("""SELECT event_id, user_id, event_type FROM events
-      ORDER BY event_id LIMIT 3"""))
-
-  /** Set op (union) — implicit in the reference's multi-dir glob scan
-    * (S6); explicit here. */
-  private val unionIds = Q("union_ids",
-    (s, dir) => {
-      val a = events(s, dir).select(col("user_id").as("id"))
-        .distinct().withColumn("src", lit("events"))
-      val b = t(s, dir, "customer")
-        .select(col("c_custkey").as("id"))
-        .distinct().withColumn("src", lit("customer"))
-      a.unionByName(b).orderBy("id", "src")
-    },
-    Some("""SELECT id, src FROM (
-        SELECT DISTINCT user_id AS id, 'events' AS src FROM events
-        UNION ALL
-        SELECT DISTINCT c_custkey AS id, 'customer' AS src FROM customer)
-      ORDER BY id, src"""))
-
-  /** Data-contract expectations over lineitem, one pass for all rules
-    * ([[graft.etl.Quality.checkExpectations]]): domain, range, and
-    * presence checks as named violation counts. NULL rule results
-    * count as violations on both engines (NOT COALESCE(pred, false)).
-    */
-  private val dqExpectations = Q("dq_expectations",
-    (s, dir) =>
-      Quality.checkExpectations(t(s, dir, "lineitem"), Seq(
-        Quality.Expectation("quantity_in_range",
-          col("l_quantity") >= 1 && col("l_quantity") <= 50),
-        Quality.Expectation("price_positive", col("l_extendedprice") > 0),
-        Quality.Expectation("shipdate_present", col("l_shipdate").isNotNull),
-        Quality.Expectation("discount_unit_interval",
-          col("l_discount") >= 0 && col("l_discount") <= 1),
-        Quality.Expectation("returnflag_domain",
-          col("l_returnflag").isin("A", "N", "R")))),
-    Some("""SELECT COUNT(*) AS total_rows,
-      COUNT(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, false) THEN 1 END) AS quantity_in_range,
-      COUNT(CASE WHEN NOT COALESCE(l_extendedprice > 0, false) THEN 1 END) AS price_positive,
-      COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, false) THEN 1 END) AS shipdate_present,
-      COUNT(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, false) THEN 1 END) AS discount_unit_interval,
-      COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), false) THEN 1 END) AS returnflag_domain
-      FROM lineitem"""))
-
-  // ======================================================================
-  // KPI layer (SURVEY §2.7, guide p.33-34) over the lineitem star schema
-  // ======================================================================
-
-  private val kpiTotalPlays = Q("kpi_total_plays",
-    (s, dir) => Kpi.totalPlays(t(s, dir, "lineitem"), "l_quantity"),
-    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays FROM lineitem"""))
-
-  private val kpiAvgCompletion = Q("kpi_avg_completion",
-    (s, dir) => Kpi.avgCompletion(t(s, dir, "lineitem"), "l_discount"),
-    Some("""SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_completion FROM lineitem"""))
-
-  private val kpiWatchHours = Q("kpi_watch_hours",
-    (s, dir) => Kpi.totalWatchHours(t(s, dir, "lineitem"),
-      "l_extendedprice"),
-    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 3600.0 AS total_watch_hours FROM lineitem"""))
-
-  private val kpiEngagementRate = Q("kpi_engagement_rate",
-    (s, dir) => t(s, dir, "lineitem").agg(
-      (dsum(col("l_quantity")) /
-        nullif(count_distinct(col("l_orderkey")).cast("double"),
-          lit(0.0))).as("engagement_rate")),
-    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 0.0) AS engagement_rate FROM lineitem"""))
-
-  private val kpiByChannel = Q("kpi_by_channel",
-    (s, dir) => Kpi.videosByChannel(t(s, dir, "part"), "p_brand"),
-    Some("""SELECT p_brand AS channel, COUNT(*) AS n_videos FROM part
-      GROUP BY 1 ORDER BY 1"""))
-
-  private val kpiDailyTrend = Q("kpi_daily_trend",
-    (s, dir) => Kpi.dailyTrend(
-      t(s, dir, "lineitem").withColumn("ship_date",
-        to_date(col("l_shipdate"))),
-      "ship_date", "l_quantity"),
-    Some("""SELECT CAST(l_shipdate AS DATE) AS date,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays
-      FROM lineitem GROUP BY 1 ORDER BY 1"""))
-
-  /** K7: fact ⋈ broadcast(dim) rollup (J1 star join). */
-  private val kpiVideoPerformance = Q("kpi_video_performance",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_name").as("title"))
-        .agg(
-          count(lit(1)).as("n_lines"),
-          dsum(col("l_quantity")).as("total_qty"),
-          dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy("title"),
-    Some("""SELECT p_name AS title, COUNT(*) AS n_lines,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** K8: top-N by measure — TakeOrdered, deterministic tie-break. */
-  private val kpiTopVideos = Q("kpi_top_videos",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_name").as("title"))
-        .agg(dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("revenue").desc, col("title"))
-        .limit(10),
-    Some("""SELECT p_name AS title,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      GROUP BY 1 ORDER BY revenue DESC, title LIMIT 10"""))
-
-  /** K9: 4-way dim chain — lineitem→orders→customer→nation→region, all
-    * dims broadcast. */
-  private val kpiByCountry = Q("kpi_by_country",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name").as("region"), col("n_name").as("country"))
-        .agg(
-          dsum(col("l_extendedprice")).as("revenue"),
-          count_distinct(col("o_custkey")).as("unique_customers"))
-        .orderBy("region", "country"),
-    Some("""SELECT r.r_name AS region, n.n_name AS country,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-      COUNT(DISTINCT o.o_custkey) AS unique_customers
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** K10: first-seen window → daily new-vs-returning split. */
-  private val kpiNewVsReturning = Q("kpi_new_vs_returning",
-    (s, dir) => Kpi.newVsReturning(
-      t(s, dir, "orders")
-        .select(col("o_custkey").as("visitor_id"),
-          to_date(col("o_orderdate")).as("order_date")),
-      "visitor_id", "order_date"),
-    Some("""SELECT order_date AS date, is_new,
-      COUNT(DISTINCT visitor_id) AS visitors FROM (
-        SELECT o_custkey AS visitor_id,
-          CAST(o_orderdate AS DATE) AS order_date,
-          CASE WHEN CAST(o_orderdate AS DATE) = MIN(CAST(o_orderdate AS DATE))
-            OVER (PARTITION BY o_custkey) THEN 1 ELSE 0 END AS is_new
-        FROM orders)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val kpiUniqueVisitors = Q("kpi_unique_visitors",
-    (s, dir) => Kpi.uniqueVisitors(
-      t(s, dir, "orders").withColumnRenamed("o_custkey", "visitor"),
-      "visitor"),
-    Some("""SELECT COUNT(DISTINCT o_custkey) AS unique_visitors FROM orders"""))
-
-  /** Mergeable-sketch distinct counting, invariant-oracled: per-day HLL
-    * sketches of the visitor set are built once, then UNIONED to answer
-    * the all-time distinct — the architecture that answers any
-    * date-range distinct query at 100 TB from kilobyte sketches without
-    * re-touching raw data (precompute daily, merge at query time).
-    * Sketch bits are engine-specific, but the ERROR CONTRACT is not:
-    * both the merged estimate and every daily estimate must land within
-    * 5% of the exact count (HLL lgConfigK=12 ⇒ ~1.6% std error), so the
-    * registered output is the violation count — constant 0. */
-  private val sketchDistinctUnion = Q("sketch_distinct_union",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(to_date(col("ts")).as("date"), col("user_id"))
-      val daily = ev.groupBy("date")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"),
-          count_distinct(col("user_id")).as("exact_daily"))
-      val dailyViolations = daily
-        .select(when(
-          abs(hll_sketch_estimate(col("sk")).cast("double") -
-            col("exact_daily").cast("double")) /
-            col("exact_daily").cast("double") > 0.05, 1L).otherwise(0L)
-          .as("v"))
-        .agg(sum(col("v")).as("daily_violations"))
-      val merged = daily.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      val exact = ev.agg(count_distinct(col("user_id")).as("exact"))
-      merged.crossJoin(exact).crossJoin(dailyViolations)
-        .select(
-          when(abs(col("est").cast("double") - col("exact").cast("double"))
-            / col("exact").cast("double") > 0.05, 1L).otherwise(0L)
-            .as("union_violations"),
-          col("daily_violations"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS union_violations,
-      CAST(0 AS BIGINT) AS daily_violations"""))
-
-  // ======================================================================
-  // LLM-data-pipeline extensions: dedup
-  // ======================================================================
-
-  private val dedupExact = Q("dedup_exact",
-    (s, dir) =>
-      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("keep_id"),
-    Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
-      MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY keep_id"""))
-
-  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. xxhash64-based
-    * signatures are engine-specific → rows-only check (no SQL oracle).
-    */
-  private val dedupMinhash = Q("dedup_minhash_lsh",
-    (s, dir) =>
-      Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.4)
-        .orderBy("id_a", "id_b"),
-    None)
-
-  /** SimHash near-dup pairs (Hamming <= 3 of 64 bits): 4 × 16-bit chunk
-    * pigeonhole is COMPLETE at this radius (the previous Hamming-16
-    * setting silently missed pairs differing in every chunk) — and the
-    * 16-bit bucket keys keep the candidate join sparse at scale. The
-    * simhash value itself is engine-specific → rows-only. */
-  private val dedupSimhash = Q("dedup_simhash",
-    (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 3)
-        .orderBy("id_a", "id_b"),
-    None)
-
-  /** Precision invariant of the MinHash+LSH pipeline, oracle-checked
-    * against a constant: every pair `minhashDedup` emits must have exact
-    * Jaccard >= threshold. The Jaccard is RECOMPUTED here from portable
-    * built-ins (split/sequence/slice/array_join — the HOF formulation
-    * the custom ShingleSet expression replaced), so the check is
-    * independent of the codegen'd signature path: a bug in ShingleSet,
-    * the banding join, or jaccardVerify's arithmetic shows up as a
-    * nonzero count. (LSH *recall* is probabilistic by design — see
-    * sim_lsh_recall — but false positives must be exactly zero.) */
-  private val dedupMinhashPrecision = Q("dedup_minhash_precision",
-    (s, dir) => {
-      // one row per doc id: under duplicate ids "pair (a,b)" is
-      // ill-defined and the verification joins amplify quadratically
-      // (the 10x rehearsal, which replicates files id-and-all, went
-      // 28x superlinear without this)
-      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
-      // materialize the (small) pair set once: it feeds both the id
-      // semi-join and the verification join, and the interpreted HOF
-      // recompute below must only ever run over docs IN pairs — not
-      // the whole corpus (measured 2.5 s of wasted shingling at sf0.1)
-      val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
-        threshold = 0.4).localCheckpoint(true)
-      val ids = pairs.select(col("id_a").as("doc_id"))
-        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-      val k = 3
-      val toks = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
-      val grams = when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
-      val sh = docs.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), grams.as("sh"))
-      pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("ra")),
-          Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("rb")),
-          Seq("id_b"))
-        .withColumn("j2",
-          size(array_intersect(col("ra"), col("rb"))).cast("double") /
-            size(array_union(col("ra"), col("rb"))).cast("double"))
-        .agg(
-          count(when(col("j2") < 0.4, 1)).as("below_threshold"),
-          count(when(abs(col("j2") - col("jaccard")) > 1e-12, 1))
-            .as("mismatched"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS below_threshold,
-      CAST(0 AS BIGINT) AS mismatched"""))
-
-  /** SimHash invariants, oracle-checked against constants. Precision:
-    * every emitted pair's Hamming distance — recomputed from fresh
-    * per-doc simhashes through an independent join — is within the
-    * radius and equal to the reported value. Completeness: the
-    * pigeonhole chunking must find EVERY pair within the radius, so a
-    * bounded-id brute-force sweep left-anti-joined against the operator
-    * output must come back empty (this is the property the round-2 fix
-    * restored; now it is regression-proofed in the oracle gate, not
-    * just a spec). */
-  private val dedupSimhashInvariants = Q("dedup_simhash_invariants",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
-        maxHamming = 3)
-      val sh = docs.select(col("doc_id"),
-        Dedup.simhash(col("text")).as("sh"))
-      val recomputed = pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")),
-          Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")),
-          Seq("id_b"))
-        .withColumn("h2", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .agg(
-          count(when(col("h2") > 3, 1)).as("over_radius"),
-          count(when(col("h2") =!= col("hamming"), 1)).as("mismatched"))
-      val bounded = docs.filter(col("doc_id") < 2000)
-      val bsh = bounded.select(col("doc_id"),
-        Dedup.simhash(col("text")).as("sh"))
-      val brute = bsh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-        .crossJoin(bsh.select(col("doc_id").as("id_b"),
-          col("sh").as("sb")))
-        .filter(col("id_a") < col("id_b") &&
-          bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
-        .select("id_a", "id_b")
-      val missed = brute
-        .join(Dedup.simhashPairs(bounded, "text", "doc_id", maxHamming = 3),
-          Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("missed"))
-      recomputed.crossJoin(missed)
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS over_radius,
-      CAST(0 AS BIGINT) AS mismatched, CAST(0 AS BIGINT) AS missed"""))
-
-  /** COVERAGE floor of the MinHash+LSH candidate generator, oracled
-    * against a constant. The precision invariant above is one-sided: a
-    * regression that makes `minhashCandidates` silently emit ZERO pairs
-    * still passes it (0 pairs → 0 violations). The pipeline is fully
-    * deterministic for a fixed corpus (xxhash64 signatures, fixed band
-    * geometry), so the sf0.01 pair count is a frozen constant — 25,
-    * measured 2026-08-12 — and any drop below it means candidate
-    * generation degraded. The id-dedup keeps the count well-defined
-    * under rehearsal layouts that replicate files id-and-all. */
-  private val dedupMinhashFloor = Q("dedup_minhash_floor",
-    (s, dir) => {
-      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
-      Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.4)
-        .agg(greatest(lit(0L), lit(25L) - count(lit(1)))
-          .as("pair_shortfall"))
-    },
-    Some("SELECT CAST(0 AS BIGINT) AS pair_shortfall"))
-
-  /** COVERAGE floor of the SimHash pigeonhole candidate generator —
-    * same rationale as dedup_minhash_floor (the invariants query proves
-    * emitted pairs are correct and the bounded sweep is complete, but a
-    * zero-candidate regression outside the bounded id range would slip
-    * through). sf0.01 pair count frozen at 17 (measured 2026-08-12;
-    * deterministic: xxhash64 token hashes, fixed chunk geometry). */
-  private val dedupSimhashFloor = Q("dedup_simhash_floor",
-    (s, dir) => {
-      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
-      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
-        .agg(greatest(lit(0L), lit(17L) - count(lit(1)))
-          .as("pair_shortfall"))
-    },
-    Some("SELECT CAST(0 AS BIGINT) AS pair_shortfall"))
-
-  /** Exact token-set Jaccard near-dup pairs on a bounded id range —
-    * engine-portable (pure set sizes → integer division), oracled. */
-  private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
-          col("doc_id") < 200)
-        .select(col("doc_id"),
-          array_distinct(split(trim(lower(col("text"))), "\\s+"))
-            .as("toks"))
-      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))).cast("double"))
-        .filter(col("jaccard") >= 0.9)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH s AS (SELECT doc_id,
-        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-      FROM documents
-      WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
-      FROM s a, s b WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9
-      ORDER BY id_a, id_b"""))
-
-  /** Corpus dedup decision: cluster the exact-Jaccard near-dup pairs
-    * (same bounded pair set as dedup_ngram_jaccard) into connected
-    * components and pick the min-id canonical doc per cluster. Oracle:
-    * transitive closure via a recursive CTE. */
-  private val dedupCorpus = Q("dedup_corpus",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
-          col("doc_id") < 200)
-        .select(col("doc_id"),
-          array_distinct(split(trim(lower(col("text"))), "\\s+"))
-            .as("toks"))
-      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
-      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))).cast("double"))
-        .filter(col("jaccard") >= 0.9)
-        .select("id_a", "id_b")
-      graft.llmops.Dedup.dedupClusters(pairs).orderBy("id")
-    },
-    Some("""WITH s AS (SELECT doc_id,
-        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-      FROM documents
-      WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM s a, s b WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      nodes AS (SELECT DISTINCT src AS id FROM edges)
-      , reach AS (
-        WITH RECURSIVE r(a, b) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
-        SELECT a, b FROM r)
-      SELECT id, keep_id, id = keep_id AS is_kept FROM (
-        SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a)
-      ORDER BY id"""))
-
-  /** Incremental corpus dedup — the shape every RUNNING training-data
-    * pipeline needs: a new batch is deduped against the accumulated
-    * corpus by content fingerprint (left-anti on the digest — the
-    * shuffle carries 16-byte md5s, never text) and within itself
-    * (min-id survivor per fingerprint). Here the corpus/batch split is
-    * a deterministic id cut so the whole decision is oracle-checkable. */
-  private val dedupIncremental = Q("dedup_incremental",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val fp = TextAnalysis.fingerprintMd5(col("text"))
-      val existing = docs.filter(col("doc_id") < 250)
-        .select(fp.as("fingerprint")).distinct()
-      val firstIn = docs.filter(col("doc_id") >= 250)
-        .select(col("doc_id"), fp.as("fingerprint"))
-        .groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
-      firstIn.join(existing, Seq("fingerprint"), "left_anti")
-        .select("doc_id", "fingerprint")
-        .orderBy("doc_id")
-    },
-    Some(raw"""WITH fp AS (SELECT doc_id,
-        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-      FROM documents),
-      existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
-      firstin AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp
-        WHERE doc_id >= 250 GROUP BY 1)
-      SELECT doc_id, fingerprint FROM firstin f
-      WHERE NOT EXISTS (SELECT 1 FROM existing e
-        WHERE e.fingerprint = f.fingerprint)
-      ORDER BY doc_id"""))
-
-  /** Embedding cosine near-dup pairs — quantized to BIGINT so dot
-    * products are exact integers in any engine; bounded id range keeps
-    * the O(n²) pair space constant across scale factors (the unbounded
-    * scale path is LSH bucketing, `sim_topk_lsh`). */
-  private def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
-
-  private def qdot(a: Column, b: Column): Column =
-    graft.functions.HashExprs.dotLong(a, b)
-
-  private def qcos(a: Column, b: Column): Column =
-    qdot(a, b).cast("double") /
-      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
-
-  private val dedupEmbedding = Q("dedup_embedding",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"))
-      val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", qcos(col("qa"), col("qb")))
-        .filter(col("cos_sim") >= 0.4)
-        .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH e AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-      FROM embeddings WHERE vec_id < 1000)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_dot_product(a.q, b.q) /
-          (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cos_sim
-      FROM e a, e b WHERE a.vec_id < b.vec_id
-        AND list_dot_product(a.q, b.q) /
-          (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4
-      ORDER BY id_a, id_b"""))
-
-  // ======================================================================
-  // LLM-data-pipeline extensions: similarity search
-  // ======================================================================
-
-  /** Brute-force cosine top-k (quantized for the oracle): query vectors
-    * vec_id < 5 against the full corpus, k = 5. */
-  private val simTopkBrute = Q("sim_topk_bruteforce",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val scored = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos_sim", qcos(col("qq"), col("q")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"),
-          col("vec_id").as("neighbor_id"), col("cos_sim"))
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-      FROM embeddings),
-      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
-      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-        list_dot_product(qq, e.q) /
-          (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(e.q, e.q))) AS cos_sim
-        FROM qs, e WHERE e.vec_id != query_id)
-      SELECT query_id, rank, neighbor_id, cos_sim FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-        FROM scored)
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
-
-  /** Map-side partial top-k via a typed Aggregator — identical output
-    * to sim_topk_bruteforce (same oracle), but the shuffle moves at
-    * most k rows per (query, partition) instead of every scored row:
-    * the 100 TB formulation of top-k. */
-  private val simTopkAgg = Q("sim_topk_aggregator",
-    (s, dir) => {
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val scored = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          qcos(col("qq"), col("q")).as("cos_sim"))
-        .as[(Long, Long, Double)]
-      val top = scored.groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(graft.functions.TopKAggregator(5).toColumn.name("topk"))
-      top.toDF("query_id", "topk")
-        .select(col("query_id"),
-          posexplode(col("topk")).as(Seq("pos", "pair")))
-        .select(col("query_id"),
-          (col("pos") + 1).cast("long").as("rank"),
-          col("pair._2").as("neighbor_id"),
-          col("pair._1").as("cos_sim"))
-        .orderBy("query_id", "rank")
-    },
-    simTopkBrute.oracle)
-
-  /** LSH-bucketed approximate top-k — scale path; rows-only. */
-  private val simTopkLsh = Q("sim_topk_lsh",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-        "embedding", dim = 64, k = 5, numPlanes = 6, numTables = 8)
-        .orderBy("query_id", "rank")
-    },
-    None)
-
-  /** IVF coarse-quantizer approximate top-k — scale path; rows-only. */
-  private val simTopkIvf = Q("sim_topk_ivf",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 5)
-        .orderBy("query_id", "rank")
-    },
-    None)
-
-  /** Recall@k of the LSH index against exact brute force — approximate
-    * operators ship with their own evaluation ("measure, don't guess").
-    * Measured on this corpus: hyperplane LSH recalls ~0.2-0.8@5 because
-    * the embeddings have weak similarity structure (best neighbors at
-    * cos ~0.37 vs ~0.2 random — hyperplane agreement barely beats
-    * chance), while IVF (which probes by actual centroid cosine)
-    * matches brute force exactly; that comparison is the point of
-    * shipping the evaluation. Rows-only: recall depends on the LSH
-    * bucketing, not SQL-portable. */
-  private val simLshRecall = Q("sim_lsh_recall",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
-        "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
-        dim = 64, k = 5, numPlanes = 6, numTables = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
-          Seq("query_id"), "right")
-        .select(col("query_id"),
-          (coalesce(col("hits"), lit(0L)).cast("double") /
-            col("k").cast("double")).as("recall_at_5"))
-        .orderBy("query_id")
-    },
-    None)
-
-  /** RECALL + row-count floor of the approximate indexes, oracled
-    * against constants. sim_lsh_recall SHIPS the measurement but
-    * nothing gated it: a regression collapsing every LSH bucket (or
-    * IVF probe) to nothing would sail through the score-fidelity check
-    * (0 rows → 0 mis-scores). Hyperplanes and centroid seeds are fixed,
-    * so on the sf0.01 corpus the per-query recalls are deterministic —
-    * [0.2, 0.2, 0.8, 0.0, 0.2], mean 0.28 (measured 2026-08-12; the
-    * mean is the gate because query 3's true neighbors genuinely share
-    * no bucket at this plane count). Floors: mean recall >= 0.2799
-    * (just under the exact value to absorb float-sum ulp) and both
-    * indexes returning the full k×|queries| = 25 rows. */
-  private val simLshRecallGate = Q("sim_lsh_recall_gate",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val qs = e.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
-        "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
-        dim = 64, k = 5, numPlanes = 6, numTables = 8)
-        .localCheckpoint(true) // feeds both the semi-join and the count
-      val recall = exact
-        .join(lsh.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
-          Seq("query_id"), "right")
-        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
-          col("k").cast("double")).as("avg_recall"))
-      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5)
-      recall
-        .crossJoin(lsh.agg(count(lit(1)).as("lsh_rows")))
-        .crossJoin(ivf.agg(count(lit(1)).as("ivf_rows")))
-        .select(
-          when(col("avg_recall") >= 0.2799, 0L).otherwise(1L)
-            .as("below_recall_floor"),
-          greatest(lit(0L), lit(25L) - col("lsh_rows"))
-            .as("lsh_row_shortfall"),
-          greatest(lit(0L), lit(25L) - col("ivf_rows"))
-            .as("ivf_row_shortfall"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
-      CAST(0 AS BIGINT) AS lsh_row_shortfall,
-      CAST(0 AS BIGINT) AS ivf_row_shortfall"""))
-
-  /** Scoring invariant of the approximate indexes, oracle-checked
-    * against a constant: every (query, neighbor, cos_sim) row the LSH
-    * and IVF indexes return must carry the TRUE cosine — recomputed
-    * here with the interpreted HOF dot product (`Similarity.dot`),
-    * independent of the codegen'd CosineSim expression both indexes
-    * score with. Approximate search may MISS neighbors (recall is
-    * measured by sim_lsh_recall); it must never MIS-SCORE the ones it
-    * returns, or downstream thresholds silently shift. */
-  private val simScoreCheck = Q("sim_score_check",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val qs = e.filter(col("vec_id") < 5)
-      def violations(res: DataFrame, tag: String): DataFrame = res
-        .join(e.select(col("vec_id").as("query_id"),
-          col("embedding").as("qv2")), Seq("query_id"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cv2")), Seq("neighbor_id"))
-        .withColumn("true_cos",
-          Similarity.dot(col("qv2"), col("cv2")) /
-            (Similarity.norm(col("qv2")) * Similarity.norm(col("cv2"))))
-        .agg(count(when(abs(col("true_cos") - col("cos_sim")) > 1e-9, 1))
-          .as(tag))
-      violations(
-        Similarity.lshTopK(e, qs, "vec_id", "embedding", dim = 64, k = 5,
-          numPlanes = 6, numTables = 8), "lsh_misscored")
-        .crossJoin(violations(
-          Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5),
-          "ivf_misscored"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS lsh_misscored,
-      CAST(0 AS BIGINT) AS ivf_misscored"""))
-
-  // ======================================================================
-  // LLM-data-pipeline extensions: text analysis
-  // ======================================================================
-
-  private val textTokenCount = Q("text_token_count",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
-          .as("n_bpeish"))
-        .orderBy("doc_id"),
-    Some(raw"""SELECT doc_id,
-      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-      CAST(COALESCE(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')), 0) AS BIGINT) AS n_bpeish
-      FROM documents ORDER BY doc_id"""))
-
-  private val textQualityProfile = Q("text_quality_profile",
-    (s, dir) =>
-      TextAnalysis.qualityProfile(t(s, dir, "documents"), "text",
-        "doc_id").orderBy("doc_id"),
-    Some(raw"""SELECT doc_id,
-      CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
-      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS BIGINT) AS n_punct,
-      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
-      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS DOUBLE) /
-        NULLIF(CAST(length(COALESCE(text, '')) AS DOUBLE), 0.0) AS punct_ratio,
-      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS DOUBLE) /
-        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS stopword_ratio,
-      CAST(length(COALESCE(text, '')) AS DOUBLE) /
-        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
-      FROM documents ORDER BY doc_id"""))
-
-  private val textQualityGate = Q("text_quality_gate",
-    (s, dir) =>
-      TextAnalysis.qualityGate(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id"),
-    Some(raw"""WITH p AS (SELECT doc_id,
-      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
-      CAST(length(COALESCE(text, '')) AS DOUBLE) /
-        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
-      FROM documents)
-      SELECT doc_id, n_tokens,
-        COALESCE(n_tokens >= 5 AND mean_token_len >= 2.0 AND
-          mean_token_len <= 12.0 AND n_stopwords > 0, false) AS keep
-      FROM p ORDER BY doc_id"""))
-
-  private val textLangId = Q("text_lang_id",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id"),
-    Some {
-      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
-        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
-      }.mkString(", ")
-      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
-      SELECT doc_id, lang,
-        CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
-             WHEN de > en AND de >= fr AND de >= es THEN 'de'
-             WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
-             WHEN es > en AND es > de AND es > fr THEN 'es'
-             ELSE 'en' END AS lang_pred
-      FROM sc ORDER BY doc_id"""
-    })
-
-  private val textFingerprint = Q("text_fingerprint",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
-      FROM documents ORDER BY doc_id"""))
-
-  /** Rolling (Karp-Rabin) fingerprint over md5-hashed tokens — fully
-    * portable, so the whole recurrence is oracle-checked: DuckDB folds
-    * the same token-hash stream with `list_reduce` under the identical
-    * base/modulus. */
-  private val textRollingFp = Q("text_rolling_fingerprint",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
-        .orderBy("doc_id"),
-    Some(raw"""SELECT doc_id,
-      list_reduce(
-        list_prepend(CAST(0 AS BIGINT),
-          list_transform(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
-            t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
-        (acc, h) -> (acc * 1000003 + h) % 4294967296) AS fp_rolling
-      FROM documents ORDER BY doc_id"""))
-
-  /** Unigram log-probability scoring (the perplexity-style quality
-    * filter): corpus term frequencies with add-one smoothing, each doc
-    * scored by its mean token log-prob. Per-token logprobs are rounded
-    * to 6dp and summed as DECIMAL so the aggregate is shuffle-order-
-    * independent (raw double sums are not associative). */
-  private val textUnigramLogprob = Q("text_unigram_logprob",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val terms = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
-      val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
-      val totals = freq.agg(sum(col("tf")).as("total"),
-        count(lit(1)).as("vocab"))
-      val scored = terms.filter(col("doc_id") < 100)
-        .join(freq, Seq("term"))
-        .crossJoin(broadcast(totals))
-        .select(col("doc_id"),
-          round(log((col("tf").cast("double") + 1.0) /
-            (col("total").cast("double") + col("vocab").cast("double"))),
-            6).cast(DecimalType(18, 6)).as("lp"))
-      scored.groupBy("doc_id")
-        .agg((sum(col("lp")).cast("double") / count(lit(1)))
-          .as("mean_logprob"),
-          count(lit(1)).as("n_tokens"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH docs AS (SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND trim(text) != ''),
-      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
-          trim(lower(text)), '\s+')) AS term FROM docs),
-      t2 AS (SELECT doc_id, term FROM terms WHERE term != ''),
-      freq AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY 1),
-      totals AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM freq)
-      SELECT doc_id,
-        CAST(SUM(CAST(ROUND(ln((CAST(tf AS DOUBLE) + 1.0) /
-          (CAST(total AS DOUBLE) + CAST(vocab AS DOUBLE))), 6)
-          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_logprob,
-        COUNT(*) AS n_tokens
-      FROM t2 JOIN freq USING (term) CROSS JOIN totals
-      WHERE doc_id < 100
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  /** Language-ID evaluation: confusion matrix of labeled vs predicted
-    * language. */
-  private val textLangConfusion = Q("text_lang_confusion",
-    (s, dir) =>
-      t(s, dir, "documents").select(col("lang"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
-        .groupBy("lang", "lang_pred")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred"),
-    Some {
-      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
-        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
-      }.mkString(", ")
-      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
-      SELECT lang, lang_pred, COUNT(*) AS n FROM (
-        SELECT lang,
-          CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
-               WHEN de > en AND de >= fr AND de >= es THEN 'de'
-               WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
-               WHEN es > en AND es > de AND es > fr THEN 'es'
-               ELSE 'en' END AS lang_pred
-        FROM sc)
-      GROUP BY 1, 2 ORDER BY 1, 2"""
-    })
-
-  /** Unicode NFC normalization — the mandatory first step of text
-    * dedup (NFD vs NFC spellings of one string fingerprint
-    * differently). Custom expression [[graft.functions.NfcNormalize]]
-    * (Spark has no built-in); the full normalized text is hash-checked
-    * against DuckDB's `nfc_normalize`, plus a changed-row count. */
-  private val textNfcNormalize = Q("text_nfc_normalize",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        graft.functions.TextExprs.nfcNormalize(col("text")).as("nfc_text"),
-        (!(graft.functions.TextExprs.nfcNormalize(col("text"))
-          <=> col("text"))).as("changed"))
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id, nfc_normalize(text) AS nfc_text,
-      nfc_normalize(text) IS DISTINCT FROM text AS changed
-      FROM documents ORDER BY doc_id"""))
-
-  /** Training-mix construction: each source is down-sampled to a
-    * target weight (here derived from the source id: 1.0 / 0.5 / 0.25
-    * tiers) with the same deterministic md5-bucket machinery as
-    * sample_hash_split — no RNG, stable under corpus growth, and a
-    * doc's keep/drop never depends on partitioning. Output is the
-    * per-source kept/total census the mixing report needs; the kept
-    * set itself is the same predicate un-aggregated. */
-  private val mixSources = Q("mix_sources",
-    (s, dir) => {
-      val srcNum = substring(col("source"), 4, 10).try_cast("int")
-      val rate = when(srcNum < 5, 1.0).when(srcNum < 10, 0.5)
-        .otherwise(0.25)
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-        16, 10).cast("int")
-      t(s, dir, "documents")
-        .withColumn("keep", bucket < rate * 65536)
-        .groupBy(coalesce(col("source"), lit("(none)")).as("source"))
-        .agg(count(lit(1)).as("total_docs"),
-          count(when(col("keep"), 1)).as("kept_docs"))
-        .orderBy("source")
-    },
-    Some("""SELECT COALESCE(source, '(none)') AS source,
-      COUNT(*) AS total_docs,
-      COUNT(CASE WHEN
-        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-        < (CASE WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 5 THEN 1.0
-                WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 10 THEN 0.5
-                ELSE 0.25 END) * 65536 THEN 1 END) AS kept_docs
-      FROM documents GROUP BY 1 ORDER BY 1"""))
-
-  /** PII scrub (emails → <EMAIL>, IPv4 → <IP>, long digit runs →
-    * <PHONE>): the standard pre-training redaction pass, pure per-row
-    * regexp_replace chain — scan speed, no shuffle, and the patterns
-    * are Java/RE2-portable so the full scrubbed text is hash-checked
-    * against DuckDB. */
-  private val textPiiScrub = Q("text_pii_scrub",
-    (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.scrubPii(col("text")).as("clean_text"),
-        TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"))
-        .orderBy("doc_id"),
-    Some {
-      val em = TextAnalysis.EmailPattern
-      val ip = TextAnalysis.Ipv4Pattern
-      val ph = TextAnalysis.PhonePattern
-      raw"""SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(text,
-        '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
-        AS clean_text,
-      CAST(COALESCE(len(regexp_extract_all(text, '$em')), 0) +
-        COALESCE(len(regexp_extract_all(text, '$ip')), 0) +
-        COALESCE(len(regexp_extract_all(text, '$ph')), 0) AS BIGINT) AS n_pii
-      FROM documents ORDER BY doc_id"""
-    })
-
-  /** Deterministic train/test split by content-independent id hash:
-    * bucket = first 16 bits of md5(doc_id), <10% of the bucket space →
-    * test. The scale-correct way to split training data — no RNG seed
-    * to disagree across engines or partitionings, stable under corpus
-    * growth (a doc's split never changes when other docs arrive),
-    * embarrassingly parallel. */
-  private val sampleHashSplit = Q("sample_hash_split",
-    (s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-        16, 10).cast("int")
-      t(s, dir, "documents")
-        .select(col("doc_id"), bucket.as("bucket"),
-          when(bucket < lit(6554), "test").otherwise("train").as("split"))
-        .orderBy("doc_id")
-    },
-    Some("""SELECT doc_id,
-      CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        AS BIGINT) AS INTEGER) AS bucket,
-      CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
-      FROM documents ORDER BY doc_id"""))
-
-  /** Sequence packing for training: docs are packed per source in
-    * doc_id order into ~2048-token bins — pack_id = exclusive prefix
-    * token count div budget (a doc may straddle its bin boundary; the
-    * standard streaming-friendly approximation). The window is
-    * PARTITIONED by source, so at 100 TB each source packs
-    * independently — no global sort anywhere. */
-  private val docPack = Q("doc_pack",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs
-        .withColumn("pack_id",
-          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
-            lit(2048)).cast("long"))
-        .orderBy("doc_id")
-    },
-    Some(raw"""SELECT doc_id, source, n_tokens,
-      CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-        / 2048.0) AS BIGINT) AS pack_id
-      FROM (SELECT doc_id, source,
-        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-          AS n_tokens
-        FROM documents)
-      ORDER BY doc_id"""))
-
-  /** Benchmark decontamination — the training-data op that keeps eval
-    * sets honest: any TRAIN doc sharing a 5-gram with any TEST doc
-    * (the deterministic hash split defines the sets) is flagged for
-    * removal. Grams stay array-valued per doc (no row explosion until
-    * the join), the test-gram side is distinct-deduped BEFORE the
-    * semi-join, and the join keys are xxhash64 digests of grams, not
-    * the gram text — at 100 TB the shuffle carries 8-byte longs. (The
-    * digest choice is internal to the join: the oracle compares only
-    * the flagged doc ids, so DuckDB keys on its own md5.) */
-  private val textDecontaminate = Q("text_decontaminate",
-    (s, dir) => {
-      val k = 5
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-        16, 10).cast("int")
-      val toks = split(trim(lower(col("text"))), "\\s+")
-      val grams = when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
-      val g = docs.select(col("doc_id"), (bucket < lit(6554)).as("is_test"),
-        explode(grams).as("gram"))
-        .withColumn("gh", xxhash64(col("gram"))).drop("gram")
-      val testGrams = g.filter(col("is_test")).select("gh").distinct()
-      g.filter(!col("is_test"))
-        .join(testGrams, Seq("gh"), "left_semi")
-        .select("doc_id").distinct()
-        .orderBy("doc_id")
-    },
-    Some(raw"""WITH d AS (SELECT doc_id, lower(trim(text)) AS txt
-        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
-      toks AS (SELECT doc_id, regexp_split_to_array(txt, '\s+') AS t
-        FROM d),
-      grams AS (SELECT doc_id,
-        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-        ELSE list_distinct(list_transform(range(1, len(t) - 5 + 2),
-          i -> array_to_string(t[i:i+4], ' '))) END AS gs,
-        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-          AS BIGINT) < 6554 AS is_test
-        FROM toks),
-      tg AS (SELECT DISTINCT md5(unnest(gs)) AS gh FROM grams
-        WHERE is_test),
-      tr AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM grams
-        WHERE NOT is_test)
-      SELECT DISTINCT doc_id FROM tr JOIN tg USING (gh)
-      ORDER BY doc_id"""))
-
-  /** The composed curation pipeline end-to-end
-    * ([[graft.llmops.CorpusPipeline.curate]]): NFC normalize → quality
-    * gate → PII scrub → exact dedup → hash split, one scan + one
-    * digest-keyed shuffle — and because every stage is portable, the
-    * ENTIRE composition is hash-gated, not just its pieces. */
-  private val corpusCurate = Q("corpus_curate",
-    (s, dir) =>
-      graft.llmops.CorpusPipeline.curate(t(s, dir, "documents"))
-        .orderBy("doc_id"),
-    Some {
-      val stop = TextAnalysis.StopwordPattern
-      val em = TextAnalysis.EmailPattern
-      val ip = TextAnalysis.Ipv4Pattern
-      val ph = TextAnalysis.PhonePattern
-      raw"""WITH prep AS (SELECT doc_id,
-        nfc_normalize(COALESCE(text, '')) AS norm FROM documents),
-      prof AS (SELECT doc_id, norm,
-        CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
-          ELSE len(regexp_split_to_array(trim(norm), '\s+')) END AS BIGINT)
-          AS n_tokens,
-        COALESCE(len(regexp_extract_all(lower(norm), '$stop')), 0)
-          AS n_stop,
-        CAST(length(COALESCE(norm, '')) AS DOUBLE) /
-          NULLIF(CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(norm), '\s+')) END
-            AS DOUBLE), 0.0) AS mtl
-        FROM prep),
-      kept AS (SELECT doc_id, norm, n_tokens FROM prof
-        WHERE COALESCE(n_tokens >= 5 AND mtl >= 2.0 AND mtl <= 12.0
-          AND n_stop > 0, false)),
-      scrub AS (SELECT doc_id, n_tokens,
-        regexp_replace(regexp_replace(regexp_replace(norm,
-          '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
-          AS clean_text FROM kept),
-      fp AS (SELECT *, md5(regexp_replace(trim(lower(clean_text)),
-        '\s+', ' ', 'g')) AS f FROM scrub),
-      surv AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY 1)
-      SELECT fp.doc_id, clean_text, n_tokens,
-        CASE WHEN CAST('0x' || substring(md5(CAST(fp.doc_id AS VARCHAR)),
-          1, 4) AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
-      FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.doc_id
-      ORDER BY fp.doc_id"""
-    })
-
-  // ======================================================================
-  // LLM-data-pipeline extensions: multimodal binary columns
-  // ======================================================================
-
-  private val multimodalMeta = Q("multimodal_metadata",
-    (s, dir) =>
-      Multimodal.blobMetadata(
-        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
-          "source"))
-        .orderBy("blob_id"),
-    Some("""SELECT doc_id AS blob_id, COALESCE(source, 'unknown') AS kind,
-      CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
-      sha256(COALESCE(text, '')) AS sha256,
-      hex(encode(substring(COALESCE(text, ''), 1, 4))) AS magic
-      FROM documents ORDER BY blob_id"""))
-
-  /** Decode stage over REAL images: corpus bytes are packed into
-    * genuine 16-wide grayscale PNGs, then decoded by the actual JDK
-    * ImageIO reader (javax.imageio — no stub). The recovered dimensions
-    * are pure functions of the source byte length, so the real decode
-    * path is fully oracle-checked; the luma-histogram features are
-    * golden-tested in MultimodalSpec. */
-  private val multimodalDecode = Q("multimodal_decode",
-    (s, dir) =>
-      Multimodal.decode(s,
-        Multimodal.bytesToPngBlobs(s,
-          Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
-            "source")))
-        .toDF()
-        .select(col("blob_id"), col("width"), col("height"),
-          col("n_frames"))
-        .orderBy("blob_id"),
-    Some("""SELECT doc_id AS blob_id, CAST(16 AS INTEGER) AS width,
-      CAST(GREATEST(CEIL(octet_length(encode(COALESCE(text, ''))) / 16.0), 1)
-        AS INTEGER) AS height,
-      CAST(1 AS INTEGER) AS n_frames
-      FROM documents ORDER BY blob_id"""))
-
-  /** Frame sampling over binary payloads. The sampled frame COUNT is a
-    * pure function of byte length (stride 4 → one 16-byte frame per 64
-    * payload bytes, minimum one), so it is fully oracle-checked; the
-    * frame contents are golden-tested in MultimodalSpec. */
-  private val multimodalFrames = Q("multimodal_frames",
-    (s, dir) =>
-      Multimodal.frameSample(
-        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
-          "source"))
-        .select(col("blob_id"), size(col("frames")).as("n_frames"))
-        .orderBy("blob_id"),
-    Some("""SELECT doc_id AS blob_id,
-      CAST(GREATEST(CAST(FLOOR(octet_length(encode(COALESCE(text, ''))) / 64.0)
-        AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_frames
-      FROM documents ORDER BY blob_id"""))
-
-  // ======================================================================
-  // Streaming: the daily engagement aggregate over a bounded stream,
-  // oracle = the equivalent batch SQL (stream/batch parity).
-  // ======================================================================
-
-  private val streamDaily = Q("stream_daily_engagement",
-    (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // state-store instances scale with shuffle partitions; this agg
-      // keys on (day, user) with tiny cardinality, so fewer partitions
-      // = fewer state commits per batch (restored after the run)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      val agg = stream
-        .withWatermark("ts", "1 day")
-        .filter(col("event_type") === "purchase")
-        .groupBy(window(col("ts"), "1 day").as("day"),
-          col("user_id"))
-        .agg(count(lit(1)).as("play_count"))
-      // update mode + foreachBatch merge-upsert: each batch rewrites
-      // only the date partitions it touches, state holds only keys in
-      // the watermark horizon — the pattern that survives an unbounded
-      // stream (a complete-mode memory sink would retain the whole
-      // result in state AND collect it to the driver).
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_stream_daily").toString
-      try
-        graft.stream.StreamingFact.upsertToSilver(
-          s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
-      finally // a failed stream must not leave the session at 8 parts
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$root/fact")
-        .select(col("date"), col("user_id"), col("play_count"))
-        .orderBy("date", "user_id")
-    },
-    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS date, user_id,
-      COUNT(*) AS play_count
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-
-  /** Event-time session windows over the same bounded stream — the
-    * strongest check the streaming path can have: the oracle is the
-    * BATCH sessionization SQL (session_batch re-keyed to window
-    * bounds), so stream/batch parity is hash-verified row by row.
-    * session_window closes a session at last_event + gap with an
-    * EXCLUSIVE end, so an event exactly one gap after its predecessor
-    * starts a new session — hence >= in this oracle's gap test where
-    * the lag/cumsum batch twin uses >. A far-future sentinel row
-    * (user_id -1, filtered from the output) advances the event-time
-    * watermark past every real session's close: a production stream
-    * flushes as new events arrive; a bounded replay needs the nudge.
-    * The sentinel lands as its own one-row parquet file NEXT TO an
-    * OS-level copy of the source file — the harness costs one file
-    * copy, not a full Spark read+rewrite of the input (the ts
-    * conversion happens inside the stream instead). */
-  private val streamSessions = Q("stream_sessions",
-    (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_sess").toString
-        val sentinel = s.createDataFrame(
-          java.util.Collections.singletonList(
-            org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
-              f => f.name match {
-                case "user_id" => -1L
-                case "ts" => maxNanos + 3L * 86400 * 1000000000L
-                case _ => null
-              }
-            })), rawSchema)
-        sentinel.coalesce(1).write.parquet(s"$root/in")
-        val src = new java.io.File(s"$dir/events.parquet")
-        val files = // rehearsal layouts split the table into a dir
-          if (src.isDirectory)
-            src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
-          else Seq(src)
-        files.foreach(f => java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(s"$root/in/src_${f.getName}")))
-        val stream = s.readStream.schema(rawSchema).parquet(s"$root/in")
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .select(col("user_id"), col("ts"))
-        val sess = graft.stream.StreamingFact.sessionWindows(
-          stream, "ts", "user_id")
-        val q = sess.writeStream.outputMode("append")
-          .format("parquet")
-          .option("path", s"$root/out")
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(s"$root/out")
-          .filter(col("user_id") >= 0)
-          .select(col("user_id"),
-            unix_micros(col("session_start")).as("session_start_us"),
-            unix_micros(col("session_end")).as("session_end_us"),
-            col("n_events"))
-          .orderBy("user_id", "session_start_us")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    },
-    Some("""SELECT user_id, MIN(ts_us) AS session_start_us,
-      MAX(ts_us) + 1800 * 1000000 AS session_end_us,
-      COUNT(*) AS n_events
-      FROM (
-        SELECT user_id, ts_us,
-          CAST(SUM(new_sess) OVER (PARTITION BY user_id
-            ORDER BY ts_us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS session_id
-        FROM (
-          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
-              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-              >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
-          FROM events))
-      GROUP BY user_id, session_id ORDER BY 1, 2"""))
-
-  /** STREAM-STREAM join (two unbounded sides, state-store buffered,
-    * watermark-evicted): purchases ⋈ signups of the same user within 7
-    * days, both sides branches of one replayed event stream. Oracle:
-    * the identical range join run as batch SQL — stream/batch parity
-    * on the full pair set. Inner join emits on arrival; watermarks
-    * bound state, so the bounded replay needs no sentinel. */
-  private val streamAttribution = Q("stream_attribution",
-    (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_attr").toString
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .select(col("user_id"), col("event_id"), col("ts"),
-            col("event_type"))
-        val joined = graft.stream.StreamingFact.attributionJoin(
-          stream.filter(col("event_type") === "purchase"),
-          stream.filter(col("event_type") === "signup"))
-        val q = joined.writeStream.outputMode("append")
-          .format("parquet")
-          .option("path", s"$root/out")
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(s"$root/out")
-          .orderBy("user_id", "purchase_event_id", "signup_event_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    },
-    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
-      s.event_id AS signup_event_id
-      FROM (SELECT user_id, event_id, ts FROM events
-        WHERE event_type = 'purchase') p
-      JOIN (SELECT user_id, event_id, ts FROM events
-        WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id AND p.ts >= s.ts
-        AND p.ts < s.ts + INTERVAL 7 DAY
-      ORDER BY 1, 2, 3"""))
-
-  /** STREAM-STREAM LEFT OUTER join — the hardest streaming-join
-    * semantic: matched pairs emit on arrival, while a never-matched
-    * purchase emits (with a null signup side) only when the watermark
-    * PROVES no future signup can still match it — i.e. at state
-    * eviction. Far-future sentinel rows (user -1, one per branch,
-    * filtered from the output) push the watermark past every real
-    * purchase's window so the bounded replay flushes the unmatched
-    * rows a production stream would emit as time advances. Oracle: the
-    * batch LEFT JOIN twin; nulls are coalesced to -1 so the order keys
-    * stay non-null. */
-  private val streamAttributionOuter = Q("stream_attribution_outer",
-    (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_attr_outer").toString
-        def sentinelRow(eventType: String) =
-          org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
-            f => f.name match {
-              case "user_id" => -1L
-              case "event_type" => eventType
-              case "ts" => maxNanos + 10L * 86400 * 1000000000L
-              case _ => null
-            }
-          })
-        val sentinels = s.createDataFrame(
-          java.util.Arrays.asList(sentinelRow("purchase"),
-            sentinelRow("signup")), rawSchema)
-        sentinels.coalesce(1).write.parquet(s"$root/in")
-        val src = new java.io.File(s"$dir/events.parquet")
-        val files =
-          if (src.isDirectory)
-            src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
-          else Seq(src)
-        files.foreach(f => java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(s"$root/in/src_${f.getName}")))
-        val stream = s.readStream.schema(rawSchema).parquet(s"$root/in")
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .select(col("user_id"), col("event_id"), col("ts"),
-            col("event_type"))
-        val joined = graft.stream.StreamingFact.attributionJoin(
-          stream.filter(col("event_type") === "purchase"),
-          stream.filter(col("event_type") === "signup"),
-          joinType = "left_outer")
-        val q = joined.writeStream.outputMode("append")
-          .format("parquet")
-          .option("path", s"$root/out")
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(s"$root/out")
-          .filter(col("user_id") >= 0)
-          .select(col("user_id"), col("purchase_event_id"),
-            coalesce(col("signup_event_id"), lit(-1L))
-              .as("signup_event_id"))
-          .orderBy("user_id", "purchase_event_id", "signup_event_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    },
-    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
-      COALESCE(s.event_id, -1) AS signup_event_id
-      FROM (SELECT user_id, event_id, ts FROM events
-        WHERE event_type = 'purchase') p
-      LEFT JOIN (SELECT user_id, event_id, ts FROM events
-        WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id AND p.ts >= s.ts
-        AND p.ts < s.ts + INTERVAL 7 DAY
-      ORDER BY 1, 2, 3"""))
-
-  // ======================================================================
-  // Event-analytics extensions: sessionization, funnel, retention, tf-idf
-  // ======================================================================
-
-  /** Batch sessionization: 30-min-gap sessions via lag + running sum —
-    * the batch twin of StreamingFact.sessionize. Frames are ROWS-bound
-    * explicitly (DuckDB's default SUM frame is RANGE, which groups
-    * peer rows differently). */
-  private val sessionBatch = Q("session_batch",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"))
-      graft.etl.Temporal.sessionizeBatch(ev, "user_id", "ts_us",
-        "event_id")
-        .orderBy("user_id", "session_id")
-    },
-    Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
-      MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
-      FROM (
-        SELECT user_id, event_id, ts_us,
-          CAST(SUM(new_sess) OVER (PARTITION BY user_id
-            ORDER BY ts_us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS session_id
-        FROM (
-          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
-              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
-          FROM events))
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** Funnel: users whose first 'purchase' follows their first 'signup'.
-    */
-  private val funnel = Q("funnel_signup_purchase",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-      val signup = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(min(col("ts_us")).as("first_signup"))
-      val converted = ev.filter(col("event_type") === "purchase")
-        .join(signup, Seq("user_id"))
-        .filter(col("ts_us") > col("first_signup"))
-        .select("user_id").distinct()
-      signup.agg(count(lit(1)).as("n_signup_users"))
-        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
-    },
-    Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS first_signup
-        FROM events WHERE event_type = 'signup' GROUP BY 1),
-      p AS (SELECT DISTINCT e.user_id FROM events e
-        JOIN s ON e.user_id = s.user_id
-        WHERE e.event_type = 'purchase'
-          AND epoch_us(e.ts) > s.first_signup)
-      SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
-             (SELECT COUNT(*) FROM p) AS n_converted"""))
-
-  /** Three-stage sequential funnel: signup → first click AFTER signup →
-    * first purchase AFTER that click. Each stage joins on the previous
-    * stage's first-timestamp, so ordering constraints are enforced, not
-    * just set membership. */
-  private val funnel3 = Q("funnel_3stage",
-    (s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts_us")).as("fs"))
-      val ck = ev.filter(col("event_type") === "click")
-        .join(sg, Seq("user_id"))
-        .filter(col("ts_us") > col("fs"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .join(ck, Seq("user_id"))
-        .filter(col("ts_us") > col("fc"))
-        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
-      sg.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(ck.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
-    },
-    Some("""WITH sg AS (SELECT user_id, MIN(epoch_us(ts)) AS fs
-        FROM events WHERE event_type = 'signup' GROUP BY 1),
-      ck AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
-        FROM events e JOIN sg ON e.user_id = sg.user_id
-        WHERE e.event_type = 'click' AND epoch_us(e.ts) > sg.fs
-        GROUP BY 1),
-      pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp
-        FROM events e JOIN ck ON e.user_id = ck.user_id
-        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.fc
-        GROUP BY 1)
-      SELECT (SELECT COUNT(*) FROM sg) AS n_signup,
-             (SELECT COUNT(*) FROM ck) AS n_click_after,
-             (SELECT COUNT(*) FROM pu) AS n_purchase_after"""))
-
-  /** Retention cohorts: users grouped by first-seen day, activity
-    * counted per whole-week offset. */
-  private val retention = Q("retention_cohorts",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val first = ev.groupBy("user_id")
-        .agg(min(col("day")).as("cohort_day"))
-      ev.join(first, Seq("user_id"))
-        .select(col("cohort_day"),
-          floor(datediff(col("day"), col("cohort_day")) / 7)
-            .cast("long").as("week_offset"),
-          col("user_id"))
-        .distinct()
-        .groupBy("cohort_day", "week_offset")
-        .agg(count(lit(1)).as("active_users"))
-        .orderBy("cohort_day", "week_offset")
-    },
-    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-        FROM events GROUP BY 1)
-      SELECT cohort_day, week_offset, COUNT(*) AS active_users FROM (
-        SELECT DISTINCT f.cohort_day,
-          CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
-          e.user_id
-        FROM events e JOIN f ON e.user_id = f.user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** Smoothed TF-IDF over whitespace tokens, bounded doc set. The
-    * explode→groupBy(term) pattern is the canonical two-shuffle text
-    * pipeline; N and df are exact counts. */
-  private val textTfidf = Q("text_tfidf",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("doc_id") < 50 && col("text").isNotNull &&
-          trim(col("text")) =!= "")
-      val terms = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
-      val tf = terms.groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term")
-        .agg(count(lit(1)).as("df"))
-      val n = docs.select(count(lit(1)).as("n_docs"))
-      tf.join(df, Seq("term")).crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          // round(…,6): JVM Math.log and libm ln differ in the last
-          // ulp for some inputs; 6-dp rounding absorbs it (tf/df stay
-          // exact)
-          round(col("tf").cast("double") *
-            (log((col("n_docs").cast("double") + 1.0) /
-              (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
-        .orderBy("doc_id", "term")
-    },
-    Some("""WITH docs AS (SELECT doc_id, text FROM documents
-        WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) != ''),
-      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
-          trim(lower(text)), '\s+')) AS term FROM docs),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
-        WHERE term != '' GROUP BY 1, 2),
-      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      n AS (SELECT COUNT(*) AS n_docs FROM docs)
-      SELECT tf.doc_id, tf.term AS term, tf.tf, df.df,
-        ROUND(CAST(tf.tf AS DOUBLE) *
-          (ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
-            (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
-      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-      ORDER BY doc_id, tf.term"""))
-
-
-  // ======================================================================
-  // Relational completeness: set ops, semi/anti, pivot, rollup, moments,
-  // as-of join
-  // ======================================================================
-
-  /** Salted join, oracled for RESULT EQUIVALENCE with the plain join:
-    * the salt machinery (deterministic row-hash sub-keys on the fact
-    * side, `saltFactor`× replication of the dim side —
-    * [[graft.etl.Skew.saltedJoin]]) must be invisible in the output.
-    * The oracle is the unsalted SQL join, so any salt-induced row loss,
-    * duplication, or column drift fails the hash. */
-  private val skewSaltedJoin = Q("skew_salted_join",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-      val dim = t(s, dir, "customer")
-        .select(col("c_custkey").as("user_id"),
-          col("c_mktsegment").as("segment"))
-      graft.etl.Skew.saltedJoin(ev, dim, "user_id", saltFactor = 8)
-        .groupBy("segment", "event_type")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("segment", "event_type")
-    },
-    Some("""SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
-      FROM events JOIN customer ON user_id = c_custkey
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** The skew diagnosis that decides WHICH keys need salting
-    * ([[graft.etl.Skew.keySkewReport]]): top hot keys by row count,
-    * deterministic tie-break. At 100 TB this runs on a sample; the
-    * operator shape is identical. */
-  private val skewReport = Q("skew_report",
-    (s, dir) =>
-      graft.etl.Skew.keySkewReport(events(s, dir), "user_id", topN = 20),
-    Some("""SELECT user_id, COUNT(*) AS rows FROM events
-      GROUP BY 1 ORDER BY rows DESC, user_id LIMIT 20"""))
-
-  /** Fixed-width numeric histogram over the value measure — bin
-    * boundaries derived from the corpus min (floor((v-min)/width)), one
-    * aggregate + one scan, no window. */
-  private val valueHistogram = Q("value_histogram",
-    (s, dir) => {
-      val ev = events(s, dir).filter(col("value").isNotNull)
-      val bounds = ev.agg(min(col("value")).as("mn"))
-      ev.crossJoin(broadcast(bounds))
-        .select(floor((col("value") - col("mn")) / lit(10.0))
-          .cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n"))
-        .orderBy("bin")
-    },
-    Some("""WITH b AS (SELECT MIN(value) AS mn FROM events
-        WHERE value IS NOT NULL)
-      SELECT CAST(FLOOR((value - mn) / 10.0) AS BIGINT) AS bin,
-        COUNT(*) AS n
-      FROM events, b WHERE value IS NOT NULL
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** INTERSECT / EXCEPT set operations. */
-  private val setOps = Q("set_ops",
-    (s, dir) => {
-      val ev = events(s, dir)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("id")).distinct()
-      val g = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("id")).distinct()
-      p.intersect(g).withColumn("op", lit("intersect"))
-        .unionByName(g.except(p).withColumn("op", lit("except")))
-        .orderBy("op", "id")
-    },
-    Some("""WITH p AS (SELECT DISTINCT user_id AS id FROM events
-        WHERE event_type = 'purchase'),
-      s AS (SELECT DISTINCT user_id AS id FROM events
-        WHERE event_type = 'signup')
-      SELECT id, 'intersect' AS op FROM (SELECT id FROM p INTERSECT SELECT id FROM s)
-      UNION ALL
-      SELECT id, 'except' AS op FROM (SELECT id FROM s EXCEPT SELECT id FROM p)
-      ORDER BY op, id"""))
-
-  /** FULL OUTER join — both-sides null extension; keys coalesced so
-    * the output order stays total and non-null. */
-  private val fullOuterJoin = Q("full_outer_join",
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").as("ck"), col("c_mktsegment"))
-      val o = t(s, dir, "orders")
-        .groupBy(col("o_custkey").as("ok"))
-        .agg(count(lit(1)).as("n_orders"))
-      c.join(o, col("ck") === col("ok"), "full_outer")
-        .select(coalesce(col("ck"), col("ok")).as("custkey"),
-          coalesce(col("c_mktsegment"), lit("(no customer)"))
-            .as("segment"),
-          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-        .orderBy("custkey")
-    },
-    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
-      COALESCE(c.c_mktsegment, '(no customer)') AS segment,
-      COALESCE(o.n_orders, 0) AS n_orders
-      FROM customer c
-      FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
-        FROM orders GROUP BY 1) o
-      ON c.c_custkey = o.o_custkey
-      ORDER BY custkey"""))
-
-  /** left_semi / left_anti joins (EXISTS / NOT EXISTS). */
-  private val semiAnti = Q("semi_anti_join",
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .select(col("c_custkey").as("id")).withColumn("op", lit("semi"))
-      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select(col("c_custkey").as("id")).withColumn("op", lit("anti"))
-      semi.unionByName(anti).orderBy("op", "id")
-    },
-    Some("""SELECT c_custkey AS id, 'semi' AS op FROM customer
-      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      UNION ALL
-      SELECT c_custkey AS id, 'anti' AS op FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      ORDER BY op, id"""))
-
-  /** Pivot: quantity matrix returnflag × linestatus (explicit pivot
-    * values keep the output schema static — mandatory at scale, a
-    * values-discovery pass is an extra job). */
-  private val pivotFlagStatus = Q("pivot_flag_status",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag").as("returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(dsum(col("l_quantity")))
-        .orderBy("returnflag"),
-    Some("""SELECT l_returnflag AS returnflag,
-      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
-      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
-      FROM lineitem GROUP BY 1 ORDER BY 1"""))
-
-  /** ROLLUP over (region, nation) with GROUPING indicators; subtotal
-    * rows get 'ALL' labels so order keys stay non-null. */
-  private val rollupRegionNation = Q("rollup_region_nation",
-    (s, dir) =>
-      t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(
-          grouping(col("r_name")).cast("int").as("g_region"),
-          grouping(col("n_name")).cast("int").as("g_nation"),
-          dsum(col("c_acctbal")).as("total_acctbal"))
-        .select(
-          coalesce(col("r_name"), lit("ALL")).as("region"),
-          coalesce(col("n_name"), lit("ALL")).as("nation"),
-          col("g_region"), col("g_nation"), col("total_acctbal"))
-        .orderBy("g_region", "g_nation", "region", "nation"),
-    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
-      COALESCE(n_name, 'ALL') AS nation,
-      CAST(GROUPING(r_name) AS INTEGER) AS g_region,
-      CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-      FROM customer
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY ROLLUP(r_name, n_name)
-      ORDER BY g_region, g_nation, region, nation"""))
-
-  /** CUBE over (returnflag, linestatus): all four grouping combinations
-    * (both, each alone, grand total) with GROUPING indicators. */
-  private val cubeFlagStatus = Q("cube_flag_status",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          grouping(col("l_returnflag")).cast("int").as("g_flag"),
-          grouping(col("l_linestatus")).cast("int").as("g_status"),
-          dsum(col("l_quantity")).as("total_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("g_flag"), col("g_status"), col("total_qty"))
-        .orderBy("g_flag", "g_status", "returnflag", "linestatus"),
-    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-      COALESCE(l_linestatus, 'ALL') AS linestatus,
-      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
-      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-      ORDER BY g_flag, g_status, returnflag, linestatus"""))
-
-  /** Unpivot (melt) — the inverse of pivot: wide measure columns to
-    * (measure, value) long form, schema static by construction. */
-  private val unpivotMeasures = Q("unpivot_measures",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_orderkey") < 100)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("double").as("quantity"),
-          col("l_extendedprice").cast("double").as("extendedprice"),
-          col("l_discount").cast("double").as("discount"))
-        .unpivot(
-          Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("quantity"), col("extendedprice"), col("discount")),
-          "measure", "value")
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // data — value joins the sort to totalize the order
-        .orderBy("l_orderkey", "l_linenumber", "measure", "value"),
-    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
-        SELECT l_orderkey, l_linenumber,
-          CAST(l_quantity AS DOUBLE) AS quantity,
-          CAST(l_extendedprice AS DOUBLE) AS extendedprice,
-          CAST(l_discount AS DOUBLE) AS discount
-        FROM lineitem WHERE l_orderkey < 100)
-      UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
-      ORDER BY l_orderkey, l_linenumber, measure, value"""))
-
-  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
-    * here per-region totals and per-segment totals in one pass, no
-    * union of two aggregations. */
-  private val groupingSets = Q("grouping_sets_region_segment",
-    (s, dir) => {
-      val joined = t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
-      joined.groupingSets(
-          Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
-          col("r_name"), col("c_mktsegment"))
-        .agg(dsum(col("c_acctbal")).as("total_acctbal"),
-          count(lit(1)).as("n"))
-        .select(
-          coalesce(col("r_name"), lit("ALL")).as("region"),
-          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
-          col("total_acctbal"), col("n"))
-        .orderBy("region", "segment")
-    },
-    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
-      COALESCE(c_mktsegment, 'ALL') AS segment,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
-      COUNT(*) AS n
-      FROM customer
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
-      ORDER BY region, segment"""))
-
-  /** OFFSET pagination under a total order — page 3 of the event log
-    * (rows 20-29). Driver-side only at the LIMIT boundary; the sort is
-    * a TakeOrdered, not a full materialization. */
-  private val limitOffset = Q("limit_offset_page",
-    (s, dir) =>
-      events(s, dir).select("event_id", "user_id", "event_type")
-        .orderBy("event_id").offset(20).limit(10),
-    Some("""SELECT event_id, user_id, event_type FROM events
-      ORDER BY event_id LIMIT 10 OFFSET 20"""))
-
-  /** RANGE-interval window: per-user running sum over the PRECEDING
-    * HOUR of event time (a value-range frame, not a row-count frame —
-    * rows at unequal spacing see different peer sets). Partitioned by
-    * user: scale-safe. */
-  private val rangeWindowSum = Q("range_window_sum",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          coalesce(col("value"), lit(0.0)).cast(DecimalType(18, 2))
-            .as("v"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-        .rangeBetween(-3600L * 1000000L, 0)
-      ev.select(col("user_id"), col("event_id"),
-          sum(col("v")).over(w).cast("double").as("sum_1h"))
-        .orderBy("user_id", "event_id")
-    },
-    Some("""SELECT user_id, event_id,
-      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) OVER (
-        PARTITION BY user_id ORDER BY epoch_us(ts)
-        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        AS sum_1h
-      FROM events ORDER BY user_id, event_id"""))
-
-  /** Sample variance / stddev / correlation from EXACT decimal moment
-    * sums (float moment aggregates are shuffle-order-dependent and can
-    * never hash-match across engines; decimal sums make the final
-    * double arithmetic a fixed expression over identical inputs). */
-  private val statsExact = Q("stats_exact",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      def d2(c: Column) = sum(c.cast(DecimalType(18, 2))).cast("double")
-      def d4(c: Column) = sum(c.cast(DecimalType(38, 4))).cast("double")
-      li.agg(
-        count(lit(1)).cast("double").as("n"),
-        d2(col("l_extendedprice")).as("sx"),
-        d4(col("l_extendedprice") * col("l_extendedprice")).as("sxx"),
-        d2(col("l_quantity")).as("sy"),
-        d4(col("l_quantity") * col("l_quantity")).as("syy"),
-        d4(col("l_extendedprice") * col("l_quantity")).as("sxy"))
-        .select(
-          ((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1.0)).as("var_price"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1.0)).as("stddev_price"),
-          ((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-              sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
-            .as("corr_price_qty"))
-    },
-    Some("""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS syy,
-        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
-      FROM lineitem)
-      SELECT (sxx - sx * sx / n) / (n - 1.0) AS var_price,
-        sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_price,
-        (sxy - sx * sy / n) /
-          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
-      FROM m"""))
-
-  /** 7-day moving average of the daily measure: window sums stay in
-    * exact decimal through the ROWS frame, divided in double at the
-    * end. Global ordered window — fine at daily grain (one row per
-    * day); a per-key moving average would partition first. */
-  private val movingAvg7d = Q("kpi_moving_avg_7d",
-    (s, dir) => {
-      val daily = events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("date"))
-        .agg(sum(coalesce(col("value"), lit(0.0))
-          .cast(DecimalType(18, 2))).as("t_dec"))
-      val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
-      daily.select(
-        col("date"),
-        col("t_dec").cast("double").as("daily_total"),
-        (sum(col("t_dec")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double")).as("avg_7d"))
-        .orderBy("date")
-    },
-    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date,
-        SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS t_dec
-      FROM events WHERE event_type = 'purchase' GROUP BY 1)
-      SELECT date, CAST(t_dec AS DOUBLE) AS daily_total,
-        CAST(SUM(t_dec) OVER (ORDER BY date
-          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
-        CAST(COUNT(*) OVER (ORDER BY date
-          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg_7d
-      FROM d ORDER BY date"""))
-
-  /** NTILE decile segmentation of customers by balance (total order via
-    * the custkey tie-break) — computed WITHOUT a global sort via
-    * [[graft.etl.Ranking.ntileByValue]]: the raw table never funnels
-    * through one task; the only unpartitioned window runs over the
-    * value-aggregated CDF (bounded by the balance domain, not row
-    * count). Bit-identical to the window NTILE, so the oracle is
-    * unchanged. */
-  private val customerDeciles = Q("customer_deciles",
-    (s, dir) =>
-      graft.etl.Ranking.ntileByValue(
-        t(s, dir, "customer"), "c_acctbal", "c_custkey", 10)
-        .withColumnRenamed("ntile", "decile")
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n"),
-          min(col("c_acctbal")).as("min_bal"),
-          max(col("c_acctbal")).as("max_bal"))
-        .orderBy("decile"),
-    Some("""SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
-        MAX(c_acctbal) AS max_bal
-      FROM (SELECT c_acctbal,
-        NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-        FROM customer)
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** Invariants of the continuous-domain NTILE ([[graft.etl.Ranking
-    * .ntileApprox]]), oracle-checked against constants: bucket
-    * assignment must be monotone in the order value (no adjacent-bucket
-    * inversion) and total (every row lands in a bucket). The bucket
-    * POPULATIONS are approximate by design — that is the trade that
-    * buys a plan with zero windows — but order correctness and
-    * totality are exact properties, so they gate like any other
-    * oracle row. */
-  private val decilesApproxCheck = Q("deciles_approx_check",
-    (s, dir) => {
-      val cust = t(s, dir, "customer")
-      val per = graft.etl.Ranking.ntileApprox(cust, "c_acctbal", 10)
-        .groupBy("ntile")
-        .agg(count(lit(1)).as("n"),
-          min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
-      val w = Window.orderBy(col("ntile"))
-      val stats = per.withColumn("prev_mx", lag(col("mx"), 1).over(w))
-      val total = cust.agg(count(lit(1)).as("total"))
-      stats.agg(
-        count(when(col("prev_mx") > col("mn"), 1)).as("order_violations"),
-        sum(col("n")).as("assigned"))
-        .crossJoin(total)
-        .select(col("order_violations"),
-          (col("total") - col("assigned")).as("unassigned"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS order_violations,
-      CAST(0 AS BIGINT) AS unassigned"""))
-
-  /** SCD Type-2 dimension maintenance over the customer dim: a
-    * deterministic update batch (every 7th key gets a new segment) is
-    * merged into a versioned snapshot — changed keys close their old
-    * version at the effective date and open a new current one, full
-    * history retained. See [[graft.etl.Scd.scd2Merge]]. */
-  private val scd2Customer = Q("scd2_customer",
-    (s, dir) => {
-      val cust = t(s, dir, "customer")
-      val current = cust.select(col("c_custkey").as("key"),
-        col("c_mktsegment").as("segment"),
-        to_date(lit("2024-01-01")).as("valid_from"),
-        lit(null).cast("date").as("valid_to"),
-        lit(true).as("is_current"))
-      val updates = cust.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey").as("key"), lit("UPDATED").as("segment"))
-      graft.etl.Scd.scd2Merge(current, updates, "key", Seq("segment"),
-        to_date(lit("2024-06-01")))
-        .select("key", "segment", "valid_from", "valid_to", "is_current")
-        .orderBy("key", "valid_from")
-    },
-    Some("""WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment
-        FROM customer),
-      changed AS (SELECT u.key, u.segment FROM
-        (SELECT c_custkey AS key, 'UPDATED' AS segment FROM customer
-         WHERE c_custkey % 7 = 0) u
-        JOIN cur c ON u.key = c.key
-        WHERE u.segment IS DISTINCT FROM c.segment)
-      SELECT key, segment, CAST('2024-01-01' AS DATE) AS valid_from,
-        CASE WHEN key IN (SELECT key FROM changed)
-          THEN CAST('2024-06-01' AS DATE) END AS valid_to,
-        key NOT IN (SELECT key FROM changed) AS is_current
-      FROM cur
-      UNION ALL
-      SELECT key, segment, CAST('2024-06-01' AS DATE) AS valid_from,
-        NULL AS valid_to, true AS is_current
-      FROM changed
-      ORDER BY key, valid_from"""))
-
-  /** Rank-function family on a partitioned window: dense_rank,
-    * percent_rank, cume_dist per market segment by (acctbal, custkey)
-    * — the tie-break totalizes the order so ranks are deterministic;
-    * the rank ratios are exact integer divisions evaluated identically
-    * in both engines. Bounded id range keeps the output readable. */
-  private val windowRanks = Q("window_ranks",
-    (s, dir) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .filter(col("c_custkey") < 200)
-        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
-          dense_rank().over(w).cast("long").as("drank"),
-          percent_rank().over(w).as("prank"),
-          cume_dist().over(w).as("cdist"))
-        .orderBy("segment", "c_custkey")
-    },
-    Some("""SELECT c_mktsegment AS segment, c_custkey,
-      CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
-      PERCENT_RANK() OVER w AS prank,
-      CUME_DIST() OVER w AS cdist
-      FROM customer WHERE c_custkey < 200
-      WINDOW w AS (PARTITION BY c_mktsegment
-        ORDER BY c_acctbal, c_custkey)
-      ORDER BY segment, c_custkey"""))
-
-  /** Date-spine gap fill: a generated calendar left-joined to the daily
-    * counts so empty days appear as zeros (every reporting layer needs
-    * this; a missing day is not the same as a zero day). */
-  private val dailySpine = Q("kpi_daily_spine",
-    (s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(to_date(col("ts")).as("date"))
-        .agg(count(lit(1)).as("n"))
-      val spine = daily.agg(min(col("date")).as("mn"),
-        max(col("date")).as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"))).as("date"))
-      spine.join(daily, Seq("date"), "left")
-        .select(col("date"), coalesce(col("n"), lit(0L)).as("n_events"))
-        .orderBy("date")
-    },
-    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
-        FROM events GROUP BY 1),
-      b AS (SELECT MIN(date) AS mn, MAX(date) AS mx FROM d),
-      spine AS (SELECT CAST(unnest(generate_series(mn, mx,
-        INTERVAL 1 DAY)) AS DATE) AS date FROM b)
-      SELECT s.date, COALESCE(d.n, 0) AS n_events
-      FROM spine s LEFT JOIN d USING (date) ORDER BY s.date"""))
-
-  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
-    * `quantile_cont` share the linear-interpolation definition and
-    * produce bit-identical doubles (verified empirically). */
-  private val statsQuantiles = Q("stats_quantiles",
-    (s, dir) =>
-      events(s, dir).agg(
-        expr("percentile(value, 0.25)").as("p25"),
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.75)").as("p75"),
-        expr("percentile(value, 0.95)").as("p95")),
-    Some("""SELECT quantile_cont(value, 0.25) AS p25,
-      quantile_cont(value, 0.5) AS p50,
-      quantile_cont(value, 0.75) AS p75,
-      quantile_cont(value, 0.95) AS p95 FROM events"""))
-
-  /** Grouped exact percentiles — the partitioned (scale-safe) form of
-    * stats_quantiles: one sort per group key, not one global sort. */
-  private val statsQuantilesByGroup = Q("stats_quantiles_by_group",
-    (s, dir) =>
-      events(s, dir).groupBy("event_type").agg(
-        expr("percentile(value, 0.25)").as("p25"),
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.75)").as("p75"))
-        .orderBy("event_type"),
-    Some("""SELECT event_type, quantile_cont(value, 0.25) AS p25,
-      quantile_cont(value, 0.5) AS p50,
-      quantile_cont(value, 0.75) AS p75
-      FROM events GROUP BY 1 ORDER BY 1"""))
-
-  /** Rank-error invariant of `approx_percentile`, oracle-checked
-    * against a constant: with accuracy `acc`, the sketch guarantees
-    * rank error <= n/acc. For each probed quantile the TRUE rank of
-    * the returned value (counted exactly from the data) must land
-    * within that bound of p·n — the quantile-sketch counterpart of the
-    * HLL error gate in sketch_distinct_union. */
-  private val statsApproxCheck = Q("stats_approx_quantile_check",
-    (s, dir) => {
-      val acc = 1000
-      val ev = events(s, dir).filter(col("value").isNotNull)
-        .select(col("value"))
-      val apx = ev.agg(
-        expr(s"approx_percentile(value, array(0.25, 0.5, 0.75), $acc)")
-          .as("aps"),
-        count(lit(1)).as("n"))
-      val probes = apx.select(posexplode(col("aps")).as(Seq("i", "av")),
-        col("n"))
-        .withColumn("p", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
-          col("i") + 1))
-      ev.crossJoin(broadcast(probes))
-        .groupBy("i", "p", "av", "n")
-        .agg(count(when(col("value") <= col("av"), 1)).as("rank_le"))
-        .agg(count(when(
-          abs(col("rank_le").cast("double") - col("p") * col("n")) >
-            col("n").cast("double") / acc + 1.0, 1))
-          .as("rank_violations"))
-    },
-    Some("""SELECT CAST(0 AS BIGINT) AS rank_violations"""))
-
-  /** As-of join composed from built-ins (SURVEY §7.3 preference (a)):
-    * each purchase picks the latest signup at-or-before it per user,
-    * via a tagged union + last(ignoreNulls) running window — one
-    * shuffle on user, no range-join explosion. Oracle: DuckDB's native
-    * ASOF LEFT JOIN. */
-  private val asofJoin = Q("asof_join",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      val purch = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts_us")
-      val signup = ev.filter(col("event_type") === "signup")
-        .select("user_id", "ts_us", "event_id")
-      graft.etl.Temporal.asofJoinBackward(purch, signup, "user_id",
-        "ts_us", "event_id", "signup_event_id")
-        .select("event_id", "user_id", "signup_event_id")
-        .orderBy("event_id")
-    },
-    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'purchase'),
-      s AS (SELECT event_id AS signup_event_id, user_id,
-          epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'signup')
-      SELECT p.event_id, p.user_id, s.signup_event_id
-      FROM p ASOF LEFT JOIN s
-        ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
-      ORDER BY p.event_id"""))
-
-  /** Interval (range) join, scale-safe: purchases attributed to any
-    * 7-day window after a signup by the SAME user — the classic
-    * attribution query. Spark would plan the raw `BETWEEN` join as a
-    * nested loop; [[graft.etl.IntervalJoin.bucketed]] reformulates it
-    * as an equi-join on (user, day-bucket) + exact filter. Oracle:
-    * DuckDB executes the naive range join directly — same rows. */
-  private val intervalAttribution = Q("interval_attribution",
-    (s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_us"))
-      val windows = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts_us").as("lo"),
-          (col("ts_us") + lit(7L * 86400 * 1000000)).as("hi"))
-      graft.etl.IntervalJoin.bucketed(purchases, "ts_us", windows,
-        "lo", "hi", bucketWidth = 86400L * 1000000, keys = Seq("user_id"))
-        .groupBy("user_id")
-        .agg(count_distinct(col("event_id")).as("attributed_purchases"))
-        .orderBy("user_id")
-    },
-    Some("""SELECT p.user_id,
-      COUNT(DISTINCT p.event_id) AS attributed_purchases
-      FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-        WHERE event_type = 'purchase') p
-      JOIN (SELECT user_id, epoch_us(ts) AS lo,
-          epoch_us(ts) + CAST(604800000000 AS BIGINT) AS hi FROM events
-        WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
-      GROUP BY 1 ORDER BY 1"""))
-
-  // ======================================================================
+  type Q = Qdsl.Q
 
   val all: Seq[Q] = Seq(
-    factEngagement, dimMedia, dimVisitor, goldCast, safeCast,
-    variantJson, regexpExtract, filterValid, windowDedup, dupGroups,
-    qualityReport,
-    validateNulls, dqExpectations, limitSample, unionIds,
-    kpiTotalPlays, kpiAvgCompletion, kpiWatchHours, kpiEngagementRate,
-    kpiByChannel, kpiDailyTrend, kpiVideoPerformance, kpiTopVideos,
-    kpiByCountry, kpiNewVsReturning, kpiUniqueVisitors,
-    sketchDistinctUnion,
-    dedupExact, dedupMinhash, dedupSimhash, dedupMinhashPrecision,
-    dedupSimhashInvariants, dedupMinhashFloor, dedupSimhashFloor,
-    dedupNgramJaccard,
-    dedupCorpus, dedupIncremental, dedupEmbedding,
-    simTopkBrute, simTopkAgg, simTopkLsh, simTopkIvf, simLshRecall,
-    simScoreCheck, simLshRecallGate,
-    textTokenCount, textQualityProfile, textQualityGate, textLangId,
-    textFingerprint, textRollingFp, textUnigramLogprob,
-    textLangConfusion, textNfcNormalize, textPiiScrub, sampleHashSplit,
-    mixSources, docPack, corpusCurate, textDecontaminate,
-    multimodalMeta, multimodalDecode, multimodalFrames,
-    sessionBatch, funnel, funnel3, retention, textTfidf,
-    skewSaltedJoin, skewReport, valueHistogram,
-    setOps, semiAnti, fullOuterJoin, pivotFlagStatus, unpivotMeasures,
-    rollupRegionNation, groupingSets, limitOffset, rangeWindowSum,
-    cubeFlagStatus, statsExact,
-    statsQuantiles, statsQuantilesByGroup, statsApproxCheck,
-    asofJoin, intervalAttribution, movingAvg7d,
-    customerDeciles, decilesApproxCheck, scd2Customer, windowRanks,
-    dailySpine,
-    streamDaily, streamSessions, streamAttribution,
-    streamAttributionOuter)
+    QueriesCore.factEngagement, QueriesCore.dimMedia, QueriesCore.dimVisitor, QueriesCore.goldCast, QueriesCore.safeCast,
+    QueriesCore.variantJson, QueriesCore.regexpExtract, QueriesCore.filterValid, QueriesCore.windowDedup, QueriesCore.dupGroups,
+    QueriesCore.qualityReport,
+    QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.limitSample, QueriesCore.unionIds,
+    QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
+    QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
+    QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
+    QueriesKpi.sketchDistinctUnion,
+    QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
+    QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
+    QueriesDedupSim.dedupNgramJaccard,
+    QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
+    QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
+    QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
+    QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate, QueriesText.textLangId,
+    QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
+    QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
+    QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
+    QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
+    QueriesRelational.sessionBatch, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
+    QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.valueHistogram,
+    QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,
+    QueriesRelational.rollupRegionNation, QueriesRelational.groupingSets, QueriesRelational.limitOffset, QueriesRelational.rangeWindowSum,
+    QueriesRelational.cubeFlagStatus, QueriesRelational.statsExact,
+    QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
+    QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
+    QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
+    QueriesRelational.dailySpine,
+    QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
+    QueriesStreaming.streamAttributionOuter)
 }
+

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Quality, Transforms}
+import graft.kpi.Kpi
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.Qdsl._
+
+/** Registry part 2 — the KPI layer (SURVEY §2.7) plus the mergeable
+  * distinct-visitor sketch union. */
+private[graft] object QueriesKpi {
+  // ======================================================================
+  // KPI layer (SURVEY §2.7, guide p.33-34) over the lineitem star schema
+  // ======================================================================
+
+  private[graft] val kpiTotalPlays = Q("kpi_total_plays",
+    (s, dir) => Kpi.totalPlays(t(s, dir, "lineitem"), "l_quantity"),
+    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays FROM lineitem"""))
+
+  private[graft] val kpiAvgCompletion = Q("kpi_avg_completion",
+    (s, dir) => Kpi.avgCompletion(t(s, dir, "lineitem"), "l_discount"),
+    Some("""SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_completion FROM lineitem"""))
+
+  private[graft] val kpiWatchHours = Q("kpi_watch_hours",
+    (s, dir) => Kpi.totalWatchHours(t(s, dir, "lineitem"),
+      "l_extendedprice"),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 3600.0 AS total_watch_hours FROM lineitem"""))
+
+  private[graft] val kpiEngagementRate = Q("kpi_engagement_rate",
+    (s, dir) => t(s, dir, "lineitem").agg(
+      (dsum(col("l_quantity")) /
+        nullif(count_distinct(col("l_orderkey")).cast("double"),
+          lit(0.0))).as("engagement_rate")),
+    Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 0.0) AS engagement_rate FROM lineitem"""))
+
+  private[graft] val kpiByChannel = Q("kpi_by_channel",
+    (s, dir) => Kpi.videosByChannel(t(s, dir, "part"), "p_brand"),
+    Some("""SELECT p_brand AS channel, COUNT(*) AS n_videos FROM part
+      GROUP BY 1 ORDER BY 1"""))
+
+  private[graft] val kpiDailyTrend = Q("kpi_daily_trend",
+    (s, dir) => Kpi.dailyTrend(
+      t(s, dir, "lineitem").withColumn("ship_date",
+        to_date(col("l_shipdate"))),
+      "ship_date", "l_quantity"),
+    Some("""SELECT CAST(l_shipdate AS DATE) AS date,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_plays
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** K7: fact ⋈ broadcast(dim) rollup (J1 star join). */
+  private[graft] val kpiVideoPerformance = Q("kpi_video_performance",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name").as("title"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("title"),
+    Some("""SELECT p_name AS title, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** K8: top-N by measure — TakeOrdered, deterministic tie-break. */
+  private[graft] val kpiTopVideos = Q("kpi_top_videos",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name").as("title"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("title"))
+        .limit(10),
+    Some("""SELECT p_name AS title,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY revenue DESC, title LIMIT 10"""))
+
+  /** K9: 4-way dim chain — lineitem→orders→customer→nation→region, all
+    * dims broadcast. */
+  private[graft] val kpiByCountry = Q("kpi_by_country",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("country"))
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          count_distinct(col("o_custkey")).as("unique_customers"))
+        .orderBy("region", "country"),
+    Some("""SELECT r.r_name AS region, n.n_name AS country,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(DISTINCT o.o_custkey) AS unique_customers
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** K10: first-seen window → daily new-vs-returning split. */
+  private[graft] val kpiNewVsReturning = Q("kpi_new_vs_returning",
+    (s, dir) => Kpi.newVsReturning(
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("visitor_id"),
+          to_date(col("o_orderdate")).as("order_date")),
+      "visitor_id", "order_date"),
+    Some("""SELECT order_date AS date, is_new,
+      COUNT(DISTINCT visitor_id) AS visitors FROM (
+        SELECT o_custkey AS visitor_id,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CASE WHEN CAST(o_orderdate AS DATE) = MIN(CAST(o_orderdate AS DATE))
+            OVER (PARTITION BY o_custkey) THEN 1 ELSE 0 END AS is_new
+        FROM orders)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private[graft] val kpiUniqueVisitors = Q("kpi_unique_visitors",
+    (s, dir) => Kpi.uniqueVisitors(
+      t(s, dir, "orders").withColumnRenamed("o_custkey", "visitor"),
+      "visitor"),
+    Some("""SELECT COUNT(DISTINCT o_custkey) AS unique_visitors FROM orders"""))
+
+  /** Mergeable-sketch distinct counting, invariant-oracled: per-day HLL
+    * sketches of the visitor set are built once, then UNIONED to answer
+    * the all-time distinct — the architecture that answers any
+    * date-range distinct query at 100 TB from kilobyte sketches without
+    * re-touching raw data (precompute daily, merge at query time).
+    * Sketch bits are engine-specific, but the ERROR CONTRACT is not:
+    * both the merged estimate and every daily estimate must land within
+    * 5% of the exact count (HLL lgConfigK=12 ⇒ ~1.6% std error), so the
+    * registered output is the violation count — constant 0. */
+  private[graft] val sketchDistinctUnion = Q("sketch_distinct_union",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("date"), col("user_id"))
+      val daily = ev.groupBy("date")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("exact_daily"))
+      val dailyViolations = daily
+        .select(when(
+          abs(hll_sketch_estimate(col("sk")).cast("double") -
+            col("exact_daily").cast("double")) /
+            col("exact_daily").cast("double") > 0.05, 1L).otherwise(0L)
+          .as("v"))
+        .agg(sum(col("v")).as("daily_violations"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact"))
+      merged.crossJoin(exact).crossJoin(dailyViolations)
+        .select(
+          when(abs(col("est").cast("double") - col("exact").cast("double"))
+            / col("exact").cast("double") > 0.05, 1L).otherwise(0L)
+            .as("union_violations"),
+          col("daily_violations"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS union_violations,
+      CAST(0 AS BIGINT) AS daily_violations"""))
+
+}

@@ -1,0 +1,788 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Quality, Transforms}
+import graft.kpi.Kpi
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.Qdsl._
+
+/** Registry part 6 — event analytics (sessionization, funnels,
+  * retention, tf-idf), skew tooling, and the relational/statistical
+  * completeness surface (set ops, outer joins, pivot/unpivot, rollup/
+  * cube/grouping sets, windows, quantiles, SCD2, as-of/interval
+  * joins). */
+private[graft] object QueriesRelational {
+  // ======================================================================
+  // Event-analytics extensions: sessionization, funnel, retention, tf-idf
+  // ======================================================================
+
+  /** Batch sessionization: 30-min-gap sessions via lag + running sum —
+    * the batch twin of StreamingFact.sessionize. Frames are ROWS-bound
+    * explicitly (DuckDB's default SUM frame is RANGE, which groups
+    * peer rows differently). */
+  private[graft] val sessionBatch = Q("session_batch",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.etl.Temporal.sessionizeBatch(ev, "user_id", "ts_us",
+        "event_id")
+        .orderBy("user_id", "session_id")
+    },
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      FROM (
+        SELECT user_id, event_id, ts_us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Funnel: users whose first 'purchase' follows their first 'signup'.
+    */
+  private[graft] val funnel = Q("funnel_signup_purchase",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_signup"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts_us") > col("first_signup"))
+        .select("user_id").distinct()
+      signup.agg(count(lit(1)).as("n_signup_users"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+    },
+    Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT DISTINCT e.user_id FROM events e
+        JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s.first_signup)
+      SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
+             (SELECT COUNT(*) FROM p) AS n_converted"""))
+
+  /** Three-stage sequential funnel: signup → first click AFTER signup →
+    * first purchase AFTER that click. Each stage joins on the previous
+    * stage's first-timestamp, so ordering constraints are enforced, not
+    * just set membership. */
+  private[graft] val funnel3 = Q("funnel_3stage",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("fs"))
+      val ck = ev.filter(col("event_type") === "click")
+        .join(sg, Seq("user_id"))
+        .filter(col("ts_us") > col("fs"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(ck, Seq("user_id"))
+        .filter(col("ts_us") > col("fc"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
+      sg.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(ck.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""WITH sg AS (SELECT user_id, MIN(epoch_us(ts)) AS fs
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      ck AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
+        FROM events e JOIN sg ON e.user_id = sg.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > sg.fs
+        GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp
+        FROM events e JOIN ck ON e.user_id = ck.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.fc
+        GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM sg) AS n_signup,
+             (SELECT COUNT(*) FROM ck) AS n_click_after,
+             (SELECT COUNT(*) FROM pu) AS n_purchase_after"""))
+
+  /** Retention cohorts: users grouped by first-seen day, activity
+    * counted per whole-week offset. */
+  private[graft] val retention = Q("retention_cohorts",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / 7)
+            .cast("long").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1)
+      SELECT cohort_day, week_offset, COUNT(*) AS active_users FROM (
+        SELECT DISTINCT f.cohort_day,
+          CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+          e.user_id
+        FROM events e JOIN f ON e.user_id = f.user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Smoothed TF-IDF over whitespace tokens, bounded doc set. The
+    * explode→groupBy(term) pattern is the canonical two-shuffle text
+    * pipeline; N and df are exact counts. */
+  private[graft] val textTfidf = Q("text_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 50 && col("text").isNotNull &&
+          trim(col("text")) =!= "")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          // round(…,6): JVM Math.log and libm ln differ in the last
+          // ulp for some inputs; 6-dp rounding absorbs it (tf/df stay
+          // exact)
+          round(col("tf").cast("double") *
+            (log((col("n_docs").cast("double") + 1.0) /
+              (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) != ''),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
+          trim(lower(text)), '\s+')) AS term FROM docs),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        WHERE term != '' GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM docs)
+      SELECT tf.doc_id, tf.term AS term, tf.tf, df.df,
+        ROUND(CAST(tf.tf AS DOUBLE) *
+          (ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
+            (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      ORDER BY doc_id, tf.term"""))
+
+
+  // ======================================================================
+  // Relational completeness: set ops, semi/anti, pivot, rollup, moments,
+  // as-of join
+  // ======================================================================
+
+  /** Salted join, oracled for RESULT EQUIVALENCE with the plain join:
+    * the salt machinery (deterministic row-hash sub-keys on the fact
+    * side, `saltFactor`× replication of the dim side —
+    * [[graft.etl.Skew.saltedJoin]]) must be invisible in the output.
+    * The oracle is the unsalted SQL join, so any salt-induced row loss,
+    * duplication, or column drift fails the hash. */
+  private[graft] val skewSaltedJoin = Q("skew_salted_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      graft.etl.Skew.saltedJoin(ev, dim, "user_id", saltFactor = 8)
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment", "event_type")
+    },
+    Some("""SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** The skew diagnosis that decides WHICH keys need salting
+    * ([[graft.etl.Skew.keySkewReport]]): top hot keys by row count,
+    * deterministic tie-break. At 100 TB this runs on a sample; the
+    * operator shape is identical. */
+  private[graft] val skewReport = Q("skew_report",
+    (s, dir) =>
+      graft.etl.Skew.keySkewReport(events(s, dir), "user_id", topN = 20),
+    Some("""SELECT user_id, COUNT(*) AS rows FROM events
+      GROUP BY 1 ORDER BY rows DESC, user_id LIMIT 20"""))
+
+  /** Fixed-width numeric histogram over the value measure — bin
+    * boundaries derived from the corpus min (floor((v-min)/width)), one
+    * aggregate + one scan, no window. */
+  private[graft] val valueHistogram = Q("value_histogram",
+    (s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val bounds = ev.agg(min(col("value")).as("mn"))
+      ev.crossJoin(broadcast(bounds))
+        .select(floor((col("value") - col("mn")) / lit(10.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT MIN(value) AS mn FROM events
+        WHERE value IS NOT NULL)
+      SELECT CAST(FLOOR((value - mn) / 10.0) AS BIGINT) AS bin,
+        COUNT(*) AS n
+      FROM events, b WHERE value IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** INTERSECT / EXCEPT set operations. */
+  private[graft] val setOps = Q("set_ops",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("id")).distinct()
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("id")).distinct()
+      p.intersect(g).withColumn("op", lit("intersect"))
+        .unionByName(g.except(p).withColumn("op", lit("except")))
+        .orderBy("op", "id")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id AS id FROM events
+        WHERE event_type = 'purchase'),
+      s AS (SELECT DISTINCT user_id AS id FROM events
+        WHERE event_type = 'signup')
+      SELECT id, 'intersect' AS op FROM (SELECT id FROM p INTERSECT SELECT id FROM s)
+      UNION ALL
+      SELECT id, 'except' AS op FROM (SELECT id FROM s EXCEPT SELECT id FROM p)
+      ORDER BY op, id"""))
+
+  /** FULL OUTER join — both-sides null extension; keys coalesced so
+    * the output order stays total and non-null. */
+  private[graft] val fullOuterJoin = Q("full_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ok"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("ck") === col("ok"), "full_outer")
+        .select(coalesce(col("ck"), col("ok")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("(no customer)"))
+            .as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      COALESCE(c.c_mktsegment, '(no customer)') AS segment,
+      COALESCE(o.n_orders, 0) AS n_orders
+      FROM customer c
+      FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY custkey"""))
+
+  /** left_semi / left_anti joins (EXISTS / NOT EXISTS). */
+  private[graft] val semiAnti = Q("semi_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("id")).withColumn("op", lit("semi"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("id")).withColumn("op", lit("anti"))
+      semi.unionByName(anti).orderBy("op", "id")
+    },
+    Some("""SELECT c_custkey AS id, 'semi' AS op FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey AS id, 'anti' AS op FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY op, id"""))
+
+  /** Pivot: quantity matrix returnflag × linestatus (explicit pivot
+    * values keep the output schema static — mandatory at scale, a
+    * values-discovery pass is an extra job). */
+  private[graft] val pivotFlagStatus = Q("pivot_flag_status",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("returnflag"),
+    Some("""SELECT l_returnflag AS returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** ROLLUP over (region, nation) with GROUPING indicators; subtotal
+    * rows get 'ALL' labels so order keys stay non-null. */
+  private[graft] val rollupRegionNation = Q("rollup_region_nation",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("g_region"), col("g_nation"), col("total_acctbal"))
+        .orderBy("g_region", "g_nation", "region", "nation"),
+    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+      COALESCE(n_name, 'ALL') AS nation,
+      CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+      CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_region, g_nation, region, nation"""))
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * (both, each alone, grand total) with GROUPING indicators. */
+  private[graft] val cubeFlagStatus = Q("cube_flag_status",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_flag"), col("g_status"), col("total_qty"))
+        .orderBy("g_flag", "g_status", "returnflag", "linestatus"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, returnflag, linestatus"""))
+
+  /** Unpivot (melt) — the inverse of pivot: wide measure columns to
+    * (measure, value) long form, schema static by construction. */
+  private[graft] val unpivotMeasures = Q("unpivot_measures",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — value joins the sort to totalize the order
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_quantity AS DOUBLE) AS quantity,
+          CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+          CAST(l_discount AS DOUBLE) AS discount
+        FROM lineitem WHERE l_orderkey < 100)
+      UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+      ORDER BY l_orderkey, l_linenumber, measure, value"""))
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * here per-region totals and per-segment totals in one pass, no
+    * union of two aggregations. */
+  private[graft] val groupingSets = Q("grouping_sets_region_segment",
+    (s, dir) => {
+      val joined = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
+          col("r_name"), col("c_mktsegment"))
+        .agg(dsum(col("c_acctbal")).as("total_acctbal"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("total_acctbal"), col("n"))
+        .orderBy("region", "segment")
+    },
+    Some("""SELECT COALESCE(r_name, 'ALL') AS region,
+      COALESCE(c_mktsegment, 'ALL') AS segment,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      COUNT(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+      ORDER BY region, segment"""))
+
+  /** OFFSET pagination under a total order — page 3 of the event log
+    * (rows 20-29). Driver-side only at the LIMIT boundary; the sort is
+    * a TakeOrdered, not a full materialization. */
+  private[graft] val limitOffset = Q("limit_offset_page",
+    (s, dir) =>
+      events(s, dir).select("event_id", "user_id", "event_type")
+        .orderBy("event_id").offset(20).limit(10),
+    Some("""SELECT event_id, user_id, event_type FROM events
+      ORDER BY event_id LIMIT 10 OFFSET 20"""))
+
+  /** RANGE-interval window: per-user running sum over the PRECEDING
+    * HOUR of event time (a value-range frame, not a row-count frame —
+    * rows at unequal spacing see different peer sets). Partitioned by
+    * user: scale-safe. */
+  private[graft] val rangeWindowSum = Q("range_window_sum",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("value"), lit(0.0)).cast(DecimalType(18, 2))
+            .as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      ev.select(col("user_id"), col("event_id"),
+          sum(col("v")).over(w).cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+      CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS sum_1h
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** Sample variance / stddev / correlation from EXACT decimal moment
+    * sums (float moment aggregates are shuffle-order-dependent and can
+    * never hash-match across engines; decimal sums make the final
+    * double arithmetic a fixed expression over identical inputs). */
+  private[graft] val statsExact = Q("stats_exact",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def d2(c: Column) = sum(c.cast(DecimalType(18, 2))).cast("double")
+      def d4(c: Column) = sum(c.cast(DecimalType(38, 4))).cast("double")
+      li.agg(
+        count(lit(1)).cast("double").as("n"),
+        d2(col("l_extendedprice")).as("sx"),
+        d4(col("l_extendedprice") * col("l_extendedprice")).as("sxx"),
+        d2(col("l_quantity")).as("sy"),
+        d4(col("l_quantity") * col("l_quantity")).as("syy"),
+        d4(col("l_extendedprice") * col("l_quantity")).as("sxy"))
+        .select(
+          ((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0)).as("stddev_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_price_qty"))
+    },
+    Some("""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      FROM lineitem)
+      SELECT (sxx - sx * sx / n) / (n - 1.0) AS var_price,
+        sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_price,
+        (sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+      FROM m"""))
+
+  /** 7-day moving average of the daily measure: window sums stay in
+    * exact decimal through the ROWS frame, divided in double at the
+    * end. Global ordered window — fine at daily grain (one row per
+    * day); a per-key moving average would partition first. */
+  private[graft] val movingAvg7d = Q("kpi_moving_avg_7d",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(sum(coalesce(col("value"), lit(0.0))
+          .cast(DecimalType(18, 2))).as("t_dec"))
+      val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+      daily.select(
+        col("date"),
+        col("t_dec").cast("double").as("daily_total"),
+        (sum(col("t_dec")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_7d"))
+        .orderBy("date")
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date,
+        SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))) AS t_dec
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT date, CAST(t_dec AS DOUBLE) AS daily_total,
+        CAST(SUM(t_dec) OVER (ORDER BY date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST(COUNT(*) OVER (ORDER BY date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg_7d
+      FROM d ORDER BY date"""))
+
+  /** NTILE decile segmentation of customers by balance (total order via
+    * the custkey tie-break) — computed WITHOUT a global sort via
+    * [[graft.etl.Ranking.ntileByValue]]: the raw table never funnels
+    * through one task; the only unpartitioned window runs over the
+    * value-aggregated CDF (bounded by the balance domain, not row
+    * count). Bit-identical to the window NTILE, so the oracle is
+    * unchanged. */
+  private[graft] val customerDeciles = Q("customer_deciles",
+    (s, dir) =>
+      graft.etl.Ranking.ntileByValue(
+        t(s, dir, "customer"), "c_acctbal", "c_custkey", 10)
+        .withColumnRenamed("ntile", "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("decile"),
+    Some("""SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal,
+        MAX(c_acctbal) AS max_bal
+      FROM (SELECT c_acctbal,
+        NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Invariants of the continuous-domain NTILE ([[graft.etl.Ranking
+    * .ntileApprox]]), oracle-checked against constants: bucket
+    * assignment must be monotone in the order value (no adjacent-bucket
+    * inversion) and total (every row lands in a bucket). The bucket
+    * POPULATIONS are approximate by design — that is the trade that
+    * buys a plan with zero windows — but order correctness and
+    * totality are exact properties, so they gate like any other
+    * oracle row. */
+  private[graft] val decilesApproxCheck = Q("deciles_approx_check",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val per = graft.etl.Ranking.ntileApprox(cust, "c_acctbal", 10)
+        .groupBy("ntile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+      val w = Window.orderBy(col("ntile"))
+      val stats = per.withColumn("prev_mx", lag(col("mx"), 1).over(w))
+      val total = cust.agg(count(lit(1)).as("total"))
+      stats.agg(
+        count(when(col("prev_mx") > col("mn"), 1)).as("order_violations"),
+        sum(col("n")).as("assigned"))
+        .crossJoin(total)
+        .select(col("order_violations"),
+          (col("total") - col("assigned")).as("unassigned"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS order_violations,
+      CAST(0 AS BIGINT) AS unassigned"""))
+
+  /** SCD Type-2 dimension maintenance over the customer dim: a
+    * deterministic update batch (every 7th key gets a new segment) is
+    * merged into a versioned snapshot — changed keys close their old
+    * version at the effective date and open a new current one, full
+    * history retained. See [[graft.etl.Scd.scd2Merge]]. */
+  private[graft] val scd2Customer = Q("scd2_customer",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val current = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("key"), lit("UPDATED").as("segment"))
+      graft.etl.Scd.scd2Merge(current, updates, "key", Seq("segment"),
+        to_date(lit("2024-06-01")))
+        .select("key", "segment", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "valid_from")
+    },
+    Some("""WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment
+        FROM customer),
+      changed AS (SELECT u.key, u.segment FROM
+        (SELECT c_custkey AS key, 'UPDATED' AS segment FROM customer
+         WHERE c_custkey % 7 = 0) u
+        JOIN cur c ON u.key = c.key
+        WHERE u.segment IS DISTINCT FROM c.segment)
+      SELECT key, segment, CAST('2024-01-01' AS DATE) AS valid_from,
+        CASE WHEN key IN (SELECT key FROM changed)
+          THEN CAST('2024-06-01' AS DATE) END AS valid_to,
+        key NOT IN (SELECT key FROM changed) AS is_current
+      FROM cur
+      UNION ALL
+      SELECT key, segment, CAST('2024-06-01' AS DATE) AS valid_from,
+        NULL AS valid_to, true AS is_current
+      FROM changed
+      ORDER BY key, valid_from"""))
+
+  /** Rank-function family on a partitioned window: dense_rank,
+    * percent_rank, cume_dist per market segment by (acctbal, custkey)
+    * — the tie-break totalizes the order so ranks are deterministic;
+    * the rank ratios are exact integer divisions evaluated identically
+    * in both engines. Bounded id range keeps the output readable. */
+  private[graft] val windowRanks = Q("window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("segment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment AS segment, c_custkey,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+      PERCENT_RANK() OVER w AS prank,
+      CUME_DIST() OVER w AS cdist
+      FROM customer WHERE c_custkey < 200
+      WINDOW w AS (PARTITION BY c_mktsegment
+        ORDER BY c_acctbal, c_custkey)
+      ORDER BY segment, c_custkey"""))
+
+  /** Date-spine gap fill: a generated calendar left-joined to the daily
+    * counts so empty days appear as zeros (every reporting layer needs
+    * this; a missing day is not the same as a zero day). */
+  private[graft] val dailySpine = Q("kpi_daily_spine",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.agg(min(col("date")).as("mn"),
+        max(col("date")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("date"))
+      spine.join(daily, Seq("date"), "left")
+        .select(col("date"), coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("date")
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+        FROM events GROUP BY 1),
+      b AS (SELECT MIN(date) AS mn, MAX(date) AS mx FROM d),
+      spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+        INTERVAL 1 DAY)) AS DATE) AS date FROM b)
+      SELECT s.date, COALESCE(d.n, 0) AS n_events
+      FROM spine s LEFT JOIN d USING (date) ORDER BY s.date"""))
+
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition and
+    * produce bit-identical doubles (verified empirically). */
+  private[graft] val statsQuantiles = Q("stats_quantiles",
+    (s, dir) =>
+      events(s, dir).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.95)").as("p95")),
+    Some("""SELECT quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.75) AS p75,
+      quantile_cont(value, 0.95) AS p95 FROM events"""))
+
+  /** Grouped exact percentiles — the partitioned (scale-safe) form of
+    * stats_quantiles: one sort per group key, not one global sort. */
+  private[graft] val statsQuantilesByGroup = Q("stats_quantiles_by_group",
+    (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Rank-error invariant of `approx_percentile`, oracle-checked
+    * against a constant: with accuracy `acc`, the sketch guarantees
+    * rank error <= n/acc. For each probed quantile the TRUE rank of
+    * the returned value (counted exactly from the data) must land
+    * within that bound of p·n — the quantile-sketch counterpart of the
+    * HLL error gate in sketch_distinct_union. */
+  private[graft] val statsApproxCheck = Q("stats_approx_quantile_check",
+    (s, dir) => {
+      val acc = 1000
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("value"))
+      val apx = ev.agg(
+        expr(s"approx_percentile(value, array(0.25, 0.5, 0.75), $acc)")
+          .as("aps"),
+        count(lit(1)).as("n"))
+      val probes = apx.select(posexplode(col("aps")).as(Seq("i", "av")),
+        col("n"))
+        .withColumn("p", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+          col("i") + 1))
+      ev.crossJoin(broadcast(probes))
+        .groupBy("i", "p", "av", "n")
+        .agg(count(when(col("value") <= col("av"), 1)).as("rank_le"))
+        .agg(count(when(
+          abs(col("rank_le").cast("double") - col("p") * col("n")) >
+            col("n").cast("double") / acc + 1.0, 1))
+          .as("rank_violations"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS rank_violations"""))
+
+  /** As-of join composed from built-ins (SURVEY §7.3 preference (a)):
+    * each purchase picks the latest signup at-or-before it per user,
+    * via a tagged union + last(ignoreNulls) running window — one
+    * shuffle on user, no range-join explosion. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  private[graft] val asofJoin = Q("asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val signup = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts_us", "event_id")
+      graft.etl.Temporal.asofJoinBackward(purch, signup, "user_id",
+        "ts_us", "event_id", "signup_event_id")
+        .select("event_id", "user_id", "signup_event_id")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT event_id AS signup_event_id, user_id,
+          epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'signup')
+      SELECT p.event_id, p.user_id, s.signup_event_id
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+      ORDER BY p.event_id"""))
+
+  /** Interval (range) join, scale-safe: purchases attributed to any
+    * 7-day window after a signup by the SAME user — the classic
+    * attribution query. Spark would plan the raw `BETWEEN` join as a
+    * nested loop; [[graft.etl.IntervalJoin.bucketed]] reformulates it
+    * as an equi-join on (user, day-bucket) + exact filter. Oracle:
+    * DuckDB executes the naive range join directly — same rows. */
+  private[graft] val intervalAttribution = Q("interval_attribution",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("lo"),
+          (col("ts_us") + lit(7L * 86400 * 1000000)).as("hi"))
+      graft.etl.IntervalJoin.bucketed(purchases, "ts_us", windows,
+        "lo", "hi", bucketWidth = 86400L * 1000000, keys = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count_distinct(col("event_id")).as("attributed_purchases"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT p.user_id,
+      COUNT(DISTINCT p.event_id) AS attributed_purchases
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, epoch_us(ts) AS lo,
+          epoch_us(ts) + CAST(604800000000 AS BIGINT) AS hi FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
+      GROUP BY 1 ORDER BY 1"""))
+
+}

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Quality, Transforms}
+import graft.kpi.Kpi
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.Qdsl._
+
+/** Registry part 5 — Structured Streaming: watermarked daily
+  * engagement, session windows, and stream-stream attribution joins,
+  * each oracled against its batch twin. */
+private[graft] object QueriesStreaming {
+
+  /** One sentinel-staged streaming input PER SOURCE DIR, shared by
+    * every bounded-replay streaming query (sessions + both attribution
+    * joins): the events file(s) OS-copied next to a one-file parquet of
+    * two far-future sentinel rows (user -1, ts = max + 10 days, one per
+    * attribution branch). The sentinels advance the event-time
+    * watermark past every real session/join window so bounded replays
+    * flush what a production stream would emit as time advances; every
+    * consumer filters `user_id >= 0` so they never reach a result.
+    * Staging once instead of per-query saves two max(ts) scans, a
+    * sentinel write, and a full set of input file copies per bench run
+    * (~1.5-2 s at sf0.1 — the same harness trim that took
+    * stream_sessions from 3.9 to 3.0 s in round 4). */
+  private object StreamStage {
+    final case class Staged(inDir: String, schema: StructType)
+    private val cache = scala.collection.mutable.Map[String, Staged]()
+    def apply(s: SparkSession, dir: String): Staged = synchronized {
+      cache.getOrElseUpdate(dir, {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val maxNanos = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_in").toString
+        def sentinelRow(eventType: String) =
+          org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
+            f => f.name match {
+              case "user_id" => -1L
+              case "event_type" => eventType
+              case "ts" => maxNanos + 10L * 86400 * 1000000000L
+              case _ => null
+            }
+          })
+        val sentinels = s.createDataFrame(
+          java.util.Arrays.asList(sentinelRow("purchase"),
+            sentinelRow("signup")), rawSchema)
+        sentinels.coalesce(1).write.parquet(s"$root/in")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val files = // rehearsal layouts split the table into a dir
+          if (src.isDirectory)
+            src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(src)
+        files.foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$root/in/src_${f.getName}")))
+        Staged(s"$root/in", rawSchema)
+      })
+    }
+  }
+
+  // ======================================================================
+  // Streaming: the daily engagement aggregate over a bounded stream,
+  // oracle = the equivalent batch SQL (stream/batch parity).
+  // ======================================================================
+
+  private[graft] val streamDaily = Q("stream_daily_engagement",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // state-store instances scale with shuffle partitions; this agg
+      // keys on (day, user) with tiny cardinality, so fewer partitions
+      // = fewer state commits per batch (restored after the run)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 day")
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 day").as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("play_count"))
+      // update mode + foreachBatch merge-upsert: each batch rewrites
+      // only the date partitions it touches, state holds only keys in
+      // the watermark horizon — the pattern that survives an unbounded
+      // stream (a complete-mode memory sink would retain the whole
+      // result in state AND collect it to the driver).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_daily").toString
+      try
+        graft.stream.StreamingFact.upsertToSilver(
+          s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
+      finally // a failed stream must not leave the session at 8 parts
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$root/fact")
+        .select(col("date"), col("user_id"), col("play_count"))
+        .orderBy("date", "user_id")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS date, user_id,
+      COUNT(*) AS play_count
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  /** Event-time session windows over the same bounded stream — the
+    * strongest check the streaming path can have: the oracle is the
+    * BATCH sessionization SQL (session_batch re-keyed to window
+    * bounds), so stream/batch parity is hash-verified row by row.
+    * session_window closes a session at last_event + gap with an
+    * EXCLUSIVE end, so an event exactly one gap after its predecessor
+    * starts a new session — hence >= in this oracle's gap test where
+    * the lag/cumsum batch twin uses >. The shared [[StreamStage]]
+    * input's far-future sentinels (user -1, filtered from the output)
+    * advance the event-time watermark past every real session's close:
+    * a production stream flushes as new events arrive; a bounded
+    * replay needs the nudge. */
+  private[graft] val streamSessions = Q("stream_sessions",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val staged = StreamStage(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_sess").toString
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("ts"))
+        val sess = graft.stream.StreamingFact.sessionWindows(
+          stream, "ts", "user_id")
+        val q = sess.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT user_id, MIN(ts_us) AS session_start_us,
+      MAX(ts_us) + 1800 * 1000000 AS session_end_us,
+      COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts_us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY user_id, session_id ORDER BY 1, 2"""))
+
+  /** STREAM-STREAM join (two unbounded sides, state-store buffered,
+    * watermark-evicted): purchases ⋈ signups of the same user within 7
+    * days, both sides branches of one replayed event stream. Oracle:
+    * the identical range join run as batch SQL — stream/batch parity
+    * on the full pair set. Inner join emits on arrival; watermarks
+    * bound state, so the bounded replay needs no sentinel. */
+  private[graft] val streamAttribution = Q("stream_attribution",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val staged = StreamStage(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_attr").toString
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val joined = graft.stream.StreamingFact.attributionJoin(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "signup"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          // the staged input carries the shared watermark sentinels
+          // (user -1); the inner join pairs them up — drop that row
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "purchase_event_id", "signup_event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
+      s.event_id AS signup_event_id
+      FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+        AND p.ts < s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
+  /** STREAM-STREAM LEFT OUTER join — the hardest streaming-join
+    * semantic: matched pairs emit on arrival, while a never-matched
+    * purchase emits (with a null signup side) only when the watermark
+    * PROVES no future signup can still match it — i.e. at state
+    * eviction. The shared [[StreamStage]] sentinels (user -1, one per
+    * branch, filtered from the output) push the watermark past every
+    * real purchase's window so the bounded replay flushes the
+    * unmatched rows a production stream would emit as time advances.
+    * Oracle: the batch LEFT JOIN twin; nulls are coalesced to -1 so
+    * the order keys stay non-null. */
+  private[graft] val streamAttributionOuter = Q("stream_attribution_outer",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val staged = StreamStage(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_attr_outer").toString
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val joined = graft.stream.StreamingFact.attributionJoin(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "signup"),
+          joinType = "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("purchase_event_id"),
+            coalesce(col("signup_event_id"), lit(-1L))
+              .as("signup_event_id"))
+          .orderBy("user_id", "purchase_event_id", "signup_event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
+      COALESCE(s.event_id, -1) AS signup_event_id
+      FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+        AND p.ts < s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
+}

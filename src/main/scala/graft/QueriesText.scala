@@ -1,0 +1,459 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Quality, Transforms}
+import graft.kpi.Kpi
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.Qdsl._
+
+/** Registry part 4 — text analysis, corpus curation, and multimodal
+  * binary-column operators. */
+private[graft] object QueriesText {
+  // ======================================================================
+  // LLM-data-pipeline extensions: text analysis
+  // ======================================================================
+
+  private[graft] val textTokenCount = Q("text_token_count",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("n_bpeish"))
+        .orderBy("doc_id"),
+    Some(raw"""SELECT doc_id,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')), 0) AS BIGINT) AS n_bpeish
+      FROM documents ORDER BY doc_id"""))
+
+  private[graft] val textQualityProfile = Q("text_quality_profile",
+    (s, dir) =>
+      TextAnalysis.qualityProfile(t(s, dir, "documents"), "text",
+        "doc_id").orderBy("doc_id"),
+    Some(raw"""SELECT doc_id,
+      CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS BIGINT) AS n_punct,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
+      CAST(COALESCE(len(regexp_extract_all(text, '[.,!?;:]')), 0) AS DOUBLE) /
+        NULLIF(CAST(length(COALESCE(text, '')) AS DOUBLE), 0.0) AS punct_ratio,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS stopword_ratio,
+      CAST(length(COALESCE(text, '')) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  private[graft] val textQualityGate = Q("text_quality_gate",
+    (s, dir) =>
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(raw"""WITH p AS (SELECT doc_id,
+      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(COALESCE(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')), 0) AS BIGINT) AS n_stopwords,
+      CAST(length(COALESCE(text, '')) AS DOUBLE) /
+        NULLIF(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 0.0) AS mean_token_len
+      FROM documents)
+      SELECT doc_id, n_tokens,
+        COALESCE(n_tokens >= 5 AND mean_token_len >= 2.0 AND
+          mean_token_len <= 12.0 AND n_stopwords > 0, false) AS keep
+      FROM p ORDER BY doc_id"""))
+
+  private[graft] val textLangId = Q("text_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+             WHEN de > en AND de >= fr AND de >= es THEN 'de'
+             WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+             WHEN es > en AND es > de AND es > fr THEN 'es'
+             ELSE 'en' END AS lang_pred
+      FROM sc ORDER BY doc_id"""
+    })
+
+  private[graft] val textFingerprint = Q("text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling (Karp-Rabin) fingerprint over md5-hashed tokens — fully
+    * portable, so the whole recurrence is oracle-checked: DuckDB folds
+    * the same token-hash stream with `list_reduce` under the identical
+    * base/modulus. */
+  private[graft] val textRollingFp = Q("text_rolling_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
+        .orderBy("doc_id"),
+    Some(raw"""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+            t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+        (acc, h) -> (acc * 1000003 + h) % 4294967296) AS fp_rolling
+      FROM documents ORDER BY doc_id"""))
+
+  /** Unigram log-probability scoring (the perplexity-style quality
+    * filter): corpus term frequencies with add-one smoothing, each doc
+    * scored by its mean token log-prob. Per-token logprobs are rounded
+    * to 6dp and summed as DECIMAL so the aggregate is shuffle-order-
+    * independent (raw double sums are not associative). */
+  private[graft] val textUnigramLogprob = Q("text_unigram_logprob",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+      val totals = freq.agg(sum(col("tf")).as("total"),
+        count(lit(1)).as("vocab"))
+      val scored = terms.filter(col("doc_id") < 100)
+        .join(freq, Seq("term"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"),
+          round(log((col("tf").cast("double") + 1.0) /
+            (col("total").cast("double") + col("vocab").cast("double"))),
+            6).cast(DecimalType(18, 6)).as("lp"))
+      scored.groupBy("doc_id")
+        .agg((sum(col("lp")).cast("double") / count(lit(1)))
+          .as("mean_logprob"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(
+          trim(lower(text)), '\s+')) AS term FROM docs),
+      t2 AS (SELECT doc_id, term FROM terms WHERE term != ''),
+      freq AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY 1),
+      totals AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM freq)
+      SELECT doc_id,
+        CAST(SUM(CAST(ROUND(ln((CAST(tf AS DOUBLE) + 1.0) /
+          (CAST(total AS DOUBLE) + CAST(vocab AS DOUBLE))), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_logprob,
+        COUNT(*) AS n_tokens
+      FROM t2 JOIN freq USING (term) CROSS JOIN totals
+      WHERE doc_id < 100
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Language-ID evaluation: confusion matrix of labeled vs predicted
+    * language. */
+  private[graft] val textLangConfusion = Q("text_lang_confusion",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, pat) =>
+        s"COALESCE(len(regexp_extract_all(lower(text), '$pat')), 0) AS $lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+      SELECT lang, lang_pred, COUNT(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+               WHEN de > en AND de >= fr AND de >= es THEN 'de'
+               WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+               WHEN es > en AND es > de AND es > fr THEN 'es'
+               ELSE 'en' END AS lang_pred
+        FROM sc)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  /** Unicode NFC normalization — the mandatory first step of text
+    * dedup (NFD vs NFC spellings of one string fingerprint
+    * differently). Custom expression [[graft.functions.NfcNormalize]]
+    * (Spark has no built-in); the full normalized text is hash-checked
+    * against DuckDB's `nfc_normalize`, plus a changed-row count. */
+  private[graft] val textNfcNormalize = Q("text_nfc_normalize",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextExprs.nfcNormalize(col("text")).as("nfc_text"),
+        (!(graft.functions.TextExprs.nfcNormalize(col("text"))
+          <=> col("text"))).as("changed"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, nfc_normalize(text) AS nfc_text,
+      nfc_normalize(text) IS DISTINCT FROM text AS changed
+      FROM documents ORDER BY doc_id"""))
+
+  /** Training-mix construction: each source is down-sampled to a
+    * target weight (here derived from the source id: 1.0 / 0.5 / 0.25
+    * tiers) with the same deterministic md5-bucket machinery as
+    * sample_hash_split — no RNG, stable under corpus growth, and a
+    * doc's keep/drop never depends on partitioning. Output is the
+    * per-source kept/total census the mixing report needs; the kept
+    * set itself is the same predicate un-aggregated. */
+  private[graft] val mixSources = Q("mix_sources",
+    (s, dir) => {
+      val srcNum = substring(col("source"), 4, 10).try_cast("int")
+      val rate = when(srcNum < 5, 1.0).when(srcNum < 10, 0.5)
+        .otherwise(0.25)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      t(s, dir, "documents")
+        .withColumn("keep", bucket < rate * 65536)
+        .groupBy(coalesce(col("source"), lit("(none)")).as("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(col("keep"), 1)).as("kept_docs"))
+        .orderBy("source")
+    },
+    Some("""SELECT COALESCE(source, '(none)') AS source,
+      COUNT(*) AS total_docs,
+      COUNT(CASE WHEN
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        < (CASE WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 5 THEN 1.0
+                WHEN TRY_CAST(substring(source, 4, 10) AS INTEGER) < 10 THEN 0.5
+                ELSE 0.25 END) * 65536 THEN 1 END) AS kept_docs
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** PII scrub (emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+    * <PHONE>): the standard pre-training redaction pass, pure per-row
+    * regexp_replace chain — scan speed, no shuffle, and the patterns
+    * are Java/RE2-portable so the full scrubbed text is hash-checked
+    * against DuckDB. */
+  private[graft] val textPiiScrub = Q("text_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("clean_text"),
+        TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"))
+        .orderBy("doc_id"),
+    Some {
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      raw"""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+        AS clean_text,
+      CAST(COALESCE(len(regexp_extract_all(text, '$em')), 0) +
+        COALESCE(len(regexp_extract_all(text, '$ip')), 0) +
+        COALESCE(len(regexp_extract_all(text, '$ph')), 0) AS BIGINT) AS n_pii
+      FROM documents ORDER BY doc_id"""
+    })
+
+  /** Deterministic train/test split by content-independent id hash:
+    * bucket = first 16 bits of md5(doc_id), <10% of the bucket space →
+    * test. The scale-correct way to split training data — no RNG seed
+    * to disagree across engines or partitionings, stable under corpus
+    * growth (a doc's split never changes when other docs arrive),
+    * embarrassingly parallel. */
+  private[graft] val sampleHashSplit = Q("sample_hash_split",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < lit(6554), "test").otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        AS BIGINT) AS INTEGER) AS bucket,
+      CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Sequence packing for training: docs are packed per source in
+    * doc_id order into ~2048-token bins — pack_id = exclusive prefix
+    * token count div budget (a doc may straddle its bin boundary; the
+    * standard streaming-friendly approximation). The window is
+    * PARTITIONED by source, so at 100 TB each source packs
+    * independently — no global sort anywhere. */
+  private[graft] val docPack = Q("doc_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+            lit(2048)).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""SELECT doc_id, source, n_tokens,
+      CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        / 2048.0) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, source,
+        CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Benchmark decontamination — the training-data op that keeps eval
+    * sets honest: any TRAIN doc sharing a 5-gram with any TEST doc
+    * (the deterministic hash split defines the sets) is flagged for
+    * removal. Grams stay array-valued per doc (no row explosion until
+    * the join), the test-gram side is distinct-deduped BEFORE the
+    * semi-join, and the join keys are xxhash64 digests of grams, not
+    * the gram text — at 100 TB the shuffle carries 8-byte longs. (The
+    * digest choice is internal to the join: the oracle compares only
+    * the flagged doc ids, so DuckDB keys on its own md5.) */
+  private[graft] val textDecontaminate = Q("text_decontaminate",
+    (s, dir) => {
+      val k = 5
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val grams = when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      val g = docs.select(col("doc_id"), (bucket < lit(6554)).as("is_test"),
+        explode(grams).as("gram"))
+        .withColumn("gh", xxhash64(col("gram"))).drop("gram")
+      val testGrams = g.filter(col("is_test")).select("gh").distinct()
+      g.filter(!col("is_test"))
+        .join(testGrams, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH d AS (SELECT doc_id, lower(trim(text)) AS txt
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      toks AS (SELECT doc_id, regexp_split_to_array(txt, '\s+') AS t
+        FROM d),
+      grams AS (SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(t) - 5 + 2),
+          i -> array_to_string(t[i:i+4], ' '))) END AS gs,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          AS BIGINT) < 6554 AS is_test
+        FROM toks),
+      tg AS (SELECT DISTINCT md5(unnest(gs)) AS gh FROM grams
+        WHERE is_test),
+      tr AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM grams
+        WHERE NOT is_test)
+      SELECT DISTINCT doc_id FROM tr JOIN tg USING (gh)
+      ORDER BY doc_id"""))
+
+  /** The composed curation pipeline end-to-end
+    * ([[graft.llmops.CorpusPipeline.curate]]): NFC normalize → quality
+    * gate → PII scrub → exact dedup → hash split, one scan + one
+    * digest-keyed shuffle — and because every stage is portable, the
+    * ENTIRE composition is hash-gated, not just its pieces. */
+  private[graft] val corpusCurate = Q("corpus_curate",
+    (s, dir) =>
+      graft.llmops.CorpusPipeline.curate(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some {
+      val stop = TextAnalysis.StopwordPattern
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      raw"""WITH prep AS (SELECT doc_id,
+        nfc_normalize(COALESCE(text, '')) AS norm FROM documents),
+      prof AS (SELECT doc_id, norm,
+        CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(norm), '\s+')) END AS BIGINT)
+          AS n_tokens,
+        COALESCE(len(regexp_extract_all(lower(norm), '$stop')), 0)
+          AS n_stop,
+        CAST(length(COALESCE(norm, '')) AS DOUBLE) /
+          NULLIF(CAST(CASE WHEN norm IS NULL OR trim(norm) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(norm), '\s+')) END
+            AS DOUBLE), 0.0) AS mtl
+        FROM prep),
+      kept AS (SELECT doc_id, norm, n_tokens FROM prof
+        WHERE COALESCE(n_tokens >= 5 AND mtl >= 2.0 AND mtl <= 12.0
+          AND n_stop > 0, false)),
+      scrub AS (SELECT doc_id, n_tokens,
+        regexp_replace(regexp_replace(regexp_replace(norm,
+          '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+          AS clean_text FROM kept),
+      fp AS (SELECT *, md5(regexp_replace(trim(lower(clean_text)),
+        '\s+', ' ', 'g')) AS f FROM scrub),
+      surv AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY 1)
+      SELECT fp.doc_id, clean_text, n_tokens,
+        CASE WHEN CAST('0x' || substring(md5(CAST(fp.doc_id AS VARCHAR)),
+          1, 4) AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
+      FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.doc_id
+      ORDER BY fp.doc_id"""
+    })
+
+  // ======================================================================
+  // LLM-data-pipeline extensions: multimodal binary columns
+  // ======================================================================
+
+  private[graft] val multimodalMeta = Q("multimodal_metadata",
+    (s, dir) =>
+      Multimodal.blobMetadata(
+        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .orderBy("blob_id"),
+    Some("""SELECT doc_id AS blob_id, COALESCE(source, 'unknown') AS kind,
+      CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+      sha256(COALESCE(text, '')) AS sha256,
+      hex(encode(substring(COALESCE(text, ''), 1, 4))) AS magic
+      FROM documents ORDER BY blob_id"""))
+
+  /** Decode stage over REAL images: corpus bytes are packed into
+    * genuine 16-wide grayscale PNGs, then decoded by the actual JDK
+    * ImageIO reader (javax.imageio — no stub). The recovered dimensions
+    * are pure functions of the source byte length, so the real decode
+    * path is fully oracle-checked; the luma-histogram features are
+    * golden-tested in MultimodalSpec. */
+  private[graft] val multimodalDecode = Q("multimodal_decode",
+    (s, dir) =>
+      Multimodal.decode(s,
+        Multimodal.bytesToPngBlobs(s,
+          Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+            "source")))
+        .toDF()
+        .select(col("blob_id"), col("width"), col("height"),
+          col("n_frames"))
+        .orderBy("blob_id"),
+    Some("""SELECT doc_id AS blob_id, CAST(16 AS INTEGER) AS width,
+      CAST(GREATEST(CEIL(octet_length(encode(COALESCE(text, ''))) / 16.0), 1)
+        AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY blob_id"""))
+
+  /** Frame sampling over binary payloads. The sampled frame COUNT is a
+    * pure function of byte length (stride 4 → one 16-byte frame per 64
+    * payload bytes, minimum one), so it is fully oracle-checked; the
+    * frame contents are golden-tested in MultimodalSpec. */
+  private[graft] val multimodalFrames = Q("multimodal_frames",
+    (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBlobs(t(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .select(col("blob_id"), size(col("frames")).as("n_frames"))
+        .orderBy("blob_id"),
+    Some("""SELECT doc_id AS blob_id,
+      CAST(GREATEST(CAST(FLOOR(octet_length(encode(COALESCE(text, ''))) / 64.0)
+        AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY blob_id"""))
+
+}

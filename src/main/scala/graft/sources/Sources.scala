@@ -118,10 +118,18 @@ object Sources {
     val touchedRows = table.filter(col(keyCol).isin(keys: _*))
       .select(col(partitionCol), col("_metadata.file_path").as("__file"))
       .distinct().collect()
+    // _metadata.file_path is URL-ENCODED (SparkPath): a directory whose
+    // literal name is `part=a%3Ab` (Spark's own escaping of ':' on
+    // write) arrives as `part=a%253Ab`. Path(String) treats its input
+    // as the DECODED form and re-encodes — building it straight from
+    // the metadata string yields a path whose literal name has %2525…
+    // and fs.exists silently misses the real dir. Round-trip through
+    // java.net.URI so one level of decoding is applied first.
     val dirsByValue: Map[Any, Set[Path]] = touchedRows
       .groupBy(_.get(0))
       .map { case (v, rows) =>
-        v -> rows.map(r => new Path(r.getString(1)).getParent).toSet
+        v -> rows.map(r =>
+          new Path(new java.net.URI(r.getString(1))).getParent).toSet
       }
     val touched = dirsByValue.keys.toSeq
     if (touched.isEmpty) return 0
