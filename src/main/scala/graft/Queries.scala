@@ -58,6 +58,6 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
-    QueriesStreaming.streamAttributionOuter)
+    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup)
 }
 

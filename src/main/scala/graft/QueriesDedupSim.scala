@@ -180,6 +180,10 @@ private[graft] object QueriesDedupSim {
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
           col("doc_id") < 200)
+        // identity on the real corpus (unique ids); keeps the bounded
+        // pair demo bounded under rehearsal layouts that replicate
+        // files id-and-all (100 copies/id would square the crossJoin)
+        .dropDuplicates("doc_id")
         .select(col("doc_id"),
           array_distinct(split(trim(lower(col("text"))), "\\s+"))
             .as("toks"))
@@ -214,6 +218,10 @@ private[graft] object QueriesDedupSim {
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
           col("doc_id") < 200)
+        // identity on the real corpus (unique ids); keeps the bounded
+        // pair demo bounded under rehearsal layouts that replicate
+        // files id-and-all (100 copies/id would square the crossJoin)
+        .dropDuplicates("doc_id")
         .select(col("doc_id"),
           array_distinct(split(trim(lower(col("text"))), "\\s+"))
             .as("toks"))
@@ -295,6 +303,7 @@ private[graft] object QueriesDedupSim {
   private[graft] val dedupEmbedding = Q("dedup_embedding",
     (s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"))
       val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"))
@@ -446,6 +455,7 @@ private[graft] object QueriesDedupSim {
   private[graft] val simLshRecallGate = Q("sim_lsh_recall_gate",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
+        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
       val qs = e.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
         "embedding", k = 5)

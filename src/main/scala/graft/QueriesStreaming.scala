@@ -168,6 +168,49 @@ private[graft] object QueriesStreaming {
           FROM events))
       GROUP BY user_id, session_id ORDER BY 1, 2"""))
 
+  /** STREAMING DEDUPLICATION under a watermark
+    * (`dropDuplicatesWithinWatermark`): the at-least-once ingestion
+    * reality — retries, replayed batches, overlapping API pages —
+    * means duplicate events WILL arrive; this operator emits each key
+    * exactly once while keeping state only within the watermark
+    * horizon (an unbounded-state plain `dropDuplicates` would OOM an
+    * unbounded stream). The harness makes the duplication explicit:
+    * the staged input unioned with itself, so every event arrives
+    * twice in the same replay — the oracle is the UN-doubled batch
+    * distinct, proving exactly-once emission. At 100 TB the state is
+    * one 8-byte key per event inside the horizon, keyed-partitioned
+    * by the dedup column. */
+  private[graft] val streamDedup = Q("stream_dedup",
+    (s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val staged = StreamStage(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup").toString
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val doubled = stream.union(stream)
+        val deduped = doubled
+          .withWatermark("ts", "1 day")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0) // shared watermark sentinels
+          .select(col("user_id"), col("event_id"))
+          .orderBy("user_id", "event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""SELECT user_id, event_id FROM events ORDER BY 1, 2"""))
+
   /** STREAM-STREAM join (two unbounded sides, state-store buffered,
     * watermark-evicted): purchases ⋈ signups of the same user within 7
     * days, both sides branches of one replayed event stream. Oracle:

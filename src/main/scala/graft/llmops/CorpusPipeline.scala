@@ -31,11 +31,17 @@ object CorpusPipeline {
     val prepared = docs.select(col(idCol),
       graft.functions.TextExprs.nfcNormalize(
         coalesce(col(textCol), lit(""))).as("__norm"))
-    val gate = TextAnalysis.qualityGate(prepared, "__norm", idCol)
-      .filter(col("keep"))
-      .select(col(idCol), col("n_tokens"))
-    val kept = prepared.join(gate, Seq(idCol))
-      .withColumn("clean_text", TextAnalysis.scrubPii(col("__norm")))
+    // The gate is applied INLINE (a scan-time predicate), not computed
+    // as a frame and joined back by id: the join formulation re-shuffled
+    // the full text by doc id — and went quadratic under duplicate ids
+    // (the 100x rehearsal measured 33x on 10x data; this shape is 1.0x
+    // linear). Same decision column as [[TextAnalysis.qualityGate]].
+    val kept = prepared
+      .filter(TextAnalysis.keepPredicate(col("__norm")))
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col("__norm")).cast("long")
+          .as("n_tokens"),
+        TextAnalysis.scrubPii(col("__norm")).as("clean_text"))
       .withColumn("__fp", TextAnalysis.fingerprintMd5(col("clean_text")))
     val survivors = kept.groupBy("__fp").agg(min(col(idCol)).as(idCol))
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4),

@@ -70,6 +70,23 @@ object TextAnalysis {
         col("n_stopwords") > 0).as("keep"))
   }
 
+  /** The [[qualityGate]] decision as a single COLUMN over the text —
+    * for pipelines that gate inline ([[CorpusPipeline.curate]]) instead
+    * of joining a gate frame back by id: a filter is a scan-time
+    * predicate; the join formulation shuffles the corpus by id (and
+    * squares under duplicate ids). NULL (empty text → null mean length)
+    * means drop, matching `filter(col("keep"))` on the frame form. */
+  def keepPredicate(t: Column, minTokens: Int = 5,
+                    minMeanLen: Double = 2.0,
+                    maxMeanLen: Double = 12.0): Column = {
+    val chars = length(coalesce(t, lit(""))).cast("long")
+    val toks = tokenCount(t).cast("long")
+    val meanLen = chars.cast("double") / nullif(toks.cast("double"),
+      lit(0.0))
+    toks >= minTokens && meanLen >= minMeanLen &&
+      meanLen <= maxMeanLen && stopwordCount(t) > 0
+  }
+
   /** Stopword-profile language ID. Scores a handful of high-frequency
     * function words per language and picks the max with a fixed
     * priority tie-break (en > de > fr > es). A real system would use

@@ -87,6 +87,36 @@ class PlanGuardrailSpec extends AnyFunSuite {
       && !readSchema.contains("text"), readSchema)
   }
 
+  test("runtime bloom-filter pruning engages for selective shuffle joins") {
+    // At 100 TB the fact-side scan of a selective dim join should be
+    // pre-filtered by a runtime bloom filter built from the dim side
+    // (Spark injects it when the application side exceeds its scan-size
+    // threshold — far above any local fixture, so the thresholds are
+    // dropped to zero here to assert the MECHANISM stays available and
+    // our plans stay eligible: a shuffle join with a selective creation
+    // side). Broadcast is disabled because a broadcastable dim already
+    // prunes via the hash table itself — bloom injection only targets
+    // shuffle joins, which is what the same join becomes at scale.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val pt = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_retailprice") > 1500)
+      val j = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .select(col("l_orderkey"), col("p_name"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("the flagship aggregation runs inside WholeStageCodegen") {
     // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
     // are compiled lazily) — plan the probe with AQE off to see the
