@@ -76,10 +76,13 @@ private[graft] object QueriesStreaming {
       // = fewer state commits per batch (restored after the run)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      // the shared staged input (not pathGlobFilter over the source
+      // dir: a glob on the FILE name silently matches nothing when the
+      // table is a directory of part files, as rehearsal layouts are —
+      // the 10x pass was streaming an empty input)
+      val staged = StreamStage(s, dir)
+      val stream = s.readStream.schema(staged.schema)
+        .parquet(staged.inDir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       val agg = stream
         .withWatermark("ts", "1 day")
@@ -100,6 +103,7 @@ private[graft] object QueriesStreaming {
       finally // a failed stream must not leave the session at 8 parts
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$root/fact")
+        .filter(col("user_id") >= 0) // shared watermark sentinels
         .select(col("date"), col("user_id"), col("play_count"))
         .orderBy("date", "user_id")
     },
@@ -193,9 +197,8 @@ private[graft] object QueriesStreaming {
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           .select(col("user_id"), col("event_id"), col("ts"))
         val doubled = stream.union(stream)
-        val deduped = doubled
-          .withWatermark("ts", "1 day")
-          .dropDuplicatesWithinWatermark("event_id")
+        val deduped = graft.stream.StreamingFact.dedupStream(
+          doubled, "ts", Seq("event_id"))
         val q = deduped.writeStream.outputMode("append")
           .format("parquet")
           .option("path", s"$root/out")
