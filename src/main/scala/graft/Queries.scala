@@ -43,7 +43,8 @@ object Queries {
     QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
-    QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate, QueriesText.textLangId,
+    QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
+    QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,

@@ -68,6 +68,31 @@ private[graft] object QueriesText {
           mean_token_len <= 12.0 AND n_stopwords > 0, false) AS keep
       FROM p ORDER BY doc_id"""))
 
+  /** Repetition-based quality filter ([[TextAnalysis.repetitionRatio]]):
+    * fraction of duplicated within-document 3-grams — looping/generated
+    * text scores high, prose low. The ratio is one integer-to-double
+    * division performed identically in both engines, so the doubles
+    * hash-match without rounding. */
+  private[graft] val textRepetitionFilter = Q("text_repetition_filter",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"),
+        (TextAnalysis.repetitionRatio(col("text")) <= 0.2).as("keep"))
+        .orderBy("doc_id"),
+    Some(raw"""WITH toks AS (SELECT doc_id,
+        regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+') AS t
+        FROM documents),
+      r AS (SELECT doc_id,
+        CASE WHEN len(t) - 2 <= 0 THEN 0.0
+          ELSE 1.0 - CAST(len(list_distinct(list_transform(
+              range(1, len(t) - 3 + 2),
+              i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE) /
+            CAST(len(t) - 2 AS DOUBLE) END AS rep_ratio
+        FROM toks)
+      SELECT doc_id, rep_ratio, rep_ratio <= 0.2 AS keep
+      FROM r ORDER BY doc_id"""))
+
   private[graft] val textLangId = Q("text_lang_id",
     (s, dir) =>
       t(s, dir, "documents").select(

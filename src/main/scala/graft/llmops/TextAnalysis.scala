@@ -70,6 +70,23 @@ object TextAnalysis {
         col("n_stopwords") > 0).as("keep"))
   }
 
+  /** Within-document n-gram repetition ratio — the Gopher-family
+    * "repetitious text" quality signal (machine-generated or looping
+    * documents repeat the same n-grams; high-quality prose rarely
+    * does): `1 - distinct_kgrams / total_kgrams`, 0.0 for texts
+    * shorter than k tokens. Pure per-row expression — scan-speed, no
+    * shuffle; compose with [[keepPredicate]] in a curation gate. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val toks = split(trim(lower(coalesce(text, lit("")))), "\\s+")
+    val nGrams = size(toks) - (k - 1)
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => array_join(slice(toks, i + lit(1), lit(k)), " "))
+    when(nGrams <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") /
+          nGrams.cast("double"))
+  }
+
   /** The [[qualityGate]] decision as a single COLUMN over the text —
     * for pipelines that gate inline ([[CorpusPipeline.curate]]) instead
     * of joining a gate frame back by id: a filter is a scan-time

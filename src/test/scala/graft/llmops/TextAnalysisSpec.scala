@@ -51,6 +51,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keep(1L)); assert(!keep(3L)); assert(!keep(4L))
   }
 
+  test("repetitionRatio: looping text high, prose low, short text 0") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),      // one distinct 3-gram
+      (2L, "the quick brown fox jumps over dogs"), // all grams distinct
+      (3L, "one two"), (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 1.0 - 1.0 / 4.0) // 4 grams, 1 distinct
+    assert(r(2L) == 0.0)             // 5 grams, all distinct
+    assert(r(3L) == 0.0 && r(4L) == 0.0 && r(5L) == 0.0)
+  }
+
   test("langId picks the dominant stopword profile") {
     assert(one(TextAnalysis.langId(col("text")), 1L) == "en")
     assert(one(TextAnalysis.langId(col("text")), 5L) == "de")
