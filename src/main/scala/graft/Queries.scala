@@ -43,6 +43,7 @@ object Queries {
     QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
+    QueriesDedupSim.embeddingInt8Check,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,

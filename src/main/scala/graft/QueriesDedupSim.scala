@@ -487,6 +487,45 @@ private[graft] object QueriesDedupSim {
       CAST(0 AS BIGINT) AS lsh_row_shortfall,
       CAST(0 AS BIGINT) AS ivf_row_shortfall"""))
 
+  /** Int8 embedding-quantization error bound, verified INDEPENDENTLY by
+    * both engines ([[Similarity.int8Quantize]]): each engine quantizes,
+    * dequantizes, and recomputes the cosine between the original and
+    * the round-tripped vector with its own arithmetic, then counts
+    * vectors whose cosine error exceeds 0.01. Both counts must be 0 —
+    * no cross-engine float equality is needed, only that the bound
+    * holds under either implementation (actual int8 error on these
+    * vectors is ~1e-4, two orders inside the gate). n_vectors pins
+    * coverage so an empty-input regression cannot pass vacuously. */
+  private[graft] val embeddingInt8Check = Q("embedding_int8_check",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("qs", Similarity.int8Quantize(col("embedding")))
+        .withColumn("deq", Similarity.int8Dequantize(col("qs")))
+        .withColumn("err",
+          lit(1.0) - Similarity.dot(col("embedding"), col("deq")) /
+            (Similarity.norm(col("embedding")) *
+              Similarity.norm(col("deq"))))
+      e.agg(count(lit(1)).as("n_vectors"),
+        count(when(col("err") > 0.01, 1)).as("over_bound"))
+    },
+    Some("""WITH x AS (SELECT vec_id,
+        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        FROM embeddings),
+      s AS (SELECT vec_id, xd,
+        list_max(list_transform(xd, v -> abs(v))) / 127.0 AS sc FROM x),
+      d AS (SELECT vec_id, xd,
+        list_transform(xd, v -> floor(v / NULLIF(sc, 0.0)) * sc) AS deq
+        FROM s),
+      err AS (SELECT vec_id,
+        1.0 - list_dot_product(xd, deq) /
+          (sqrt(list_dot_product(xd, xd)) *
+           sqrt(list_dot_product(deq, deq))) AS e FROM d)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        CAST(COALESCE(SUM(CASE WHEN e > 0.01 THEN 1 END), 0) AS BIGINT)
+          AS over_bound
+      FROM err"""))
+
   /** Scoring invariant of the approximate indexes, oracle-checked
     * against a constant: every (query, neighbor, cos_sim) row the LSH
     * and IVF indexes return must carry the TRUE cosine — recomputed

@@ -179,6 +179,28 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** Per-vector symmetric int8 quantization for embedding STORAGE: a
+    * float32 embedding column shrinks 4× (one double scale + one byte
+    * per dimension), which at 100 TB is the difference between an ANN
+    * index that fits executor memory and one that doesn't. Scale =
+    * max|x|/127; levels = floor(x/scale) ∈ [-127, 127]. A zero vector
+    * has no scale — its levels are null (callers treat it as
+    * unindexable, as cosine against it is undefined anyway).
+    * Dequantization is `level * scale`; the cosine error this
+    * round-trip introduces is bounded and GATED by the
+    * `embedding_int8_check` oracle query. */
+  def int8Quantize(vec: Column): Column = {
+    val xd = transform(vec, v => v.cast("double"))
+    val scale = array_max(transform(xd, v => abs(v))) / lit(127.0)
+    struct(scale.as("scale"),
+      when(scale > 0.0,
+        transform(xd, v => floor(v / scale))).as("q"))
+  }
+
+  /** Reconstruct the (lossy) double vector from [[int8Quantize]]. */
+  def int8Dequantize(qs: Column): Column =
+    transform(qs.getField("q"), v => v * qs.getField("scale"))
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     * Brute force O(n²) — correct baseline; swap the candidate generator
     * for LSH buckets at scale (same verify stage). */

@@ -56,6 +56,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
 
+  test("int8Quantize: levels within [-127,127], tight round-trip, " +
+    "zero vector unindexable") {
+    val d = Seq((0L, Array(0.3f, -1.2f, 0.007f, 0.9f)),
+      (1L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .withColumn("qs", Similarity.int8Quantize(col("embedding")))
+      .withColumn("deq", Similarity.int8Dequantize(col("qs")))
+    val r0 = d.filter(col("vec_id") === 0)
+      .select(col("qs.scale"), col("qs.q"), col("deq")).collect().head
+    assert(r0.getDouble(0) === 1.2f.toDouble / 127.0)
+    val levels = r0.getSeq[Long](1) // Spark floor(double) → long
+    assert(levels.forall(l => l >= -127 && l <= 127))
+    val deq = r0.getSeq[Double](2)
+    val orig = Seq(0.3, -1.2, 0.007, 0.9)
+    orig.zip(deq).foreach { case (o, q) =>
+      assert(math.abs(o - q) <= r0.getDouble(0) + 1e-6) } // one level
+    // zero vector: no scale → null levels (cosine undefined anyway)
+    val r1 = d.filter(col("vec_id") === 1).select(col("qs.q")).collect()
+    assert(r1.head.isNullAt(0))
+  }
+
   test("embeddingNearDupPairs honors the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id",
       "embedding", threshold = 0.9).collect()
