@@ -222,6 +222,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a violated expectation reaches the report as contracts_status" +
+    " fail — through observe, not a rerun") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", -2), (null, -3)).toDF("k", "v")
+    val (observed, obs) = graft.etl.Quality.observedReport(df,
+      "dq_fail_" + System.nanoTime(), Seq("k"),
+      Seq(graft.etl.Quality.Expectation("v_positive", col("v") > 0),
+        graft.etl.Quality.Expectation("k_present", col("k").isNotNull)))
+    observed.write.format("noop").mode("overwrite").save()
+    val json = graft.etl.RunReport.render("t", "success",
+      Map("frame" -> obs.get))
+    assert(json.contains("\"contracts_status\":\"fail\""))
+    assert(json.contains("\"v_positive\":2"))
+    assert(json.contains("\"k_present\":1"))
+    assert(json.contains("\"passed\":false"))
+    // the plain DQ metrics stay in frames, uncontaminated
+    assert(json.contains("\"total_rows\":3"))
+  }
+
   test("observedReport collects DQ metrics as a write side-effect") {
     import spark.implicits._
     val df = Seq(("a", 1), ("", 2), (null, 3)).toDF("k", "v")
