@@ -177,6 +177,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("writeZOrdered: box queries on EITHER dimension touch a " +
+    "fraction of files; lexicographic clustering fails the second dim") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 128; y <- 0 until 128) yield (x, y))
+      .toDF("x", "y").repartition(8) // unordered input
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zo").toString
+    Sources.writeZOrdered(grid, s"$root/z", "x", "y", numFiles = 16,
+      bits = 7)
+    Sources.writeRangeClustered(grid, s"$root/lex", Seq("x", "y"),
+      numFiles = 16)
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column)
+    : Long = spark.read.parquet(path).filter(pred)
+      .select(col("_metadata.file_path")).distinct().count()
+    // z-value interleave is correct: row (3, 5) → 100110 etc.
+    val z = grid.select(Sources.zorder2(col("x"), col("y"), 7).as("z"),
+      col("x"), col("y"))
+      .filter(col("x") === 3 && col("y") === 5).head().getLong(0)
+    // x=3 sets positions 0,2; y=5 sets positions 1,5 → 1+2+4+32 = 39
+    assert(z == 39L, s"zorder2(3,5) = $z")
+    // a filter on the SECOND dimension only: lexicographic files each
+    // span all y — every file matches; z-order keeps y-locality
+    val yOnly = col("y") < 16
+    assert(filesTouched(s"$root/lex", yOnly) == 16,
+      "lexicographic layout should NOT prune a y-only box")
+    assert(filesTouched(s"$root/z", yOnly) <= 8,
+      "z-order layout must keep y-locality")
+    // the leading dimension still prunes on both layouts
+    val xOnly = col("x") < 16
+    assert(filesTouched(s"$root/lex", xOnly) <= 4)
+    assert(filesTouched(s"$root/z", xOnly) <= 8)
+    // nothing lost
+    assert(spark.read.parquet(s"$root/z").count() == 128L * 128L)
+  }
+
   test("compact rewrites a dir to the target file count, same rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact")
     (1 to 100).toDF("v").repartition(20).write.parquet(s"$root/t")
