@@ -77,8 +77,8 @@ private[graft] object QueriesText {
     (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"),
-        (TextAnalysis.repetitionRatio(col("text")) <= 0.2).as("keep"))
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .withColumn("keep", col("rep_ratio") <= 0.2) // computed ONCE
         .orderBy("doc_id"),
     Some(raw"""WITH toks AS (SELECT doc_id,
         regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+') AS t
