@@ -33,6 +33,12 @@ object Bench {
         .foreach(_.run(spark, sfDir).collect())
       Queries.all.find(_.name == "kpi_total_plays")
         .foreach(_.run(spark, sfDir).collect())
+      // touch every table once so the first query against each measures
+      // the query, not footer reads + page-cache misses
+      Seq("part", "customer", "documents", "embeddings", "lineitem",
+        "orders").foreach { tbl =>
+        spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      }
     } catch { case _: Throwable => () }
     val results = Queries.all
       .filter(q => only.forall(_.contains(q.name)))
