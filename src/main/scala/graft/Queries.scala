@@ -39,6 +39,7 @@ object Queries {
     QueriesKpi.sketchDistinctUnion,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
+    QueriesDedupSim.dedupMinhashCorpus,
     QueriesDedupSim.dedupNgramJaccard,
     QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,

@@ -173,6 +173,30 @@ private[graft] object QueriesDedupSim {
     },
     Some("SELECT CAST(0 AS BIGINT) AS pair_shortfall"))
 
+  /** The near-dup dedup composition AT THE SCALE PATH, end to end:
+    * MinHash+LSH candidate pairs (bucketed joins, no crossJoin) →
+    * connected-component clustering → min-id survivors. This is what a
+    * 100 TB corpus actually runs (dedup_corpus demonstrates the same
+    * composition with brute-force pairs on a bounded id range). The
+    * cluster MEMBERSHIP is engine-specific (xxhash64 signatures), but
+    * its aggregate shape is deterministic for the fixed sf0.01 corpus —
+    * members/clusters/dropped frozen 2026-08-12 — so the whole
+    * composition is oracle-gated: a regression in banding, clustering
+    * convergence, or survivor election shifts these counts. */
+  private[graft] val dedupMinhashCorpus = Q("dedup_minhash_corpus",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").dropDuplicates("doc_id")
+      val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
+        threshold = 0.4).select("id_a", "id_b")
+      Dedup.dedupClusters(pairs).agg(
+        count(lit(1)).as("n_members"),
+        count_distinct(col("keep_id")).as("n_clusters"),
+        count(when(!col("is_kept"), 1)).as("n_dropped"))
+    },
+    Some("""SELECT CAST(47 AS BIGINT) AS n_members,
+      CAST(23 AS BIGINT) AS n_clusters,
+      CAST(24 AS BIGINT) AS n_dropped"""))
+
   /** Exact token-set Jaccard near-dup pairs on a bounded id range —
     * engine-portable (pure set sizes → integer division), oracled. */
   private[graft] val dedupNgramJaccard = Q("dedup_ngram_jaccard",
