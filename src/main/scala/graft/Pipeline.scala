@@ -99,12 +99,6 @@ object Pipeline {
     fs.delete(p, true)
   }
 
-  /** Stages 2-4 — transform, validate, dedup, write silver + gold.
-    * Every DQ metric rides the silver write via `observe()` — the
-    * metrics are collected as a side effect of the write job itself,
-    * costing ZERO extra passes (the reference re-ran its lineage ~20×
-    * for its DQ counts, SURVEY §4.3.1; the round-3 shape here still
-    * paid three aggregation scans when the reports were consumed). */
   /** The silver data contracts (dbt-tests shape, SURVEY §2 G9): each
     * rule's violation count rides the same `observe()` as the DQ
     * metrics — zero extra jobs — and lands in `_run_report.json` as a
@@ -125,6 +119,12 @@ object Pipeline {
       col("total_watch_time_seconds") >= 0),
     Quality.Expectation("date_present", col("date").isNotNull))
 
+  /** Stages 2-4 — transform, validate, dedup, write silver + gold.
+    * Every DQ metric rides the silver write via `observe()` — the
+    * metrics are collected as a side effect of the write job itself,
+    * costing ZERO extra passes (the reference re-ran its lineage ~20×
+    * for its DQ counts, SURVEY §4.3.1; the round-3 shape here still
+    * paid three aggregation scans when the reports were consumed). */
   def transform(spark: SparkSession, conf: Conf): Result = {
     val clock = conf.clock.getOrElse(current_timestamp())
 

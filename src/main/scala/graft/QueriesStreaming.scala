@@ -16,8 +16,9 @@ import graft.Qdsl._
 private[graft] object QueriesStreaming {
 
   /** One sentinel-staged streaming input PER SOURCE DIR, shared by
-    * every bounded-replay streaming query (sessions + both attribution
-    * joins): the events file(s) OS-copied next to a one-file parquet of
+    * every bounded-replay streaming query (daily engagement, sessions,
+    * both attribution joins, and the watermarked dedup): the events
+    * file(s) OS-copied next to a one-file parquet of
     * two far-future sentinel rows (user -1, ts = max + 10 days, one per
     * attribution branch). The sentinels advance the event-time
     * watermark past every real session/join window so bounded replays
