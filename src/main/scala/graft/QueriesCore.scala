@@ -1,13 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.{Quality, Transforms}
-import graft.kpi.Kpi
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 1 — the Wistia silver-layer parity operators over the

@@ -1,13 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.etl.{Quality, Transforms}
-import graft.kpi.Kpi
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Dedup, Similarity, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 3 — corpus deduplication (exact, MinHash+LSH, SimHash,
