@@ -214,6 +214,33 @@ private[graft] object QueriesRelational {
     Some("""SELECT user_id, COUNT(*) AS rows FROM events
       GROUP BY 1 ORDER BY rows DESC, user_id LIMIT 20"""))
 
+  /** The z-order (Morton) clustering key ([[graft.sources.Sources
+    * .zorder2]]) is pure integer bit arithmetic, so the interleave
+    * itself is cross-engine verified: both engines compute the same
+    * 16-bit×2 interleaved key for a deterministic (x, y) derivation of
+    * part keys, hash-matched value by value. The LAYOUT effect (box
+    * queries pruning files on either dimension) is proved in
+    * SourcesSpec; this row gates the key function feeding it. */
+  private[graft] val zorderKeyCheck = Q("zorder_key_check",
+    (s, dir) => {
+      val x = col("p_partkey") % 256
+      val y = (col("p_partkey") / lit(256)).cast("long") % 256
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          graft.sources.Sources.zorder2(x, y, bits = 8).as("zkey"))
+        .orderBy("p_partkey")
+    },
+    Some {
+      // every term fully parenthesized: SQL gives '+' higher precedence
+      // than '<<', so a bare `a << 0 + b` would parse as `a << (0 + b)`
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"((((p_partkey % 256) >> $i) & 1) << ${2 * i})",
+          s"((((CAST(p_partkey // 256 AS BIGINT)) % 256 >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""SELECT p_partkey, CAST($terms AS BIGINT) AS zkey
+      FROM part ORDER BY p_partkey"""
+    })
+
   /** Fixed-width numeric histogram over the value measure — bin
     * boundaries derived from the corpus min (floor((v-min)/width)), one
     * aggregate + one scan, no window. */
