@@ -59,7 +59,7 @@ object Queries {
     QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
-    QueriesRelational.dailySpine,
+    QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup)
 }

@@ -691,6 +691,37 @@ private[graft] object QueriesRelational {
       SELECT s.date, COALESCE(d.n, 0) AS n_events
       FROM spine s LEFT JOIN d USING (date) ORDER BY s.date"""))
 
+  /** NATIVE recursive CTE (Spark 4 `WITH RECURSIVE`; the recursion is
+    * UNION ALL semantics — Spark rejects distinct-UNION recursion, so
+    * cyclic closures stay with the iterative
+    * [[graft.llmops.Dedup.dedupClusters]]): the daily spine generated
+    * by recursion instead of `sequence()`, hash-matched against the
+    * identical DuckDB recursion — proving the recursive execution
+    * itself, and giving kpi_daily_spine a second independent
+    * formulation. */
+  private[graft] val recursiveCteSpine = Q("recursive_cte_spine",
+    (s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_rcte")
+      s.sql("""WITH RECURSIVE spine(date) AS (
+          SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events_rcte)
+          UNION ALL
+          SELECT date_add(date, 1) FROM spine
+          WHERE date < (SELECT MAX(CAST(ts AS DATE)) FROM events_rcte)),
+        d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+          FROM events_rcte GROUP BY 1)
+        SELECT spine.date, COALESCE(d.n, 0) AS n_events
+        FROM spine LEFT JOIN d USING (date) ORDER BY spine.date""")
+    },
+    Some("""WITH RECURSIVE spine(date) AS (
+        SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        UNION ALL
+        SELECT CAST(date + INTERVAL 1 DAY AS DATE) FROM spine
+        WHERE date < (SELECT MAX(CAST(ts AS DATE)) FROM events)),
+      d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+        FROM events GROUP BY 1)
+      SELECT spine.date, COALESCE(d.n, 0) AS n_events
+      FROM spine LEFT JOIN d USING (date) ORDER BY spine.date"""))
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */
