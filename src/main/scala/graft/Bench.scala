@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * the computed columns and benchmark an empty projection).
   * Prints exactly one JSON line with per-query seconds.
   *
+  * Each query is timed as the MIN of `SPARK_GRAFT_REPEATS` runs
+  * (default 3) with a GC + settle before every timed attempt. A
+  * single-pass timing in a one-JVM 100-query run is position-dependent
+  * — accumulated heap pressure lands full GCs on whichever
+  * allocation-heavy query runs late (SCALE.md measured the same query
+  * at 3.2 s standalone and 42 s late in a run). Min-of-N with a clean
+  * heap is the standard JVM microbenchmark answer: the min is the run
+  * the GC didn't interrupt, so per-query numbers compare across rounds
+  * and against standalone `SPARK_GRAFT_ONLY` runs.
+  *
   * `SPARK_GRAFT_ONLY=name1,name2` restricts the run to a subset —
   * for targeted scale rehearsals of the heavy queries (unset = all).
   */
@@ -15,6 +25,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt)
+      .getOrElse(3).max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
@@ -43,12 +55,20 @@ object Bench {
     val results = Queries.all
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to repeats).map { _ =>
+        // settle: drain garbage from the PREVIOUS query/attempt so its
+        // collection cost cannot land inside this timing window
+        System.gc()
+        Thread.sleep(100)
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite")
+          .save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

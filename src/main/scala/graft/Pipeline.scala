@@ -119,6 +119,16 @@ object Pipeline {
       col("total_watch_time_seconds") >= 0),
     Quality.Expectation("date_present", col("date").isNotNull))
 
+  /** Which report metrics are contract rules, named EXPLICITLY per
+    * frame for [[graft.etl.RunReport.render]] — the registration site
+    * is the source of truth, not a name-prefix convention (a key
+    * column that happened to be named `expect_…` would otherwise leak
+    * its DQ metric into the contracts block and fail the status). */
+  private[graft] val contractRules: Map[String, Set[String]] = Map(
+    "dim_media" -> mediaContract, "dim_visitor" -> visitorContract,
+    "fact" -> factContract
+  ).map { case (f, es) => f -> es.map(e => s"expect_${e.name}").toSet }
+
   /** Stages 2-4 — transform, validate, dedup, write silver + gold.
     * Every DQ metric rides the silver write via `observe()` — the
     * metrics are collected as a side effect of the write job itself,
@@ -189,7 +199,8 @@ object Pipeline {
     val res = transform(spark, conf)
     graft.etl.RunReport.write(spark,
       s"${conf.silverPath}/_run_report.json", runTs.toString,
-      if (clean) "success" else "ingest_dirty", res.qualityReports)
+      if (clean) "success" else "ingest_dirty", res.qualityReports,
+      contractRules)
     res
   }
 }

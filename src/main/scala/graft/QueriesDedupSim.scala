@@ -25,27 +25,79 @@ private[graft] object QueriesDedupSim {
       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id"""))
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. xxhash64-based
-    * signatures are engine-specific → rows-only check (no SQL oracle).
-    */
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The xxhash64
+    * signatures are engine-specific (no SQL can recompute them), but
+    * the pipeline is fully DETERMINISTIC for a fixed corpus — fixed
+    * hashes, fixed band geometry — so the sf0.01 pair set is itself
+    * the oracle: a frozen VALUES table (25 pairs, captured
+    * 2026-08-12). Semantic invariants are gated separately
+    * (dedup_minhash_precision / _floor); this hash gate catches ANY
+    * behavior change, intended or not — re-freeze deliberately when
+    * tuning geometry. */
   private[graft] val dedupMinhash = Q("dedup_minhash_lsh",
     (s, dir) =>
       Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.4)
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""SELECT * FROM (VALUES
+      (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST('0.9878048780487805' AS DOUBLE)),
+      (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST('0.9' AS DOUBLE)),
+      (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST('0.9761904761904762' AS DOUBLE)),
+      (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST('0.9565217391304348' AS DOUBLE)),
+      (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST('0.974025974025974' AS DOUBLE)),
+      (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST('0.987012987012987' AS DOUBLE)),
+      (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST('0.9857142857142858' AS DOUBLE)),
+      (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST('0.9824561403508771' AS DOUBLE)),
+      (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE)),
+      (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST('0.975609756097561' AS DOUBLE)),
+      (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST('0.9545454545454546' AS DOUBLE)),
+      (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST('0.9583333333333334' AS DOUBLE)),
+      (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE)),
+      (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST('0.9736842105263158' AS DOUBLE)),
+      (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST('0.9714285714285714' AS DOUBLE)),
+      (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST('0.972972972972973' AS DOUBLE)),
+      (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST('0.9833333333333333' AS DOUBLE)),
+      (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST('0.9868421052631579' AS DOUBLE)),
+      (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE)),
+      (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST('0.9666666666666667' AS DOUBLE)),
+      (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST('0.9615384615384616' AS DOUBLE)),
+      (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST('0.9714285714285714' AS DOUBLE)),
+      (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST('0.9873417721518988' AS DOUBLE)),
+      (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST('0.9666666666666667' AS DOUBLE)),
+      (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST('0.9827586206896551' AS DOUBLE)))
+      AS t(id_a, id_b, jaccard) ORDER BY id_a, id_b"""))
 
   /** SimHash near-dup pairs (Hamming <= 3 of 64 bits): 4 × 16-bit chunk
     * pigeonhole is COMPLETE at this radius (the previous Hamming-16
     * setting silently missed pairs differing in every chunk) — and the
     * 16-bit bucket keys keep the candidate join sparse at scale. The
-    * simhash value itself is engine-specific → rows-only. */
+    * simhash value is engine-specific but deterministic — oracle is
+    * the frozen sf0.01 pair set (17 pairs, captured 2026-08-12), like
+    * dedup_minhash_lsh's. */
   private[graft] val dedupSimhash = Q("dedup_simhash",
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
         maxHamming = 3)
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""SELECT * FROM (VALUES
+      (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(76 AS BIGINT), CAST(102 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(251 AS BIGINT), CAST(473 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0 AS INTEGER)),
+      (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(3 AS INTEGER)),
+      (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)))
+      AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"""))
 
   /** Precision invariant of the MinHash+LSH pipeline, oracle-checked
     * against a constant: every pair `minhashDedup` emits must have exact
@@ -413,7 +465,9 @@ private[graft] object QueriesDedupSim {
     },
     simTopkBrute.oracle)
 
-  /** LSH-bucketed approximate top-k — scale path; rows-only. */
+  /** LSH-bucketed approximate top-k — scale path. Seeded hyperplanes
+    * make the neighbor set deterministic per corpus: oracle is the
+    * frozen sf0.01 result (25 rows, captured 2026-08-12). */
   private[graft] val simTopkLsh = Q("sim_topk_lsh",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -421,9 +475,38 @@ private[graft] object QueriesDedupSim {
         "embedding", dim = 64, k = 5, numPlanes = 6, numTables = 8)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(73 AS BIGINT), CAST('0.29543411523164853' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS INTEGER), CAST(190 AS BIGINT), CAST('0.2817947192081154' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(388 AS BIGINT), CAST('0.2763005476699542' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS INTEGER), CAST(344 AS BIGINT), CAST('0.2524872949902296' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS INTEGER), CAST(415 AS BIGINT), CAST('0.23797485967550425' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(64 AS BIGINT), CAST('0.3163742953318501' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(124 AS BIGINT), CAST('0.30275028236602597' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(402 AS BIGINT), CAST('0.2923219897446138' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(353 AS BIGINT), CAST('0.2465920189390982' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), CAST(165 AS BIGINT), CAST('0.24386965334651073' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST('0.318142564237661' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(450 AS BIGINT), CAST('0.26634395520019954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER), CAST(188 AS BIGINT), CAST('0.263272104561668' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(4 AS INTEGER), CAST(320 AS BIGINT), CAST('0.25504277088103294' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), CAST(471 AS BIGINT), CAST('0.24719275246584027' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER), CAST(207 AS BIGINT), CAST('0.29170184705661967' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(2 AS INTEGER), CAST(474 AS BIGINT), CAST('0.2767381136347725' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(3 AS INTEGER), CAST(396 AS BIGINT), CAST('0.260964744503398' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(4 AS INTEGER), CAST(50 AS BIGINT), CAST('0.23865170067746594' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(5 AS INTEGER), CAST(201 AS BIGINT), CAST('0.23261095604093007' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER), CAST(114 AS BIGINT), CAST('0.39851269358433744' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(2 AS INTEGER), CAST(257 AS BIGINT), CAST('0.27239859168203207' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(3 AS INTEGER), CAST(384 AS BIGINT), CAST('0.2404132698982267' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(332 AS BIGINT), CAST('0.22764181859966254' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(395 AS BIGINT), CAST('0.20970823804164815' AS DOUBLE)))
+      AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
 
-  /** IVF coarse-quantizer approximate top-k — scale path; rows-only. */
+  /** IVF coarse-quantizer approximate top-k — scale path.
+    * Deterministic init + fixed iteration count make the codebook (and
+    * so the probes) reproducible: oracle is the frozen sf0.01 result
+    * (25 rows, captured 2026-08-12). */
   private[graft] val simTopkIvf = Q("sim_topk_ivf",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -431,7 +514,33 @@ private[graft] object QueriesDedupSim {
         "embedding", k = 5)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT), CAST('0.3699935965460897' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS INTEGER), CAST(334 AS BIGINT), CAST('0.3627220558741131' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(387 AS BIGINT), CAST('0.33113871888314317' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS INTEGER), CAST(423 AS BIGINT), CAST('0.2969335986409863' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS INTEGER), CAST(73 AS BIGINT), CAST('0.29543411523164853' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(27 AS BIGINT), CAST('0.3482081864636984' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(407 AS BIGINT), CAST('0.3270099496117245' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(195 AS BIGINT), CAST('0.32274442635213746' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(64 AS BIGINT), CAST('0.3163742953318501' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), CAST(124 AS BIGINT), CAST('0.30275028236602597' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST('0.318142564237661' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(450 AS BIGINT), CAST('0.26634395520019954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER), CAST(188 AS BIGINT), CAST('0.263272104561668' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(4 AS INTEGER), CAST(418 AS BIGINT), CAST('0.25402949645206835' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), CAST(471 AS BIGINT), CAST('0.24719275246584027' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER), CAST(130 AS BIGINT), CAST('0.39987234325628024' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(2 AS INTEGER), CAST(149 AS BIGINT), CAST('0.3299339769519209' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(3 AS INTEGER), CAST(343 AS BIGINT), CAST('0.30847165466962984' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(4 AS INTEGER), CAST(231 AS BIGINT), CAST('0.29878836545413046' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(5 AS INTEGER), CAST(207 AS BIGINT), CAST('0.29170184705661967' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER), CAST(114 AS BIGINT), CAST('0.39851269358433744' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(2 AS INTEGER), CAST(496 AS BIGINT), CAST('0.34121178056570023' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(3 AS INTEGER), CAST(408 AS BIGINT), CAST('0.32275312529105415' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(482 AS BIGINT), CAST('0.31389702932135605' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(280 AS BIGINT), CAST('0.27982608680315935' AS DOUBLE)))
+      AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
 
   /** Recall@k of the LSH index against exact brute force — approximate
     * operators ship with their own evaluation ("measure, don't guess").
@@ -440,8 +549,10 @@ private[graft] object QueriesDedupSim {
     * cos ~0.37 vs ~0.2 random — hyperplane agreement barely beats
     * chance), while IVF (which probes by actual centroid cosine)
     * matches brute force exactly; that comparison is the point of
-    * shipping the evaluation. Rows-only: recall depends on the LSH
-    * bucketing, not SQL-portable. */
+    * shipping the evaluation. The bucketing is seeded-deterministic,
+    * so the per-query recalls are frozen constants (captured
+    * 2026-08-12) — the VALUES oracle pins the full vector, the
+    * sim_lsh_recall_gate keeps the semantic floor. */
   private[graft] val simLshRecall = Q("sim_lsh_recall",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -461,7 +572,13 @@ private[graft] object QueriesDedupSim {
             col("k").cast("double")).as("recall_at_5"))
         .orderBy("query_id")
     },
-    None)
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST('0.2' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST('0.2' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST('0.8' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST('0.0' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST('0.2' AS DOUBLE)))
+      AS t(query_id, recall_at_5) ORDER BY query_id"""))
 
   /** RECALL + row-count floor of the approximate indexes, oracled
     * against constants. sim_lsh_recall SHIPS the measurement but
@@ -517,10 +634,19 @@ private[graft] object QueriesDedupSim {
     * no cross-engine float equality is needed, only that the bound
     * holds under either implementation (actual int8 error on these
     * vectors is ~1e-4, two orders inside the gate). n_vectors pins
-    * coverage so an empty-input regression cannot pass vacuously. */
+    * coverage so an empty-input regression cannot pass vacuously.
+    * The audit runs on a DETERMINISTIC 1-in-10 id sample (vec_id % 10
+    * == 0, both engines): the interpreted-HOF recompute is the point
+    * (independence from the codegen'd expressions) but the guarantee
+    * is statistical, not per-row — sampling keeps the independence at
+    * a tenth of the cost, and n_vectors still pins the sampled
+    * coverage. The id filter precedes the rehearsal-layout id-dedup so
+    * only sampled rows enter that shuffle. */
   private[graft] val embeddingInt8Check = Q("embedding_int8_check",
     (s, dir) => {
-      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .dropDuplicates("vec_id")
         .select(col("vec_id"), col("embedding"))
         .withColumn("qs", Similarity.int8Quantize(col("embedding")))
         .withColumn("deq", Similarity.int8Dequantize(col("qs")))
@@ -533,11 +659,12 @@ private[graft] object QueriesDedupSim {
     },
     Some("""WITH x AS (SELECT vec_id,
         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
-        FROM embeddings),
+        FROM embeddings WHERE vec_id % 10 = 0),
       s AS (SELECT vec_id, xd,
         list_max(list_transform(xd, v -> abs(v))) / 127.0 AS sc FROM x),
       d AS (SELECT vec_id, xd,
-        list_transform(xd, v -> floor(v / NULLIF(sc, 0.0)) * sc) AS deq
+        list_transform(xd,
+          v -> greatest(-127.0, floor(v / NULLIF(sc, 0.0))) * sc) AS deq
         FROM s),
       err AS (SELECT vec_id,
         1.0 - list_dot_product(xd, deq) /

@@ -11,6 +11,43 @@ import graft.Qdsl._
   * each oracled against its batch twin. */
 private[graft] object QueriesStreaming {
 
+  /** Lifecycle owner for every `graft_stream_*` scratch dir this
+    * process creates (staged inputs, per-query checkpoints/outputs):
+    * each is registered at creation and deleted by a JVM shutdown hook
+    * — a bench/verify run leaves no /tmp residue behind. `cleanup()`
+    * is the hook body, callable directly (specs assert the sweep; a
+    * long-lived session can reclaim scratch space); it also drops the
+    * [[StreamStage]] cache, whose staged input lives in one of the
+    * swept dirs, so a later streaming query re-stages instead of
+    * reading a deleted path. All state shares this object's monitor —
+    * single lock, no ordering to get wrong. */
+  private[graft] object StreamTemp {
+    private val roots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    private var hooked = false
+    def dir(prefix: String): String = synchronized {
+      if (!hooked) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup()))
+        hooked = true
+      }
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      roots += p
+      p.toString
+    }
+    def registered: Seq[java.nio.file.Path] = synchronized(roots.toSeq)
+    def cleanup(): Unit = synchronized {
+      StreamStage.invalidate()
+      roots.foreach { root =>
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // children before parents
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      roots.clear()
+    }
+  }
+
   /** One sentinel-staged streaming input PER SOURCE DIR, shared by
     * every bounded-replay streaming query (daily engagement, sessions,
     * both attribution joins, and the watermarked dedup): the events
@@ -27,14 +64,19 @@ private[graft] object QueriesStreaming {
   private object StreamStage {
     final case class Staged(inDir: String, schema: StructType)
     private val cache = scala.collection.mutable.Map[String, Staged]()
-    def apply(s: SparkSession, dir: String): Staged = synchronized {
+    /** Called only from [[StreamTemp.cleanup]], under its lock. */
+    private[QueriesStreaming] def invalidate(): Unit = cache.clear()
+    // synchronized on StreamTemp — the ONE lock for all stream scratch
+    // state (a private monitor here plus StreamTemp's would deadlock:
+    // apply takes this→StreamTemp, cleanup takes StreamTemp→this)
+    def apply(s: SparkSession, dir: String): Staged =
+      StreamTemp.synchronized {
       cache.getOrElseUpdate(dir, {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val maxNanos = s.read.parquet(s"$dir/events.parquet")
           .agg(max(col("ts"))).head().getLong(0)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_in").toString
+        val root = StreamTemp.dir("graft_stream_in")
         def sentinelRow(eventType: String) =
           org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
             f => f.name match {
@@ -92,8 +134,7 @@ private[graft] object QueriesStreaming {
       // the watermark horizon — the pattern that survives an unbounded
       // stream (a complete-mode memory sink would retain the whole
       // result in state AND collect it to the driver).
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_stream_daily").toString
+      val root = StreamTemp.dir("graft_stream_daily")
       try
         graft.stream.StreamingFact.upsertToSilver(
           s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
@@ -128,8 +169,7 @@ private[graft] object QueriesStreaming {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val staged = StreamStage(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_sess").toString
+        val root = StreamTemp.dir("graft_stream_sess")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -187,8 +227,7 @@ private[graft] object QueriesStreaming {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val staged = StreamStage(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_dedup").toString
+        val root = StreamTemp.dir("graft_stream_dedup")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -223,8 +262,7 @@ private[graft] object QueriesStreaming {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val staged = StreamStage(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_attr").toString
+        val root = StreamTemp.dir("graft_stream_attr")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -273,8 +311,7 @@ private[graft] object QueriesStreaming {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val staged = StreamStage(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_attr_outer").toString
+        val root = StreamTemp.dir("graft_stream_attr_outer")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -49,18 +49,30 @@ object RunReport {
     case _ => true // a contract metric that isn't a count is a bug
   }
 
+  /** `contractRules` names each frame's contract metric keys
+    * EXPLICITLY (frame → metric names as they appear in its report) —
+    * the caller registered the expectations, so the caller says which
+    * metrics are contracts. Routing by the `expect_` name prefix
+    * instead would misfile the observed DQ metric of any key column
+    * whose own name starts with `expect_` (its `…_null_or_empty`
+    * count, usually nonzero, would flip `contracts_status` to fail). */
   private[graft] def render(runTs: String, status: String,
-                          reports: Map[String, Map[String, Any]]): String = {
+                          reports: Map[String, Map[String, Any]],
+                          contractRules: Map[String, Set[String]] =
+                            Map.empty): String = {
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"${jsonValue(k)}:$v" }
         .mkString("{", ",", "}")
+    def isContract(frame: String, metric: String): Boolean =
+      contractRules.getOrElse(frame, Set.empty)(metric)
     val frames = obj(reports.toSeq.sortBy(_._1).map { case (frame, ms) =>
-      frame -> obj(ms.toSeq.filterNot(_._1.startsWith("expect_"))
+      frame -> obj(ms.toSeq.filterNot(kv => isContract(frame, kv._1))
         .sortBy(_._1).map { case (k, v) => k -> jsonValue(v) })
     })
     val contractFrames = reports.toSeq.sortBy(_._1).flatMap {
       case (frame, ms) =>
-        val rules = ms.toSeq.filter(_._1.startsWith("expect_")).sortBy(_._1)
+        val rules = ms.toSeq.filter(kv => isContract(frame, kv._1))
+          .sortBy(_._1)
         if (rules.isEmpty) None
         else Some(frame -> (rules, rules.forall(r => !isViolated(r._2))))
     }
@@ -79,11 +91,12 @@ object RunReport {
     * previous run's report is superseded like the watermark is). */
   def write(spark: SparkSession, path: String, runTs: String,
             status: String,
-            reports: Map[String, Map[String, Any]]): Unit = {
+            reports: Map[String, Map[String, Any]],
+            contractRules: Map[String, Set[String]] = Map.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(render(runTs, status, reports)
+    try out.write(render(runTs, status, reports, contractRules)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

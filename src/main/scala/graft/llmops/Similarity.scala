@@ -183,9 +183,13 @@ object Similarity {
     * float32 embedding column shrinks 4× (one double scale + one byte
     * per dimension), which at 100 TB is the difference between an ANN
     * index that fits executor memory and one that doesn't. Scale =
-    * max|x|/127; levels = floor(x/scale) ∈ [-127, 127]. A zero vector
-    * has no scale — its levels are null (callers treat it as
-    * unindexable, as cosine against it is undefined anyway).
+    * max|x|/127; levels = max(-127, floor(x/scale)) ∈ [-127, 127] —
+    * the clamp is load-bearing: for the max-magnitude NEGATIVE
+    * component, double rounding can push |x|/scale a hair past 127,
+    * where a bare floor would yield -128 and break the documented
+    * range. A zero vector has no scale — its levels are null (callers
+    * treat it as unindexable, as cosine against it is undefined
+    * anyway).
     * Dequantization is `level * scale`; the cosine error this
     * round-trip introduces is bounded and GATED by the
     * `embedding_int8_check` oracle query. */
@@ -194,7 +198,8 @@ object Similarity {
     val scale = array_max(transform(xd, v => abs(v))) / lit(127.0)
     struct(scale.as("scale"),
       when(scale > 0.0,
-        transform(xd, v => floor(v / scale))).as("q"))
+        transform(xd, v => greatest(lit(-127L), floor(v / scale))))
+        .as("q"))
   }
 
   /** Reconstruct the (lossy) double vector from [[int8Quantize]]. */

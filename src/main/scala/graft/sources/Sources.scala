@@ -244,14 +244,22 @@ object Sources {
     * the second dimension alone touches every lexicographic file but
     * only ~sqrt-fraction of z-ordered ones. Pure codegen'd bit
     * arithmetic (the 2·bits shift-mask terms are disjoint, so plain
-    * addition assembles the value). */
+    * addition assembles the value).
+    *
+    * Inputs are taken modulo 2^bits — the mask makes that explicit
+    * (only the low `bits` bits ever reach the interleave). Callers
+    * must pre-bucket values into [0, 2^bits): out-of-range or negative
+    * inputs WRAP, which keeps query results correct (pruning uses the
+    * original columns' footer stats, never this key) but scatters the
+    * clustering so the layout silently loses its pruning benefit. */
   def zorder2(a: org.apache.spark.sql.Column,
               b: org.apache.spark.sql.Column,
               bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
+    val mask = lit((1L << bits) - 1L)
+    val al = a.cast("long").bitwiseAND(mask)
+    val bl = b.cast("long").bitwiseAND(mask)
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)

@@ -85,12 +85,27 @@ class PipelineSpec extends AnyFunSuite {
   test("RunReport.render splits contract metrics and fails the status") {
     val json = graft.etl.RunReport.render("2024-06-01T00:00:00Z", "ok",
       Map("f" -> Map("total_rows" -> 5L, "expect_no_nulls" -> 2L,
-        "expect_positive" -> 0L)))
+        "expect_positive" -> 0L)),
+      Map("f" -> Set("expect_no_nulls", "expect_positive")))
     assert(json ==
       """{"run_ts":"2024-06-01T00:00:00Z","status":"ok",""" +
         """"contracts_status":"fail","contracts":""" +
         """{"f":{"no_nulls":2,"positive":0,"passed":false}},""" +
         """"frames":{"f":{"total_rows":5}}}""")
+  }
+
+  test("RunReport.render keeps an expect_-named DQ metric out of " +
+    "contracts") {
+    // a key column literally named `expect_ok` emits the observed DQ
+    // metric expect_ok_null_or_empty — under explicit rule routing it
+    // must stay a frame metric and must NOT fail contracts_status
+    val json = graft.etl.RunReport.render("t", "ok",
+      Map("f" -> Map("total_rows" -> 5L, "expect_ok_null_or_empty" -> 3L,
+        "expect_positive" -> 0L)),
+      Map("f" -> Set("expect_positive")))
+    assert(json.contains("\"contracts_status\":\"pass\""))
+    assert(json.contains("\"expect_ok_null_or_empty\":3"))
+    assert(json.contains("\"contracts\":{\"f\":{\"positive\":0,"))
   }
 
   test("ingest holds the watermark when a fetch exhausts its retries") {
@@ -232,7 +247,8 @@ class PipelineSpec extends AnyFunSuite {
         graft.etl.Quality.Expectation("k_present", col("k").isNotNull)))
     observed.write.format("noop").mode("overwrite").save()
     val json = graft.etl.RunReport.render("t", "success",
-      Map("frame" -> obs.get))
+      Map("frame" -> obs.get),
+      Map("frame" -> Set("expect_v_positive", "expect_k_present")))
     assert(json.contains("\"contracts_status\":\"fail\""))
     assert(json.contains("\"v_positive\":2"))
     assert(json.contains("\"k_present\":1"))

@@ -117,6 +117,35 @@ class PlanGuardrailSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("text_decontaminate probes a broadcast test-gram set — train " +
+    "grams never enter an exchange") {
+    // the 100x rehearsal measured the shuffle formulation of this join
+    // at 38x cost on 10x data (~1G exploded gram rows sorted+spilled);
+    // the fix — broadcast(testGrams) probed map-side — only holds as
+    // long as no edit reintroduces an Exchange on the train-gram side.
+    // AQE off so the physical tree is inspectable pre-execution.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "text_decontaminate").get
+        .run(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val bhj = plan.collectFirst {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
+      assert(bhj.nonEmpty,
+        s"decontamination lost its broadcast semi-join:\n$plan")
+      val streamed = bhj.get.left // build side is the broadcast right
+      assert(streamed.collectFirst { case g: GenerateExec => g }.nonEmpty,
+        s"train-gram explode not on the streamed side:\n$streamed")
+      assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"an Exchange crept above the train-gram Generate:\n$streamed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the flagship aggregation runs inside WholeStageCodegen") {
     // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
     // are compiled lazily) — plan the probe with AQE off to see the

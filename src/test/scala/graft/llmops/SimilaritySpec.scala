@@ -76,6 +76,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1.head.isNullAt(0))
   }
 
+  test("int8Quantize clamps the max-magnitude negative level to -127") {
+    // for this component, |x|/scale rounds a hair past 127 in float64,
+    // so a bare floor yields -128 — the clamp must hold the line
+    val d = Seq((0L, Array(-1.0000015f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("qs", Similarity.int8Quantize(col("embedding")))
+      .select(col("qs.q")).collect().head.getSeq[Long](0)
+    assert(d.head == -127L, s"expected -127, got ${d.head}")
+    assert(d.forall(l => l >= -127 && l <= 127))
+  }
+
   test("embeddingNearDupPairs honors the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id",
       "embedding", threshold = 0.9).collect()
