@@ -42,6 +42,7 @@ object Queries {
     QueriesDedupSim.dedupMinhashCorpus,
     QueriesDedupSim.dedupNgramJaccard,
     QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
+    QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.embeddingInt8Check,

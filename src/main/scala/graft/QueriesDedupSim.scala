@@ -398,6 +398,90 @@ private[graft] object QueriesDedupSim {
           (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Embedding cosine near-dup AT THE SCALE PATH: LSH-bucketed
+    * candidate pairs + exact-cosine verify
+    * ([[Similarity.lshNearDupPairs]] — equi-joins on (table, bucket),
+    * no crossJoin, id-pair dedup before vectors rejoin). This is what
+    * an unbounded corpus runs; `dedup_embedding` is the bounded-id
+    * brute-force twin that defines ground truth. Seeded hyperplanes
+    * make the pair set deterministic per corpus: oracle is the frozen
+    * sf0.01 result (23 pairs, captured 2026-08-12 — recall 23/60 vs
+    * the brute-force twin, matching the hyperplane collision model
+    * 1-(1-p^6)^8 ~= 0.41 at p = 1-acos(0.4)/pi for this weak-structure
+    * corpus); precision/coverage are also gated scale-independently by
+    * dedup_embedding_lsh_gate. */
+  private[graft] val dedupEmbeddingLsh = Q("dedup_embedding_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 6, numTables = 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST('0.4075199341921925' AS DOUBLE)),
+      (CAST(24 AS BIGINT), CAST(234 AS BIGINT), CAST('0.4315317006385118' AS DOUBLE)),
+      (CAST(24 AS BIGINT), CAST(298 AS BIGINT), CAST('0.42270265113884714' AS DOUBLE)),
+      (CAST(24 AS BIGINT), CAST(384 AS BIGINT), CAST('0.4145163121789919' AS DOUBLE)),
+      (CAST(28 AS BIGINT), CAST(305 AS BIGINT), CAST('0.4564322360693374' AS DOUBLE)),
+      (CAST(35 AS BIGINT), CAST(351 AS BIGINT), CAST('0.40653282290929493' AS DOUBLE)),
+      (CAST(44 AS BIGINT), CAST(301 AS BIGINT), CAST('0.4596665428707692' AS DOUBLE)),
+      (CAST(45 AS BIGINT), CAST(298 AS BIGINT), CAST('0.4555501766574249' AS DOUBLE)),
+      (CAST(75 AS BIGINT), CAST(256 AS BIGINT), CAST('0.4563095159142706' AS DOUBLE)),
+      (CAST(83 AS BIGINT), CAST(310 AS BIGINT), CAST('0.4024361035786049' AS DOUBLE)),
+      (CAST(159 AS BIGINT), CAST(202 AS BIGINT), CAST('0.4031424785766' AS DOUBLE)),
+      (CAST(181 AS BIGINT), CAST(194 AS BIGINT), CAST('0.40839065984757617' AS DOUBLE)),
+      (CAST(183 AS BIGINT), CAST(399 AS BIGINT), CAST('0.4032567048050842' AS DOUBLE)),
+      (CAST(195 AS BIGINT), CAST(317 AS BIGINT), CAST('0.4494482735608698' AS DOUBLE)),
+      (CAST(198 AS BIGINT), CAST(468 AS BIGINT), CAST('0.42922837951725396' AS DOUBLE)),
+      (CAST(207 AS BIGINT), CAST(326 AS BIGINT), CAST('0.41677282445831315' AS DOUBLE)),
+      (CAST(234 AS BIGINT), CAST(384 AS BIGINT), CAST('0.4448159750076739' AS DOUBLE)),
+      (CAST(253 AS BIGINT), CAST(385 AS BIGINT), CAST('0.4045557606187039' AS DOUBLE)),
+      (CAST(290 AS BIGINT), CAST(325 AS BIGINT), CAST('0.45875415036848505' AS DOUBLE)),
+      (CAST(338 AS BIGINT), CAST(406 AS BIGINT), CAST('0.4826603508971818' AS DOUBLE)),
+      (CAST(350 AS BIGINT), CAST(395 AS BIGINT), CAST('0.40708608034117577' AS DOUBLE)),
+      (CAST(350 AS BIGINT), CAST(479 AS BIGINT), CAST('0.4429217489751484' AS DOUBLE)),
+      (CAST(387 AS BIGINT), CAST(388 AS BIGINT), CAST('0.4666406976988793' AS DOUBLE))
+      ) v(id_a, id_b, cos_sim) ORDER BY id_a, id_b"""))
+
+  /** Invariants of the LSH embedding near-dup, oracle-checked against
+    * constants: (precision) every emitted pair's cosine — recomputed
+    * through the interpreted HOF dot product, independent of the
+    * codegen'd CosineSim both the index and verify stage use — must
+    * clear the threshold and equal the reported score; (coverage) the
+    * sf0.01 pair count must not drop below its frozen floor (measured
+    * 2026-08-12; a regression collapsing the buckets to nothing would
+    * pass the precision side vacuously). Same bracketed-from-both-
+    * sides shape as the MinHash/SimHash gates. */
+  private[graft] val dedupEmbeddingLshGate = Q("dedup_embedding_lsh_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val pairs = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 6, numTables = 8)
+        .localCheckpoint(true) // feeds the recompute join AND the count
+      val rec = pairs
+        .join(e.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb")), Seq("id_b"))
+        .withColumn("true_cos",
+          Similarity.dot(col("ea"), col("eb")) /
+            (Similarity.norm(col("ea")) * Similarity.norm(col("eb"))))
+        .agg(
+          count(when(col("true_cos") < 0.4 - 1e-12, 1))
+            .as("below_threshold"),
+          count(when(abs(col("true_cos") - col("cos_sim")) > 1e-9, 1))
+            .as("mismatched"))
+      rec.crossJoin(pairs.agg(
+        greatest(lit(0L), lit(DedupEmbeddingLshFloor) - count(lit(1)))
+          .as("pair_shortfall")))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_threshold,
+      CAST(0 AS BIGINT) AS mismatched,
+      CAST(0 AS BIGINT) AS pair_shortfall"""))
+
+  /** sf0.01 pair count of dedup_embedding_lsh, frozen 2026-08-12. */
+  private val DedupEmbeddingLshFloor = 23L
+
   // ======================================================================
   // LLM-data-pipeline extensions: similarity search
   // ======================================================================

@@ -207,13 +207,46 @@ object Similarity {
     transform(qs.getField("q"), v => v * qs.getField("scale"))
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
-    * Brute force O(n²) — correct baseline; swap the candidate generator
-    * for LSH buckets at scale (same verify stage). */
+    * Brute force O(n²) — correct baseline; [[lshNearDupPairs]] is the
+    * bucketed scale path with the same verify stage. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding near-dup pairs AT THE SCALE PATH: candidates are pairs
+    * sharing an LSH bucket under at least one of `numTables` hyperplane
+    * hash tables (equi-join on (table, bucket) — the corpus never
+    * cross-joins), then every candidate is verified with the EXACT
+    * cosine, so emitted pairs are never false positives; like every
+    * LSH index, candidate RECALL is the probabilistic part (tuned by
+    * numPlanes/numTables). The id-pair dedup runs on two longs before
+    * the vectors are rejoined for scoring — the shuffle that dedups
+    * candidates never carries the 256-byte arrays. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 6,
+                      numTables: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until numTables).map(t => struct(
+        lit(t).as("table_id"),
+        graft.functions.HashExprs.randomProjectionBits(col(vecCol),
+          numPlanes, t * numPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.table_id"), col("tb.bucket"))
+    val cand = b.select(col("id").as("id_a"), col("table_id"),
+        col("bucket"))
+      .join(b.select(col("id").as("id_b"), col("table_id"),
+        col("bucket")), Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")

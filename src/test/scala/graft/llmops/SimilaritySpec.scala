@@ -93,4 +93,23 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((0L, 1L))) // only the .994 pair
   }
+
+  test("lshNearDupPairs: a subset of brute force, no false positives, " +
+    "ordered ids") {
+    val brute = Similarity.embeddingNearDupPairs(vecs, "vec_id",
+      "embedding", threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.4, numPlanes = 2, numTables = 8).collect()
+    val lshPairs = lsh
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lshPairs.subsetOf(brute),
+      s"false positives: ${lshPairs.diff(brute)}")
+    assert(lsh.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(lsh.forall(_.getAs[Double]("cos_sim") >= 0.4))
+    // 8 tables of 2 planes on near-identical vectors: the .994 pair
+    // shares a bucket with overwhelming probability under the fixed
+    // seeded hyperplanes — deterministic here, so assert it was found
+    assert(lshPairs.contains((0L, 1L)))
+  }
 }
