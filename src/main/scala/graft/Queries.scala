@@ -41,8 +41,10 @@ object Queries {
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,
     QueriesDedupSim.dedupNgramJaccard,
-    QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental, QueriesDedupSim.dedupEmbedding,
+    QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental,
+    QueriesDedupSim.dedupIncrementalBloom, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
+    QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.embeddingInt8Check,

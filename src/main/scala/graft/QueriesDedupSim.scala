@@ -360,6 +360,35 @@ private[graft] object QueriesDedupSim {
         WHERE e.fingerprint = f.fingerprint)
       ORDER BY doc_id"""))
 
+  /** Bloom-accelerated incremental dedup
+    * ([[Dedup.incrementalDedupBloom]]): same corpus/batch split and
+    * SAME ORACLE as dedup_incremental — the Bloom filter is a router,
+    * not a decider, so the output must be byte-identical while the
+    * exact anti-join only sees the "maybe seen" sliver. The oracle
+    * equality IS the exactness proof of the routing. */
+  private[graft] val dedupIncrementalBloom = Q("dedup_incremental_bloom",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = TextAnalysis.fingerprintMd5(col("text"))
+      val existing = docs.filter(col("doc_id") < 250)
+        .select(fp.as("fingerprint")).distinct()
+      Dedup.incrementalDedupBloom(existing, "fingerprint",
+        docs.filter(col("doc_id") >= 250), "doc_id", fp, "fingerprint",
+        expectedItems = 500L)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH fp AS (SELECT doc_id,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+      existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+      firstin AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp
+        WHERE doc_id >= 250 GROUP BY 1)
+      SELECT doc_id, fingerprint FROM firstin f
+      WHERE NOT EXISTS (SELECT 1 FROM existing e
+        WHERE e.fingerprint = f.fingerprint)
+      ORDER BY doc_id"""))
+
   /** Embedding cosine near-dup pairs — quantized to BIGINT so dot
     * products are exact integers in any engine; bounded id range keeps
     * the O(n²) pair space constant across scale factors (the unbounded
@@ -481,6 +510,107 @@ private[graft] object QueriesDedupSim {
 
   /** sf0.01 pair count of dedup_embedding_lsh, frozen 2026-08-12. */
   private val DedupEmbeddingLshFloor = 23L
+
+  /** SemDeDup semantic dedup ([[Similarity.semanticDedup]], the
+    * public Abbas et al. 2023 recipe): seeded-codebook clustering,
+    * within-cell cosine, greedy min-id survivor. Emits the DROPPED
+    * rows (id, cell, smallest dominator, its cosine) — the corpus
+    * minus these ids is the semantically-deduped training set. The
+    * codebook init and Lloyd round are deterministic for the fixed
+    * sf0.01 corpus, so the drop set is frozen as a VALUES oracle
+    * (captured 2026-08-12); semantics are gated scale-independently
+    * by dedup_semantic_gate. */
+  private[graft] val dedupSemantic = Q("dedup_semantic",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.4)
+        .filter(col("dup_of").isNotNull)
+        .orderBy("id")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(142 AS BIGINT), CAST(0 AS BIGINT), CAST(108 AS BIGINT), CAST('0.4371638546169917' AS DOUBLE)),
+      (CAST(190 AS BIGINT), CAST(0 AS BIGINT), CAST(84 AS BIGINT), CAST('0.41242951275383144' AS DOUBLE)),
+      (CAST(210 AS BIGINT), CAST(15 AS BIGINT), CAST(70 AS BIGINT), CAST('0.4065142208250334' AS DOUBLE)),
+      (CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(238 AS BIGINT), CAST('0.4515679816465742' AS DOUBLE)),
+      (CAST(291 AS BIGINT), CAST(8 AS BIGINT), CAST(262 AS BIGINT), CAST('0.41742628101030044' AS DOUBLE)),
+      (CAST(305 AS BIGINT), CAST(12 AS BIGINT), CAST(28 AS BIGINT), CAST('0.4564322360693374' AS DOUBLE)),
+      (CAST(340 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST('0.4927657135003488' AS DOUBLE)),
+      (CAST(388 AS BIGINT), CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST('0.4666406976988793' AS DOUBLE)),
+      (CAST(402 AS BIGINT), CAST(12 AS BIGINT), CAST(16 AS BIGINT), CAST('0.44630134007488836' AS DOUBLE)),
+      (CAST(421 AS BIGINT), CAST(3 AS BIGINT), CAST(120 AS BIGINT), CAST('0.41044348685698145' AS DOUBLE)),
+      (CAST(425 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST('0.4075199341921925' AS DOUBLE)),
+      (CAST(430 AS BIGINT), CAST(6 AS BIGINT), CAST(53 AS BIGINT), CAST('0.4078553306448903' AS DOUBLE)),
+      (CAST(431 AS BIGINT), CAST(13 AS BIGINT), CAST(191 AS BIGINT), CAST('0.4420580850530819' AS DOUBLE)),
+      (CAST(466 AS BIGINT), CAST(7 AS BIGINT), CAST(169 AS BIGINT), CAST('0.5128367777446692' AS DOUBLE))
+      ) v(id, cell_id, dup_of, cos_sim) ORDER BY id"""))
+
+  /** Invariants of the semantic dedup, oracle-checked against
+    * constants, bracketing the frozen output from both sides:
+    * (precision) every dropped row's dominator is a smaller id in the
+    * SAME cell whose interpreted-HOF cosine matches the reported score
+    * and clears the threshold; (completeness) no two SURVIVORS in the
+    * same cell score at-or-above the threshold — the greedy min-id
+    * rule guarantees this, so a violation means the dominance scan
+    * missed a pair; (partition) every corpus id appears exactly once
+    * in the output; (coverage) the sf0.01 drop count holds its frozen
+    * floor. */
+  private[graft] val dedupSemanticGate = Q("dedup_semantic_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.4).localCheckpoint(true)
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val dropped = out.filter(col("dup_of").isNotNull)
+      val prec = dropped
+        .join(ev.select(col("vec_id").as("id"),
+          col("embedding").as("ei")), Seq("id"))
+        .join(ev.select(col("vec_id").as("dup_of"),
+          col("embedding").as("ed")), Seq("dup_of"))
+        .join(out.select(col("id").as("dup_of"),
+          col("cell_id").as("dom_cell")), Seq("dup_of"))
+        .withColumn("true_cos",
+          Similarity.dot(col("ei"), col("ed")) /
+            (Similarity.norm(col("ei")) * Similarity.norm(col("ed"))))
+        .agg(
+          count(when(col("dup_of") >= col("id") or
+            col("dom_cell") =!= col("cell_id"), 1))
+            .as("bad_dominator"),
+          count(when(col("true_cos") < 0.4 - 1e-12 or
+            abs(col("true_cos") - col("cos_sim")) > 1e-9, 1))
+            .as("misscored"))
+      val survivors = out.filter(col("dup_of").isNull)
+        .join(ev.select(col("vec_id").as("id"), col("embedding")),
+          Seq("id"))
+      val comp = survivors.select(col("cell_id"), col("id").as("id_a"),
+          col("embedding").as("ea"))
+        .join(survivors.select(col("cell_id"), col("id").as("id_b"),
+          col("embedding").as("eb")), Seq("cell_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("c",
+          Similarity.dot(col("ea"), col("eb")) /
+            (Similarity.norm(col("ea")) * Similarity.norm(col("eb"))))
+        .agg(count(when(col("c") >= 0.4, 1)).as("survivor_pairs_over"))
+      val part = out.agg(
+        count(lit(1)).as("n_out"),
+        countDistinct(col("id")).as("n_ids"),
+        count(when(col("dup_of").isNotNull, 1)).as("n_drop"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_corpus")))
+        .select((col("n_out") - col("n_corpus")).as("extra_or_missing"),
+          (col("n_out") - col("n_ids")).as("id_dupes"),
+          greatest(lit(0L), lit(DedupSemanticFloor) - col("n_drop"))
+            .as("drop_shortfall"))
+      prec.crossJoin(comp).crossJoin(part)
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS bad_dominator,
+      CAST(0 AS BIGINT) AS misscored,
+      CAST(0 AS BIGINT) AS survivor_pairs_over,
+      CAST(0 AS BIGINT) AS extra_or_missing,
+      CAST(0 AS BIGINT) AS id_dupes,
+      CAST(0 AS BIGINT) AS drop_shortfall"""))
+
+  /** sf0.01 dropped-id count of dedup_semantic, frozen 2026-08-12. */
+  private val DedupSemanticFloor = 14L
 
   // ======================================================================
   // LLM-data-pipeline extensions: similarity search

@@ -102,6 +102,36 @@ private[graft] object QueriesStreaming {
     }
   }
 
+  /** Shared session-conf scope for every streaming query: 4 shuffle
+    * partitions (state-store instances scale with shuffle partitions;
+    * these demos key on tiny cardinalities, so fewer partitions =
+    * fewer state commits per batch), and — when `SPARK_GRAFT_ROCKSDB=1`
+    * — the RocksDB state store provider, the backend that keeps
+    * 100 TB-scale streaming state (dedup keys, open sessions, join
+    * buffers) on executor-local disk + off-heap instead of the JVM
+    * heap, with incremental-checkpoint commits. Query RESULTS are
+    * provider-independent (the oracle suite passes under either — the
+    * flag exists so the scale rehearsal can measure both backends);
+    * both confs are restored on exit, so a failed stream cannot leak
+    * session state into the batch queries. */
+  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
   // ======================================================================
   // Streaming: the daily engagement aggregate over a bounded stream,
   // oracle = the equivalent batch SQL (stream/batch parity).
@@ -110,40 +140,34 @@ private[graft] object QueriesStreaming {
   private[graft] val streamDaily = Q("stream_daily_engagement",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // state-store instances scale with shuffle partitions; this agg
-      // keys on (day, user) with tiny cardinality, so fewer partitions
-      // = fewer state commits per batch (restored after the run)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       // the shared staged input (not pathGlobFilter over the source
       // dir: a glob on the FILE name silently matches nothing when the
       // table is a directory of part files, as rehearsal layouts are —
       // the 10x pass was streaming an empty input)
-      val staged = StreamStage(s, dir)
-      val stream = s.readStream.schema(staged.schema)
-        .parquet(staged.inDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      val agg = stream
-        .withWatermark("ts", "1 day")
-        .filter(col("event_type") === "purchase")
-        .groupBy(window(col("ts"), "1 day").as("day"),
-          col("user_id"))
-        .agg(count(lit(1)).as("play_count"))
-      // update mode + foreachBatch merge-upsert: each batch rewrites
-      // only the date partitions it touches, state holds only keys in
-      // the watermark horizon — the pattern that survives an unbounded
-      // stream (a complete-mode memory sink would retain the whole
-      // result in state AND collect it to the driver).
-      val root = StreamTemp.dir("graft_stream_daily")
-      try
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val agg = stream
+          .withWatermark("ts", "1 day")
+          .filter(col("event_type") === "purchase")
+          .groupBy(window(col("ts"), "1 day").as("day"),
+            col("user_id"))
+          .agg(count(lit(1)).as("play_count"))
+        // update mode + foreachBatch merge-upsert: each batch rewrites
+        // only the date partitions it touches, state holds only keys in
+        // the watermark horizon — the pattern that survives an unbounded
+        // stream (a complete-mode memory sink would retain the whole
+        // result in state AND collect it to the driver).
+        val root = StreamTemp.dir("graft_stream_daily")
         graft.stream.StreamingFact.upsertToSilver(
           s, agg, s"$root/fact", s"$root/ckpt", keyCols = Seq("user_id"))
-      finally // a failed stream must not leave the session at 8 parts
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$root/fact")
-        .filter(col("user_id") >= 0) // shared watermark sentinels
-        .select(col("date"), col("user_id"), col("play_count"))
-        .orderBy("date", "user_id")
+        s.read.parquet(s"$root/fact")
+          .filter(col("user_id") >= 0) // shared watermark sentinels
+          .select(col("date"), col("user_id"), col("play_count"))
+          .orderBy("date", "user_id")
+      }
     },
     Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS date, user_id,
       COUNT(*) AS play_count
@@ -165,9 +189,7 @@ private[graft] object QueriesStreaming {
     * replay needs the nudge. */
   private[graft] val streamSessions = Q("stream_sessions",
     (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s) {
         val staged = StreamStage(s, dir)
         val root = StreamTemp.dir("graft_stream_sess")
         val stream = s.readStream.schema(staged.schema)
@@ -190,7 +212,7 @@ private[graft] object QueriesStreaming {
             unix_micros(col("session_end")).as("session_end_us"),
             col("n_events"))
           .orderBy("user_id", "session_start_us")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
     Some("""SELECT user_id, MIN(ts_us) AS session_start_us,
       MAX(ts_us) + 1800 * 1000000 AS session_end_us,
@@ -223,9 +245,7 @@ private[graft] object QueriesStreaming {
     * by the dedup column. */
   private[graft] val streamDedup = Q("stream_dedup",
     (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s) {
         val staged = StreamStage(s, dir)
         val root = StreamTemp.dir("graft_stream_dedup")
         val stream = s.readStream.schema(staged.schema)
@@ -246,7 +266,7 @@ private[graft] object QueriesStreaming {
           .filter(col("user_id") >= 0) // shared watermark sentinels
           .select(col("user_id"), col("event_id"))
           .orderBy("user_id", "event_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
     Some("""SELECT user_id, event_id FROM events ORDER BY 1, 2"""))
 
@@ -258,9 +278,7 @@ private[graft] object QueriesStreaming {
     * bound state, so the bounded replay needs no sentinel. */
   private[graft] val streamAttribution = Q("stream_attribution",
     (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s) {
         val staged = StreamStage(s, dir)
         val root = StreamTemp.dir("graft_stream_attr")
         val stream = s.readStream.schema(staged.schema)
@@ -283,7 +301,7 @@ private[graft] object QueriesStreaming {
           // (user -1); the inner join pairs them up — drop that row
           .filter(col("user_id") >= 0)
           .orderBy("user_id", "purchase_event_id", "signup_event_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
     Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
       s.event_id AS signup_event_id
@@ -307,9 +325,7 @@ private[graft] object QueriesStreaming {
     * the order keys stay non-null. */
   private[graft] val streamAttributionOuter = Q("stream_attribution_outer",
     (s, dir) => {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withStreamConf(s) {
         val staged = StreamStage(s, dir)
         val root = StreamTemp.dir("graft_stream_attr_outer")
         val stream = s.readStream.schema(staged.schema)
@@ -334,7 +350,7 @@ private[graft] object QueriesStreaming {
             coalesce(col("signup_event_id"), lit(-1L))
               .as("signup_event_id"))
           .orderBy("user_id", "purchase_event_id", "signup_event_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
     Some("""SELECT p.user_id, p.event_id AS purchase_event_id,
       COALESCE(s.event_id, -1) AS signup_event_id

@@ -214,4 +214,42 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --- Incremental (Bloom-accelerated) ---------------------------------
+
+  /** Incremental dedup of a new batch against an accumulated corpus,
+    * Bloom-accelerated: the corpus fingerprints are folded into a Bloom
+    * filter (driver-held, sized by `expectedItems`/`fpp` — bits, not
+    * rows: 10⁹ keys at 3% fpp is ~0.9 GB, broadcast once), and every
+    * batch fingerprint probes it map-side. A "definitely unseen"
+    * answer is EXACT — the row is new, no join needed; only the "maybe
+    * seen" sliver (true dups + fpp of the rest) reaches the exact
+    * anti-join. Exactness is preserved because the bloom only ever
+    * routes rows toward the join, never positively decides membership;
+    * the anti-join that remains shuffles ~dup-rate of the batch
+    * instead of all of it, and the corpus side is semi-join-prunable
+    * to the probed fingerprints. Returns (idCol, fpAlias): the first
+    * occurrence per unseen fingerprint, min-id survivor within the
+    * batch (same contract as the plain anti-join formulation —
+    * byte-identical output, cheaper exchange). */
+  def incrementalDedupBloom(corpusFps: DataFrame, fpColCorpus: String,
+                            batch: DataFrame, idCol: String,
+                            fpCol: Column, fpAlias: String,
+                            expectedItems: Long,
+                            fpp: Double = 0.03): DataFrame = {
+    val spark = batch.sparkSession
+    val bloom = corpusFps.stat.bloomFilter(fpColCorpus,
+      expectedItems.max(1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((fp: String) =>
+      fp != null && bloomBc.value.mightContainString(fp))
+    val firstIn = batch
+      .select(col(idCol), fpCol.as(fpAlias))
+      .groupBy(fpAlias).agg(min(col(idCol)).as(idCol))
+    val definitelyNew = firstIn.filter(!maybeSeen(col(fpAlias)))
+    val maybe = firstIn.filter(maybeSeen(col(fpAlias)))
+      .join(corpusFps.select(col(fpColCorpus).as(fpAlias)).distinct(),
+        Seq(fpAlias), "left_anti")
+    definitelyNew.unionByName(maybe).select(idCol, fpAlias)
+  }
 }

@@ -251,4 +251,49 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** SemDeDup-style semantic deduplication (the public recipe of
+    * Abbas et al. 2023, arXiv:2303.09540): cluster the embeddings with
+    * the seeded IVF codebook ([[trainCodebook]] — deterministic init +
+    * Lloyd rounds, broadcast-assign), then compare pairs only WITHIN a
+    * cell and drop every id that has a smaller-id in-cell neighbor at
+    * cosine >= threshold. The greedy min-id survivor rule makes the
+    * result deterministic for a fixed corpus, and leaves survivors
+    * pairwise BELOW the threshold within every cell (if two survivors
+    * cleared it, the larger id would be dominated — a checkable
+    * completeness invariant, gated by semantic_dedup_gate).
+    *
+    * Scale shape: the quadratic term is per-cell, bounded by cell size
+    * — numCells grows with the corpus so n/numCells stays fixed, and
+    * the cell equi-join shuffles (id, vector) once on an 8-byte key.
+    * The corpus never cross-joins; centroids are the only driver-side
+    * state (numCells × dim doubles).
+    *
+    * Returns every input id: (id, cell_id, dup_of, cos_sim) where
+    * dup_of is the SMALLEST dominating in-cell neighbor (null for
+    * survivors) and cos_sim its cosine. Survivors = `dup_of IS NULL`.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numCells: Int = 16,
+                    kmeansIterations: Int = 1): DataFrame = {
+    val cents = trainCodebook(df, idCol, vecCol, numCells,
+      kmeansIterations)
+    val cells = assignCells(df.select(col(idCol).as("id"),
+      col(vecCol).as("v")), cents, "id", "v", 1)
+    val dom = cells.select(col("cell_id"), col("id").as("id_a"),
+        col("v").as("va"))
+      .join(cells.select(col("cell_id"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min_by(struct(col("id_a"), col("cos_sim")), col("id_a"))
+        .as("d"))
+      .select(col("id"), col("d.id_a").as("dup_of"),
+        col("d.cos_sim").as("cos_sim"))
+    cells.select("id", "cell_id")
+      .join(dom, Seq("id"), "left")
+      .select("id", "cell_id", "dup_of", "cos_sim")
+  }
 }

@@ -211,14 +211,24 @@ object StreamingFact {
   def attributionJoin(purchases: DataFrame, signups: DataFrame,
                       windowDays: Int = 7,
                       joinType: String = "inner"): DataFrame = {
+    // each branch is deduped by event id WITHIN its watermark before
+    // the join: real ingestion is at-least-once (retries, replayed
+    // pages), and a duplicated event on either side would multiply the
+    // join output — k copies of a purchase × k of a signup emit k²
+    // pairs. The dedup state is one key per event in the horizon; with
+    // unique inputs it's a no-op pass-through, so the batch oracle is
+    // unchanged. (This is also what keeps the file-replicating scale
+    // rehearsal linear instead of quadratic in the replication factor.)
     val p = purchases
       .select(col("user_id").as("p_user"),
         col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 day")
+      .dropDuplicatesWithinWatermark("purchase_event_id")
     val s = signups
       .select(col("user_id").as("s_user"),
         col("event_id").as("signup_event_id"), col("ts").as("s_ts"))
       .withWatermark("s_ts", s"${windowDays + 1} days")
+      .dropDuplicatesWithinWatermark("signup_event_id")
     // left_outer additionally emits never-matched purchases with a
     // null signup side — but only once the watermark proves no future
     // signup can still match (the row emits at state EVICTION, the

@@ -126,4 +126,24 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 64)
     }
   }
+
+  test("incrementalDedupBloom matches the plain anti-join exactly: " +
+    "dups dropped, new kept, min-id within batch") {
+    import org.apache.spark.sql.functions._
+    val fp = TextAnalysis.fingerprintMd5(col("text"))
+    // corpus = docs 1-3; batch = 4 (dup of 1), 5/6 (empty and null
+    // text), plus a genuinely new doc 7 and its batch-dup 8
+    val batch = docs.filter(col("doc_id") >= 4)
+      .unionByName(Seq((7L, "fresh never-seen content"),
+        (8L, "fresh never-seen content")).toDF("doc_id", "text"))
+    val corpus = docs.filter(col("doc_id") <= 3)
+      .select(fp.as("fingerprint")).distinct()
+    val out = Dedup.incrementalDedupBloom(corpus, "fingerprint",
+      batch, "doc_id", fp, "fingerprint", expectedItems = 10L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // 4 is a corpus dup; 5 (md5 of empty) and 6 (null text → null
+    // fingerprint, which neither the bloom nor an anti-join can match)
+    // are unseen; 7 survives as min-id of the 7/8 batch pair
+    assert(out == Seq(5L, 6L, 7L))
+  }
 }

@@ -112,4 +112,25 @@ class SimilaritySpec extends AnyFunSuite {
     // seeded hyperplanes — deterministic here, so assert it was found
     assert(lshPairs.contains((0L, 1L)))
   }
+
+  test("semanticDedup: greedy min-id survivor within cells, full " +
+    "partition of the corpus") {
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, numCells = 1).collect()
+    // every input id appears exactly once
+    assert(out.map(_.getAs[Long]("id")).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    val dropped = out.filter(!_.isNullAt(out.head.fieldIndex("dup_of")))
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("dup_of")).toMap
+    // one cell: only the .994 pair clears 0.9 → id 1 dominated by 0
+    assert(dropped == Map(1L -> 0L))
+    // survivors are pairwise below the threshold (completeness of the
+    // dominance scan): recheck by brute force
+    val survivors = out.filter(_.isNullAt(out.head.fieldIndex("dup_of")))
+      .map(_.getAs[Long]("id")).toSet
+    val over = Similarity.embeddingNearDupPairs(
+      vecs.filter(col("vec_id").isin(survivors.toSeq: _*)),
+      "vec_id", "embedding", threshold = 0.9).count()
+    assert(over == 0L)
+  }
 }
