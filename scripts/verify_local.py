@@ -4,7 +4,7 @@ then execute each oracle SQL in DuckDB over the same parquet tables and
 compare values exactly (columns sorted by name, rows as produced).
 Usage: python3 scripts/verify_local.py [sfdir] [outdir] [--skip-verify]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 
 import duckdb
 import pandas as pd
@@ -30,6 +30,10 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# honor the same subset env Verify/Bench use, for targeted re-checks
+only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").replace(",", " ").split()}
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 for name, sql in sorted(oracle.items()):
     try:

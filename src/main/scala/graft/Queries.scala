@@ -33,10 +33,11 @@ object Queries {
     QueriesCore.variantJson, QueriesCore.regexpExtract, QueriesCore.filterValid, QueriesCore.windowDedup, QueriesCore.dupGroups,
     QueriesCore.qualityReport,
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.limitSample, QueriesCore.unionIds,
+    QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
-    QueriesKpi.sketchDistinctUnion,
+    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchCmsCheck,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,
@@ -51,6 +52,7 @@ object Queries {
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
+    QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,

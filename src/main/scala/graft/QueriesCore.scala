@@ -294,4 +294,54 @@ private[graft] object QueriesCore {
       COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), false) THEN 1 END) AS returnflag_domain
       FROM lineitem"""))
 
+  /** CSV sink + source round-trip (S-family: delimited interchange —
+    * the format upstream teams actually hand over). The table is
+    * unioned with one deliberately CSV-hostile row (embedded comma,
+    * double-quote, and newline in one field) before writing, so the
+    * hash gate proves the quote/escape/multiLine path, not just the
+    * happy path: Spark writes the hostile value quote-wrapped with
+    * escaped quotes, and reads it back under `multiLine` (a record
+    * can span physical lines) with the parquet-derived schema
+    * (schema-on-read; header kept for humans, not inference). Scratch
+    * lives in the shared swept temp root — no residue after a run. */
+  private[graft] val csvRoundtrip = Q("csv_roundtrip",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+      val hostile = base.limit(1).select(
+        lit(-1L).as("c_custkey"),
+        lit("a,\"quoted\"\nsecond line").as("c_name"),
+        lit(-1).as("c_nationkey"),
+        lit(-0.5).as("c_acctbal"),
+        lit("STRESS").as("c_mktsegment"))
+      val root = QueriesStreaming.StreamTemp.dir("graft_fmt_csv")
+      base.union(hostile).write.option("header", "true")
+        .mode("overwrite").csv(s"$root/customer_csv")
+      s.read.schema(base.schema).option("header", "true")
+        .option("multiLine", "true")
+        .csv(s"$root/customer_csv")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT * FROM (
+        SELECT * FROM customer
+        UNION ALL
+        SELECT -1, 'a,"quoted"' || chr(10) || 'second line',
+          -1, -0.5, 'STRESS')
+      ORDER BY c_custkey"""))
+
+  /** ORC sink + source round-trip (S-family: the columnar interchange
+    * format besides parquet) over the gnarliest table — documents,
+    * whose text carries newlines, unicode, and nulls — proving the
+    * codec path is byte-lossless under the same hash gate as every
+    * other query. ORC brings its own predicate pushdown and stripe
+    * stats, so at 100 TB it scans like parquet; the round-trip here
+    * pins read/write fidelity, not layout. */
+  private[graft] val orcRoundtrip = Q("orc_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = QueriesStreaming.StreamTemp.dir("graft_fmt_orc")
+      docs.write.mode("overwrite").orc(s"$root/documents_orc")
+      s.read.orc(s"$root/documents_orc").orderBy("doc_id")
+    },
+    Some("""SELECT * FROM documents ORDER BY doc_id"""))
+
 }

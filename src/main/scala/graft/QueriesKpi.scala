@@ -166,4 +166,45 @@ private[graft] object QueriesKpi {
     Some("""SELECT CAST(0 AS BIGINT) AS union_violations,
       CAST(0 AS BIGINT) AS daily_violations"""))
 
+  /** Count-min-sketch frequency estimation, invariant-oracled — the
+    * heavy-hitter companion to [[sketchDistinctUnion]]'s HLL: one
+    * fixed-size mergeable sketch (here ~2000×7 counters for
+    * eps=0.001, conf=0.99) absorbs the whole stream via map-side
+    * partial aggregation, then answers "how often did key X occur"
+    * without a per-key groupBy — at 100 TB the sketch is kilobytes
+    * per partition merged on one reducer, vs a full-key shuffle.
+    * Probing has no SQL builtin, so the audit deserializes the ONE
+    * sketch on the driver and checks every key of the enum-bounded
+    * event_type domain against its exact count: CMS never
+    * under-counts (`underest` must be 0), and with a fixed seed the
+    * over-count side is deterministic for fixed data (`over_eps` = 0
+    * at width 2000 vs a handful of keys). Exact per-key counts ride
+    * a domain-bounded collect, same posture as the k-means centroid
+    * pull. */
+  private[graft] val sketchCmsCheck = Q("sketch_cms_check",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val skBytes = ev.agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.99d, 1)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n")).collect() // enum-bounded domain
+      val total = exact.map(_.getAs[Long]("n")).sum
+      val verdicts = exact.map { r =>
+        val est = cms.estimateCount(r.getAs[String]("event_type"))
+        val n = r.getAs[Long]("n")
+        (if (est < n) 1L else 0L,
+          if (est > n + (0.001 * total).toLong) 1L else 0L)
+      }
+      import s.implicits._
+      Seq((exact.length.toLong,
+        verdicts.map(_._1).sum, verdicts.map(_._2).sum))
+        .toDF("n_keys", "underest", "over_eps")
+    },
+    Some("""SELECT (SELECT COUNT(DISTINCT event_type) FROM events)
+        AS n_keys,
+      CAST(0 AS BIGINT) AS underest, CAST(0 AS BIGINT) AS over_eps"""))
+
 }

@@ -182,6 +182,67 @@ private[graft] object QueriesText {
       WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Bigram conditional log-probability scoring — the step up from
+    * [[textUnigramLogprob]] that catches word-salad documents a
+    * unigram model scores well (every token common, no token ORDER):
+    * P(w2|w1) with add-one smoothing over the full corpus vocabulary,
+    * each doc scored by its mean bigram log-prob. Bigram extraction is
+    * a pure column expression (`zip_with` of the token array against
+    * its own tail — no posexplode self-join, so pairing never
+    * shuffles); the LM tables are corpus-wide gram aggregates with
+    * map-side partial combine, and scoring joins move only the scored
+    * slice. Per-pair logprobs round to 6dp and sum as DECIMAL so the
+    * aggregate is shuffle-order-independent. */
+  private[graft] val textBigramLogprob = Q("text_bigram_logprob",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val toks = docs.select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("a"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+        .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val bf = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      val cf = bf.groupBy("w1").agg(sum(col("bc")).as("cc"))
+      val vocab = toks.select(explode(col("a")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      bigrams.filter(col("doc_id") < 100)
+        .join(bf, Seq("w1", "w2"))
+        .join(cf, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log((col("bc").cast("double") + 1.0) /
+            (col("cc").cast("double") + col("v").cast("double"))),
+            6).cast(DecimalType(18, 6)).as("lp"))
+        .groupBy("doc_id")
+        .agg((sum(col("lp")).cast("double") / count(lit(1)))
+          .as("mean_logprob"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      bg AS (SELECT doc_id, z['w1'] AS w1, z['w2'] AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(a)),
+          i -> {'w1': a[i], 'w2': a[i+1]})) AS z FROM docs)),
+      vocab AS (SELECT COUNT(DISTINCT term) AS v FROM
+        (SELECT unnest(a) AS term FROM docs)),
+      bf AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+      cf AS (SELECT w1, SUM(bc) AS cc FROM bf GROUP BY 1)
+      SELECT doc_id,
+        CAST(SUM(CAST(ROUND(ln((CAST(bc AS DOUBLE) + 1.0) /
+          (CAST(cc AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_logprob,
+        COUNT(*) AS n_bigrams
+      FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1)
+        CROSS JOIN vocab
+      WHERE doc_id < 100
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Language-ID evaluation: confusion matrix of labeled vs predicted
     * language. */
   private[graft] val textLangConfusion = Q("text_lang_confusion",
