@@ -102,23 +102,30 @@ private[graft] object QueriesStreaming {
     }
   }
 
-  /** Shared session-conf scope for every streaming query: 4 shuffle
-    * partitions (state-store instances scale with shuffle partitions;
-    * these demos key on tiny cardinalities, so fewer partitions =
-    * fewer state commits per batch), and — when `SPARK_GRAFT_ROCKSDB=1`
-    * — the RocksDB state store provider, the backend that keeps
-    * 100 TB-scale streaming state (dedup keys, open sessions, join
-    * buffers) on executor-local disk + off-heap instead of the JVM
-    * heap, with incremental-checkpoint commits. Query RESULTS are
-    * provider-independent (the oracle suite passes under either — the
-    * flag exists so the scale rehearsal can measure both backends);
-    * both confs are restored on exit, so a failed stream cannot leak
-    * session state into the batch queries. */
+  /** Shared session-conf scope for every streaming query: shuffle
+    * partitions sized to the STATE KEY CARDINALITY (state-store
+    * instances scale with shuffle partitions — default 4 for the
+    * tiny-key oracle fixtures; `SPARK_GRAFT_STREAM_PARTS` overrides,
+    * because the key-growth rehearsal measured session-window state
+    * merge at 18.6× on 10× keys when 150k users funneled through 4
+    * state partitions, and 32 partitions bought the linear path back
+    * — at 100 TB this is the `spark.sql.shuffle.partitions` the
+    * streaming job is SUBMITTED with, sized like any stateful shuffle),
+    * and — when `SPARK_GRAFT_ROCKSDB=1` — the RocksDB state store
+    * provider, the backend that keeps 100 TB-scale streaming state
+    * (dedup keys, open sessions, join buffers) on executor-local disk
+    * + off-heap instead of the JVM heap, with incremental-checkpoint
+    * commits. Query RESULTS are provider- and partition-independent
+    * (the oracle suite passes under any setting — the knobs exist so
+    * the scale rehearsal can measure the backends); both confs are
+    * restored on exit, so a failed stream cannot leak session state
+    * into the batch queries. */
   private def withStreamConf[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
         ".state.RocksDBStateStoreProvider")

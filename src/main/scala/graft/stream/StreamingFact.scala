@@ -309,7 +309,17 @@ object StreamingFact {
               "date" +: keyCols, "left_anti")
           fresh.unionByName(prior)
         }
+      // cluster the write by (date, small key-hash bucket): without
+      // this, every shuffle partition contributes a file to every
+      // touched date dir — the key-growth rehearsal measured the
+      // daily upsert at 68 s (vs 16 s at 10x) once 32 state
+      // partitions × touched dates amplified into thousands of tiny
+      // files. Hash-bucketing bounds files-per-date at 4 while
+      // keeping >1 writer per hot date (pure repartition('date')
+      // would serialize a skewed date through one task).
       merged.localCheckpoint(eager = true)
+        .repartition(col("date"),
+          pmod(xxhash64(keyCols.map(col): _*), lit(4)))
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(path)
