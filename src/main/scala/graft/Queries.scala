@@ -66,6 +66,7 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
-    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup)
+    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup,
+    QueriesStreaming.streamStateInspect)
 }
 

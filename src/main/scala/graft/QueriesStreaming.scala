@@ -277,6 +277,74 @@ private[graft] object QueriesStreaming {
     },
     Some("""SELECT user_id, event_id FROM events ORDER BY 1, 2"""))
 
+  /** STREAMING-STATE INTROSPECTION ([[graft.stream.StateInspect]]):
+    * run the watermarked dedup to completion, then audit its
+    * CHECKPOINT offline with the `state-metadata` and `statestore`
+    * batch readers — the way an operator answers "what is this job
+    * holding in state" on a production stream without stopping it.
+    * The gate pins the invariants that hold under ANY batch split of
+    * the bounded replay (exact retained-key counts depend on where
+    * AvailableNow cuts batches — eviction trails the watermark by one
+    * commit — so they are deliberately NOT pinned):
+    *  - the checkpoint advertises exactly one stateful operator, named
+    *    `dedupeWithinWatermark`, with one state partition per shuffle
+    *    partition of the session that ran it;
+    *  - every non-sentinel state key is an event_id that exists in the
+    *    input (a state row the input cannot explain = corruption);
+    *  - state is non-empty (the final batch's keys cannot have been
+    *    evicted yet — the watermark that would evict them commits one
+    *    batch later). */
+  private[graft] val streamStateInspect = Q("stream_state_inspect",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_state")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val deduped = graft.stream.StreamingFact.dedupStream(
+          stream, "ts", Seq("event_id"))
+        val q = deduped.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val meta = graft.stream.StateInspect
+          .stateMetadata(s, s"$root/ckpt")
+        val state = graft.stream.StateInspect
+          .stateRows(s, s"$root/ckpt")
+        val inputIds = s.read.parquet(staged.inDir)
+          .select(col("event_id")).where(col("event_id").isNotNull)
+        val orphanCnt = state
+          .select(col("key.event_id").as("event_id"))
+          .where(col("event_id").isNotNull) // sentinels carry null ids
+          .join(inputIds, Seq("event_id"), "left_anti")
+          .agg(count(lit(1)).as("orphan_keys"))
+        meta.agg(
+            count(when(col("operatorName") =!= "dedupeWithinWatermark",
+              1)).as("bad_operator"),
+            count(when(col("numPartitions") =!= parts, 1))
+              .as("bad_partitions"),
+            count(lit(1)).as("n_operators"))
+          .crossJoin(state.agg(
+            when(count(lit(1)) === 0, 1L).otherwise(0L)
+              .as("state_empty")))
+          .crossJoin(orphanCnt)
+          .select(col("n_operators"), col("bad_operator"),
+            col("bad_partitions"), col("state_empty"),
+            col("orphan_keys"))
+      }
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS n_operators,
+      CAST(0 AS BIGINT) AS bad_operator,
+      CAST(0 AS BIGINT) AS bad_partitions,
+      CAST(0 AS BIGINT) AS state_empty,
+      CAST(0 AS BIGINT) AS orphan_keys"""))
+
   /** STREAM-STREAM join (two unbounded sides, state-store buffered,
     * watermark-evicted): purchases ⋈ signups of the same user within 7
     * days, both sides branches of one replayed event stream. Oracle:
