@@ -344,4 +344,41 @@ private[graft] object QueriesCore {
     },
     Some("""SELECT * FROM documents ORDER BY doc_id"""))
 
+  /** Manifest-committed snapshot table lifecycle
+    * ([[graft.sources.ManifestTable]]), hash-gated end-to-end:
+    * overwrite → append → compact, then read the head snapshot. The
+    * oracle reproduces the logical content from the source table; the
+    * two pinned audit columns prove the physical protocol did what it
+    * claims — `files_after_compact` = 2 (the head snapshot reads the
+    * two compacted files, not v1's eight or a directory listing that
+    * would also sweep in the replaced small files), and `v1_rows` is
+    * counted through a TIME-TRAVEL read of version 1 AFTER two more
+    * versions committed on top. Snapshot pinning across concurrent
+    * commits and vacuum safety are ManifestTableSpec's. */
+  private[graft] val manifestSnapshot = Q("manifest_snapshot",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_q")
+      val tbl = s"$root/cust_tbl"
+      graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING").repartition(8))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY"))
+      graft.sources.ManifestTable.compact(s, tbl, targetFiles = 2)
+      val v1Rows = graft.sources.ManifestTable
+        .read(s, tbl, Some(1L)).count()
+      val head = graft.sources.ManifestTable.read(s, tbl)
+      head
+        .withColumn("files_after_compact",
+          lit(head.inputFiles.length.toLong))
+        .withColumn("v1_rows", lit(v1Rows))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c.*, CAST(2 AS BIGINT) AS files_after_compact,
+      (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+        AS v1_rows
+      FROM customer c
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ORDER BY c_custkey"""))
+
 }

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed snapshot tables: the minimal commit protocol a
+  * 100 TB parquet table needs and plain directory listing cannot give.
+  *
+  * A table is a directory: immutable data files under `data/`, and one
+  * numbered manifest per committed version under `_manifests/` listing
+  * exactly the data files that version comprises (one relative path
+  * per line). Readers resolve a snapshot by manifest, never by
+  * listing `data/` — which buys, with no table-format dependency:
+  *
+  *  - **Atomic commits**: a writer stages data files first (invisible
+  *    to every reader — nothing references them), then publishes one
+  *    manifest file. A crash mid-write leaves garbage files but never
+  *    a torn table.
+  *  - **Snapshot isolation**: a reader that resolved version N keeps a
+  *    frozen file list; a concurrent append/overwrite/compact commits
+  *    N+1 without disturbing it.
+  *  - **Safe compaction**: `compact` REWRITES small files into large
+  *    ones and publishes the swap as a new version — concurrent
+  *    readers of version N still hold the old files, which `vacuum`
+  *    alone may delete (after their versions are expired). The
+  *    listing-based [[Sources.compact]] rewrites in place and races
+  *    readers; this one cannot.
+  *  - **Time travel**: any retained version reads back exactly.
+  *
+  * Optimistic concurrency: version N+1 commits by create-no-overwrite
+  * of `v(N+1)`'s manifest; a loser hits the existing file, re-reads
+  * the new head and retries on top (append and compact rebase
+  * cleanly; concurrent overwrites last-writer-wins by design). On
+  * HDFS-like stores the create is atomic at the namenode; an object
+  * store needs its conditional-put (S3 If-None-Match) or a commit
+  * service behind the same interface — true of every manifest-based
+  * format, Delta and Iceberg included.
+  */
+object ManifestTable {
+
+  private val ManifestRe = """v(\d{9})\.txt""".r
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: Path, v: Long): Path =
+    new Path(new Path(table, "_manifests"), f"v$v%09d.txt")
+
+  /** Latest committed version, or 0 when the table has none. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val dir = new Path(table, "_manifests")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.foldLeft(0L)(math.max)
+  }
+
+  private def readManifest(spark: SparkSession, table: Path,
+                           v: Long): Seq[String] = {
+    val p = manifestPath(table, v)
+    val in = fs(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Stage `df` as immutable files under `data/` WITHOUT publishing
+    * them: written through a scratch dir, then moved to unique names.
+    * Returns the staged relative paths. */
+  private def stageFiles(spark: SparkSession, table: Path,
+                         df: DataFrame): Seq[String] = {
+    val stamp = java.util.UUID.randomUUID.toString.take(8)
+    val scratch = new Path(table, s"_staging_$stamp")
+    df.write.parquet(scratch.toString)
+    val f = fs(spark, table)
+    val dataDir = new Path(table, "data")
+    f.mkdirs(dataDir)
+    val moved = f.listStatus(scratch).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val name = f"part-$stamp-$i%05d.parquet"
+        require(f.rename(st.getPath, new Path(dataDir, name)),
+          s"stage move failed for ${st.getPath}")
+        s"data/$name"
+      }.toList
+    f.delete(scratch, true)
+    moved
+  }
+
+  /** Publish `files` as version head+1; retries the version number on
+    * a concurrent-commit collision. Returns the committed version. */
+  private def publish(spark: SparkSession, table: Path,
+                      files: Long => Seq[String]): Long = {
+    val f = fs(spark, table)
+    var attempts = 0
+    while (attempts < 20) {
+      val head = latestVersion(spark, table.toString)
+      val target = manifestPath(table, head + 1)
+      f.mkdirs(target.getParent)
+      try {
+        val out = f.create(target, /* overwrite = */ false)
+        try out.write(files(head).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        return head + 1
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race
+      }
+    }
+    sys.error(s"commit to $table lost ${attempts} version races")
+  }
+
+  /** Atomic append: stages `df`'s files, commits head+1 = head's
+    * files + the new ones. Rebases automatically on concurrent
+    * commits (the staged files are version-independent). */
+  def commitAppend(spark: SparkSession, table: String,
+                   df: DataFrame): Long = {
+    val t = new Path(table)
+    val staged = stageFiles(spark, t, df)
+    publish(spark, t, head =>
+      (if (head == 0) Nil else readManifest(spark, t, head)) ++ staged)
+  }
+
+  /** Atomic full overwrite: the new version references ONLY `df`'s
+    * files; prior versions keep reading their own. */
+  def commitOverwrite(spark: SparkSession, table: String,
+                      df: DataFrame): Long = {
+    val t = new Path(table)
+    val staged = stageFiles(spark, t, df)
+    publish(spark, t, _ => staged)
+  }
+
+  /** Read a snapshot: the given version, or the latest. The file list
+    * is resolved ONCE here — the returned frame is pinned to the
+    * snapshot however many commits land while it is being consumed. */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val t = new Path(table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    require(v > 0, s"$table has no committed version")
+    val files = readManifest(spark, t, v)
+      .map(rel => new Path(t, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Logical compaction: rewrite the CURRENT snapshot into
+    * `targetFiles` files and publish the swap as a new version. The
+    * replaced small files stay on disk for older versions' readers —
+    * only `vacuum` reclaims them once their versions expire. */
+  def compact(spark: SparkSession, table: String,
+              targetFiles: Int): Long =
+    commitOverwrite(spark, table,
+      read(spark, table).repartition(targetFiles))
+
+  /** Delete data files referenced by NO retained manifest (crash
+    * leftovers, compacted-away or overwritten files whose versions
+    * expired). Keeps the newest `keepVersions` manifests; older ones
+    * are dropped first so their exclusive files become unreferenced.
+    * Returns the deleted file names. */
+  def vacuum(spark: SparkSession, table: String,
+             keepVersions: Int = 2): Seq[String] = {
+    val t = new Path(table)
+    val f = fs(spark, t)
+    val head = latestVersion(spark, table)
+    val keep = ((head - keepVersions + 1) max 1) to head
+    (1L until keep.head).foreach(v =>
+      f.delete(manifestPath(t, v), false))
+    val referenced = keep.flatMap(v => readManifest(spark, t, v))
+      .map(rel => new Path(t, rel).getName).toSet
+    val dataDir = new Path(t, "data")
+    if (!f.exists(dataDir)) Nil
+    else f.listStatus(dataDir).iterator.map(_.getPath)
+      .filterNot(p => referenced(p.getName))
+      .map { p => f.delete(p, false); p.getName }.toList
+  }
+}

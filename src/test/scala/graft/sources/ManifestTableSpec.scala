@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ManifestTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_manifest")
+    java.nio.file.Files.delete(d) // table dir is created by the commit
+    d.toString
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("append commits are atomic versions; time travel reads back") {
+    val t = tmpTable()
+    val v1 = ManifestTable.commitOverwrite(spark, t,
+      (1L to 10L).toDF("id"))
+    val v2 = ManifestTable.commitAppend(spark, t,
+      (11L to 15L).toDF("id"))
+    assert((v1, v2) == (1L, 2L))
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 15L))
+    assert(ids(ManifestTable.read(spark, t, Some(1L))) == (1L to 10L))
+  }
+
+  test("readers are pinned to their snapshot across an overwrite") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t, (1L to 5L).toDF("id"))
+    val pinned = ManifestTable.read(spark, t) // resolves v1's file list
+    ManifestTable.commitOverwrite(spark, t, (100L to 102L).toDF("id"))
+    assert(ids(pinned) == (1L to 5L), "v1 reader saw v2's rows")
+    assert(ids(ManifestTable.read(spark, t)) == (100L to 102L))
+  }
+
+  test("compact rewrites files, keeps rows, and old versions intact") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t,
+      (1L to 100L).toDF("id").repartition(8))
+    val v2 = ManifestTable.compact(spark, t, targetFiles = 2)
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 100L))
+    assert(ManifestTable.read(spark, t).inputFiles.length == 2)
+    // pre-compaction snapshot still reads its own (small) files
+    assert(ids(ManifestTable.read(spark, t, Some(v2 - 1))) == (1L to 100L))
+    assert(ManifestTable.read(spark, t, Some(v2 - 1))
+      .inputFiles.length == 8)
+  }
+
+  test("vacuum deletes only files no retained version references") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t,
+      (1L to 50L).toDF("id").repartition(4))
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    ManifestTable.commitAppend(spark, t, (51L to 60L).toDF("id"))
+    // keep v2 (compacted) + v3 (append): v1's four small files orphan
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    assert(deleted.length == 4, s"deleted: $deleted")
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 60L))
+    assert(ids(ManifestTable.read(spark, t, Some(2L))) == (1L to 50L))
+    intercept[Exception] { // v1's manifest is expired
+      ManifestTable.read(spark, t, Some(1L)).collect()
+    }
+  }
+
+  test("staged-but-unpublished files are invisible to readers") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t, (1L to 3L).toDF("id"))
+    // simulate a crashed writer: files land in data/ with no manifest
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet")
+    (90L to 95L).toDF("id").coalesce(1)
+      .write.parquet(s"$t/_crash_tmp")
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(s"$t/_crash_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    f.rename(part, orphan)
+    assert(ids(ManifestTable.read(spark, t)) == (1L to 3L),
+      "reader listed data/ instead of the manifest")
+    // vacuum reclaims the crash leftover
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 1)
+    assert(deleted.contains("orphan.parquet"))
+  }
+}
