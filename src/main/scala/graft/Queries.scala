@@ -64,7 +64,7 @@ object Queries {
     QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
-    QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine,
+    QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)

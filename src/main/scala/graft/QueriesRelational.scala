@@ -722,6 +722,71 @@ private[graft] object QueriesRelational {
       SELECT spine.date, COALESCE(d.n, 0) AS n_events
       FROM spine LEFT JOIN d USING (date) ORDER BY spine.date"""))
 
+  /** Weighted PageRank over the nation-level trade graph
+    * ([[graft.etl.Graph.weightedPageRank]]): edges = customer-nation →
+    * supplier-nation weighted by lineitem count (one aggregation over
+    * the 4-table star — the only data-sized shuffle), then 5 rounds of
+    * integer-quantized power iteration. The oracle replays the SAME
+    * integer recurrence as a DuckDB recursive CTE — BIGINT floor-div
+    * arithmetic is shuffle-order-independent and bit-identical across
+    * engines, so the full 25-row rank vector hash-matches, where a
+    * float PageRank would drift in the 15th decimal and flip hash
+    * bits. The iterative-join-per-round plan (rank vector
+    * localCheckpointed, edges partitioned by src, map-side partial
+    * aggregation on dst) is the CC loop's shape and scales the same
+    * way: rounds × one shuffle over the EDGE aggregate, never over
+    * the raw fact. */
+  private[graft] val graphPagerank = Q("graph_pagerank",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation").select("n_nationkey")
+      graft.etl.Graph.weightedPageRank(edges, nodes, iterations = 5)
+        .join(t(s, dir, "nation"),
+          col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node"))
+    },
+    Some("""WITH RECURSIVE
+      edges AS (
+        SELECT c_nationkey AS src, s_nationkey AS dst,
+          CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+      ranks(iter, node, rank_micro) AS (
+        SELECT 0, n_nationkey, CAST(1000000 AS BIGINT) FROM nation
+        UNION ALL
+        SELECT * FROM (
+          SELECT COALESCE(c.iter, MAX(c.iter) OVER ()) + 1 AS iter,
+            n.n_nationkey AS node,
+            CAST(150000 + (85 * COALESCE(c.inflow, 0)) // 100
+              AS BIGINT) AS rank_micro
+          FROM nation n LEFT JOIN (
+            SELECT e.dst AS dst, r.iter AS iter,
+              SUM((r.rank_micro * e.w) // o.outw) AS inflow
+            FROM ranks r
+            JOIN outw o ON o.src = r.node
+            JOIN edges e ON e.src = r.node
+            WHERE r.iter < 5
+            GROUP BY 1, 2) c ON c.dst = n.n_nationkey)
+        WHERE iter IS NOT NULL)
+      SELECT node, n_name, rank_micro
+      FROM ranks JOIN nation ON node = n_nationkey
+      WHERE iter = 5
+      ORDER BY rank_micro DESC, node"""))
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */

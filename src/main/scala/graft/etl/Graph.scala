@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on DataFrames — the power-iteration
+  * sibling of the label-propagation connected components in
+  * [[graft.llmops.Dedup]].
+  *
+  * Arithmetic is INTEGER-QUANTIZED (ranks in 1e-6 units, every
+  * divide a BIGINT floor-div) for the same reason the embedding
+  * queries quantize dot products: integer sums are
+  * shuffle-order-independent and bit-identical across engines, so a
+  * fixed-iteration run hash-matches a recursive-CTE oracle exactly —
+  * no float summation-order noise, no rounding-boundary flips. */
+object Graph {
+
+  /** Weighted PageRank, `iterations` rounds of power iteration over an
+    * integer-weighted edge list.
+    *
+    * Semantics (all BIGINT, ranks in micro-units):
+    *   rank_0(n)   = 1_000_000 for every node
+    *   contrib(s→d) = (rank_t(s) * w(s,d)) div outw(s)
+    *   rank_{t+1}(d) = 150_000 + (85 * Σ contrib(·→d)) div 100
+    * Dangling nodes (no out-edges) leak their mass — the classic
+    * simplification; nodes with no in-edges settle at the teleport
+    * floor 150_000.
+    *
+    * Scale shape: `edges` is aggregated ONCE by the caller (the only
+    * data-sized shuffle); each round is one equi-join of the rank
+    * vector against edges partitioned by `src` plus a groupBy on
+    * `dst` — partial aggregation combines map-side, so the per-round
+    * exchange carries one row per (dst, partition), not per edge. The
+    * rank vector is `localCheckpoint`ed every round: without it the
+    * loop's lineage doubles per iteration and re-executes from the
+    * scan (the 410 s → 2 s lesson SCALE.md records for the CC loop).
+    *
+    * @param edges (src, dst, w) BIGINT edge weights, pre-aggregated
+    * @param nodes single-column frame of every node id (isolated
+    *              nodes included — they hold the teleport floor)
+    * @return (node, rank_micro) one row per node
+    */
+  def weightedPageRank(edges: DataFrame, nodes: DataFrame,
+                       iterations: Int = 5): DataFrame = {
+    val nodeCol = nodes.columns.head
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("outw"))
+      .localCheckpoint(eager = false)
+    var ranks = nodes.select(col(nodeCol).as("node"),
+      lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("(rank_micro * w) div outw").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .select(col(nodeCol).as("node"))
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"),
+          "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("85 * coalesce(inflow, 0L) div 100").cast("long"))
+            .as("rank_micro"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Long)],
+                    nodes: Seq[Long], iters: Int): Map[Long, Long] =
+    Graph.weightedPageRank(
+        edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-cycle holds full rank; isolated node sits on the teleport floor") {
+    // 1↔2 pass their whole rank back and forth: 150k + 85% of 1M = 1M
+    // exactly, a fixed point of the integer recurrence; 3 gets nothing.
+    val r = ranks(Seq((1L, 2L, 1L), (2L, 1L, 1L)), Seq(1L, 2L, 3L), 5)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 150000L))
+  }
+
+  test("weighted split matches the hand-run integer recurrence") {
+    // 1 → 2 (w=3), 1 → 3 (w=1); node 1 has no inflow so it decays to
+    // the floor after one round, and from round 2 on the flow is the
+    // floor rank split 3:1 — hand-computed fixed point:
+    //   node1 = 150_000
+    //   node2 = 150_000 + (85 * ((150_000*3) div 4)) div 100 = 245_625
+    //   node3 = 150_000 + (85 * ((150_000*1) div 4)) div 100 = 181_875
+    val r = ranks(Seq((1L, 2L, 3L), (1L, 3L, 1L)), Seq(1L, 2L, 3L), 5)
+    assert(r == Map(1L -> 150000L, 2L -> 245625L, 3L -> 181875L))
+  }
+
+  test("zero iterations returns the uniform init vector") {
+    val r = ranks(Seq((1L, 2L, 1L)), Seq(1L, 2L), 0)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+}
