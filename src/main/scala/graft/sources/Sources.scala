@@ -218,6 +218,29 @@ object Sources {
     fs.delete(b, true)
   }
 
+  /** Parquet write with BLOOM FILTERS on the named columns — the
+    * point-lookup complement to min/max stats. Range clustering and
+    * z-order prune files for columns the layout was SORTED by; a bloom
+    * filter prunes row groups for an arbitrary high-cardinality column
+    * regardless of layout (`WHERE visitor_id = X` on a date-clustered
+    * fact): an equality probe touches only row groups whose filter
+    * admits the value, at ~1 byte/value of footer overhead. Spark
+    * pushes equality/IN predicates into parquet-mr, which consults the
+    * filter before decoding any page. `expectedNdv` sizes the filter's
+    * bit array (per row group) — undersizing inflates the
+    * false-positive rate until pruning stops working, so callers pass
+    * the per-row-group cardinality, not the table's. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Seq[String],
+                            expectedNdv: Long = 100000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val withOpts = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv)
+    }
+    withOpts.parquet(path)
+  }
+
   /** Range-clustered write: `repartitionByRange` on the cluster columns
     * + sort within each partition, so every output file covers a
     * narrow, mostly-disjoint value range. Parquet footer min/max stats

@@ -300,6 +300,43 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-filter write lands filters in the footer for the named col") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val df = (1 to 20000)
+      .map(i => (i.toLong * 7919L % 100000L, s"payload$i"))
+      .toDF("visitor_id", "payload")
+      .coalesce(1) // one part file, so the footer probe sees all values
+    Sources.writeWithBloomFilters(df, s"$root/t",
+      bloomCols = Seq("visitor_id"), expectedNdv = 20000L)
+
+    import scala.jdk.CollectionConverters._
+    val part = new java.io.File(s"$root/t").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val vid = cols.find(_.getPath.toDotString == "visitor_id").get
+      val pay = cols.find(_.getPath.toDotString == "payload").get
+      assert(vid.getBloomFilterOffset >= 0,
+        "no bloom filter written for visitor_id")
+      assert(pay.getBloomFilterOffset < 0,
+        "bloom filter leaked onto a column not asked for")
+      // the filter itself admits a present value (sanity: not a stub)
+      val bloom = reader.getBloomFilterDataReader(
+        reader.getFooter.getBlocks.get(0)).readBloomFilter(vid)
+      val hit = bloom.findHash(bloom.hash(7919L))
+      assert(hit, "bloom filter rejects a value that exists")
+    } finally reader.close()
+
+    // probe through Spark: pushdown + bloom consult, same answer
+    val probe = spark.read.parquet(s"$root/t")
+      .filter(col("visitor_id") === 7919L)
+    assert(probe.count() == df.filter(col("visitor_id") === 7919L).count())
+  }
+
   test("multiline JSON glob scan with explicit schema") {
     val root = java.nio.file.Files.createTempDirectory("graft_ml")
     java.nio.file.Files.createDirectories(root.resolve("r1"))
