@@ -32,7 +32,7 @@ object Queries {
     QueriesCore.factEngagement, QueriesCore.dimMedia, QueriesCore.dimVisitor, QueriesCore.goldCast, QueriesCore.safeCast,
     QueriesCore.variantJson, QueriesCore.regexpExtract, QueriesCore.filterValid, QueriesCore.windowDedup, QueriesCore.dupGroups,
     QueriesCore.qualityReport,
-    QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.limitSample, QueriesCore.unionIds,
+    QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,

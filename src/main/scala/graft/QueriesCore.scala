@@ -153,6 +153,52 @@ private[graft] object QueriesCore {
       json_extract_string(props, '$.missing') AS missing_val
       FROM events ORDER BY event_id"""))
 
+  /** Dead-letter quarantine split ([[Quality.quarantine]]): rows
+    * failing any named rule route to a quarantine side carrying the
+    * comma-joined failed-rule names — bad rows neither poison silver
+    * nor vanish. Output is the QUARANTINE side (the alert payload an
+    * operator reads); the valid side is its exact complement under the
+    * oracle's row pinning. Three rules with real violations in the
+    * corpus: unknown event type ('error' rows), value above the cap,
+    * k outside its domain — rows failing several rules carry several
+    * reasons. */
+  private[graft] val quarantineDeadletter = Q("quarantine_deadletter",
+    (s, dir) => {
+      val (_, bad) = Quality.quarantine(
+        events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          expr("cast(variant_get(try_parse_json(props), '$.k', 'bigint') as bigint)")
+            .as("k_val")),
+        Seq(
+          Quality.Expectation("unknown_event_type",
+            col("event_type").isin("click", "signup", "view",
+              "purchase")),
+          Quality.Expectation("value_above_cap",
+            col("value") <= 200.0),
+          Quality.Expectation("k_out_of_domain",
+            col("k_val") <= 90L)))
+      bad.select(col("event_id"), col("event_type"), col("value"),
+          col("k_val"), col("_errors").as("errors"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, value, k_val,
+      CONCAT_WS(',',
+        CASE WHEN NOT COALESCE(
+          event_type IN ('click', 'signup', 'view', 'purchase'), FALSE)
+          THEN 'unknown_event_type' END,
+        CASE WHEN NOT COALESCE(value <= 200.0, FALSE)
+          THEN 'value_above_cap' END,
+        CASE WHEN NOT COALESCE(k_val <= 90, FALSE)
+          THEN 'k_out_of_domain' END) AS errors
+      FROM (SELECT event_id, event_type, value,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events)
+      WHERE NOT (COALESCE(
+          event_type IN ('click', 'signup', 'view', 'purchase'), FALSE)
+        AND COALESCE(value <= 200.0, FALSE)
+        AND COALESCE(k_val <= 90, FALSE))
+      ORDER BY event_id"""))
+
   /** regexp_extract with empty-match fallback + coalesce (P9), the
     * lineage-recovery pattern of nb03:203-205, over the JSON props. */
   private[graft] val regexpExtract = Q("regexp_extract_json",

@@ -94,6 +94,30 @@ object Quality {
     df.agg(metrics.head, metrics.tail: _*)
   }
 
+  /** DEAD-LETTER split: route rows that fail any expectation to a
+    * quarantine side carrying WHY they failed, instead of silently
+    * dropping them (`filterValidRows`) or failing the job. The
+    * operational contract of a 100 TB ingest: bad rows must neither
+    * poison the silver layer nor vanish — they land in a quarantine
+    * sink with machine-readable reasons, get alerted on, and replay
+    * after the producer is fixed.
+    *
+    * `_errors` is the comma-joined list of failed rule names in
+    * declaration order (a NULL predicate result counts as a failure,
+    * same as [[checkExpectations]] — NULL means the rule could not
+    * prove the row valid). One scan, no shuffle: the split is two
+    * filters over the same tagged projection, and writing both sides
+    * still reads the source once per sink like any fan-out write. */
+  def quarantine(df: DataFrame, rules: Seq[Expectation])
+  : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "no rules given")
+    val errs = concat_ws(",", rules.map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*)
+    val tagged = df.withColumn("_errors", errs)
+    (tagged.filter(col("_errors") === "").drop("_errors"),
+      tagged.filter(col("_errors") =!= ""))
+  }
+
   /** Quality report in one pass (vs nb03:335-346's count/count-distinct
     * action storm). Exact distinct via count_distinct plus the
     * 100 TB-scale variant approx_count_distinct (HLL++, no exact

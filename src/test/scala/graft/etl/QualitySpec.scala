@@ -74,4 +74,24 @@ class QualitySpec extends AnyFunSuite {
     assert(m.getAs[Long]("score_positive") == 2)
     assert(m.getAs[Long]("id_present") == 0)
   }
+
+  test("quarantine: exact split, multi-reason rows, NULL = failure") {
+    val d = Seq((1, Some(10), "ok"), (2, Some(-5), "ok"),
+      (3, None, "bad"), (4, Some(300), "ok"))
+      .toDF("id", "score", "status")
+    val (valid, bad) = Quality.quarantine(d, Seq(
+      Quality.Expectation("score_positive", col("score") > 0),
+      Quality.Expectation("score_below_cap", col("score") < 100),
+      Quality.Expectation("status_ok", col("status") === "ok")))
+    assert(valid.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(!valid.columns.contains("_errors"))
+    val reasons = bad.select("id", "_errors").as[(Int, String)]
+      .collect().toMap
+    assert(reasons(2) == "score_positive")
+    // NULL score fails BOTH score rules, in declaration order
+    assert(reasons(3) == "score_positive,score_below_cap,status_ok")
+    assert(reasons(4) == "score_below_cap")
+    // split is a partition: every input row lands on exactly one side
+    assert(valid.count() + bad.count() == d.count())
+  }
 }
