@@ -33,7 +33,7 @@ object Queries {
     QueriesCore.variantJson, QueriesCore.regexpExtract, QueriesCore.filterValid, QueriesCore.windowDedup, QueriesCore.dupGroups,
     QueriesCore.qualityReport,
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
-    QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot,
+    QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,

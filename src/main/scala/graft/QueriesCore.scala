@@ -153,6 +153,31 @@ private[graft] object QueriesCore {
       json_extract_string(props, '$.missing') AS missing_val
       FROM events ORDER BY event_id"""))
 
+  /** Incremental consumption of a manifest table
+    * ([[graft.sources.ManifestTable.readAppendsSince]]): two appends
+    * land after the base version; the incremental read returns
+    * EXACTLY their rows — the file-diff CDC a downstream sync or
+    * index-maintenance job runs instead of re-scanning the table.
+    * The refuse-on-rewrite contract (compaction breaks file-level
+    * appends-since) is ManifestTableSpec's. */
+  private[graft] val manifestChanges = Q("manifest_changes",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_cdc")
+      val tbl = s"$root/cust_tbl"
+      graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING"))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY"))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "AUTOMOBILE"))
+      graft.sources.ManifestTable.readAppendsSince(s, tbl, 1L)
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT * FROM customer
+      WHERE c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')
+      ORDER BY c_custkey"""))
+
   /** Dead-letter quarantine split ([[Quality.quarantine]]): rows
     * failing any named rule route to a quarantine side carrying the
     * comma-joined failed-rule names — bad rows neither poison silver

@@ -155,6 +155,40 @@ object ManifestTable {
     commitOverwrite(spark, table,
       read(spark, table).repartition(targetFiles))
 
+  /** Incremental (CDC-lite) read: the rows APPENDED after
+    * `sinceVersion`, resolved as the file-list difference of the two
+    * manifests — an incremental consumer (downstream sync, streaming
+    * backfill, index maintenance) processes only new data instead of
+    * re-scanning the table. Sound only while every intervening commit
+    * is append-only: a version that REMOVED files (overwrite,
+    * compaction) rewrote rows into new files, and a file-level diff
+    * would re-deliver them as inserts — so that case fails loudly
+    * ("re-sync from a full snapshot") instead of silently
+    * double-counting, the same contract Delta's CDF enforces when the
+    * change feed is broken by a non-CDF write. */
+  def readAppendsSince(spark: SparkSession, table: String,
+                       sinceVersion: Long): DataFrame = {
+    val t = new Path(table)
+    val head = latestVersion(spark, table)
+    require(sinceVersion >= 1 && sinceVersion <= head,
+      s"version $sinceVersion outside [1, $head]")
+    var prev = readManifest(spark, t, sinceVersion).toSet
+    for (v <- sinceVersion + 1 to head) {
+      val cur = readManifest(spark, t, v).toSet
+      require(prev.subsetOf(cur),
+        s"version $v of $table removed files (overwrite/compaction): " +
+          "file-level appends-since is unsound — re-sync from a full " +
+          s"snapshot of version $v instead")
+      prev = cur
+    }
+    val since = readManifest(spark, t, sinceVersion).toSet
+    val added = readManifest(spark, t, head).filterNot(since)
+    if (added.isEmpty)
+      read(spark, table, Some(head)).limit(0)
+    else
+      spark.read.parquet(added.map(rel => new Path(t, rel).toString): _*)
+  }
+
   /** Delete data files referenced by NO retained manifest (crash
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones

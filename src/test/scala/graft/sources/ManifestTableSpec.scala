@@ -66,6 +66,28 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readAppendsSince delivers only new rows; rewrites fail loudly") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t, (1L to 5L).toDF("id"))
+    ManifestTable.commitAppend(spark, t, (6L to 8L).toDF("id"))
+    ManifestTable.commitAppend(spark, t, (9L to 10L).toDF("id"))
+    assert(ids(ManifestTable.readAppendsSince(spark, t, 1L)) ==
+      (6L to 10L))
+    assert(ids(ManifestTable.readAppendsSince(spark, t, 2L)) ==
+      (9L to 10L))
+    // caught up: empty frame, same schema
+    val upToDate = ManifestTable.readAppendsSince(spark, t, 3L)
+    assert(upToDate.count() == 0 &&
+      upToDate.columns.toSeq == Seq("id"))
+    // compaction rewrites rows into new files — a file diff would
+    // re-deliver them, so the incremental read must refuse
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readAppendsSince(spark, t, 2L)
+    }
+    assert(e.getMessage.contains("re-sync"))
+  }
+
   test("staged-but-unpublished files are invisible to readers") {
     val t = tmpTable()
     ManifestTable.commitOverwrite(spark, t, (1L to 3L).toDF("id"))
