@@ -189,6 +189,47 @@ object ManifestTable {
       spark.read.parquet(added.map(rel => new Path(t, rel).toString): _*)
   }
 
+  /** Incremental-sync driver: the consumer-side watermark pattern
+    * ([[graft.ingest.Ingest]]'s read/commit-watermark, applied to
+    * manifest CDC). Reads the last synced version from `stateFile`,
+    * hands `process` the full head snapshot (first run) or just the
+    * appends since (steady state, via [[readAppendsSince]]), and
+    * commits the new high-water version ONLY after `process` returns
+    * — a crash mid-process leaves the state untouched, so the next
+    * run redelivers the same batch: at-least-once, which is
+    * exactly-once when `process` is idempotent (partition upsert,
+    * key-merge — everything this engine writes with). Returns the
+    * synced version; a no-op sync (already at head) skips `process`
+    * entirely. */
+  def syncAppends(spark: SparkSession, table: String,
+                  stateFile: String)
+                 (process: DataFrame => Unit): Long = {
+    val sp = new Path(stateFile)
+    val f = fs(spark, sp)
+    val last: Option[Long] =
+      if (!f.exists(sp)) None
+      else {
+        val in = f.open(sp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    val head = latestVersion(spark, table)
+    require(head > 0, s"$table has no committed version")
+    last match {
+      case Some(v) if v >= head => head // caught up
+      case maybe =>
+        process(maybe match {
+          case None => read(spark, table, Some(head))
+          case Some(v) => readAppendsSince(spark, table, v)
+        })
+        val out = f.create(sp, /* overwrite = */ true)
+        try out.write(s"$head\n".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        head
+    }
+  }
+
   /** Delete data files referenced by NO retained manifest (crash
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones

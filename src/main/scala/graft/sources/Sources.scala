@@ -289,6 +289,33 @@ object Sources {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton interleave — [[zorder2]] generalized. `bits` low
+    * bits from each of the k columns, bit j of column i landing at
+    * output position `j*k + i`; k·bits ≤ 63 keeps the key in a long
+    * (ANSI-safe). Same caller contract as zorder2: values are masked
+    * to the declared width, out-of-range or negative inputs WRAP and
+    * silently forfeit the clustering benefit (never correctness —
+    * pruning uses the original columns' footer stats). Three or four
+    * dims is the practical ceiling: each added dimension dilutes
+    * every dimension's pruning power (a k-dim z-curve gives
+    * ~N^((k-1)/k) of files for a single-dim slice), which is why
+    * zorder2 stays the default. */
+  def zorderN(cols: Seq[org.apache.spark.sql.Column],
+              bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val k = cols.size
+    require(k >= 2, s"need >=2 columns, got $k")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must fit a long: $k*$bits")
+    val mask = lit((1L << bits) - 1L)
+    val masked = cols.map(_.cast("long").bitwiseAND(mask))
+    (for {
+      j <- 0 until bits
+      (c, i) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + i))
+      .reduce(_ + _)
+  }
+
   /** Write `df` clustered by the z-order of (colA, colB): files cover
     * compact rectangles of the 2-D key space instead of thin slices of
     * the leading key, so min/max row-group stats prune box queries on

@@ -88,6 +88,35 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-sync"))
   }
 
+  test("syncAppends: full first load, delta steady state, crash redelivery") {
+    val t = tmpTable()
+    val state = s"${tmpTable()}/sync.version"
+    ManifestTable.commitOverwrite(spark, t, (1L to 5L).toDF("id"))
+    var seen = Seq.empty[Seq[Long]]
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      seen = seen :+ ids(df)
+
+    // first run: full snapshot
+    assert(ManifestTable.syncAppends(spark, t, state)(sink) == 1L)
+    assert(seen == Seq(1L to 5L))
+    // caught up: process not invoked
+    assert(ManifestTable.syncAppends(spark, t, state)(sink) == 1L)
+    assert(seen.size == 1)
+    // steady state: only the appended rows
+    ManifestTable.commitAppend(spark, t, (6L to 7L).toDF("id"))
+    assert(ManifestTable.syncAppends(spark, t, state)(sink) == 2L)
+    assert(seen.last == (6L to 7L))
+    // crash mid-process: state not advanced, batch redelivered
+    ManifestTable.commitAppend(spark, t, (8L to 9L).toDF("id"))
+    intercept[RuntimeException] {
+      ManifestTable.syncAppends(spark, t, state) { _ =>
+        sys.error("sink down")
+      }
+    }
+    assert(ManifestTable.syncAppends(spark, t, state)(sink) == 3L)
+    assert(seen.last == (8L to 9L))
+  }
+
   test("staged-but-unpublished files are invisible to readers") {
     val t = tmpTable()
     ManifestTable.commitOverwrite(spark, t, (1L to 3L).toDF("id"))

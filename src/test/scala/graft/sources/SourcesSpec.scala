@@ -177,6 +177,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("zorderN: k=2 equals zorder2 bit-for-bit; k=3 matches hand interleave") {
+    val d = (0 until 256).map(i => (i.toLong * 37 % 64,
+      i.toLong * 53 % 64, i.toLong * 11 % 64)).toDF("a", "b", "c")
+    val two = d.select(
+      Sources.zorder2(col("a"), col("b"), bits = 6).as("z2"),
+      Sources.zorderN(Seq(col("a"), col("b")), bits = 6).as("zn"))
+    assert(two.filter(col("z2") =!= col("zn")).count() == 0)
+    // hand-computed 3-dim interleave: bits=2, (a,b,c)=(3,0,1):
+    //   pos j*3+i → a bits at 0,3 (both 1), c bit0 at 2 → 1+8+4 = 13
+    val h = Seq((3L, 0L, 1L)).toDF("a", "b", "c")
+      .select(Sources.zorderN(Seq(col("a"), col("b"), col("c")),
+        bits = 2).as("z"))
+      .head().getLong(0)
+    assert(h == 13L, s"3-dim interleave produced $h")
+  }
+
   test("writeZOrdered: box queries on EITHER dimension touch a " +
     "fraction of files; lexicographic clustering fails the second dim") {
     import spark.implicits._
