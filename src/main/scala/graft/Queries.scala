@@ -56,7 +56,7 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
-    QueriesRelational.sessionBatch, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
+    QueriesRelational.sessionBatch, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
     QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,
     QueriesRelational.rollupRegionNation, QueriesRelational.groupingSets, QueriesRelational.limitOffset, QueriesRelational.rangeWindowSum,

@@ -46,6 +46,53 @@ private[graft] object QueriesRelational {
           FROM events))
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Time-series gap repair ([[graft.etl.Temporal.interpolateLinear]]):
+    * every 7th measure nulled out, then linearly interpolated from its
+    * nearest non-null neighbors per user. Both engines evaluate the
+    * IDENTICAL float expression prev + (next − prev)·frac on the same
+    * operands, so the doubles hash-match bit-for-bit (IEEE arithmetic
+    * is deterministic given the same operation order — the contract
+    * this suite's float queries rely on). Leading/trailing gaps stay
+    * null; two running ignoreNulls windows over one key shuffle. */
+  private[graft] val timeseriesInterpolate = Q("timeseries_interpolate",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_id") % 7 =!= 0, col("value")).as("value"))
+      graft.etl.Temporal
+        .interpolateLinear(ev, "user_id", "ts_us", "value", "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value_interp"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts_us,
+      CASE WHEN value IS NOT NULL THEN value
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             CASE WHEN next_t = prev_t THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) *
+                    (CAST(ts_us - prev_t AS DOUBLE) /
+                     CAST(next_t - prev_t AS DOUBLE)) END
+      END AS value_interp
+      FROM (
+        SELECT event_id, user_id, ts_us, value,
+          LAST_VALUE(value IGNORE NULLS) OVER w_before AS prev_v,
+          LAST_VALUE(CASE WHEN value IS NOT NULL THEN ts_us END
+            IGNORE NULLS) OVER w_before AS prev_t,
+          FIRST_VALUE(value IGNORE NULLS) OVER w_after AS next_v,
+          FIRST_VALUE(CASE WHEN value IS NOT NULL THEN ts_us END
+            IGNORE NULLS) OVER w_after AS next_t
+        FROM (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+            CASE WHEN event_id % 7 <> 0 THEN value END AS value
+          FROM events)
+        WINDOW
+          w_before AS (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_after AS (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      ORDER BY event_id"""))
+
   /** Funnel: users whose first 'purchase' follows their first 'signup'.
     */
   private[graft] val funnel = Q("funnel_signup_purchase",

@@ -72,4 +72,39 @@ object Temporal {
         min(col(tsCol)).as("session_start_us"),
         max(col(tsCol)).as("session_end_us"))
   }
+
+  /** Linear interpolation of missing measures in a keyed time series:
+    * a null `valueCol` is filled from its nearest non-null neighbors
+    * in time,
+    *   v = prev + (next − prev) · (ts − ts_prev) / (ts_next − ts_prev)
+    * — the standard sensor/metric gap repair. Two `last/first
+    * (ignoreNulls)` running windows over ONE key shuffle (the
+    * bracketing values and their timestamps ride the same frames); no
+    * self-join, no explode. Leading/trailing gaps (no bracket on one
+    * side) stay null — extrapolation is a policy decision left to the
+    * caller; a zero-width bracket (both neighbors at the same ts)
+    * takes the previous value. `tieBreak` totalizes the per-key order
+    * so the window (and therefore the fill) is deterministic under
+    * equal timestamps. */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, tieBreak: String,
+                        outCol: String = "value_interp"): DataFrame = {
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val after = order.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val tsIfV = when(v.isNotNull, col(tsCol))
+    val prevV = last(v, ignoreNulls = true).over(before)
+    val prevT = last(tsIfV, ignoreNulls = true).over(before)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextT = first(tsIfV, ignoreNulls = true).over(after)
+    val fraction = (col(tsCol) - prevT).cast("double") /
+      (nextT - prevT).cast("double")
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          when(nextT === prevT, prevV)
+            .otherwise(prevV + (nextV - prevV) * fraction)))
+  }
 }

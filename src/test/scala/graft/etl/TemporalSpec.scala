@@ -35,4 +35,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(out((1L, 1L)) == 1L)
     assert(out((2L, 0L)) == 1L)
   }
+
+  test("interpolateLinear: midpoint fill, edge gaps stay null, keys isolated") {
+    val ev = Seq(
+      (1L, 0L, Some(10.0), 1L),
+      (1L, 10L, None, 2L),        // 10/40 of the way 10.0 → 50.0
+      (1L, 40L, Some(50.0), 3L),
+      (1L, 50L, None, 4L),        // trailing gap: no next → null
+      (2L, 0L, None, 5L),         // leading gap: no prev → null
+      (2L, 5L, Some(7.0), 6L))
+      .toDF("user", "ts_us", "value", "event_id")
+    val out = Temporal.interpolateLinear(ev, "user", "ts_us", "value",
+        "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("value_interp"))).toMap
+    assert(out(1L).contains(10.0)) // non-null passes through
+    assert(out(2L).contains(10.0 + 40.0 * (10.0 / 40.0))) // = 20.0
+    assert(out(3L).contains(50.0))
+    assert(out(4L).isEmpty)
+    assert(out(5L).isEmpty) // user 2's values never bleed from user 1
+    assert(out(6L).contains(7.0))
+  }
 }
