@@ -12,6 +12,40 @@ class StateInspectSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("maxFilesPerTrigger bounds each micro-batch during a backfill") {
+    // the rate-limit knob that makes a month-long backfill replay as
+    // bounded micro-batches instead of one giant state-blowing batch:
+    // AvailableNow honors it, so 3 staged files → 3 single-file batches
+    val in = java.nio.file.Files.createTempDirectory("graft_rate_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_rate_out")
+    try {
+      for (i <- 1 to 3)
+        Seq((i.toLong, s"f$i")).toDF("id", "tag").coalesce(1)
+          .write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 single-file batches, saw ${batches.length}")
+      assert(batches.forall(_.numInputRows == 1))
+      assert(spark.read.parquet(s"$out/data").count() == 3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (root <- Seq(in, out))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("state-metadata + statestore read a dedup checkpoint offline") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
