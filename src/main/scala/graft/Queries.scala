@@ -34,6 +34,7 @@ object Queries {
     QueriesCore.qualityReport,
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
+    QueriesCore.manifestSync, QueriesCore.bucketedJoin,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
@@ -65,7 +66,7 @@ object Queries {
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
-    QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamAttribution,
+    QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -450,6 +451,120 @@ private[graft] object QueriesCore {
         AS v1_rows
       FROM customer c
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ORDER BY c_custkey"""))
+
+  /** One-time-per-(dir) staging of the bucketed fact tables the
+    * zero-exchange join reads — written ONCE however many times the
+    * query runs in a bench/verify session (the write is the amortized
+    * cost the strategy exists to pay once; re-paying it per repeat
+    * would benchmark the write, not the join). Data lands in a
+    * [[QueriesStreaming.StreamTemp]]-swept scratch dir (external
+    * tables — only bucket metadata in the in-memory catalog); table
+    * names are dir-tagged so rehearsal layouts don't collide. */
+  private object BucketedStage {
+    private val staged = scala.collection.mutable.Map[String, (String, String)]()
+    def tables(s: SparkSession, dir: String): (String, String) =
+      synchronized {
+        staged.getOrElseUpdate(dir, {
+          val tag = java.lang.Long.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+          val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+          val root = QueriesStreaming.StreamTemp.dir("graft_bucketed")
+          graft.sources.Sources.writeBucketedTable(
+            t(s, dir, "orders"), ot, "o_orderkey", 8, "o_orderkey",
+            Some(s"$root/orders"))
+          graft.sources.Sources.writeBucketedTable(
+            t(s, dir, "lineitem"), lt, "l_orderkey", 8, "l_orderkey",
+            Some(s"$root/lineitem"))
+          (ot, lt)
+        })
+      }
+  }
+
+  /** The zero-Exchange plan itself, shared by the registered query and
+    * PlanGuardrailSpec's shuffle assertion: join + per-key aggregate
+    * over the two bucketed tables, planned with broadcast DISABLED (at
+    * 100 TB neither side broadcasts — sort-merge over co-bucketed
+    * scans IS the plan) and the plan PINNED inside the conf scope
+    * (queryExecution is lazy; without the touch the restored threshold
+    * would re-plan a broadcast join at action time). Bucketing serves
+    * both operators: the join needs no Exchange because both scans
+    * already hash-cluster on the key, and the aggregate needs none
+    * because the join output inherits that clustering. */
+  private[graft] def bucketedJoinFrame(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val (ot, lt) = BucketedStage.tables(s, dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(ot)
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+      joined.queryExecution.executedPlan // pin SMJ inside the scope
+      joined
+    } finally
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Bucketed (pre-shuffled) join: orders ⋈ lineitem on the bucket key
+    * with a per-order aggregate, both tables written via
+    * [[graft.sources.Sources.writeBucketedTable]] — the
+    * amortize-the-shuffle-once layout for a fact table that joins
+    * repeatedly on the same key. The oracle proves the bucketed path
+    * returns exactly the plain-join answer; the ZERO-ShuffleExchange
+    * property of the plan is PlanGuardrailSpec's assertion over
+    * [[bucketedJoinFrame]]. */
+  private[graft] val bucketedJoin = Q("bucketed_join",
+    (s, dir) => bucketedJoinFrame(s, dir).orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The incremental-sync driver
+    * ([[graft.sources.ManifestTable.syncAppends]]) — the consumer-side
+    * watermark loop over manifest CDC — run through its three regimes
+    * in one query: first sync delivers the FULL head snapshot (no
+    * state), steady-state sync delivers EXACTLY the appends since the
+    * last synced version (a re-delivery of v1's rows would duplicate
+    * them in the sink and break the hash), and a caught-up sync skips
+    * `process` entirely (pinned by `process_calls` = 2). The synced
+    * version lands in the state file only AFTER `process` returns —
+    * crash-redelivery (at-least-once) is ManifestTableSpec's. */
+  private[graft] val manifestSync = Q("manifest_sync",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_sync")
+      val tbl = s"$root/cust_tbl"
+      val sink = s"$root/sink"
+      val state = s"$root/consumer_state.txt"
+      var calls = 0L
+      def process(batch: DataFrame): Unit = {
+        calls += 1
+        batch.write.mode("append").parquet(sink)
+      }
+      graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING"))
+      graft.sources.ManifestTable.syncAppends(s, tbl, state)(process)
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY"))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "AUTOMOBILE"))
+      graft.sources.ManifestTable.syncAppends(s, tbl, state)(process)
+      val synced = graft.sources.ManifestTable
+        .syncAppends(s, tbl, state)(process) // caught up: must skip
+      s.read.parquet(sink)
+        .withColumn("process_calls", lit(calls))
+        .withColumn("synced_version", lit(synced))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c.*, CAST(2 AS BIGINT) AS process_calls,
+      CAST(3 AS BIGINT) AS synced_version
+      FROM customer c
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
       ORDER BY c_custkey"""))
 
 }

@@ -531,22 +531,39 @@ private[graft] object QueriesRelational {
         AS sum_1h
       FROM events ORDER BY user_id, event_id"""))
 
-  /** Sample variance / stddev / correlation from EXACT decimal moment
+  /** Sample variance / stddev / correlation from EXACT integer moment
     * sums (float moment aggregates are shuffle-order-dependent and can
-    * never hash-match across engines; decimal sums make the final
-    * double arithmetic a fixed expression over identical inputs). */
+    * never hash-match across engines). The 2-decimal measures quantize
+    * to BIGINT cents, so every moment is pure long arithmetic on the
+    * codegen fast path — Decimal(38,4) product sums fell off it
+    * (precision > 18 accumulates in BigDecimal; this query measured
+    * 1.45 s → 2.04 s when those sums dominated). Per-row products stay
+    * under 1e14; each product SUM is split DIV/% 1e6 into two long
+    * sums so neither overflows before ~1e12 rows — the recombination
+    * `hi * 1e6 + lo` and everything after is a fixed IEEE expression
+    * over identical integer inputs in both engines. */
   private[graft] val statsExact = Q("stats_exact",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      def d2(c: Column) = sum(c.cast(DecimalType(18, 2))).cast("double")
-      def d4(c: Column) = sum(c.cast(DecimalType(38, 4))).cast("double")
-      li.agg(
-        count(lit(1)).cast("double").as("n"),
-        d2(col("l_extendedprice")).as("sx"),
-        d4(col("l_extendedprice") * col("l_extendedprice")).as("sxx"),
-        d2(col("l_quantity")).as("sy"),
-        d4(col("l_quantity") * col("l_quantity")).as("syy"),
-        d4(col("l_extendedprice") * col("l_quantity")).as("sxy"))
+      def hiLo(prod: String, as: String) = Seq(
+        sum(expr(s"$prod DIV 1000000")).as(s"${as}_hi"),
+        sum(expr(s"$prod % 1000000")).as(s"${as}_lo"))
+      def recomb(as: String) =
+        (col(s"${as}_hi").cast("double") * 1e6 +
+          col(s"${as}_lo").cast("double")) / 1e4
+      li.select(
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("qc"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          (Seq(sum(col("pc")).as("sx_c"), sum(col("qc")).as("sy_c")) ++
+            hiLo("pc * pc", "sxx") ++ hiLo("qc * qc", "syy") ++
+            hiLo("pc * qc", "sxy")): _*)
+        .select(
+          col("n"),
+          (col("sx_c").cast("double") / 100.0).as("sx"),
+          (col("sy_c").cast("double") / 100.0).as("sy"),
+          recomb("sxx").as("sxx"), recomb("syy").as("syy"),
+          recomb("sxy").as("sxy"))
         .select(
           ((col("sxx") - col("sx") * col("sx") / col("n")) /
             (col("n") - 1.0)).as("var_price"),
@@ -557,13 +574,27 @@ private[graft] object QueriesRelational {
               sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
             .as("corr_price_qty"))
     },
-    Some("""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS syy,
-        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
-      FROM lineitem)
+    Some("""WITH q AS (SELECT
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+        CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+      FROM lineitem),
+      sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(pc) AS BIGINT) AS sx_c,
+        CAST(SUM(qc) AS BIGINT) AS sy_c,
+        CAST(SUM(pc * pc // 1000000) AS BIGINT) AS sxx_hi,
+        CAST(SUM(pc * pc % 1000000) AS BIGINT) AS sxx_lo,
+        CAST(SUM(qc * qc // 1000000) AS BIGINT) AS syy_hi,
+        CAST(SUM(qc * qc % 1000000) AS BIGINT) AS syy_lo,
+        CAST(SUM(pc * qc // 1000000) AS BIGINT) AS sxy_hi,
+        CAST(SUM(pc * qc % 1000000) AS BIGINT) AS sxy_lo
+      FROM q),
+      m AS (SELECT n,
+        CAST(sx_c AS DOUBLE) / 100.0 AS sx,
+        CAST(sy_c AS DOUBLE) / 100.0 AS sy,
+        (CAST(sxx_hi AS DOUBLE) * 1e6 + CAST(sxx_lo AS DOUBLE)) / 1e4 AS sxx,
+        (CAST(syy_hi AS DOUBLE) * 1e6 + CAST(syy_lo AS DOUBLE)) / 1e4 AS syy,
+        (CAST(sxy_hi AS DOUBLE) * 1e6 + CAST(sxy_lo AS DOUBLE)) / 1e4 AS sxy
+      FROM sums)
       SELECT (sxx - sx * sx / n) / (n - 1.0) AS var_price,
         sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_price,
         (sxy - sx * sy / n) /

@@ -238,6 +238,80 @@ private[graft] object QueriesStreaming {
           FROM events))
       GROUP BY user_id, session_id ORDER BY 1, 2"""))
 
+  /** The [[graft.stream.StreamingFact.sessionizeTws]] sessionizer —
+    * Spark 4's `transformWithState` arbitrary-state API (typed
+    * ValueState + explicit timers) — run end-to-end over the staged
+    * replay and oracled against the batch sessionization SQL, the same
+    * stream/batch-parity bar `stream_sessions` holds. Differences from
+    * the `session_window` twin are semantic, not accidental: the
+    * processor's gap test is STRICT (> 30 min starts a new session, vs
+    * session_window's exclusive-end >=), its session end is the LAST
+    * EVENT's time (not last + gap), and its arithmetic runs on
+    * epoch-millis (`Timestamp.getTime`) — so the oracle floors event
+    * times to millis and mirrors all three. Forces the RocksDB state
+    * store for the run: the only provider implementing
+    * transformWithState's state layout (restored after, like every
+    * stream conf). Sessions still open at end-of-replay (the sentinel
+    * user's own) never emit — closed-sessions-only is the operator's
+    * contract. */
+  private[graft] val streamSessionsTws = Q("stream_sessions_tws",
+    (s, dir) => {
+      withStreamConf(s) {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val staged = StreamStage(s, dir)
+          val root = StreamTemp.dir("graft_stream_tws")
+          val stream = s.readStream.schema(staged.schema)
+            .parquet(staged.inDir)
+            .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .select(col("user_id"), col("ts"),
+              // sentinel rows carry null value; Ev.value is a primitive
+              coalesce(col("value"), lit(0.0)).as("value"))
+            .withWatermark("ts", "1 hour")
+            .as[graft.stream.StreamingFact.Ev]
+          val sess = graft.stream.StreamingFact.sessionizeTws(s, stream)
+          val q = sess.toDF().writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$root/out")
+            .filter(col("user_id") >= 0) // shared watermark sentinels
+            .select(col("user_id"),
+              unix_millis(col("session_start")).as("session_start_ms"),
+              unix_millis(col("session_end")).as("session_end_ms"),
+              col("n_events"))
+            .orderBy("user_id", "session_start_ms")
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, MIN(ts_ms) AS session_start_ms,
+      MAX(ts_ms) AS session_end_ms, COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts_ms,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            epoch_us(ts) // 1000 AS ts_ms,
+            CASE WHEN epoch_us(ts) // 1000 -
+              LAG(epoch_us(ts) // 1000, 1) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800 * 1000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY user_id, session_id ORDER BY 1, 2"""))
+
   /** STREAMING DEDUPLICATION under a watermark
     * (`dropDuplicatesWithinWatermark`): the at-least-once ingestion
     * reality — retries, replayed batches, overlapping API pages —

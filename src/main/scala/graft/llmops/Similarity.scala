@@ -118,8 +118,13 @@ object Similarity {
         .groupBy("cell_id", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
         .collect()
-      val prev = cents.collect()
-        .map(r => r.getAs[Long]("cell_id") -> r.getSeq[Any](1)).toMap
+      // typed extraction: iteration 1 reads the corpus's element type
+      // (Float embeddings), later iterations read the Double centroids
+      // this loop writes — Number.doubleValue covers both without the
+      // schema-fragile stringly round-trip
+      val prev: Map[Long, Seq[Double]] = cents.collect()
+        .map(r => r.getAs[Long]("cell_id") ->
+          r.getSeq[Number](1).map(_.doubleValue()).toSeq).toMap
       val updated = means.groupBy(_.getAs[Long]("cell_id")).map {
         case (cell, rows) =>
           val arr = rows.sortBy(_.getAs[Int]("pos"))
@@ -129,8 +134,7 @@ object Similarity {
       val newCents = prev.keys.toSeq.sorted.map { cell =>
         updated.get(cell) match {
           case Some(arr) => (cell, arr.toSeq)
-          case None => (cell,
-            prev(cell).map(v => v.toString.toDouble).toSeq)
+          case None => (cell, prev(cell)) // empty cell: centroid retained
         }
       }
       cents = newCents.toDF("cell_id", "centroid")

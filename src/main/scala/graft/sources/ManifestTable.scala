@@ -90,8 +90,38 @@ object ManifestTable {
     moved
   }
 
+  /** Create `target` with `bytes` FAILING if it already exists — the
+    * one operation the whole commit protocol rests on, so it must be
+    * genuinely atomic, not check-then-create. Hadoop's
+    * LocalFileSystem.create(overwrite = false) is exists()-then-open —
+    * two racing writers can both pass the check and the loser's
+    * manifest is silently overwritten (a LOST commit). For local
+    * paths the content is staged to a hidden sibling and published by
+    * hard-link, which the kernel makes atomic-and-exclusive (EEXIST).
+    * HDFS-like stores keep the plain create: exclusive-create IS
+    * atomic at the namenode. Object stores need their conditional put
+    * (S3 If-None-Match) behind this same seam. */
+  private def createExclusive(f: FileSystem, target: Path,
+                              bytes: Array[Byte]): Unit =
+    if (f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      val dir = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(dir,
+        s".${target.getName}", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.createLink( // throws FileAlreadyExists
+          java.nio.file.Paths.get(target.toUri.getPath), tmp)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = f.create(target, /* overwrite = */ false)
+      try out.write(bytes) finally out.close()
+    }
+
   /** Publish `files` as version head+1; retries the version number on
-    * a concurrent-commit collision. Returns the committed version. */
+    * a concurrent-commit collision (the loser re-reads the new head
+    * and rebases its file list on top). Returns the committed
+    * version. */
   private def publish(spark: SparkSession, table: Path,
                       files: Long => Seq[String]): Long = {
     val f = fs(spark, table)
@@ -101,10 +131,8 @@ object ManifestTable {
       val target = manifestPath(table, head + 1)
       f.mkdirs(target.getParent)
       try {
-        val out = f.create(target, /* overwrite = */ false)
-        try out.write(files(head).mkString("", "\n", "\n")
-          .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        createExclusive(f, target, files(head)
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         return head + 1
       } catch {
         case _: java.io.IOException => attempts += 1 // lost the race

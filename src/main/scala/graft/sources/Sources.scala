@@ -50,12 +50,18 @@ object Sources {
     * strategy for fact tables that join repeatedly on the same key at
     * 100 TB. `sortBy` gives sort-merge-ready buckets. */
   def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
-                         numBuckets: Int, sortCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                         numBuckets: Int, sortCol: String,
+                         path: Option[String] = None): Unit = {
+    // `path` makes the table EXTERNAL (data at the given location, only
+    // bucket metadata in the catalog) — callers that manage their own
+    // storage lifecycle (scratch dirs, lake layouts) pass it; None
+    // lands under spark.sql.warehouse.dir as before
+    val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(sortCol)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** S10: gold JDBC truncate-and-insert (adf:115-207 semantics —
     * `TRUNCATE TABLE stg_*` then bulk insert). `truncate=true` +
@@ -232,8 +238,17 @@ object Sources {
     * the per-row-group cardinality, not the table's. */
   def writeWithBloomFilters(df: DataFrame, path: String,
                             bloomCols: Seq[String],
-                            expectedNdv: Long = 100000L): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+                            expectedNdv: Long = 100000L,
+                            options: Map[String, String] = Map.empty)
+  : Unit = {
+    // callers tune the physical layout through `options` — e.g.
+    // parquet.block.size for row-group granularity (pruning skips row
+    // GROUPS, so more groups = finer skipping), and
+    // parquet.enable.dictionary=false on high-cardinality columns
+    // (parquet omits the bloom filter entirely for a fully
+    // dictionary-encoded column — the dictionary already answers
+    // exact membership)
+    val w = df.write.mode(SaveMode.Overwrite).options(options)
     val withOpts = bloomCols.foldLeft(w) { (acc, c) =>
       acc.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv)
