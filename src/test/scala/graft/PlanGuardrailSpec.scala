@@ -146,6 +146,22 @@ class PlanGuardrailSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("bucketed_join: join AND aggregate run with ZERO Exchange") {
+    // the amortize-the-shuffle-once claim (SCALE.md): both tables are
+    // pre-bucketed on the join key, so the sort-merge join needs no
+    // shuffle and the per-key aggregate inherits the clustering.
+    // bucketedJoinFrame plans with broadcast disabled and the plan
+    // pinned inside that scope — the shape asserted here is the one a
+    // 100 TB big-big join would run.
+    val df = QueriesCore.bucketedJoinFrame(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join/aggregate grew an Exchange:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join lost its sort-merge shape:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("the flagship aggregation runs inside WholeStageCodegen") {
     // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
     // are compiled lazily) — plan the probe with AQE off to see the

@@ -56,6 +56,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
 
+  test("trainCodebook retains an empty cell's centroid, typed through " +
+    "Float and Double element types") {
+    // init centroids = the 3 lowest-id vectors; vec 3 duplicates vec 1,
+    // so every point's nearest-centroid tie breaks to cell 1 (lowest
+    // cell_id at equal cosine) and cell 3 is EMPTY in every iteration.
+    // Iteration 1's retention path reads the corpus's Float elements,
+    // iteration 2's reads the Doubles the loop itself wrote — both
+    // legs of the typed extraction that replaced toString.toDouble.
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f)), // duplicate of 1 → its cell never wins a tie
+      (4L, Array(0.9f, 0.1f)),
+      (5L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCodebook(corpus, "vec_id", "embedding",
+      numCells = 3, iterations = 2)
+    val m = cents.collect().map(r =>
+      r.getAs[Long]("cell_id") -> r.getSeq[Double](1).toList).toMap
+    assert(m.keySet == Set(1L, 2L, 3L),
+      "an empty cell was dropped from the codebook")
+    assert(m(3L) == List(1.0, 0.0),
+      s"empty cell 3 must keep its init centroid, got ${m(3L)}")
+    // the non-empty cells moved (means of their members) — retention
+    // is not the whole codebook standing still
+    assert(m(1L) != List(1.0, 0.0))
+  }
+
   test("int8Quantize: levels within [-127,127], tight round-trip, " +
     "zero vector unindexable") {
     val d = Seq((0L, Array(0.3f, -1.2f, 0.007f, 0.9f)),

@@ -134,4 +134,48 @@ class ManifestTableSpec extends AnyFunSuite {
     val deleted = ManifestTable.vacuum(spark, t, keepVersions = 1)
     assert(deleted.contains("orphan.parquet"))
   }
+
+  test("two writers racing commitAppend lose no commit; versions dense") {
+    // the optimistic-concurrency contract under REAL contention: both
+    // threads hammer the same head; the loser of each
+    // create-no-overwrite must land on the NEXT version with its file
+    // list rebased (not overwrite the winner, not vanish). The local
+    // commit is a hard-link create — atomic-and-exclusive at the
+    // kernel — so this spec is deterministic, not
+    // probably-won't-collide.
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    val nPer = 5
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          for (i <- 1 to nPer)
+            ManifestTable.commitAppend(spark, t,
+              Seq(((w + 1) * 100 + i).toLong).toDF("id"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing commit threw: $errs")
+    val head = ManifestTable.latestVersion(spark, t)
+    assert(head == 1 + 2 * nPer,
+      s"expected dense versions to ${1 + 2 * nPer}, head is $head")
+    assert(ids(ManifestTable.read(spark, t)) ==
+      (Seq(0L) ++ (1 to nPer).map(_ + 100L) ++ (1 to nPer).map(_ + 200L))
+        .sorted,
+      "a racing writer's rows were lost")
+    // every version must read back whole (no torn manifest), and each
+    // append's rows must stay present from their commit version onward
+    (1L to head).sliding(2).foreach { case Seq(a, b) =>
+      val before = ids(ManifestTable.read(spark, t, Some(a))).toSet
+      val after = ids(ManifestTable.read(spark, t, Some(b))).toSet
+      assert(before.subsetOf(after),
+        s"version $b dropped rows committed by version $a")
+      assert(after.size == before.size + 1) // exactly one append landed
+    }
+  }
 }

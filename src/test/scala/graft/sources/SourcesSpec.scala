@@ -353,6 +353,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe.count() == df.filter(col("visitor_id") === 7919L).count())
   }
 
+  test("bloom filters BEHAVIORALLY prune row groups on a point lookup") {
+    // not just footer structure: the same data in the same physical
+    // layout, with and without blooms, and the scan must DECODE
+    // measurably fewer rows with them. The layout is the one blooms
+    // exist for — a shuffled high-cardinality key (min/max stats span
+    // every row group, so stats prune nothing) written plain-encoded
+    // (parquet omits the bloom for fully dictionary-encoded columns —
+    // the dictionary already answers exact membership) in small row
+    // groups so one file holds many prune candidates.
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_beh")
+    val n = 200000
+    val ids = new scala.util.Random(7).shuffle((1L to n.toLong).toVector)
+    val df = ids.toDF("id")
+      .withColumn("payload", concat(lit("pay_"), col("id")))
+      .coalesce(1)
+    val layout = Map(
+      "parquet.block.size" -> "65536",
+      "parquet.enable.dictionary" -> "false")
+    Sources.writeWithBloomFilters(df, s"$root/bloom", Seq("id"),
+      expectedNdv = 4000L, options = layout) // ~rows per 64K row group
+    df.write.options(layout).parquet(s"$root/plain")
+
+    def decodedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("id") === 123456L)
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("pay_123456"))
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scan.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+      scan.head.metrics("numOutputRows").value
+    }
+    val plain = decodedRows(s"$root/plain")
+    val bloom = decodedRows(s"$root/bloom")
+    // without blooms every row group survives (shuffled key, no stats
+    // pruning) — the scan decodes ~all n rows; with them only the
+    // groups whose filter admits the value are decoded at all
+    assert(plain > n / 2,
+      s"plain layout unexpectedly pruned ($plain of $n rows) — the " +
+        "fixture no longer isolates bloom pruning")
+    assert(bloom * 5 <= plain,
+      s"bloom pruning not effective: decoded $bloom vs $plain rows")
+  }
+
   test("multiline JSON glob scan with explicit schema") {
     val root = java.nio.file.Files.createTempDirectory("graft_ml")
     java.nio.file.Files.createDirectories(root.resolve("r1"))
