@@ -119,6 +119,21 @@ object Pipeline {
       col("total_watch_time_seconds") >= 0),
     Quality.Expectation("date_present", col("date").isNotNull))
 
+  /** Fact rows failing these route to the dead-letter sink instead of
+    * being silently dropped (the round-3 `filterValidKeys` +
+    * internal null-key filter shape): same keep-predicate, but the
+    * rejects land under `_quarantine/fact-engagement` with
+    * machine-readable reasons and replay after the producer is fixed.
+    * The realistic firing case is `media_id_present`: a bronze
+    * visitors dir named outside the two lineage regexps yields rows
+    * whose media lineage cannot be recovered — an operational signal
+    * (fix the producer, replay the dir), not noise to swallow. */
+  private[graft] val factRouteRules =
+    Seq("media_id", "visitor_id").map(k =>
+      Quality.Expectation(s"${k}_present",
+        col(k).isNotNull && trim(col(k)) =!= "")) :+
+      Quality.Expectation("date_present", col("date").isNotNull)
+
   /** Which report metrics are contract rules, named EXPLICITLY per
     * frame for [[graft.etl.RunReport.render]] — the registration site
     * is the source of truth, not a name-prefix convention (a key
@@ -157,33 +172,45 @@ object Pipeline {
         Transforms.dimVisitor(rawVisitors, clock),
         Seq("visitor_id"), Seq(col("ip_address"), col("country"))),
       s"dq_dim_visitor_$tag", Seq("visitor_id"), visitorContract)
+    // dead-letter routing: rows with empty/null keys go to quarantine
+    // WITH their failure reasons instead of silently vanishing. The
+    // tagged frame is cached because both sinks (silver valid side,
+    // quarantine side) filter it — one evaluation of the whole bronze
+    // scan + transform, then two cheap filtered writes.
+    val factTagged = Quality.tagErrors(
+      Transforms.factEngagement(
+        Transforms.withMediaIdFromPath(rawVisitors), clock,
+        dropNullKeys = false), // routed below, not dropped
+      factRouteRules).cache()
     val (fact, factObs) = Quality.observedReport(
-      Quality.filterValidKeys(
-        Transforms.factEngagement(
-          Transforms.withMediaIdFromPath(rawVisitors), clock),
-        Seq("media_id", "visitor_id")),
+      factTagged.filter(col("_errors") === "").drop("_errors"),
       s"dq_fact_$tag", Seq("media_id", "visitor_id", "date"),
       factContract)
+    val (factDead, factDeadObs) = Quality.observedReport(
+      factTagged.filter(col("_errors") =!= ""),
+      s"dq_fact_quarantine_$tag", Seq("media_id", "visitor_id"))
     val dimMediaC = dimMedia.cache()
     val dimVisitorC = dimVisitor.cache()
-    val factC = fact.cache()
 
     Sources.writeSilverParquet(dimMediaC, s"${conf.silverPath}/dim-media")
     Sources.writeSilverParquet(dimVisitorC,
       s"${conf.silverPath}/dim-visitor")
     // fact partitioned by date: partition pruning for every downstream
     // date-ranged query (100 TB posture, SURVEY §7.4.7)
-    Sources.writeSilverParquet(factC, s"${conf.silverPath}/fact-engagement",
+    Sources.writeSilverParquet(fact, s"${conf.silverPath}/fact-engagement",
       partitionCol = Some("date"))
+    Sources.writeSilverParquet(factDead,
+      s"${conf.silverPath}/_quarantine/fact-engagement")
 
     // The writes above are the actions that populated the observations;
     // .get is now a pure read of already-collected metrics.
     val reports = Map(
       "dim_media" -> dimMediaObs.get,
       "dim_visitor" -> dimVisitorObs.get,
-      "fact" -> factObs.get)
+      "fact" -> factObs.get,
+      "fact_quarantine" -> factDeadObs.get)
 
-    Result(dimMediaC, dimVisitorC, factC, Transforms.goldCastFact(factC),
+    Result(dimMediaC, dimVisitorC, fact, Transforms.goldCastFact(fact),
       reports)
   }
 

@@ -110,12 +110,20 @@ object Quality {
     * still reads the source once per sink like any fan-out write. */
   def quarantine(df: DataFrame, rules: Seq[Expectation])
   : (DataFrame, DataFrame) = {
-    require(rules.nonEmpty, "no rules given")
-    val errs = concat_ws(",", rules.map(r =>
-      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*)
-    val tagged = df.withColumn("_errors", errs)
+    val tagged = tagErrors(df, rules)
     (tagged.filter(col("_errors") === "").drop("_errors"),
       tagged.filter(col("_errors") =!= ""))
+  }
+
+  /** The tagged intermediate [[quarantine]] splits: every row with its
+    * `_errors` list. Callers that write BOTH sides (the pipeline's
+    * silver + dead-letter fan-out) cache this frame and filter it
+    * twice, so the upstream lineage — at 100 TB, the whole bronze
+    * scan + transform — evaluates once instead of once per sink. */
+  def tagErrors(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    df.withColumn("_errors", concat_ws(",", rules.map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*))
   }
 
   /** Quality report in one pass (vs nb03:335-346's count/count-distinct

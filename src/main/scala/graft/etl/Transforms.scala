@@ -104,14 +104,15 @@ object Transforms {
     * Input must already carry `media_id` (see [[withMediaIdFromPath]]).
     */
   def factEngagement(visitorsWithMedia: DataFrame,
-                     loadedAt: Column = current_timestamp()): DataFrame = {
+                     loadedAt: Column = current_timestamp(),
+                     dropNullKeys: Boolean = true): DataFrame = {
     // Plan-time schema introspection (reference nb03:215, P16): a batch
     // with no `events` column yields an empty fact of the right shape.
     if (!visitorsWithMedia.columns.contains("events"))
       return visitorsWithMedia.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         graft.model.Schemas.factEngagement)
-    visitorsWithMedia
+    val agg = visitorsWithMedia
       .transform(backfillKey("visitor_key", "visitor_"))
       .filter(col("events").isNotNull && size(col("events")) > 0)
       .select(col("media_id"), col("visitor_key").as("visitor_id"),
@@ -130,8 +131,15 @@ object Transforms {
         round(avg(coalesce(col("event.percent_watched").cast("double"),
           lit(0.0))), 2).as("avg_percent_watched"))
       .withColumn("loaded_at", loadedAt)
-      .filter(col("media_id").isNotNull && col("visitor_id").isNotNull &&
+    // the reference's trailing null-key drop (nb03:243) stays the
+    // default; the pipeline passes dropNullKeys = false and routes
+    // these rows to the dead-letter sink instead — a row whose media
+    // lineage the dir-name regexps could not recover is an OPERATIONAL
+    // signal (a misnamed bronze dir), not noise to swallow
+    if (dropNullKeys)
+      agg.filter(col("media_id").isNotNull && col("visitor_id").isNotNull &&
         col("date").isNotNull)
+    else agg
   }
 
   /** Gold-layer type narrowing, replicating the ADF TabularTranslator

@@ -184,6 +184,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(fact.forall(_.getAs[Long]("play_count") == 1))
   }
 
+  test("unrecoverable-lineage fact rows land in quarantine with " +
+    "reasons, not in silver") {
+    // a media id outside the [a-z0-9]+ lineage pattern produces a
+    // bronze visitors dir whose name the two regexps cannot parse:
+    // its fact rows have null media_id. Pre-round-8 those vanished in
+    // factEngagement's trailing filter; now they route to the
+    // dead-letter sink with the failed rule named.
+    val root = Files.createTempDirectory("graft_pipe_quar").toString
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1", "BADID"),
+      clock = Some(to_timestamp(lit("2024-06-01 00:00:00"))))
+    val res = Pipeline.run(spark, conf, fetcher)
+    // silver fact: only the parseable id's row
+    assert(res.fact.collect().map(_.getAs[String]("media_id")).toSeq
+      == Seq("abc1"))
+    // quarantine: BADID's visitor row, reason = the lineage rule
+    val dead = spark.read.parquet(
+      s"$root/silver/_quarantine/fact-engagement").collect()
+    assert(dead.length == 1)
+    assert(dead.head.getAs[String]("media_id") == null)
+    assert(dead.head.getAs[String]("_errors") == "media_id_present")
+    assert(dead.head.getAs[String]("visitor_id") == "vis_BADID")
+    // and the run report carries the quarantine frame's row count
+    assert(res.qualityReports("fact_quarantine")("total_rows") == 1L)
+    assert(res.qualityReports("fact")("total_rows") == 1L)
+  }
+
   test("transform DQ metrics ride the silver writes — no extra jobs") {
     val root = Files.createTempDirectory("graft_pipe_obs").toString
     val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
