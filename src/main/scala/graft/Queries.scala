@@ -45,6 +45,7 @@ object Queries {
     QueriesDedupSim.dedupNgramJaccard,
     QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental,
     QueriesDedupSim.dedupIncrementalBloom, QueriesDedupSim.dedupEmbedding,
+    QueriesDedupSim.decontaminateSemantic,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,

@@ -403,6 +403,50 @@ private[graft] object QueriesDedupSim {
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram `text_decontaminate`: a corpus item whose embedding is too
+    * close to ANY test-set item is flagged as probable eval leakage
+    * (paraphrases and translations that share no 5-gram still share a
+    * neighborhood). Plan mirrors the n-gram twin's 100 TB shape: the
+    * TEST side is broadcast (test sets are benchmark-sized by nature),
+    * the corpus side streams through a BroadcastNestedLoopJoin with a
+    * map-side partial max — the only exchange carries one
+    * (vec_id, max_sim) pair per corpus row. A test set too large to
+    * broadcast composes with the LSH bucketing `dedup_embedding_lsh`
+    * uses instead. Exact integer dot products (the shared
+    * quantize/qcos helpers) keep the similarity — and therefore the
+    * flag set — bit-identical across engines and shuffle orders. */
+  private[graft] val decontaminateSemantic = Q("decontaminate_semantic",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val test = e.filter(col("vec_id") % 19 === 0)
+        .select(col("vec_id").as("t_id"), col("q").as("tq"))
+      e.filter(col("vec_id") % 19 =!= 0)
+        .crossJoin(broadcast(test))
+        .withColumn("cos_sim", qcos(col("q"), col("tq")))
+        .groupBy("vec_id")
+        .agg(max(col("cos_sim")).as("max_test_sim"))
+        .filter(col("max_test_sim") >= 0.4)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      tst AS (SELECT vec_id AS t_id, q AS tq FROM e WHERE vec_id % 19 = 0),
+      c AS (SELECT vec_id, q FROM e WHERE vec_id % 19 <> 0)
+      SELECT c.vec_id,
+        MAX(list_dot_product(c.q, tst.tq) /
+          (sqrt(list_dot_product(c.q, c.q)) *
+           sqrt(list_dot_product(tst.tq, tst.tq)))) AS max_test_sim
+      FROM c, tst
+      GROUP BY c.vec_id
+      HAVING MAX(list_dot_product(c.q, tst.tq) /
+          (sqrt(list_dot_product(c.q, c.q)) *
+           sqrt(list_dot_product(tst.tq, tst.tq)))) >= 0.4
+      ORDER BY c.vec_id"""))
+
   private[graft] val dedupEmbedding = Q("dedup_embedding",
     (s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
