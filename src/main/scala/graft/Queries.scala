@@ -35,6 +35,7 @@ object Queries {
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
     QueriesCore.manifestSync, QueriesCore.bucketedJoin,
+    QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,

@@ -453,6 +453,100 @@ private[graft] object QueriesCore {
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       ORDER BY c_custkey"""))
 
+  /** COMPLIANCE KEY DELETION ([[graft.sources.Sources.deleteKeys]]) —
+    * the right-to-be-forgotten path without a table format — run
+    * end-to-end on a partitioned copy of `customer`: delete four keys,
+    * read the table back. The oracle pins BOTH the surviving content
+    * (exactly customer minus the doomed keys — a failed delete leaves
+    * extra rows, an over-delete loses them) and the
+    * `touched_partitions` audit count (the operator must rewrite ONLY
+    * partitions that held doomed rows — the property that makes the
+    * delete affordable at 100 TB). Emptied-partition removal and
+    * escaped-value handling are SourcesSpec's. */
+  private[graft] val deleteKeysQ = Q("delete_keys",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_delete_keys")
+      val path = s"$root/cust"
+      graft.sources.Sources.writeSilverParquet(c, path,
+        partitionCol = Some("c_mktsegment"))
+      val doomed = Seq(1L, 7L, 13L, 500L)
+      val touched = graft.sources.Sources.deleteKeys(
+        s, path, "c_mktsegment", "c_custkey", doomed)
+      s.read.parquet(path)
+        .withColumn("touched_partitions", lit(touched.toLong))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c.*,
+      (SELECT COUNT(DISTINCT c_mktsegment) FROM customer
+        WHERE c_custkey IN (1, 7, 13, 500)) AS touched_partitions
+      FROM customer c
+      WHERE c_custkey NOT IN (1, 7, 13, 500)
+      ORDER BY c_custkey"""))
+
+  /** SCHEMA EVOLUTION ([[graft.sources.Sources.readMergedSchema]]):
+    * files written under two schema versions of one table — an old
+    * slice without `c_acctbal`, a new slice with it — union into the
+    * superset schema with the old files' missing column null-filled,
+    * WITHOUT rewriting history. The oracle reproduces exactly that
+    * null pattern from the source table. */
+  private[graft] val schemaMerge = Q("schema_merge",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_schema_merge")
+      val path = s"$root/cust"
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+        .write.parquet(path) // schema v1: no balance column
+      c.filter(col("c_custkey") % 2 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("append").parquet(path) // schema v2 lands beside it
+      graft.sources.Sources.readMergedSchema(s, path)
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+      CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS c_acctbal
+      FROM customer ORDER BY c_custkey"""))
+
+  /** BATCH PARTITION UPSERT ([[graft.sources.Sources
+    * .upsertByPartition]], dynamic partition overwrite — the batch
+    * twin of the streaming foreachBatch upsert): a patch batch
+    * carrying only SOME dates must replace exactly those date
+    * partitions and leave every other partition intact. The patch
+    * halves the rows in its dates (even event_ids only), so every
+    * failure mode shows in the hash: plain append would keep the odd
+    * rows, full-table overwrite would drop the unpatched dates. */
+  private[graft] val upsertPartition = Q("upsert_partition",
+    (s, dir) => {
+      val root = QueriesStreaming.StreamTemp.dir("graft_upsert_q")
+      val path = s"$root/fact"
+      val base = events(s, dir)
+        .select(to_date(col("ts")).as("date"), col("event_id"),
+          col("user_id"))
+        .withColumn("src", lit("base"))
+      graft.sources.Sources.writeSilverParquet(base, path,
+        partitionCol = Some("date"))
+      val patch = base
+        .filter(dayofmonth(col("date")) <= 5 &&
+          col("event_id") % 2 === 0)
+        .withColumn("src", lit("patch"))
+      graft.sources.Sources.upsertByPartition(patch, path, "date")
+      s.read.parquet(path)
+        .select(col("event_id"), col("user_id"),
+          col("date").cast("date").as("date"), col("src"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, CAST(ts AS DATE) AS date,
+      'patch' AS src
+      FROM events
+      WHERE DAYOFMONTH(CAST(ts AS DATE)) <= 5 AND event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, user_id, CAST(ts AS DATE) AS date,
+        'base' AS src
+      FROM events
+      WHERE DAYOFMONTH(CAST(ts AS DATE)) > 5
+      ORDER BY event_id"""))
+
   /** One-time-per-(dir) staging of the bucketed fact tables the
     * zero-exchange join reads — written ONCE however many times the
     * query runs in a bench/verify session (the write is the amortized
