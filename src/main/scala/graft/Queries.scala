@@ -39,7 +39,7 @@ object Queries {
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
-    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchCmsCheck,
+    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,

@@ -207,4 +207,59 @@ private[graft] object QueriesKpi {
         AS n_keys,
       CAST(0 AS BIGINT) AS underest, CAST(0 AS BIGINT) AS over_eps"""))
 
+  /** Misra–Gries HEAVY HITTERS
+    * ([[graft.functions.MisraGriesAggregator]]) — "which keys
+    * dominate" with k counters, no key-universe state: the converse of
+    * count-min's "how often did this key occur". The events fixture is
+    * deliberately near-uniform, so the gate synthesizes skew
+    * DETERMINISTICALLY (half the stream collapses to key 'hot', the
+    * rest spreads over ~97 cold keys) — a guaranteed heavy hitter
+    * exists and MUST surface. Which cold keys also survive depends on
+    * merge order, so the gate checks the operator's actual contract,
+    * data-dependently where it can: `n_heavy` (keys above n/k) is
+    * computed independently by both engines, and the sketch must miss
+    * none of them (completeness), never overcount, never undercount by
+    * more than n/k, and never exceed k counters. The exact-counts
+    * collect is bounded by the synthesized key domain (~98), the same
+    * enum-bounded audit pattern as `sketch_cms_check`; the sketch
+    * itself shuffles k rows per partition. */
+  private[graft] val sketchHeavyHitters = Q("sketch_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val k = 4
+      val keyed = events(s, dir).select(
+        when(col("user_id") % 2 === 0, lit("hot"))
+          .otherwise(concat(lit("u"), (col("user_id") % 97)
+            .cast("string")))
+          .as("key"))
+      val sketch: Map[String, Long] = keyed.as[String]
+        .select(graft.functions.MisraGriesAggregator(k).toColumn)
+        .head()
+      val exact = keyed.groupBy("key")
+        .agg(count(lit(1)).as("n")).collect() // bounded key domain
+      val total = exact.map(_.getAs[Long]("n")).sum
+      val thresh = total.toDouble / k
+      val heavy = exact.filter(_.getAs[Long]("n") > thresh)
+        .map(_.getAs[String]("key"))
+      val trueCount = exact
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+      val missed = heavy.count(h => !sketch.contains(h)).toLong
+      val bad = sketch.count { case (key, est) =>
+        val truth = trueCount.getOrElse(key, 0L)
+        est > truth || truth - est > thresh
+      }.toLong
+      Seq((heavy.length.toLong, missed, bad,
+        if (sketch.size > k) 1L else 0L))
+        .toDF("n_heavy", "missed_heavy", "bad_estimate", "oversize")
+    },
+    Some("""SELECT (SELECT COUNT(*) FROM (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'hot'
+          ELSE 'u' || CAST(user_id % 97 AS VARCHAR) END AS key,
+          COUNT(*) AS c
+        FROM events GROUP BY 1)
+        WHERE c > (SELECT COUNT(*) FROM events) / 4.0) AS n_heavy,
+      CAST(0 AS BIGINT) AS missed_heavy,
+      CAST(0 AS BIGINT) AS bad_estimate,
+      CAST(0 AS BIGINT) AS oversize"""))
+
 }
