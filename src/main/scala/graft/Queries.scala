@@ -68,7 +68,7 @@ object Queries {
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
-    QueriesStreaming.streamDaily, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
+    QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)
 }

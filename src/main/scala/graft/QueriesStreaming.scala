@@ -182,6 +182,60 @@ private[graft] object QueriesStreaming {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
 
+  /** SLIDING event-time windows (1-day window, 12-hour slide) — the
+    * overlapping-window shape the tumbling `stream_daily_engagement`
+    * can't express: every purchase lands in exactly TWO windows
+    * (window/slide = 2), which is also how the batch oracle replays it
+    * (each event UNION ALLs into its 12h-grid window start and the one
+    * before). Sentinel handling is the subtle part, found the hard way:
+    * a pre-aggregation `user_id >= 0` filter gets PUSHED BELOW the
+    * watermark node by the optimizer, so the far-future sentinels were
+    * dropped before advancing event time and the final day's windows
+    * never flushed. Instead the purchase sentinel flows INTO the
+    * aggregate (advancing the watermark), the count is conditional on
+    * real rows (`count(when(user_id >= 0))`), and the sentinel's own
+    * far-future windows — the only zero-count groups possible — are
+    * dropped on the way out. State is one count per open window in the
+    * horizon — bounded by the window grid, not the stream. */
+  private[graft] val streamSlidingCounts = Q("stream_sliding_counts",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_sliding")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withWatermark("ts", "1 day")
+          .filter(col("event_type") === "purchase") // sentinel passes
+        val agg = stream
+          .groupBy(window(col("ts"), "1 day", "12 hours"))
+          .agg(count(when(col("user_id") >= 0, 1)).as("n_purchases"))
+        val q = agg.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("n_purchases") > 0) // sentinel-only windows
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_purchases"))
+          .orderBy("window_start_us")
+      }
+    },
+    Some("""WITH p AS (SELECT epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'purchase'),
+      w AS (
+        SELECT (ts_us // 43200000000) * 43200000000 AS window_start_us
+        FROM p
+        UNION ALL
+        SELECT (ts_us // 43200000000) * 43200000000 - 43200000000
+        FROM p)
+      SELECT window_start_us, COUNT(*) AS n_purchases
+      FROM w GROUP BY 1 ORDER BY 1"""))
+
   /** Event-time session windows over the same bounded stream — the
     * strongest check the streaming path can have: the oracle is the
     * BATCH sessionization SQL (session_batch re-keyed to window
