@@ -69,7 +69,8 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
-    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamDedup,
+    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
+    QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)
 }
 

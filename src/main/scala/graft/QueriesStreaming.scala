@@ -516,6 +516,115 @@ private[graft] object QueriesStreaming {
         AND p.ts < s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
+  /** STREAM-STATIC enrichment
+    * ([[graft.stream.StreamingFact.enrichWithDim]]): the event stream
+    * left-joined against a broadcast dim table — NO stream-side state
+    * at all (Spark re-plans and re-broadcasts the static side per
+    * micro-batch, which is also how a slowly-changing dim picks up
+    * updates between batches). Stateless, so no watermark and no
+    * sentinel mechanics: the oracle is the plain batch LEFT JOIN. */
+  private[graft] val streamStaticEnrich = Q("stream_static_enrich",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_enrich")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .select(col("user_id"), col("event_id"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val joined = graft.stream.StreamingFact.enrichWithDim(
+          stream, dim, "user_id")
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0) // shared staged-input sentinels
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+          .orderBy("event_id")
+      }
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
+
+  /** CHAINED STATEFUL OPERATORS (Spark 4): a stream-stream range join
+    * feeding a downstream windowed aggregate in ONE query — daily
+    * counts of attributed purchases, both stages state-store-backed
+    * with the watermark PROPAGATED through the join to govern the
+    * aggregate's window eviction (the multi-stateful pipeline shape
+    * Spark only made correct in 3.4+). The sentinel pair (user -1 on
+    * both branches, equal timestamps) joins and advances the
+    * watermark; its far-future window is the only zero-real-count
+    * group and drops on the way out, same pattern as
+    * `stream_sliding_counts`. Measured propagation math, pinned here:
+    * the aggregate's effective watermark = input watermark MINUS the
+    * signup delay MINUS the 7-day join interval — with the
+    * `stream_attribution`-style 8-day signup delay that lands 15 days
+    * behind the sentinel and the final six daily windows never
+    * flushed. Both input delays are 1 day here: chained stateful
+    * operators make the LATE-TOLERANCE + JOIN-INTERVAL sum a budget
+    * the last stage's emission latency pays — a real design
+    * constraint at 100 TB (loose per-input delays compound through
+    * every downstream stateful stage). */
+  private[graft] val streamAttributionDaily = Q("stream_attribution_daily",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_attr_daily")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val p = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_event_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 day")
+          .dropDuplicatesWithinWatermark("purchase_event_id")
+        val sg = stream.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"),
+            col("event_id").as("signup_event_id"), col("ts").as("s_ts"))
+          .withWatermark("s_ts", "1 day")
+          .dropDuplicatesWithinWatermark("signup_event_id")
+        val joined = p.join(sg, expr(
+          """p_user = s_user AND p_ts >= s_ts AND
+             p_ts < s_ts + interval 7 days"""))
+        val agg = joined
+          .groupBy(window(col("p_ts"), "1 day"))
+          .agg(count(when(col("p_user") >= 0, 1)).as("n_attributed"))
+        val q = agg.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("n_attributed") > 0) // sentinel-only windows
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_attributed"))
+          .orderBy("window_start_us")
+      }
+    },
+    Some("""WITH j AS (
+        SELECT p.user_id, p.ts AS p_ts
+        FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+          AND p.ts < s.ts + INTERVAL 7 DAY)
+      SELECT (epoch_us(p_ts) // 86400000000) * 86400000000
+          AS window_start_us,
+        COUNT(*) AS n_attributed
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   /** STREAM-STREAM LEFT OUTER join — the hardest streaming-join
     * semantic: matched pairs emit on arrival, while a never-matched
     * purchase emits (with a null signup side) only when the watermark
