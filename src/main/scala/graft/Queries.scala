@@ -49,7 +49,7 @@ object Queries {
     QueriesDedupSim.decontaminateSemantic,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
-    QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
+    QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.embeddingInt8Check,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,

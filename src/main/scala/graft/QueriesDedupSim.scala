@@ -415,11 +415,15 @@ private[graft] object QueriesDedupSim {
     * broadcast composes with the LSH bucketing `dedup_embedding_lsh`
     * uses instead. Exact integer dot products (the shared
     * quantize/qcos helpers) keep the similarity — and therefore the
-    * flag set — bit-identical across engines and shuffle orders. */
+    * flag set — bit-identical across engines and shuffle orders.
+    * NO dedup guard on either side, deliberately: MAX is idempotent
+    * under the duplicate vec_ids a rehearsal layout introduces, and
+    * the dropDuplicates other embedding queries use would plan a
+    * corpus-wide VECTOR shuffle below the join — the guardrail spec
+    * pins that the corpus side stays exchange-free. */
   private[graft] val decontaminateSemantic = Q("decontaminate_semantic",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
       val test = e.filter(col("vec_id") % 19 === 0)
         .select(col("vec_id").as("t_id"), col("q").as("tq"))
@@ -722,6 +726,61 @@ private[graft] object QueriesDedupSim {
         .orderBy("query_id", "rank")
     },
     simTopkBrute.oracle)
+
+  /** Top-k retrieval DIRECTLY over int8-quantized embeddings — the
+    * serving-path complement of `embedding_int8_check` (which bounds
+    * the round-trip error): per-vector symmetric quantization makes
+    * cosine SCALE-FREE (the two scale factors cancel), so ranking
+    * runs on pure integer dot products over the 4×-compressed levels
+    * with no dequantization — at 100 TB that's 4× less index to scan
+    * AND long-math scoring on the codegen fast path. Both engines
+    * replicate the quantization (max-abs/127 scale, floor, -127
+    * clamp) and the integer cosine independently — the top-k
+    * hash-matches like the exact variant, no frozen VALUES needed.
+    * Zero vectors are unindexable (scale 0) and excluded on both
+    * sides, same contract as `embedding_int8_check`. */
+  private[graft] val simTopkInt8 = Q("sim_topk_int8",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.int8Quantize(col("embedding")).getField("q")
+            .as("q"))
+        .filter(col("q").isNotNull) // zero vector: scale 0, unindexable
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", qcos(col("qq"), col("q")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH raw AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings),
+      scl AS (SELECT vec_id, xd,
+        list_max(list_transform(xd, x -> abs(x))) / 127.0 AS scale
+      FROM raw),
+      e AS (SELECT vec_id,
+        list_transform(xd, x ->
+          CAST(greatest(-127, floor(x / scale)) AS BIGINT)) AS q
+      FROM scl WHERE scale > 0),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) *
+           sqrt(list_dot_product(e.q, e.q))) AS cos_sim
+        FROM qs, e WHERE e.vec_id != query_id)
+      SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+          AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** LSH-bucketed approximate top-k — scale path. Seeded hyperplanes
     * make the neighbor set deterministic per corpus: oracle is the

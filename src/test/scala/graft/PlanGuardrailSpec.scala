@@ -146,6 +146,36 @@ class PlanGuardrailSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("decontaminate_semantic broadcasts the TEST side — corpus " +
+    "vectors never enter a nested-loop shuffle") {
+    // the semantic twin of the text_decontaminate guardrail: the test
+    // set is the broadcast build side of a BroadcastNestedLoopJoin and
+    // the only Exchange in the plan is the corpus-sized
+    // (vec_id, partial-max) aggregate — a plan where the corpus side
+    // cartesians or shuffles whole vectors is the 100 TB killer this
+    // pins out. AQE off so the physical tree is inspectable.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "decontaminate_semantic").get
+        .run(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val bnlj = plan.collectFirst {
+        case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.nonEmpty,
+        s"semantic decontamination lost its broadcast join:\n$plan")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"corpus side grew a CartesianProduct:\n$plan")
+      // below the join: no shuffle at all (corpus streams map-side)
+      Seq(bnlj.get.left, bnlj.get.right).foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"an Exchange crept below the broadcast join:\n$side")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed_join: join AND aggregate run with ZERO Exchange") {
     // the amortize-the-shuffle-once claim (SCALE.md): both tables are
     // pre-bucketed on the join key, so the sort-merge join needs no
