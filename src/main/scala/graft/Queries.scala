@@ -39,7 +39,7 @@ object Queries {
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
-    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
+    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchDistinctByGroup, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,
@@ -64,7 +64,7 @@ object Queries {
     QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,
     QueriesRelational.rollupRegionNation, QueriesRelational.groupingSets, QueriesRelational.limitOffset, QueriesRelational.rangeWindowSum,
     QueriesRelational.cubeFlagStatus, QueriesRelational.statsExact,
-    QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
+    QueriesRelational.outlierIqr, QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,

@@ -207,6 +207,31 @@ private[graft] object QueriesKpi {
         AS n_keys,
       CAST(0 AS BIGINT) AS underest, CAST(0 AS BIGINT) AS over_eps"""))
 
+  /** Per-group HLL++ error gate: `approx_count_distinct` (the 100 TB
+    * path — no exact-distinct shuffle of the key space) vs the exact
+    * per-group distinct, relative error bounded at 5% for every group
+    * (the sketch is configured at 2%; the gate leaves headroom for
+    * small-group variance). The global-union variant is
+    * `sketch_distinct_union`; this is the grouped form a per-source /
+    * per-day cardinality report runs. `n_groups` is computed
+    * independently by both engines so the gate cannot pass vacuously
+    * on an empty aggregate. */
+  private[graft] val sketchDistinctByGroup = Q("sketch_distinct_by_group",
+    (s, dir) => {
+      val g = events(s, dir).groupBy("event_type").agg(
+        count_distinct(col("user_id")).as("exact_d"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_d"))
+      g.agg(
+        count(lit(1)).as("n_groups"),
+        count(when(
+          abs(col("approx_d") - col("exact_d")).cast("double") /
+            col("exact_d").cast("double") > 0.05, 1))
+          .as("groups_outside_error"))
+    },
+    Some("""SELECT (SELECT COUNT(DISTINCT event_type) FROM events)
+        AS n_groups,
+      CAST(0 AS BIGINT) AS groups_outside_error"""))
+
   /** Misra–Gries HEAVY HITTERS
     * ([[graft.functions.MisraGriesAggregator]]) — "which keys
     * dominate" with k counters, no key-universe state: the converse of

@@ -868,6 +868,52 @@ private[graft] object QueriesRelational {
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */
+  /** IQR OUTLIER FENCE — the standard robust-statistics DQ filter:
+    * per-group exact quartiles (same interpolated `percentile` that
+    * hash-matches quantile_cont in `stats_quantiles`), Tukey fences at
+    * 1.5×IQR, rows outside either fence flagged with WHICH fence and
+    * by how much. Plan: one per-group sort for the quartile aggregate
+    * (5 groups — broadcast back onto the scan), then a scan-speed
+    * comparison — at 100 TB the quartile table is dimension-sized
+    * however large the fact is. The fence arithmetic is a fixed IEEE
+    * expression over identical quartiles, so the flag set
+    * hash-matches cross-engine. */
+  private[graft] val outlierIqr = Q("outlier_iqr",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val fences = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        .filter(col("value") < col("lo") || col("value") > col("hi"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") < col("lo"), lit("below_lower"))
+            .otherwise(lit("above_upper")).as("fence"),
+          (when(col("value") < col("lo"), col("lo") - col("value"))
+            .otherwise(col("value") - col("hi"))).as("excess"))
+        .orderBy("event_id")
+    },
+    Some("""WITH f AS (SELECT event_type,
+        quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.75) AS q3
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+      j AS (SELECT e.event_id, e.event_type, e.value,
+        f.q1 - (f.q3 - f.q1) * 1.5 AS lo,
+        f.q3 + (f.q3 - f.q1) * 1.5 AS hi
+      FROM events e JOIN f USING (event_type)
+      WHERE e.value IS NOT NULL)
+      SELECT event_id, event_type, value,
+        CASE WHEN value < lo THEN 'below_lower'
+          ELSE 'above_upper' END AS fence,
+        CASE WHEN value < lo THEN lo - value
+          ELSE value - hi END AS excess
+      FROM j WHERE value < lo OR value > hi
+      ORDER BY event_id"""))
+
   private[graft] val statsQuantiles = Q("stats_quantiles",
     (s, dir) =>
       events(s, dir).agg(
