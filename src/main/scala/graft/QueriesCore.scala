@@ -559,7 +559,10 @@ private[graft] object QueriesCore {
     private val staged = scala.collection.mutable.Map[String, (String, String)]()
     def tables(s: SparkSession, dir: String): (String, String) =
       synchronized {
-        staged.getOrElseUpdate(dir, {
+        // cache key includes the session identity: catalog entries are
+        // per-session, so a second session in the same JVM must
+        // re-stage rather than inherit a hit it cannot resolve
+        staged.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
           val tag = java.lang.Long.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
           val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
