@@ -198,12 +198,23 @@ object Similarity {
     * round-trip introduces is bounded and GATED by the
     * `embedding_int8_check` oracle query. */
   def int8Quantize(vec: Column): Column = {
-    val xd = transform(vec, v => v.cast("double"))
-    val scale = array_max(transform(xd, v => abs(v))) / lit(127.0)
-    struct(scale.as("scale"),
-      when(scale > 0.0,
-        transform(xd, v => greatest(lit(-127L), floor(v / scale))))
-        .as("q"))
+    // HigherOrderFunctions run interpreted, and an expression captured
+    // inside a lambda re-evaluates at EVERY element — referencing
+    // `scale` (itself an array_max over the vector) from the per-level
+    // lambda would make quantization O(d²) per row (measured: 9× on
+    // sim_topk_int8). Bind the doubled vector and the scale as lambda
+    // variables via singleton-array transforms so each evaluates once.
+    element_at(
+      transform(array(transform(vec, v => v.cast("double"))), xd =>
+        element_at(
+          transform(array(array_max(transform(xd, v => abs(v))) / lit(127.0)),
+            scale =>
+              struct(scale.as("scale"),
+                when(scale > 0.0,
+                  transform(xd, v => greatest(lit(-127L), floor(v / scale))))
+                  .as("q"))),
+          1)),
+      1)
   }
 
   /** Reconstruct the (lossy) double vector from [[int8Quantize]]. */
