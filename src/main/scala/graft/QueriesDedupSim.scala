@@ -124,11 +124,15 @@ private[graft] object QueriesDedupSim {
       val ids = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
       val k = 3
-      val toks = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
-      val grams = when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      // bind tokens once per row — a captured split() re-evaluates at
+      // every gram inside the transform lambda (ColOps.bound scaladoc)
+      val grams = graft.functions.ColOps.bound(
+        split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")) { toks =>
+        when(size(toks) < k, array(array_join(toks, " ")))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(toks) - k),
+            i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      }
       val sh = docs.join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), grams.as("sh"))
       pairs

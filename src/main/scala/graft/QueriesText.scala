@@ -409,11 +409,16 @@ private[graft] object QueriesText {
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
         16, 10).cast("int")
-      val toks = split(trim(lower(col("text"))), "\\s+")
-      val grams = when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      // bind the token array once per row: referencing the split()
+      // from inside the per-gram lambda re-splits the whole document
+      // at every gram (HOFs re-evaluate captures per element; ColOps)
+      val grams = graft.functions.ColOps.bound(
+        split(trim(lower(col("text"))), "\\s+")) { toks =>
+        when(size(toks) < k, array(array_join(toks, " ")))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(toks) - k),
+            i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      }
       val g = docs.select(col("doc_id"), (bucket < lit(6554)).as("is_test"),
         explode(grams).as("gram"))
         .withColumn("gh", xxhash64(col("gram"))).drop("gram")

@@ -198,23 +198,20 @@ object Similarity {
     * round-trip introduces is bounded and GATED by the
     * `embedding_int8_check` oracle query. */
   def int8Quantize(vec: Column): Column = {
-    // HigherOrderFunctions run interpreted, and an expression captured
-    // inside a lambda re-evaluates at EVERY element — referencing
-    // `scale` (itself an array_max over the vector) from the per-level
-    // lambda would make quantization O(d²) per row (measured: 9× on
-    // sim_topk_int8). Bind the doubled vector and the scale as lambda
-    // variables via singleton-array transforms so each evaluates once.
-    element_at(
-      transform(array(transform(vec, v => v.cast("double"))), xd =>
-        element_at(
-          transform(array(array_max(transform(xd, v => abs(v))) / lit(127.0)),
-            scale =>
-              struct(scale.as("scale"),
-                when(scale > 0.0,
-                  transform(xd, v => greatest(lit(-127L), floor(v / scale))))
-                  .as("q"))),
-          1)),
-      1)
+    // `scale` is an array_max over the vector; referencing it from the
+    // per-level lambda would re-evaluate it at every element (HOFs are
+    // interpreted — see ColOps.bound), making quantization O(d²) per
+    // row (measured 9× on sim_topk_int8). Bind both once.
+    graft.functions.ColOps.bound(transform(vec, v => v.cast("double"))) {
+      xd =>
+        graft.functions.ColOps.bound(
+          array_max(transform(xd, v => abs(v))) / lit(127.0)) { scale =>
+          struct(scale.as("scale"),
+            when(scale > 0.0,
+              transform(xd, v => greatest(lit(-127L), floor(v / scale))))
+              .as("q"))
+        }
+    }
   }
 
   /** Reconstruct the (lossy) double vector from [[int8Quantize]]. */
