@@ -51,13 +51,14 @@ object Queries {
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
-    QueriesDedupSim.embeddingInt8Check,
+    QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
     QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
+    QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,

@@ -996,6 +996,35 @@ private[graft] object QueriesDedupSim {
           AS over_bound
       FROM err"""))
 
+  /** Per-label embedding centroids, DIMENSION-PARALLEL: posexplode to
+    * (label, pos, level) and hash-aggregate — the exchange carries
+    * map-side partial (sum, count) per (label, pos), so at 100 TB the
+    * shuffle is O(labels × dims) regardless of corpus size, and no
+    * executor ever holds a whole class's vectors (the collect-based
+    * centroid update k-means implementations do is the anti-pattern;
+    * this is the same partial-aggregate shape `trainCodebook` uses
+    * per cell). Means stay cross-engine exact via the established
+    * BIGINT quantization: sums are integer, the single double division
+    * is identical in both engines. */
+  private[graft] val embeddingCentroids = Q("embedding_centroids",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(quantize(col("embedding"))).as(Seq("pos", "q")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("q")).cast("double") /
+          (lit(1000.0) * count(lit(1)))).as("dim_mean"),
+          count(lit(1)).as("n_vectors"))
+        .orderBy("label", "pos"),
+    Some("""WITH ex AS (SELECT label,
+        unnest(list_transform(embedding, (x, i) -> {'pos': i - 1,
+          'q': CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)})) AS s
+      FROM embeddings)
+      SELECT label, CAST(s.pos AS INTEGER) AS pos,
+        CAST(SUM(s.q) AS DOUBLE) / (1000.0 * COUNT(*)) AS dim_mean,
+        COUNT(*) AS n_vectors
+      FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Scoring invariant of the approximate indexes, oracle-checked
     * against a constant: every (query, neighbor, cos_sim) row the LSH
     * and IVF indexes return must carry the TRUE cosine — recomputed

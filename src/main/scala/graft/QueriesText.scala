@@ -499,6 +499,99 @@ private[graft] object QueriesText {
       ORDER BY fp.doc_id"""
     })
 
+  /** Per-domain document cap — the CommonCrawl-style curation rule
+    * that stops one mega-domain from dominating a training mix: keep
+    * the top `cap` docs per source by quality (n_chars proxy, ties by
+    * doc_id so the cut is deterministic). The window shuffles ONCE on
+    * source and sorts within each domain — at 100 TB the mega-domain
+    * skew case is served by the same map-side partial top-k the
+    * `sim_topk_aggregator` row proves (k rows per partition reach the
+    * exchange), so the cap never funnels a whole domain through one
+    * task's sort. */
+  private[graft] val corpusDomainCap = Q("corpus_domain_cap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("quality_rank", row_number().over(w).cast("long"))
+        .filter(col("quality_rank") <= 15)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("quality_rank"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars, quality_rank FROM (
+      SELECT doc_id, source, n_chars,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS quality_rank
+      FROM documents) WHERE quality_rank <= 15 ORDER BY doc_id"""))
+
+  /** Cross-document repeated-span mining — the exact-substring flavor
+    * of train-set dedup (public result: verbatim spans repeated across
+    * documents are memorization fuel; Lee et al. 2021,
+    * arXiv:2107.06499): every 8-token span occurring in ≥2 DISTINCT
+    * docs, with its document count, total occurrences, and a sample.
+    * Plan: tokens bound once per row (ColOps.bound), spans exploded as
+    * md5 digests; the aggregate groups on the 16-byte digest, so the
+    * exchange carries (digest, doc_id) pairs — never span text; the
+    * sample is a map-side partial min (one span string per key per
+    * partition reaches the shuffle). At 100 TB the digest groupBy is
+    * the same one-exchange shape as exact dedup. */
+  private[graft] val dedupRepeatedSpans = Q("dedup_repeated_spans",
+    (s, dir) => {
+      val k = 8
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val spans = graft.functions.ColOps.bound(
+        split(trim(lower(col("text"))), "\\s+")) { toks =>
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+      }
+      // two-stage re-aggregation instead of a mixed countDistinct
+      // aggregate: the distinct would Expand-double the exploded rows
+      // entering the exchange; pre-aggregating on (digest, doc_id)
+      // collapses within-doc repeats map-side first
+      docs.select(col("doc_id"), explode(spans).as("gram"))
+        .groupBy(md5(col("gram")).as("gram_md5"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"), min(col("gram")).as("g"))
+        .groupBy(col("gram_md5"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("occ")).as("n_occurrences"),
+          min(col("g")).as("sample_gram"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+          col("gram_md5"))
+    },
+    Some(raw"""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      s AS (SELECT doc_id, unnest(list_transform(range(1, len(a) - 8 + 2),
+          i -> array_to_string(a[i:i+7], ' '))) AS gram
+        FROM t WHERE len(a) >= 8)
+      SELECT md5(gram) AS gram_md5,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS n_occurrences,
+        MIN(gram) AS sample_gram
+      FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, gram_md5"""))
+
+  /** k-anonymity audit over quasi-identifier columns (lang, source):
+    * combinations carried by fewer than k=5 documents are
+    * re-identification risks a privacy review must see before release.
+    * One hash-aggregate with map-side partials — the shuffle carries
+    * (lang, source, partial count), nothing row-sized. */
+  private[graft] val kanonAudit = Q("kanon_audit",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"),
+          coalesce(col("source"), lit("(none)")).as("source"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 5)
+        .orderBy("lang", "source"),
+    Some("""SELECT COALESCE(lang, '(none)') AS lang,
+      COALESCE(source, '(none)') AS source, COUNT(*) AS group_size
+      FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 5 ORDER BY 1, 2"""))
+
   // ======================================================================
   // LLM-data-pipeline extensions: multimodal binary columns
   // ======================================================================
