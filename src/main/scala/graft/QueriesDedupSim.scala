@@ -631,17 +631,21 @@ private[graft] object QueriesDedupSim {
           count(when(col("true_cos") < 0.4 - 1e-12 or
             abs(col("true_cos") - col("cos_sim")) > 1e-9, 1))
             .as("misscored"))
+      // norms are computed ONCE per survivor below the self-join (a
+      // Project never collapses through a join) — recomputing them
+      // per pair would triple the interpreted-HOF work inside the
+      // per-cell quadratic sweep, the expensive part of this audit
       val survivors = out.filter(col("dup_of").isNull)
         .join(ev.select(col("vec_id").as("id"), col("embedding")),
           Seq("id"))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
       val comp = survivors.select(col("cell_id"), col("id").as("id_a"),
-          col("embedding").as("ea"))
+          col("embedding").as("ea"), col("nrm").as("na"))
         .join(survivors.select(col("cell_id"), col("id").as("id_b"),
-          col("embedding").as("eb")), Seq("cell_id"))
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("cell_id"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("c",
-          Similarity.dot(col("ea"), col("eb")) /
-            (Similarity.norm(col("ea")) * Similarity.norm(col("eb"))))
+          Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .agg(count(when(col("c") >= 0.4, 1)).as("survivor_pairs_over"))
       val part = out.agg(
         count(lit(1)).as("n_out"),
