@@ -51,14 +51,14 @@ object Queries {
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
-    QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids,
+    QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
     QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
-    QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit,
+    QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
@@ -69,7 +69,7 @@ object Queries {
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
-    QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
+    QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)

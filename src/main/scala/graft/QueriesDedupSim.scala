@@ -1000,6 +1000,57 @@ private[graft] object QueriesDedupSim {
           AS over_bound
       FROM err"""))
 
+  /** kNN label vote — the application layer over the retrieval stack:
+    * each query vector's predicted label is the majority vote of its
+    * 5 nearest neighbors (ties → smallest label, deterministic).
+    * Same broadcast-queries ⋈ corpus shape as the top-k rows — the
+    * corpus never shuffles, per-query candidates reduce through the
+    * rank window, and the vote is a (query, label) hash-aggregate
+    * over k×queries rows. Quantized-BIGINT cosine keeps both engines
+    * exact, so the full prediction set hash-matches. */
+  private[graft] val simKnnVote = Q("sim_knn_vote",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"),
+          col("label"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("label"), col("vec_id"),
+          qcos(col("qq"), col("q")).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val nn = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      val votes = nn.groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val vw = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("r", row_number().over(vw)).filter(col("r") === 1)
+        .select(col("query_id"), col("label").as("predicted_label"),
+          col("votes"))
+        .orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q,
+        label FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 20),
+      scored AS (SELECT query_id, e.label, e.vec_id,
+        list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) *
+           sqrt(list_dot_product(e.q, e.q))) AS cos_sim
+        FROM qs, e WHERE e.vec_id != query_id),
+      nn AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 5),
+      votes AS (SELECT query_id, label, COUNT(*) AS votes
+        FROM nn GROUP BY 1, 2)
+      SELECT query_id, label AS predicted_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY votes DESC, label) AS r FROM votes)
+      WHERE r = 1 ORDER BY query_id"""))
+
   /** Per-label embedding centroids, DIMENSION-PARALLEL: posexplode to
     * (label, pos, level) and hash-aggregate — the exchange carries
     * map-side partial (sum, count) per (label, pos), so at 100 TB the

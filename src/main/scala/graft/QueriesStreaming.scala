@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -235,6 +236,58 @@ private[graft] object QueriesStreaming {
         FROM p)
       SELECT window_start_us, COUNT(*) AS n_purchases
       FROM w GROUP BY 1 ORDER BY 1"""))
+
+  /** Windowed top-N in streaming — the trending-now query: per 6-hour
+    * tumbling window, the 2 most frequent event types. The RANKING
+    * cannot run inside the streaming query (no window functions over a
+    * streaming aggregate), so the plan is the production pattern: the
+    * stream maintains the per-(window, type) counts — state bounded by
+    * the window grid × type domain, not the stream — and the rank runs
+    * over the appended sink, where each window's counts are final once
+    * the watermark closes it. Sentinels follow stream_sliding_counts'
+    * rule: they flow INTO the aggregate to advance event time, real
+    * rows are counted conditionally, and the sentinel-only zero-count
+    * groups drop on the way out. Oracle = the batch twin over the same
+    * events. */
+  private[graft] val streamTopk = Q("stream_topk",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_topk")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("ts"),
+            coalesce(col("event_type"), lit("(none)")).as("event_type"))
+          .withWatermark("ts", "1 day")
+        val agg = stream
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(when(col("user_id") >= 0, 1)).as("n"))
+        val q = agg.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sunk = s.read.parquet(s"$root/out").filter(col("n") > 0)
+        val w = Window.partitionBy(col("window.start"))
+          .orderBy(col("n").desc, col("event_type"))
+        sunk.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 2)
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("rank"), col("event_type"), col("n"))
+          .orderBy("window_start_us", "rank")
+      }
+    },
+    Some("""WITH c AS (SELECT
+        (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+        COALESCE(event_type, '(none)') AS event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+      SELECT window_start_us, rank, event_type, n FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us
+          ORDER BY n DESC, event_type) AS BIGINT) AS rank FROM c)
+      WHERE rank <= 2 ORDER BY window_start_us, rank"""))
 
   /** Event-time session windows over the same bounded stream — the
     * strongest check the streaming path can have: the oracle is the

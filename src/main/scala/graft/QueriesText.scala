@@ -575,6 +575,41 @@ private[graft] object QueriesText {
       FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY n_docs DESC, n_occurrences DESC, gram_md5"""))
 
+  /** Curriculum/quality-band sampling — the "keep more of the good
+    * data" mix rule: documents are deciled by a quality proxy
+    * (n_chars; swap in any score column) and each decile keeps a
+    * deterministic md5-bucket fraction proportional to its band
+    * (decile 10 → ~100%, decile 1 → ~10%). Deciling reuses
+    * [[graft.etl.Ranking.ntileByValue]] — the CDF-reconstruction
+    * NTILE with ZERO unpartitioned windows in the plan, so the
+    * banding survives any corpus size — and the keep decision is the
+    * same partition-independent hash machinery as sample_hash_split.
+    * Output is the per-decile census; the kept set is the same
+    * predicate un-aggregated. */
+  private[graft] val curriculumMix = Q("curriculum_mix",
+    (s, dir) => {
+      val bucketed = graft.etl.Ranking.ntileByValue(
+        t(s, dir, "documents"), "n_chars", "doc_id", 10)
+        .withColumnRenamed("ntile", "quality_decile")
+      val hb = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("int")
+      bucketed
+        .withColumn("keep",
+          hb < col("quality_decile") * lit(0.1) * lit(65536))
+        .groupBy("quality_decile")
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(col("keep"), 1)).as("kept_docs"))
+        .orderBy("quality_decile")
+    },
+    Some("""SELECT quality_decile, COUNT(*) AS total_docs,
+      COUNT(CASE WHEN
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        < quality_decile * 0.1 * 65536 THEN 1 END) AS kept_docs
+      FROM (SELECT doc_id,
+        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS quality_decile
+        FROM documents)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** k-anonymity audit over quasi-identifier columns (lang, source):
     * combinations carried by fewer than k=5 documents are
     * re-identification risks a privacy review must see before release.

@@ -28,7 +28,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     * domain (customer_deciles CDF) or a calendar grain (moving avg),
     * not by row count. */
   private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d",
-    "deciles_approx_check") // lag over the 10-row bucket aggregate
+    "deciles_approx_check", // lag over the 10-row bucket aggregate
+    "curriculum_mix") // ntileByValue CDF over the bounded n_chars domain
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
