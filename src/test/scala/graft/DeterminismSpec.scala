@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-order independence for the round-8 curation operators: a
+  * query's result must not depend on how its shuffles were
+  * partitioned. Re-running under a different shuffle-partition count
+  * permutes every exchange's row order and the per-partition partial
+  * aggregation trees; because each query ends in a total-order sort
+  * and keeps its numerics order-independent (the determinism contract
+  * in Queries.scala's scaladoc), the collected output must be
+  * bit-identical. A failure here means a hidden dependence on
+  * partitioning — float accumulation order, a non-total sort, a
+  * first()/head() survivor — exactly the class of bug that passes a
+  * fixed-partitioning oracle run and corrupts results on a real
+  * cluster. */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val targets = Seq("corpus_domain_cap", "dedup_repeated_spans",
+    "kanon_audit", "embedding_centroids", "curriculum_mix",
+    "sim_knn_vote")
+
+  targets.foreach { name =>
+    test(s"$name is shuffle-partitioning independent") {
+      val q = Queries.all.find(_.name == name).get
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      def rows() = q.run(spark, dir).collect().map(_.toString).toSeq
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val a = rows()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = rows()
+        assert(a.nonEmpty)
+        assert(a == b, s"$name output changed under repartitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+}
