@@ -68,7 +68,8 @@ object Queries {
     QueriesRelational.outlierIqr, QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
-    QueriesRelational.dailySpine, QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
+    QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
+    QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,

@@ -769,6 +769,63 @@ private[graft] object QueriesRelational {
       SELECT s.date, COALESCE(d.n, 0) AS n_events
       FROM spine s LEFT JOIN d USING (date) ORDER BY s.date"""))
 
+  /** Correlated SCALAR subquery — the relational-surface feature the
+    * DataFrame rows don't exercise: per-customer order count written
+    * as `(SELECT COUNT(*) ... WHERE o_custkey = c.c_custkey)`.
+    * Catalyst DECORRELATES this into a left-outer aggregate join (one
+    * shuffle on the join key, no per-row subquery execution — the
+    * naive nested-loop reading is quadratic at 100 TB; the decorrelated
+    * plan is the same shape a hand-written join would give). COUNT
+    * over integers keeps both engines exact, and the no-match
+    * COALESCE-to-0 semantics of scalar COUNT subqueries are part of
+    * what's verified. */
+  private[graft] val corrScalarSubquery = Q("corr_scalar_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_csq")
+      t(s, dir, "orders").createOrReplaceTempView("orders_csq")
+      s.sql("""SELECT * FROM (
+          SELECT c_custkey,
+            (SELECT COUNT(*) FROM orders_csq o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM customer_csq c)
+        WHERE n_orders >= 15 ORDER BY c_custkey""")
+    },
+    Some("""SELECT * FROM (
+        SELECT c_custkey,
+          (SELECT COUNT(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c)
+      WHERE n_orders >= 15 ORDER BY c_custkey"""))
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — top-2 orders
+    * per market segment as a lateral per-row subquery instead of a
+    * window. Spark decorrelates the LIMIT-bearing lateral into a
+    * ranked join (no per-segment re-scan of orders); total order
+    * inside the lateral (price DESC, orderkey) makes the pick
+    * deterministic, and prices are compared, never summed, so the
+    * doubles are safe cross-engine. */
+  private[graft] val lateralTopn = Q("lateral_topn",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""SELECT seg.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM customer_lat) seg,
+        LATERAL (SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_lat o JOIN customer_lat c
+            ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = seg.c_mktsegment
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        ORDER BY seg.c_mktsegment, t.o_orderkey""")
+    },
+    Some("""SELECT seg.c_mktsegment, t.o_orderkey, t.o_totalprice
+      FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+      LATERAL (SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = seg.c_mktsegment
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      ORDER BY seg.c_mktsegment, t.o_orderkey"""))
+
   /** NATIVE recursive CTE (Spark 4 `WITH RECURSIVE`; the recursion is
     * UNION ALL semantics — Spark rejects distinct-UNION recursion, so
     * cyclic closures stay with the iterative
