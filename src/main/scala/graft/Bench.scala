@@ -88,13 +88,19 @@ object Bench {
     println(line)
     // the harness keeps only a bounded tail of stdout, which truncates
     // the per-query dict on 100+-query runs — persist the full line so
-    // every round's per-query timings stay auditable from artifacts
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_full.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // every round's per-query timings stay auditable from artifacts.
+    // Targeted SPARK_GRAFT_ONLY runs (rehearsals, single-query checks)
+    // must NOT clobber the full-registry artifact; they only write
+    // when an explicit SPARK_GRAFT_BENCH_OUT asks for it.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_full.json")
+              else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
