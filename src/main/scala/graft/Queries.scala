@@ -52,6 +52,7 @@ object Queries {
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
+    QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
@@ -59,13 +60,14 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
+    QueriesText.chunkDocuments,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
-    QueriesRelational.sessionBatch, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
+    QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
     QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,
     QueriesRelational.rollupRegionNation, QueriesRelational.groupingSets, QueriesRelational.limitOffset, QueriesRelational.rangeWindowSum,
     QueriesRelational.cubeFlagStatus, QueriesRelational.statsExact,
-    QueriesRelational.outlierIqr, QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsApproxCheck,
+    QueriesRelational.outlierIqr, QueriesRelational.statsQuantiles, QueriesRelational.statsQuantilesByGroup, QueriesRelational.statsMode, QueriesRelational.statsApproxCheck,
     QueriesRelational.asofJoin, QueriesRelational.intervalAttribution, QueriesRelational.movingAvg7d,
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,

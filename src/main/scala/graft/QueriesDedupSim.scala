@@ -1112,4 +1112,44 @@ private[graft] object QueriesDedupSim {
     Some("""SELECT CAST(0 AS BIGINT) AS lsh_misscored,
       CAST(0 AS BIGINT) AS ivf_misscored"""))
 
+  /** Blocked fuzzy-match entity resolution — the record-linkage op
+    * that reconciles dirty entity mentions against a clean reference:
+    * a deterministically corrupted copy of every customer name (char
+    * 10 dropped) is matched back by edit distance. The quadratic
+    * levenshtein comparison runs ONLY inside blocks keyed by
+    * (nationkey, last-4-chars) — an equi-join both engines hash — so
+    * at 100 TB the cost is sum over blocks of |L|·|R|, bounded by the
+    * blocking-key design exactly as in production ER (Fellegi-Sunter
+    * blocking), never |corpus|². The shuffle carries (block key, name)
+    * — short strings, no payload columns — and the threshold filter
+    * runs before any re-join with wide entity data. */
+  private[graft] val fuzzyMatchBlocked = Q("fuzzy_match_blocked",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val dirty = cust.select(col("c_custkey").as("d_id"),
+        concat(substring(col("c_name"), 1, 9),
+          expr("substring(c_name, 11)")).as("d_name"),
+        col("c_nationkey").as("d_nat"))
+      cust.withColumn("blk_l", expr("right(c_name, 4)"))
+        .join(dirty.withColumn("blk_r", expr("right(d_name, 4)")),
+          col("blk_l") === col("blk_r") &&
+            col("c_nationkey") === col("d_nat"))
+        .withColumn("dist", levenshtein(col("c_name"), col("d_name")))
+        .filter(col("dist") <= 2)
+        .select(col("c_custkey"), col("d_id"), col("d_name"),
+          col("dist"))
+        .orderBy("c_custkey", "d_id")
+    },
+    Some("""SELECT c_custkey, d_id, d_name,
+      CAST(levenshtein(c_name, d_name) AS INTEGER) AS dist
+      FROM customer
+      JOIN (SELECT c_custkey AS d_id,
+              substring(c_name, 1, 9) || substring(c_name, 11) AS d_name,
+              c_nationkey AS d_nat
+            FROM customer) d
+        ON right(c_name, 4) = right(d_name, 4) AND c_nationkey = d_nat
+      WHERE levenshtein(c_name, d_name) <= 2
+      ORDER BY c_custkey, d_id"""))
+
 }

@@ -46,6 +46,53 @@ private[graft] object QueriesRelational {
           FROM events))
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Session path assembly — the clickstream-to-training-sequence op:
+    * each 30-min-gap session becomes ONE row whose `path` is the
+    * event types in (ts, event_id) order joined by '>'. The ordered
+    * concat is collect_list(struct(ts, tie, type)) → array_sort →
+    * transform → concat_ws, all inside the ONE session groupBy — no
+    * second window pass and no per-event output row. At 100 TB the
+    * shuffle carries (user, ts, type) triples once and each session's
+    * buffer is bounded by its own event count, the same bound any
+    * order-sensitive session aggregate needs. */
+  private[graft] val sessionPaths = Q("session_paths",
+    (s, dir) => {
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSess = when(
+        col("ts_us") - lag(col("ts_us"), 1).over(byKey) >
+          lit(1800L * 1000000L), 1).otherwise(0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("session_id",
+          sum(newSess).over(byKey.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(">",
+            transform(
+              array_sort(collect_list(struct(col("ts_us"),
+                col("event_id"), col("event_type")))),
+              e => e.getField("event_type"))).as("path"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
+      string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      FROM (
+        SELECT user_id, event_id, event_type, ts_us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Time-series gap repair ([[graft.etl.Temporal.interpolateLinear]]):
     * every 7th measure nulled out, then linearly interpolated from its
     * nearest non-null neighbors per user. Both engines evaluate the
@@ -996,6 +1043,32 @@ private[graft] object QueriesRelational {
       quantile_cont(value, 0.5) AS p50,
       quantile_cont(value, 0.75) AS p75
       FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Native deterministic MODE aggregate — most-frequent value per
+    * group with ties broken toward the LOWEST value (Spark's
+    * `mode(e, deterministic = true)`), so the answer is stable under
+    * any shuffle/merge order. The oracle re-derives it relationally
+    * (count + row_number) because tie policy is exactly what a frozen
+    * oracle must pin. One hash aggregate per group at scale — the
+    * per-group value map is bounded by the bucket domain (10 here). */
+  private[graft] val statsMode = Q("stats_mode",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(mode(col("user_id") % 10, deterministic = true)
+            .as("mode_bucket"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, bucket AS mode_bucket, n
+      FROM (
+        SELECT event_type, bucket, cnt,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY cnt DESC, bucket ASC) AS rn,
+          CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM (
+          SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2))
+      WHERE rn = 1 ORDER BY event_type"""))
 
   /** Rank-error invariant of `approx_percentile`, oracle-checked
     * against a constant: with accuracy `acc`, the sketch guarantees

@@ -393,6 +393,53 @@ private[graft] object QueriesText {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** Sliding token-window document chunking — the ingestion op that
+    * turns long documents into training-context-sized pieces: 64-token
+    * windows advanced by a 48-token stride (16 tokens of overlap so no
+    * span is split across a chunk boundary without also appearing
+    * whole in a neighbor), each chunk carrying (doc_id, chunk_idx)
+    * provenance. Spark-first shape: `sequence()` generates the window
+    * starts per document and `explode` fans them out, `slice()` cuts
+    * the token array — a narrow scan-side transform with NO shuffle
+    * (the orderBy is the determinism contract, not the operator); the
+    * fan-out factor is n_tokens/stride, i.e. output volume tracks
+    * corpus tokens linearly, never quadratically. At 100 TB chunking
+    * runs as a map over the scan with the original text column pruned
+    * away after tokenization. */
+  private[graft] val chunkDocuments = Q("chunk_documents",
+    (s, dir) => {
+      val win = 64L; val stride = 48L
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("start",
+          explode(sequence(lit(0L),
+            expr(s"((n_toks - 1) div $stride) * $stride"), lit(stride))))
+        .select(col("doc_id"),
+          expr(s"start div $stride").as("chunk_idx"),
+          concat_ws(" ", slice(col("toks"), col("start") + lit(1),
+            lit(win))).as("chunk_text"),
+          least(lit(win), col("n_toks") - col("start"))
+            .as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(raw"""SELECT doc_id,
+      s // 48 AS chunk_idx,
+      array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
+      CAST(LEAST(64, n - s) AS BIGINT) AS chunk_tokens
+      FROM (
+        SELECT doc_id, tk, n,
+          unnest(generate_series(0, ((n - 1) // 48) * 48, 48)) AS s
+        FROM (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              AS n
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''))
+      ORDER BY doc_id, chunk_idx"""))
+
   /** Benchmark decontamination — the training-data op that keeps eval
     * sets honest: any TRAIN doc sharing a 5-gram with any TEST doc
     * (the deterministic hash split defines the sets) is flagged for
