@@ -60,7 +60,7 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
-    QueriesText.chunkDocuments,
+    QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
@@ -72,6 +72,8 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
+    QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
+    QueriesRelational.tableDiff, QueriesRelational.graphTriangles,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,

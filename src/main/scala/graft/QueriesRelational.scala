@@ -1159,4 +1159,221 @@ private[graft] object QueriesRelational {
       ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Rolling z-score anomaly detection over the daily event counts —
+    * the monitoring op that flags a day whose volume departs from its
+    * own trailing 28-day distribution. The window sums (n, n², count)
+    * are EXACT integers (a BIGINT sum over a 28-row frame), so both
+    * engines feed the identical mean/variance doubles through the
+    * identical IEEE expression tree — the z-scores hash-match without
+    * any epsilon. The frame excludes the current row (28 PRECEDING ..
+    * 1 PRECEDING): the day under test never contaminates its own
+    * baseline. One shuffle on event_type; at 100 TB the window input
+    * is the DAILY aggregate (types × days rows), not the raw fact —
+    * the detector's cost is fixed by the calendar, not the corpus. */
+  private[graft] val anomalyZscore = Q("anomaly_zscore",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("date"))
+        .rowsBetween(-28, -1)
+      val withSums = daily.select(col("event_type"), col("date"), col("n"),
+        sum(col("n")).over(w).cast("double").as("s1"),
+        sum(col("n") * col("n")).over(w).cast("double").as("s2"),
+        count(col("n")).over(w).cast("double").as("m"))
+        .filter(col("m") >= 8)
+      val variance = (col("s2") - col("s1") * col("s1") / col("m")) /
+        (col("m") - lit(1.0))
+      val z = when(variance > 0,
+        round((col("n").cast("double") - col("s1") / col("m")) /
+          sqrt(variance), 6))
+      withSums
+        .select(col("event_type"), col("date"), col("n"),
+          z.as("z"), (abs(coalesce(z, lit(0.0))) > 3.0).as("is_anomaly"))
+        .orderBy("event_type", "date")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS date,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, date, n,
+          CAST(SUM(n) OVER f AS DOUBLE) AS s1,
+          CAST(SUM(n * n) OVER f AS DOUBLE) AS s2,
+          CAST(COUNT(n) OVER f AS DOUBLE) AS m
+        FROM daily
+        WINDOW f AS (PARTITION BY event_type ORDER BY date
+          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, date, n,
+        CASE WHEN (s2 - s1 * s1 / m) / (m - 1.0) > 0
+          THEN ROUND((CAST(n AS DOUBLE) - s1 / m) /
+            SQRT((s2 - s1 * s1 / m) / (m - 1.0)), 6) END AS z,
+        ABS(COALESCE(CASE WHEN (s2 - s1 * s1 / m) / (m - 1.0) > 0
+          THEN ROUND((CAST(n AS DOUBLE) - s1 / m) /
+            SQRT((s2 - s1 * s1 / m) / (m - 1.0)), 6) END, 0.0)) > 3.0
+          AS is_anomaly
+      FROM win WHERE m >= 8 ORDER BY event_type, date"""))
+
+  /** Percentile winsorization — the robust-statistics preprocessing op
+    * that caps a measure at its per-group [p05, p95] before averaging,
+    * so a handful of extreme rows can't own the mean. Two passes over
+    * the group: exact interpolated percentiles (the same `percentile`/
+    * `quantile_cont` pair stats_quantiles pins), then a broadcast join
+    * of the tiny per-group fence table back onto the fact — the second
+    * pass clips and aggregates map-side. The clipped sum accumulates
+    * as DECIMAL(18,6) so the average is shuffle-order-independent.
+    * At 100 TB: percentile pass shuffles (type, value) pairs only;
+    * the fence table is O(groups) rows and always broadcasts. */
+  private[graft] val winsorizeClip = Q("winsorize_clip",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val fences = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      val clipped = least(greatest(col("value"), col("p05")), col("p95"))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          (sum(clipped.cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)).cast("double")).as("clipped_avg"),
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+            .as("n_clipped_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("n_clipped_hi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH fences AS (
+        SELECT event_type,
+          quantile_cont(value, 0.05) AS p05,
+          quantile_cont(value, 0.95) AS p95
+        FROM events WHERE value IS NOT NULL GROUP BY 1)
+      SELECT e.event_type, ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95,
+        CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95)
+          AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS clipped_avg,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_lo,
+        CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_hi
+      FROM events e JOIN fences USING (event_type)
+      WHERE value IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Snapshot diff — the audit op that reconciles two versions of a
+    * keyed table into added / removed / changed rows (the batch twin
+    * of manifest_changes' CDC read). Both versions derive
+    * deterministically from `customer`: v1 drops custkey % 101 == 0,
+    * v2 drops % 89 == 0 and bumps acctbal by 10 where % 97 == 0. The
+    * diff is ONE full outer join on the key with null-safe column
+    * compares — no row fingerprinting, so float-formatting quirks
+    * can't leak into the hash. At 100 TB both sides shuffle once on
+    * the key (or zero times when both snapshots are bucketed on it —
+    * the bucketed_join layout), and the unchanged majority is filtered
+    * before any downstream work. */
+  private[graft] val tableDiff = Q("table_diff",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val v1 = base.filter(col("c_custkey") % 101 =!= 0)
+        .select(col("c_custkey").as("k1"), col("c_name").as("name1"),
+          col("c_acctbal").as("bal1"))
+      val v2 = base.filter(col("c_custkey") % 89 =!= 0)
+        .select(col("c_custkey").as("k2"), col("c_name").as("name2"),
+          (when(col("c_custkey") % 97 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal"))).as("bal2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .withColumn("status",
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("name1") <=> col("name2") &&
+              col("bal1") <=> col("bal2"), "unchanged")
+            .otherwise("changed"))
+        .filter(col("status") =!= "unchanged")
+        .select(coalesce(col("k1"), col("k2")).as("c_custkey"),
+          col("status"), col("bal1").as("bal_old"),
+          col("bal2").as("bal_new"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH v1 AS (
+        SELECT c_custkey AS k1, c_name AS name1, c_acctbal AS bal1
+        FROM customer WHERE c_custkey % 101 <> 0),
+      v2 AS (
+        SELECT c_custkey AS k2, c_name AS name2,
+          CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 10.0
+            ELSE c_acctbal END AS bal2
+        FROM customer WHERE c_custkey % 89 <> 0)
+      SELECT COALESCE(k1, k2) AS c_custkey,
+        CASE WHEN k1 IS NULL THEN 'added'
+          WHEN k2 IS NULL THEN 'removed'
+          WHEN name1 IS NOT DISTINCT FROM name2
+            AND bal1 IS NOT DISTINCT FROM bal2 THEN 'unchanged'
+          ELSE 'changed' END AS status,
+        bal1 AS bal_old, bal2 AS bal_new
+      FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+      WHERE CASE WHEN k1 IS NULL THEN 'added'
+          WHEN k2 IS NULL THEN 'removed'
+          WHEN name1 IS NOT DISTINCT FROM name2
+            AND bal1 IS NOT DISTINCT FROM bal2 THEN 'unchanged'
+          ELSE 'changed' END <> 'unchanged'
+      ORDER BY c_custkey"""))
+
+  /** Per-node triangle counts over the undirected nation trade graph
+    * (graph_pagerank's edge list, canonicalized to a < b). The count
+    * is the standard two-join enumeration over ordered edges — each
+    * triangle a<b<c materializes exactly once, then fans out to its
+    * three corners for the per-node tally. On the 25-node nation
+    * graph this is a bounded demo; the scale path is the same plan
+    * over DEGREE-ordered ids (orient each edge from the lower-degree
+    * endpoint), which bounds the join fan-out by the graph's
+    * arboricity — the classic distributed triangle-counting
+    * reformulation — and every join stays an equi-join Spark hashes. */
+  private[graft] val graphTriangles = Q("graph_triangles",
+    (s, dir) => {
+      val trade = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+        .distinct()
+      val e1 = trade.select(col("a").as("x"), col("b").as("y"))
+      val e2 = trade.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = trade.select(col("a").as("x3"), col("b").as("z3"))
+      val tri = e1
+        .join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .select(col("x"), col("y"), col("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("triangles"))
+        .join(t(s, dir, "nation"), col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("triangles"))
+        .orderBy("node")
+    },
+    Some("""WITH und AS (
+        SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+          GREATEST(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT node, n_name, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM corners JOIN nation ON node = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1"""))
+
 }

@@ -728,4 +728,47 @@ private[graft] object QueriesText {
         AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY blob_id"""))
 
+  /** Stratified deterministic sampling — per-stratum rates from a tiny
+    * broadcast config table, membership from the doc's own md5 bucket
+    * (the sample_hash_split mechanism, generalized to per-group
+    * rates). This is `DataFrame.sampleBy` done scale-correctly: no RNG
+    * seed to disagree across engines or partitionings, a doc's
+    * fate never changes when other docs arrive, and the rate table is
+    * data, not code — retune the mix without redeploying. The compare
+    * `bucket * 1000 < permille * 4096` is all-integer (bucket is 12
+    * bits of md5), so both engines draw the identical sample. At
+    * 100 TB this is a scan-side map + broadcast hash join — no
+    * shuffle at all before the determinism orderBy. */
+  private[graft] val stratifiedSample = Q("stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Seq((0, 100), (1, 250), (2, 500), (3, 900))
+        .toDF("stratum", "permille")
+      val stratum = pmod(
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(4))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 3),
+        16, 10).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), stratum.as("stratum"),
+          bucket.as("bucket"))
+        .join(broadcast(rates), "stratum")
+        .filter(col("bucket") * 1000 < col("permille") * 4096)
+        .select(col("doc_id"), col("source"), col("stratum"),
+          col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH r(stratum, permille) AS (
+        VALUES (0, 100), (1, 250), (2, 500), (3, 900))
+      SELECT doc_id, source, stratum, bucket
+      FROM (
+        SELECT doc_id, source,
+          CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4
+            AS stratum,
+          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+            AS BIGINT) AS INTEGER) AS bucket
+        FROM documents) d
+      JOIN r USING (stratum)
+      WHERE bucket * 1000 < permille * 4096
+      ORDER BY doc_id"""))
+
 }

@@ -193,6 +193,86 @@ class PlanGuardrailSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("chunk_documents is a pure scan-side map — the ONLY shuffle " +
+    "is the determinism orderBy") {
+    // the chunking claim: tokenize → sequence → explode → slice is a
+    // narrow per-row transform; at 100 TB it runs as a map over the
+    // scan with no data movement. AQE off so exchanges are countable.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "chunk_documents").get
+        .run(spark, dir)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.length == 1,
+        s"chunking grew a shuffle beyond the contract orderBy:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("stratified_sample joins the rate table broadcast — zero " +
+    "shuffles before the contract orderBy") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "stratified_sample").get
+        .run(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collectFirst {
+        case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"rate table lost its broadcast:\n$plan")
+      assert(plan.collect {
+        case e: ShuffleExchangeExec => e }.length == 1,
+        s"sampling shuffled data before the contract orderBy:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("session_paths reuses ONE user shuffle for window + aggregate") {
+    // hash(user_id) satisfies ClusteredDistribution(user_id,
+    // session_id), so the path aggregate inherits the window's
+    // partitioning — rows shuffle once, plus the contract orderBy.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "session_paths").get
+        .run(spark, dir)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(shuffles.length <= 2,
+        s"session paths re-shuffled between window and aggregate:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("fuzzy_match_blocked hashes on the blocking key — levenshtein " +
+    "never drives a nested-loop join") {
+    val df = Queries.all.find(_.name == "fuzzy_match_blocked").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked fuzzy match degenerated to a non-equi join:\n$plan")
+  }
+
+  test("winsorize_clip broadcasts the fence table back onto the fact") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "winsorize_clip").get
+        .run(spark, dir)
+      assert(df.queryExecution.executedPlan.collectFirst {
+        case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"fence table lost its broadcast:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the flagship aggregation runs inside WholeStageCodegen") {
     // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
     // are compiled lazily) — plan the probe with AQE off to see the
