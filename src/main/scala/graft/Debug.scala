@@ -24,6 +24,11 @@ object Debug { def main(a: Array[String]): Unit = {
         println(cells.mkString("      (", ", ", "),"))
       }
       println(s"-- ${df.count()} rows; cols: ${fields.map(_.name).mkString(", ")}")
+    } else if (a.lift(2).contains("explain")) {
+      // formatted physical plan with AQE off, for scale-shape audits
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(a(0))(spark, a.lift(1)
+        .getOrElse("/root/testdata/sf0.001")).explain("formatted")
     } else df.show(5, false)
   } catch { case e: Throwable => e.printStackTrace() }
   spark.stop()

@@ -61,6 +61,7 @@ object Queries {
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
+    QueriesText.textBm25, QueriesText.corpusDrift,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
@@ -73,6 +74,8 @@ object Queries {
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
+    QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
+    QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,
     QueriesRelational.tableDiff, QueriesRelational.graphTriangles,
     QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,

@@ -1375,5 +1375,205 @@ private[graft] object QueriesRelational {
       SELECT node, n_name, CAST(COUNT(*) AS BIGINT) AS triangles
       FROM corners JOIN nation ON node = n_nationkey
       GROUP BY 1, 2 ORDER BY 1"""))
+  /** Per-type linear trend fit of daily event volume — the capacity-
+    * planning op that reduces a month of counts to slope + intercept.
+    * The normal-equation inputs (m, Σx, Σy, Σxy, Σx²) accumulate as
+    * EXACT BIGINT sums (x is a small day index, y a daily count), so
+    * both engines feed identical integers through the identical
+    * closed-form division — the fit hash-matches with no epsilon. At
+    * 100 TB the regression input is the daily aggregate (types × days
+    * rows); the fact table is touched once by the count. Σxy stays in
+    * range up to ~1e12 events/day across a 10⁴-day history. */
+  private[graft] val statsLinfit = Q("stats_linfit",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          col("y"))
+      val sums = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val den = (col("m") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      sums.select(col("event_type"), col("m").as("n_days"),
+        round((col("m") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / den, 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") / den, 6).as("intercept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS date,
+          CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      xy AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '2024-01-01', date) AS BIGINT) AS x,
+          y
+        FROM daily),
+      sums AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy GROUP BY 1)
+      SELECT event_type, m AS n_days,
+        ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+          CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+          CAST(m * sxx - sx * sx AS DOUBLE), 6) AS intercept
+      FROM sums ORDER BY 1"""))
+
+  /** First-order Markov transition matrix over per-user event streams
+    * — P(next | prev) for every consecutive event-type pair, the model
+    * behind next-action prediction and funnel leak detection. One
+    * window pass (lag over the user timeline, event_id tiebreak) pairs
+    * each event with its predecessor; the conditional probability is
+    * an integer-count ratio so both engines emit identical doubles.
+    * At 100 TB: one shuffle on user_id for the lag; the probability
+    * window runs over the types×types aggregate, not the fact. */
+  private[graft] val eventTransitions = Q("event_transitions",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = ev
+        .select(col("event_type").as("next"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+      val counts = pairs.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev"))
+      counts.select(col("prev"), col("next"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(wp).cast("double"), 6).as("p"))
+        .orderBy("prev", "next")
+    },
+    Some("""WITH pairs AS (
+        SELECT event_type AS next,
+          LAG(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events),
+      counts AS (
+        SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, next, n,
+        ROUND(CAST(n AS DOUBLE) /
+          CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+      FROM counts ORDER BY prev, next"""))
+
+  /** Event-type co-occurrence with lift — the market-basket op over
+    * user behavior: for each unordered type pair, how many users did
+    * both, and is that more or less than independence predicts
+    * (lift = n_ab·N / (n_a·n_b)). The pair enumeration is a self
+    * equi-join of the DISTINCT (user, type) table on user_id with a
+    * `<` tiebreak, so per-user fan-out is bounded by the type-enum
+    * square, never by event volume; the singles and grand total are
+    * tiny broadcast sides. All counts are exact BIGINTs; the two
+    * ratios are single double divisions both engines fold
+    * identically. */
+  private[graft] val eventCooccurrence = Q("event_cooccurrence",
+    (s, dir) => {
+      val ut = events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+      val singles = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val a = ut.select(col("user_id"), col("event_type").as("ta"))
+      val b = ut.select(col("user_id").as("uid_b"),
+        col("event_type").as("tb"))
+      a.join(b, col("user_id") === col("uid_b") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(singles.select(col("event_type").as("ta"),
+          col("n_t").as("n_a"))), "ta")
+        .join(broadcast(singles.select(col("event_type").as("tb"),
+          col("n_t").as("n_b"))), "tb")
+        .crossJoin(broadcast(totals))
+        .select(col("ta"), col("tb"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          round(col("n_ab").cast("double") /
+            col("n_users").cast("double"), 6).as("support"),
+          round((col("n_ab") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events),
+      totals AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM ut),
+      singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM ut GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT ta, tb, n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+        ROUND(CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+          AS support,
+        ROUND(CAST(n_ab * n_users AS DOUBLE) /
+          CAST(sa.n_t * sb.n_t AS DOUBLE), 6) AS lift
+      FROM pairs
+      JOIN singles sa ON sa.event_type = ta
+      JOIN singles sb ON sb.event_type = tb
+      CROSS JOIN totals
+      ORDER BY ta, tb"""))
+
+  /** MAD-based robust outlier fences — the heavy-tail-safe twin of
+    * [[anomalyZscore]]: median and median-absolute-deviation per
+    * event type, flagging values beyond median ± 3·1.4826·MAD. Two
+    * exact interpolated-percentile passes (the `percentile` /
+    * `quantile_cont` pair stats_quantiles pins) with the tiny
+    * per-type median table broadcast back between them — the fact
+    * table streams through twice, map-side both times. The fence
+    * compare runs on raw doubles built from identical inputs, so the
+    * outlier counts are engine-exact. */
+  private[graft] val anomalyMad = Q("anomaly_mad",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"),
+          sum(when(col("adev") > col("mad") * lit(1.4826) * lit(3.0),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY 1),
+      dev AS (
+        SELECT ev.event_type, value, med, ABS(value - med) AS adev
+        FROM ev JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(ANY_VALUE(med), 6) AS med,
+        ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+        CAST(SUM(CASE WHEN adev > mad.mad * 1.4826 * 3.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY 1 ORDER BY 1"""))
 
 }

@@ -770,5 +770,180 @@ private[graft] object QueriesText {
       JOIN r USING (stratum)
       WHERE bucket * 1000 < permille * 4096
       ORDER BY doc_id"""))
+  /** BM25 relevance scoring against a broadcast query-term table —
+    * the retrieval-quality op (Robertson/Okapi BM25, k1=1.2, b=0.75)
+    * that ranks every document for a query without an inverted index:
+    * explode tokens, broadcast-semi-join the query terms (the corpus
+    * drops to matched rows immediately), per-(doc,term) tf, per-term
+    * df, and corpus length stats — all exact integer aggregates — then
+    * one identical IEEE expression tree per engine for the score.
+    * Per-term scores round to 6dp and sum as DECIMAL so the doc score
+    * is shuffle-order-independent. At 100 TB the only data-sized
+    * exchange carries (doc_id, term) for MATCHED terms; everything
+    * else is broadcast-sized. */
+  private[graft] val textBm25 = Q("text_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val qterms = Seq("hash", "join", "vector", "stream", "window")
+        .toDF("term")
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val toks = docs.select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      val lens = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val matched = toks
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term") =!= "")
+        .join(broadcast(qterms), "term")
+      val tf = matched.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = matched.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") /
+        col("n_docs").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") +
+          lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+      val denom = col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      tf.join(broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(idf * (col("tf").cast("double") * lit(2.2) / denom), 6)
+            .cast(DecimalType(18, 6)).as("ts_"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ts_")).cast("double").as("score"),
+          count(lit(1)).as("n_matched"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH q(term) AS (
+        VALUES ('hash'), ('join'), ('vector'), ('stream'), ('window')),
+      docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS toks FROM docs),
+      lens AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
+      matched AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        JOIN q USING (term) WHERE term != ''),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM matched GROUP BY 1, 2),
+      dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM matched) GROUP BY 1)
+      SELECT doc_id,
+        CAST(SUM(CAST(ROUND(
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5)) *
+          (CAST(tf AS DOUBLE) * 2.2 /
+            (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+              (CAST(dl AS DOUBLE) /
+                (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+          6) AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Per-source distribution drift — how far each source's unigram
+    * distribution sits from the corpus-wide one, as total-variation
+    * distance and Jensen-Shannon divergence. The absent-vocabulary
+    * mass is handled in CLOSED FORM (a term the source never emits
+    * contributes q to TV and ½·q·ln2 to JS, so Σ over absent terms is
+    * (1 − covered_q)), which keeps the join INNER on (source, term) —
+    * no source × vocabulary expansion ever materializes. Probabilities
+    * derive from exact integer counts, per-term contributions round to
+    * 9dp and sum as DECIMAL(18,9) (shuffle-order-independent, still on
+    * the codegen path). The drift table is the mixing dashboard for
+    * [[mixSources]]/[[curriculumMix]]: a source whose JS spikes is the
+    * one contaminating the blend. */
+  private[graft] val corpusDrift = Q("corpus_drift",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val bySrc = terms.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_s"))
+      val corpus = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = bySrc.groupBy(col("source"))
+        .agg(sum(col("c_s")).as("t_s"))
+      val corpTot = corpus.agg(sum(col("c")).as("t"))
+      val p = col("c_s").cast("double") / col("t_s").cast("double")
+      val q = col("c").cast("double") / col("t").cast("double")
+      val m = (p + q) * lit(0.5)
+      val contrib = bySrc.join(corpus, "term")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(corpTot))
+        .select(col("source"),
+          round(abs(p - q), 9).cast(DecimalType(18, 9)).as("tv_t"),
+          round(lit(0.5) * p * log(p / m) +
+            lit(0.5) * q * log(q / m), 9)
+            .cast(DecimalType(18, 9)).as("js_t"),
+          round(q, 9).cast(DecimalType(18, 9)).as("q_t"))
+      contrib.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(lit(0.5) * (sum(col("tv_t")).cast("double") +
+            (lit(1.0) - sum(col("q_t")).cast("double"))), 6).as("tv"),
+          round(sum(col("js_t")).cast("double") +
+            lit(0.5) * log(lit(2.0)) *
+              (lit(1.0) - sum(col("q_t")).cast("double")), 6).as("js"))
+        .orderBy("source")
+    },
+    Some(raw"""WITH terms AS (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+          '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      t2 AS (SELECT source, term FROM terms WHERE term != ''),
+      by_src AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_s
+        FROM t2 GROUP BY 1, 2),
+      corpus AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY 1),
+      src_tot AS (
+        SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s
+        FROM by_src GROUP BY 1),
+      corp_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus),
+      contrib AS (
+        SELECT source,
+          CAST(ROUND(ABS(CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE) -
+            CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+            AS DECIMAL(18,9)) AS tv_t,
+          CAST(ROUND(
+            0.5 * (CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+              ln((CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE)) /
+                ((CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE) +
+                  CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 0.5)) +
+            0.5 * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+              ln((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) /
+                ((CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE) +
+                  CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 0.5)),
+            9) AS DECIMAL(18,9)) AS js_t,
+          CAST(ROUND(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 9)
+            AS DECIMAL(18,9)) AS q_t
+        FROM by_src
+        JOIN corpus USING (term)
+        JOIN src_tot USING (source)
+        CROSS JOIN corp_tot)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        ROUND(0.5 * (CAST(SUM(tv_t) AS DOUBLE) +
+          (1.0 - CAST(SUM(q_t) AS DOUBLE))), 6) AS tv,
+        ROUND(CAST(SUM(js_t) AS DOUBLE) +
+          0.5 * ln(2.0) * (1.0 - CAST(SUM(q_t) AS DOUBLE)), 6) AS js
+      FROM contrib GROUP BY 1 ORDER BY 1"""))
 
 }

@@ -273,6 +273,51 @@ class PlanGuardrailSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("text_bm25 probes a BROADCAST query-term table — corpus tokens " +
+    "never shuffle for the semi join") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "text_bm25").get.run(spark, dir)
+      val bhj = df.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j }
+      // the deepest broadcast join keys on `term`: the literal query
+      // table is the build side, so the exploded corpus drops to
+      // matched rows before ANY exchange
+      assert(bhj.exists(_.leftKeys.exists(_.toString.contains("term"))),
+        s"query-term probe lost its broadcast:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("anomaly_mad broadcasts both percentile tables back onto the " +
+    "fact — the value stream never joins shuffle-side") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all.find(_.name == "anomaly_mad").get.run(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }
+        .length >= 2, s"median/MAD table lost its broadcast:\n$plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"a per-type stats table grew a sort-merge join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("event_cooccurrence pair enumeration is an equi join — the only " +
+    "nested loop is the 1-row totals compose") {
+    val df = Queries.all.find(_.name == "event_cooccurrence").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join degenerated to a cartesian product:\n$plan")
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"a second nested-loop join appeared beyond the totals compose:\n$plan")
+  }
+
   test("the flagship aggregation runs inside WholeStageCodegen") {
     // an unexecuted ADAPTIVE plan reports 0 codegen subtrees (stages
     // are compiled lazily) — plan the probe with AQE off to see the
