@@ -38,7 +38,7 @@ object Queries {
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
-    QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors,
+    QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,
     QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchDistinctByGroup, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
@@ -61,7 +61,7 @@ object Queries {
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
-    QueriesText.textBm25, QueriesText.corpusDrift,
+    QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -286,5 +287,39 @@ private[graft] object QueriesKpi {
       CAST(0 AS BIGINT) AS missed_heavy,
       CAST(0 AS BIGINT) AS bad_estimate,
       CAST(0 AS BIGINT) AS oversize"""))
+  /** Week-over-week growth — ISO-week event volume per type with the
+    * relative change vs the previous week. The lag window runs over
+    * the weekly aggregate (types × weeks rows), so its cost is fixed
+    * by the calendar; counts are exact BIGINTs and the growth ratio is
+    * one double division both engines fold identically. Weeks with no
+    * predecessor report NULL growth rather than a fake 0. */
+  private[graft] val kpiWowGrowth = Q("kpi_wow_growth",
+    (s, dir) => {
+      val weekly = events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .select(col("event_type"), col("week"), col("n"),
+          lag(col("n"), 1).over(w).as("prev_n"))
+        .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+          round((col("n") - col("prev_n")).cast("double") /
+            col("prev_n").cast("double"), 6).as("wow_growth"))
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH weekly AS (
+        SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, week, n,
+          LAG(n, 1) OVER (PARTITION BY event_type ORDER BY week)
+            AS prev_n
+        FROM weekly)
+      SELECT event_type, week, n, prev_n,
+        ROUND(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)
+          AS wow_growth
+      FROM lagged ORDER BY event_type, week"""))
 
 }

@@ -945,5 +945,51 @@ private[graft] object QueriesText {
         ROUND(CAST(SUM(js_t) AS DOUBLE) +
           0.5 * ln(2.0) * (1.0 - CAST(SUM(q_t) AS DOUBLE)), 6) AS js
       FROM contrib GROUP BY 1 ORDER BY 1"""))
+  /** Vocabulary-coverage builder — the BPE-prep diagnostic: the top-200
+    * corpus tokens by frequency (count-desc, token-asc ties) with each
+    * token's running cumulative share of ALL corpus tokens. The top-k
+    * is orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    * map-side partial top-k per partition, never a global sort of the
+    * vocabulary; the cumulative window then runs over the 200-row
+    * LIMIT result (bounded by construction, the allowlisted
+    * aggregated-input shape). Counts are exact BIGINTs; shares are one
+    * double division both engines fold identically. */
+  private[graft] val textVocabulary = Q("text_vocabulary",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("term"))
+        .filter(col("term") =!= "")
+      val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val total = freq.agg(sum(col("tf")).as("total"))
+      val top = freq.orderBy(col("tf").desc, col("term")).limit(200)
+      val w = Window.orderBy(col("tf").desc, col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .select(col("term"), col("tf"),
+          row_number().over(w).as("rank"),
+          round(sum(col("tf")).over(w).cast("double") /
+            col("total").cast("double"), 6).as("cum_share"))
+        .orderBy("rank")
+    },
+    Some(raw"""WITH terms AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term != '' GROUP BY 1),
+      total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freq),
+      top AS (
+        SELECT term, tf FROM freq ORDER BY tf DESC, term LIMIT 200)
+      SELECT term, tf,
+        CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS INTEGER)
+          AS rank,
+        ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, term
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+      FROM top CROSS JOIN total
+      ORDER BY rank"""))
 
 }

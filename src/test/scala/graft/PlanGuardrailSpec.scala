@@ -29,7 +29,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     * not by row count. */
   private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d",
     "deciles_approx_check", // lag over the 10-row bucket aggregate
-    "curriculum_mix") // ntileByValue CDF over the bounded n_chars domain
+    "curriculum_mix", // ntileByValue CDF over the bounded n_chars domain
+    "text_vocabulary") // cumulative share over the 200-row top-k LIMIT
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
