@@ -77,7 +77,7 @@ object Queries {
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,
     QueriesRelational.tableDiff, QueriesRelational.graphTriangles,
-    QueriesStreaming.streamDaily, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
+    QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect)

@@ -183,6 +183,81 @@ private[graft] object QueriesStreaming {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
 
+  /** Streaming anomaly feed — the production shape of
+    * [[QueriesRelational.anomalyZscore]]: the STREAM maintains the
+    * per-type daily-count store (watermarked tumbling windows,
+    * update-mode merge-upsert, state bounded by the watermark horizon),
+    * and the trailing 28-day z-score runs over the STORE on read — the
+    * detector's baseline does NOT live in stream state, because a
+    * 28-day lookback inside the state store would pin four weeks of
+    * keys against a 1-day watermark. Sentinel handling follows
+    * [[streamSlidingCounts]]: the far-future sentinels must flow INTO
+    * the aggregate to advance event time (a pre-agg filter gets pushed
+    * below the watermark node), so real rows are counted conditionally
+    * and the sentinels' zero-count far-future groups drop on the way
+    * out. Oracle = the batch z-score SQL verbatim: the stream-
+    * maintained store must equal the batch daily aggregate exactly. */
+  private[graft] val streamAnomaly = Q("stream_anomaly",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val agg = stream
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day").as("day"),
+            col("event_type"))
+          .agg(count(when(col("user_id") >= 0, 1)).as("n"))
+        val root = StreamTemp.dir("graft_stream_anomaly")
+        graft.stream.StreamingFact.upsertToSilver(
+          s, agg, s"$root/fact", s"$root/ckpt",
+          keyCols = Seq("event_type"))
+        val daily = s.read.parquet(s"$root/fact")
+          .filter(col("n") > 0) // sentinel-only far-future groups
+          .select(col("event_type"), col("date"), col("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("date")).rowsBetween(-28, -1)
+        val withSums = daily.select(col("event_type"), col("date"),
+          col("n"),
+          sum(col("n")).over(w).cast("double").as("s1"),
+          sum(col("n") * col("n")).over(w).cast("double").as("s2"),
+          count(col("n")).over(w).cast("double").as("m"))
+          .filter(col("m") >= 8)
+        val variance = (col("s2") - col("s1") * col("s1") / col("m")) /
+          (col("m") - lit(1.0))
+        val z = when(variance > 0,
+          round((col("n").cast("double") - col("s1") / col("m")) /
+            sqrt(variance), 6))
+        withSums
+          .select(col("event_type"), col("date"), col("n"),
+            z.as("z"), (abs(coalesce(z, lit(0.0))) > 3.0).as("is_anomaly"))
+          .orderBy("event_type", "date")
+      }
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS date,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, date, n,
+          CAST(SUM(n) OVER f AS DOUBLE) AS s1,
+          CAST(SUM(n * n) OVER f AS DOUBLE) AS s2,
+          CAST(COUNT(n) OVER f AS DOUBLE) AS m
+        FROM daily
+        WINDOW f AS (PARTITION BY event_type ORDER BY date
+          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, date, n,
+        CASE WHEN (s2 - s1 * s1 / m) / (m - 1.0) > 0
+          THEN ROUND((CAST(n AS DOUBLE) - s1 / m) /
+            SQRT((s2 - s1 * s1 / m) / (m - 1.0)), 6) END AS z,
+        ABS(COALESCE(CASE WHEN (s2 - s1 * s1 / m) / (m - 1.0) > 0
+          THEN ROUND((CAST(n AS DOUBLE) - s1 / m) /
+            SQRT((s2 - s1 * s1 / m) / (m - 1.0)), 6) END, 0.0)) > 3.0
+          AS is_anomaly
+      FROM win WHERE m >= 8 ORDER BY event_type, date"""))
+
   /** SLIDING event-time windows (1-day window, 12-hour slide) — the
     * overlapping-window shape the tumbling `stream_daily_engagement`
     * can't express: every purchase lands in exactly TWO windows
