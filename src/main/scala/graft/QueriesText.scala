@@ -772,36 +772,39 @@ private[graft] object QueriesText {
       ORDER BY doc_id"""))
   /** BM25 relevance scoring against a broadcast query-term table —
     * the retrieval-quality op (Robertson/Okapi BM25, k1=1.2, b=0.75)
-    * that ranks every document for a query without an inverted index:
-    * explode tokens, broadcast-semi-join the query terms (the corpus
-    * drops to matched rows immediately), per-(doc,term) tf, per-term
-    * df, and corpus length stats — all exact integer aggregates — then
-    * one identical IEEE expression tree per engine for the score.
-    * Per-term scores round to 6dp and sum as DECIMAL so the doc score
-    * is shuffle-order-independent. At 100 TB the only data-sized
-    * exchange carries (doc_id, term) for MATCHED terms; everything
-    * else is broadcast-sized. */
+    * that ranks every document for a query without an inverted index.
+    * ONE tokenize of the corpus: the doc length rides the explode as a
+    * carried column, so there is no separate length table and no
+    * doc_id join — tf keeps `first(dl)` through its own aggregate, df
+    * falls out of tf (already distinct per (doc, term)), and the
+    * corpus stats (N, avgdl) come from a doc-level re-aggregate of the
+    * same exploded stream (the 100×-docs rehearsal caught the previous
+    * three-branch shape re-tokenizing the corpus three times and
+    * fanning out through a length join). Per-term scores round to 6dp
+    * and sum as DECIMAL so the doc score is shuffle-order-independent.
+    * At 100 TB the data-sized exchanges carry matched (doc_id, term)
+    * rows and one doc-level (doc_id, dl) aggregate; at that scale N
+    * and avgdl would come from table statistics instead — the second
+    * aggregate is the self-contained stand-in. */
   private[graft] val textBm25 = Q("text_bm25",
     (s, dir) => {
       import s.implicits._
       val qterms = Seq("hash", "join", "vector", "stream", "window")
         .toDF("term")
-      val docs = t(s, dir, "documents")
+      val tokd = t(s, dir, "documents")
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
-      val toks = docs.select(col("doc_id"),
-        split(trim(lower(col("text"))), "\\s+").as("toks"))
-      val lens = toks.select(col("doc_id"),
-        size(col("toks")).cast("long").as("dl"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_dl"))
-      val matched = toks
-        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
         .filter(col("term") =!= "")
-        .join(broadcast(qterms), "term")
-      val tf = matched.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = matched.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = tokd.groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val tf = tokd.join(broadcast(qterms), "term")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val avgdl = col("total_dl").cast("double") /
         col("n_docs").cast("double")
       val idf = log(lit(1.0) +
@@ -810,7 +813,6 @@ private[graft] object QueriesText {
       val denom = col("tf").cast("double") + lit(1.2) *
         (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
       tf.join(broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
           round(idf * (col("tf").cast("double") * lit(2.2) / denom), 6)
@@ -822,27 +824,23 @@ private[graft] object QueriesText {
     },
     Some(raw"""WITH q(term) AS (
         VALUES ('hash'), ('join'), ('vector'), ('stream'), ('window')),
-      docs AS (
-        SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND trim(text) != ''),
-      toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
-          AS toks FROM docs),
-      lens AS (
-        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+      tokd AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT) AS dl,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      t2 AS (SELECT doc_id, dl, term FROM tokd WHERE term != ''),
       stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(dl) AS BIGINT) AS total_dl FROM lens),
-      matched AS (
-        SELECT doc_id, term
-        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
-        JOIN q USING (term) WHERE term != ''),
+          CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM t2 GROUP BY 1)),
       tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM matched GROUP BY 1, 2),
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+          ANY_VALUE(dl) AS dl
+        FROM t2 JOIN q USING (term) GROUP BY 1, 2),
       dfreq AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM (SELECT DISTINCT doc_id, term FROM matched) GROUP BY 1)
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
       SELECT doc_id,
         CAST(SUM(CAST(ROUND(
           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
@@ -853,8 +851,7 @@ private[graft] object QueriesText {
                 (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
           6) AS DECIMAL(18,6))) AS DOUBLE) AS score,
         CAST(COUNT(*) AS BIGINT) AS n_matched
-      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
-      CROSS JOIN stats
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
       GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Per-source distribution drift — how far each source's unigram
@@ -878,8 +875,11 @@ private[graft] object QueriesText {
         .filter(col("term") =!= "")
       val bySrc = terms.groupBy(col("source"), col("term"))
         .agg(count(lit(1)).as("c_s"))
-      val corpus = terms.groupBy(col("term"))
-        .agg(count(lit(1)).as("c"))
+      // corpus counts fall out of the per-source aggregate (sum over
+      // sources) — the 100×-docs rehearsal caught the previous shape
+      // re-scanning and re-shuffling every exploded token a second time
+      val corpus = bySrc.groupBy(col("term"))
+        .agg(sum(col("c_s")).as("c"))
       val srcTot = bySrc.groupBy(col("source"))
         .agg(sum(col("c_s")).as("t_s"))
       val corpTot = corpus.agg(sum(col("c")).as("t"))
@@ -913,7 +913,8 @@ private[graft] object QueriesText {
         SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_s
         FROM t2 GROUP BY 1, 2),
       corpus AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY 1),
+        SELECT term, CAST(SUM(c_s) AS BIGINT) AS c FROM by_src
+        GROUP BY 1),
       src_tot AS (
         SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s
         FROM by_src GROUP BY 1),
