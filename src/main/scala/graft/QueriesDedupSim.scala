@@ -1151,5 +1151,68 @@ private[graft] object QueriesDedupSim {
         ON right(c_name, 4) = right(d_name, 4) AND c_nationkey = d_nat
       WHERE levenshtein(c_name, d_name) <= 2
       ORDER BY c_custkey, d_id"""))
+  /** Incremental near-dup admission — one decision row per BATCH doc
+    * (corpus = doc_id % 5 != 0, batch = % 5 == 0): how many corpus
+    * near-duplicates at shingle-Jaccard >= 0.8, the best score, and the
+    * admit verdict. The SPARK side decides via
+    * [[Dedup.incrementalNearDup]] (LSH band equi-join -> exact verify);
+    * the ORACLE recomputes the decision by BRUTE FORCE in DuckDB
+    * (all batch x corpus shingle-Jaccards) — so the row is green only
+    * if LSH-candidates-then-verify reaches the exact answer on this
+    * corpus. That is a real equivalence check, not a frozen output: at
+    * tau = 0.8 a 16x4 banding misses a qualifying pair with
+    * probability <= (1 - 0.8^4)^16 ~ 2e-4 (and this corpus's
+    * qualifying pairs all sit far above the threshold), so the
+    * deterministic hash seeds either catch every pair — proven here —
+    * or the row goes red. Aggregates are max/count (order-independent);
+    * the best score rounds to 6dp. */
+  private[graft] val dedupNeardupIncremental = Q("dedup_neardup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .dropDuplicates("doc_id") // identity under rehearsal replication
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.incrementalNearDup(corpus, batch, "text",
+        "doc_id", threshold = 0.8)
+      val agg = pairs.groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          round(max(col("jaccard")), 6).as("best_jaccard"))
+      batch.select(col("doc_id").as("batch_id"))
+        .join(agg, Seq("batch_id"), "left_outer")
+        .select(col("batch_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jaccard"),
+          col("n_matches").isNull.as("admitted"))
+        .orderBy("batch_id")
+    },
+    Some(raw"""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT b.doc_id AS batch_id,
+          CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(b.sh, c.sh))) AS DOUBLE)
+            AS j
+        FROM sh b, sh c
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+      agg AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+          ROUND(MAX(j), 6) AS best_jaccard
+        FROM pairs WHERE j >= 0.8 GROUP BY 1)
+      SELECT b.doc_id AS batch_id,
+        COALESCE(n_matches, 0) AS n_matches, best_jaccard,
+        n_matches IS NULL AS admitted
+      FROM (SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND trim(text) != '' AND doc_id % 5 = 0) b
+      LEFT JOIN agg ON b.doc_id = agg.batch_id
+      ORDER BY batch_id"""))
 
 }

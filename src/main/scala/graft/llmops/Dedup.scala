@@ -252,4 +252,51 @@ object Dedup {
         Seq(fpAlias), "left_anti")
     definitelyNew.unionByName(maybe).select(idCol, fpAlias)
   }
+  // --- Incremental NEAR-dup (new batch vs existing corpus) -------------
+
+  /** Incremental near-duplicate screen: which BATCH docs are MinHash-
+    * LSH near-duplicates of any CORPUS doc — the near-dup twin of the
+    * exact [[dedupIncremental]] anti-join, for ingest-time admission
+    * control. Candidates come from an equi-join of the two sides'
+    * LSH band tables (never batch × corpus); the exact shingle-Jaccard
+    * verify then joins shingle arrays ONLY for ids that appear in a
+    * candidate pair (semi-join pruned — the corpus never re-shingles
+    * for a small batch). Returns verified (batchId, corpusId, jaccard)
+    * pairs at `threshold`; admitted docs are the batch anti-join of the
+    * flagged ids. At 100 TB: corpus band tables and shingle arrays are
+    * write-once artifacts an ingest pipeline keeps alongside the
+    * corpus (the [[graft.sources.ManifestTable]] pattern) — per batch,
+    * only the batch side re-hashes. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         textCol: String, idCol: String,
+                         threshold: Double = 0.8, shingleK: Int = 3,
+                         numPerm: Int = 64,
+                         bands: Int = 16): DataFrame = {
+    val rpb = numPerm / bands
+    def banded(df: DataFrame, as: String): DataFrame = lshBands(
+      df.select(col(idCol),
+        minhashSignature(shingles(col(textCol), shingleK), numPerm)
+          .as("sig")),
+      idCol, "sig", bands, rpb)
+      .select(col(idCol).as(as), col("band_id"), col("band_key"))
+    val cands = banded(batch, "batch_id")
+      .join(banded(corpus, "corpus_id"), Seq("band_id", "band_key"))
+      .select("batch_id", "corpus_id").distinct()
+    val shB = batch
+      .join(cands.select(col("batch_id").as(idCol)), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("batch_id"),
+        shingles(col(textCol), shingleK).as("sh_b"))
+    val shC = corpus
+      .join(cands.select(col("corpus_id").as(idCol)), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("corpus_id"),
+        shingles(col(textCol), shingleK).as("sh_c"))
+    cands.join(shB, Seq("batch_id")).join(shC, Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
 }
