@@ -1214,5 +1214,74 @@ private[graft] object QueriesDedupSim {
         WHERE text IS NOT NULL AND trim(text) != '' AND doc_id % 5 = 0) b
       LEFT JOIN agg ON b.doc_id = agg.batch_id
       ORDER BY batch_id"""))
+  /** Embedding-space snapshot drift — the vector-side complement of
+    * the text-side `corpus_drift`: per label, how far the centroid of
+    * snapshot v2 (odd vec_ids) moved from snapshot v1 (even vec_ids),
+    * as centroid cosine and L2 shift. Dimension means come from the
+    * exact BIGINT quantization `embedding_centroids` pins, so both
+    * engines hold identical doubles; the cross-dimension reductions
+    * (dot, norms, squared diff) round each term to 9dp and sum as
+    * DECIMAL(18,9) — shuffle-order-independent and still on the
+    * codegen path. At 100 TB each centroid table is labels × dims
+    * partials however large the corpus (the `embedding_centroids`
+    * argument), and the drift join is label×dim-sized — corpus
+    * vectors never meet each other. A label whose centroids diverge
+    * flags re-embedding or distribution shift between ingest waves. */
+  private[graft] val embeddingDrift = Q("embedding_drift",
+    (s, dir) => {
+      def centroids(parity: Int, m: String, n: String) =
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") % 2 === parity)
+          .select(col("label"),
+            posexplode(quantize(col("embedding"))).as(Seq("pos", "q")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("q")).cast("double") /
+            (lit(1000.0) * count(lit(1)))).as(m),
+            count(lit(1)).as(n))
+      val d = DecimalType(18, 9)
+      centroids(0, "m1", "nd1").join(centroids(1, "m2", "nd2"),
+          Seq("label", "pos"))
+        .select(col("label"), col("nd1"), col("nd2"),
+          round(col("m1") * col("m2"), 9).cast(d).as("t12"),
+          round(col("m1") * col("m1"), 9).cast(d).as("t11"),
+          round(col("m2") * col("m2"), 9).cast(d).as("t22"),
+          round((col("m1") - col("m2")) * (col("m1") - col("m2")), 9)
+            .cast(d).as("tdd"))
+        .groupBy(col("label"))
+        .agg(first(col("nd1")).as("n_v1"), first(col("nd2")).as("n_v2"),
+          round(sum(col("t12")).cast("double") /
+            (sqrt(sum(col("t11")).cast("double")) *
+              sqrt(sum(col("t22")).cast("double"))), 6)
+            .as("centroid_cosine"),
+          round(sqrt(sum(col("tdd")).cast("double")), 6).as("l2_shift"))
+        .orderBy("label")
+    },
+    Some("""WITH ex AS (
+        SELECT label, vec_id % 2 AS parity,
+          unnest(list_transform(embedding, (x, i) -> {'pos': i - 1,
+            'q': CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)}))
+            AS s
+        FROM embeddings),
+      cent AS (
+        SELECT label, parity, s.pos AS pos,
+          CAST(SUM(s.q) AS DOUBLE) / (1000.0 * COUNT(*)) AS m,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2, 3),
+      j AS (
+        SELECT a.label AS label, a.n AS nd1, b.n AS nd2,
+          CAST(ROUND(a.m * b.m, 9) AS DECIMAL(18,9)) AS t12,
+          CAST(ROUND(a.m * a.m, 9) AS DECIMAL(18,9)) AS t11,
+          CAST(ROUND(b.m * b.m, 9) AS DECIMAL(18,9)) AS t22,
+          CAST(ROUND((a.m - b.m) * (a.m - b.m), 9) AS DECIMAL(18,9))
+            AS tdd
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos
+          AND a.parity = 0 AND b.parity = 1)
+      SELECT label, ANY_VALUE(nd1) AS n_v1, ANY_VALUE(nd2) AS n_v2,
+        ROUND(CAST(SUM(t12) AS DOUBLE) /
+          (SQRT(CAST(SUM(t11) AS DOUBLE)) *
+            SQRT(CAST(SUM(t22) AS DOUBLE))), 6) AS centroid_cosine,
+        ROUND(SQRT(CAST(SUM(tdd) AS DOUBLE)), 6) AS l2_shift
+      FROM j GROUP BY 1 ORDER BY 1"""))
 
 }
