@@ -1283,5 +1283,92 @@ private[graft] object QueriesDedupSim {
             SQRT(CAST(SUM(t22) AS DOUBLE))), 6) AS centroid_cosine,
         ROUND(SQRT(CAST(SUM(tdd) AS DOUBLE)), 6) AS l2_shift
       FROM j GROUP BY 1 ORDER BY 1"""))
+  /** Product-quantization approximate top-k — the memory-scale ANN row
+    * ([[Similarity.pqTopK]]: 16-bit codes per vector, ADC scoring via a
+    * broadcast lookup table, exact-cosine re-rank of 3k survivors).
+    * Deterministic init + fixed iteration count + DECIMAL-summed ADC
+    * make the result reproducible; oracle is the frozen sf0.01 result.
+    * Recall + score fidelity are gated by `sim_topk_pq_gate`. */
+  private[graft] val simTopkPq = Q("sim_topk_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(334 AS BIGINT), CAST('0.3627220558741131' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS INTEGER), CAST(423 AS BIGINT), CAST('0.2969335986409863' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(190 AS BIGINT), CAST('0.2817947192081154' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS INTEGER), CAST(388 AS BIGINT), CAST('0.2763005476699542' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS INTEGER), CAST(483 AS BIGINT), CAST('0.2567003982986254' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(27 AS BIGINT), CAST('0.3482081864636984' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(407 AS BIGINT), CAST('0.3270099496117245' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(195 AS BIGINT), CAST('0.32274442635213746' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(124 AS BIGINT), CAST('0.30275028236602597' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), CAST(80 AS BIGINT), CAST('0.23368964041224172' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), CAST(450 AS BIGINT), CAST('0.26634395520019954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(188 AS BIGINT), CAST('0.263272104561668' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER), CAST(197 AS BIGINT), CAST('0.23314916074606343' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(4 AS INTEGER), CAST(202 AS BIGINT), CAST('0.22186129495652954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), CAST(71 AS BIGINT), CAST('0.20384181459133874' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER), CAST(130 AS BIGINT), CAST('0.39987234325628024' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(2 AS INTEGER), CAST(231 AS BIGINT), CAST('0.29878836545413046' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(3 AS INTEGER), CAST(207 AS BIGINT), CAST('0.29170184705661967' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(4 AS INTEGER), CAST(192 AS BIGINT), CAST('0.290802917949569' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(5 AS INTEGER), CAST(437 AS BIGINT), CAST('0.28053528594179866' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER), CAST(114 AS BIGINT), CAST('0.39851269358433744' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(2 AS INTEGER), CAST(496 AS BIGINT), CAST('0.34121178056570023' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(3 AS INTEGER), CAST(408 AS BIGINT), CAST('0.32275312529105415' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(280 AS BIGINT), CAST('0.27982608680315935' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(249 AS BIGINT), CAST('0.2796306459978647' AS DOUBLE)))
+      AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
+  /** Constant-0 gate for [[simTopkPq]]: (a) mean recall vs the exact
+    * brute-force top-5 stays at/above its measured 0.52 (floor 0.5199
+    * absorbs float-sum ulp — the convention `sim_lsh_recall_gate`
+    * sets); (b) every returned cos_sim carries the TRUE cosine,
+    * recomputed with the interpreted HOF dot independently of the
+    * codegen'd CosineSim the index scores with; (c) the full
+    * k × |queries| row count arrives. A silent codebook regression,
+    * survivor-set collapse, or re-rank arithmetic drift flips a column
+    * nonzero and fails the hash. */
+  private[graft] val simTopkPqGate = Q("sim_topk_pq_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val qs = e.filter(col("vec_id") < 5)
+      val pq = Similarity.pqTopK(e, qs, "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recall = exact
+        .join(pq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("avg_recall"))
+      val fidelity = pq
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), Seq("query_id"))
+        .withColumn("true_cos", Similarity.dot(col("qv"), col("cv")) /
+          (Similarity.norm(col("qv")) * Similarity.norm(col("cv"))))
+        .agg(sum(when(abs(col("cos_sim") - col("true_cos")) > 1e-9, 1L)
+          .otherwise(0L)).as("score_mismatches"))
+      recall
+        .crossJoin(pq.agg(count(lit(1)).as("pq_rows")))
+        .crossJoin(fidelity)
+        .select(
+          when(col("avg_recall") >= 0.5199, 0L).otherwise(1L)
+            .as("below_recall_floor"),
+          (lit(25L) - col("pq_rows")).as("row_deficit"),
+          col("score_mismatches"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
+      CAST(0 AS BIGINT) AS row_deficit,
+      CAST(0 AS BIGINT) AS score_mismatches"""))
 
 }

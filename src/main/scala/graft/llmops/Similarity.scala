@@ -308,4 +308,150 @@ object Similarity {
       .join(dom, Seq("id"), "left")
       .select("id", "cell_id", "dup_of", "cos_sim")
   }
+  // --- Product quantization (PQ) ---------------------------------------
+
+  /** Split a vector column into `m` equal subvectors (array of arrays).
+    * Requires dim % m == 0 — checked by the caller against real data. */
+  private def subvectors(vec: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(s => slice(vec, s * sub + 1, sub)): _*)
+
+  /** Per-subspace k-means codebooks for product quantization:
+    * deterministic init (each subspace seeds from the `codebookK`
+    * lowest-id vectors' subvectors), then `iterations` Lloyd rounds
+    * with EUCLIDEAN assignment — all m subspaces train in the SAME
+    * distributed pass (one frame keyed by subspace, one broadcast of
+    * the m×k centroid table per round). Driver state is m × k × subdim
+    * doubles — bounded model state, like [[trainCodebook]]. Returns
+    * (s, code_id, centroid). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, codebookK: Int,
+                       iterations: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val subrows = corpus.select(col(idCol).as("vid"),
+      posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv")))
+    var cents: DataFrame = corpus.orderBy(col(idCol)).limit(codebookK)
+      .select(col(idCol), posexplode(subvectors(col(vecCol), m, sub))
+        .as(Seq("s", "centroid")))
+      .withColumn("code_id",
+        row_number().over(Window.partitionBy(col("s"))
+          .orderBy(col(idCol))) - 1)
+      .select(col("s"), col("code_id"), col("centroid"))
+    for (_ <- 1 to iterations) {
+      // NOT carrySubv: timing is indistinguishable at this scale (both
+      // within the ±1 s scheduler noise of this many-small-stage
+      // query), and min over a struct with an array member copies the
+      // array per combine step — prefer the copy-free argmin and the
+      // join-back, since training runs on a bounded sample at scale
+      val assigned = assignPqCodes(subrows, cents)
+      val means = assigned
+        .join(subrows, Seq("vid", "s"))
+        .select(col("s"), col("code_id"),
+          posexplode(col("subv")).as(Seq("pos", "x")))
+        .groupBy("s", "code_id", "pos")
+        .agg(avg(col("x").cast("double")).as("mn"))
+        .collect()
+      val prev: Map[(Int, Int), Seq[Double]] = cents.collect()
+        .map(r => (r.getAs[Int]("s"), r.getAs[Int]("code_id")) ->
+          r.getSeq[Number](2).map(_.doubleValue()).toSeq).toMap
+      val updated = means.groupBy(r =>
+        (r.getAs[Int]("s"), r.getAs[Int]("code_id"))).map {
+        case (key, rows) => key -> rows.sortBy(_.getAs[Int]("pos"))
+          .map(_.getAs[Double]("mn")).toSeq
+      }
+      cents = prev.keys.toSeq.sorted.map { key =>
+        (key._1, key._2, updated.getOrElse(key, prev(key)))
+      }.toDF("s", "code_id", "centroid")
+    }
+    cents
+  }
+
+  /** Nearest-centroid (squared-L2) code per (vector, subspace): one
+    * broadcast of the m×k centroid table, deterministic code_id
+    * tiebreak. The argmin is `min(struct(d2, code_id))` — lexicographic
+    * struct ordering IS (distance asc, code asc), and unlike a
+    * row_number window it partial-aggregates map-side: no per-key sort
+    * and a combiner-sized shuffle however many vectors stream through.
+    * Returns (vid, s, code_id). */
+  private def assignPqCodes(subrows: DataFrame, cents: DataFrame,
+                            carrySubv: Boolean = false): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("subv"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    // carrySubv rides the subvector through the argmin struct so the
+    // training round's mean pass needs no second corpus join/recompute;
+    // (d2, code_id) is unique per group, so the array member never
+    // decides the min
+    val fields = Seq(d2.as("d2"), col("code_id").as("code_id")) ++
+      (if (carrySubv) Seq(col("subv").as("subv")) else Nil)
+    val best = subrows.join(broadcast(cents), Seq("s"))
+      .select(col("vid"), col("s"), struct(fields: _*).as("dc"))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(col("dc")).as("best"))
+    val out = Seq(col("vid"), col("s"),
+      col("best.code_id").as("code_id")) ++
+      (if (carrySubv) Seq(col("best.subv").as("subv")) else Nil)
+    best.select(out: _*)
+  }
+
+  /** Product-quantization approximate top-k with asymmetric-distance
+    * scoring and exact re-rank — the ANN memory-scale path past
+    * [[ivfTopK]]: the corpus index is m SMALL CODES per vector
+    * (m·log2(k) bits — 16 bits/vector at m=4, k=16, vs 256 bytes of
+    * float32), so a 100 TB embedding corpus compresses ~128× into an
+    * index that fits executor memory. Scoring never touches corpus
+    * vectors: each query precomputes a (s, code) → partial-dot lookup
+    * table against the codebooks (m×k rows, broadcast), the additive
+    * approximate score is one equi-join + sum over the codes table,
+    * and only the top `rerankFactor`·k survivors re-join their full
+    * vectors for the exact-cosine re-rank. Per-subspace contributions
+    * round to 9dp and sum as DECIMAL so the ADC score is shuffle-order
+    * independent; all ties break on ids. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, codebookK: Int = 16,
+             iterations: Int = 1, rerankFactor: Int = 3): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
+      iterations).localCheckpoint(true)
+    val codes = assignPqCodes(
+      corpus.select(col(idCol).as("vid"),
+        posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
+      cents)
+    // per-query lookup table: partial dot of the query subvector with
+    // every centroid of its subspace (m×k rows per query, broadcast)
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "qsubv")))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        round(dot(col("qsubv"), col("centroid")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("pdot"))
+    val approx = codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("pdot")).as("adc"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vid"))
+    val survivors = approx
+      .withColumn("ar", row_number().over(wApprox))
+      .filter(col("ar") <= k * rerankFactor)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vid"))
+    survivors
+      .join(cv, Seq("vid"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos_sim"))
+  }
 }
