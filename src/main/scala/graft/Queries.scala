@@ -60,7 +60,7 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
-    QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate,
+    QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,

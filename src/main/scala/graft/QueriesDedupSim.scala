@@ -1370,5 +1370,64 @@ private[graft] object QueriesDedupSim {
     Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
       CAST(0 AS BIGINT) AS row_deficit,
       CAST(0 AS BIGINT) AS score_mismatches"""))
+  /** Shingle CONTAINMENT pairs — the asymmetric dedup flavor Jaccard
+    * misses: a short doc pasted whole inside a long one scores
+    * C(A,B) = |A∩B|/|A| ≈ 1 while its Jaccard stays low (the union is
+    * dominated by the long doc). Flags quote-expansion and
+    * doc-inside-doc duplication for the curation pipeline. Bounded-id
+    * cross-join demo like `dedup_ngram_jaccard` (the scale path feeds
+    * candidates from the SAME MinHash band join
+    * `dedup_neardup_incremental` uses, then verifies containment
+    * instead of Jaccard — band recall for high-containment pairs is
+    * bounded by the contained side's signature, the standard
+    * prefix-filter caveat). Both directions emitted; all divisions are
+    * identical IEEE trees over exact set sizes. */
+  private[graft] val dedupContainment = Q("dedup_containment",
+    (s, dir) => {
+      val k = 3
+      // materialize the bounded shingle table BEFORE the cross join:
+      // inside a CartesianProduct the projection re-evaluates per
+      // PAIR, and ShingleSet is CodegenFallback — measured 3.3 s vs
+      // 0.6 s for the sibling ngram demo until this checkpoint
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("doc_id") < 200)
+        .dropDuplicates("doc_id")
+        .select(col("doc_id"), Dedup.shingles(col("text"), k).as("sh"))
+        .localCheckpoint(true)
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("c_ab", col("inter") / size(col("sa")).cast("double"))
+        .withColumn("c_ba", col("inter") / size(col("sb")).cast("double"))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("c_ab"), 6).as("c_ab"),
+          round(col("c_ba"), 6).as("c_ba"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(raw"""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(a.sh) AS DOUBLE) AS c_ab,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(b.sh) AS DOUBLE) AS c_ba
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, ROUND(c_ab, 6) AS c_ab, ROUND(c_ba, 6) AS c_ba
+      FROM p WHERE GREATEST(c_ab, c_ba) >= 0.9
+      ORDER BY id_a, id_b"""))
 
 }
