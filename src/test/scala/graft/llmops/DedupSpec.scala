@@ -146,4 +146,36 @@ class DedupSpec extends AnyFunSuite {
     // are unseen; 7 survives as min-id of the 7/8 batch pair
     assert(out == Seq(5L, 6L, 7L))
   }
+  test("incrementalNearDup flags only batch-vs-CORPUS pairs: a batch-" +
+    "internal near-dup pair is admitted, disjoint content never flagged") {
+    import org.apache.spark.sql.functions._
+    // corpus = 1..3; batch: 10 near-dups corpus 1, 11/12 are near-dups
+    // of EACH OTHER but of nothing in the corpus, 13 is disjoint
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val other = "entirely novel passage describing streaming watermark " +
+      "semantics and state store eviction policies in exhaustive detail"
+    val batch = Seq(
+      (10L, base.replace("dog", "hound")),
+      (11L, other),
+      (12L, other.replace("exhaustive", "meticulous")),
+      (13L, "unrelated tiny text")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDup(corpus, batch, "text",
+      "doc_id", threshold = 0.5)
+    val flagged = pairs.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L),
+      s"expected only the corpus near-dup flagged, got $flagged")
+    // every emitted pair references a real corpus doc
+    val corpusIds = pairs.select("corpus_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusIds.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("incrementalNearDup with an empty batch returns no pairs") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(Dedup.incrementalNearDup(corpus, empty, "text", "doc_id")
+      .count() == 0L)
+  }
 }

@@ -161,4 +161,38 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", threshold = 0.9).count()
     assert(over == 0L)
   }
+  test("trainPqCodebooks: m x k codebook, subvector dims, codes in " +
+    "range, full coverage") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .dropDuplicates("vec_id")
+    val m = 4; val k = 8
+    val cents = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      m, k, iterations = 1)
+    assert(cents.count() == m.toLong * k)
+    val dims = cents.select(size(col("centroid"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(16), s"subvector dim drifted: $dims") // 64 / 4
+    val ranges = cents.agg(min(col("s")), max(col("s")),
+      min(col("code_id")), max(col("code_id"))).head()
+    assert((ranges.getInt(0), ranges.getInt(1)) == (0, m - 1))
+    assert((ranges.getInt(2), ranges.getInt(3)) == (0, k - 1))
+  }
+
+  test("pqTopK: k rows per query, self excluded, exact re-ranked " +
+    "scores descend per query") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .dropDuplicates("vec_id")
+    val out = Similarity.pqTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4).collect()
+    assert(out.length == 12) // 3 queries x k=4
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+      val scores = byRank.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(scores == scores.sorted.reverse, s"q=$q not descending")
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+  }
 }
