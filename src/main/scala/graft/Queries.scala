@@ -63,7 +63,7 @@ object Queries {
     QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
-    QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
+    QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
     QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,
     QueriesRelational.rollupRegionNation, QueriesRelational.groupingSets, QueriesRelational.limitOffset, QueriesRelational.rangeWindowSum,

@@ -1575,5 +1575,52 @@ private[graft] object QueriesRelational {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev JOIN mad USING (event_type)
       GROUP BY 1 ORDER BY 1"""))
+  /** Conversion-latency distribution — the timing dimension the funnel
+    * counts lack: for each user's FIRST signup, the time to their
+    * first subsequent purchase, summarized as exact interpolated
+    * percentiles (p50/p90/p99), mean, and converter count. Latencies
+    * are exact BIGINT microsecond differences; the mean divides the
+    * exact integer sum once, and the percentile pair is the pinned
+    * `percentile`/`quantile_cont` match. Two user-keyed aggregates and
+    * one user equi-join — the summary is a single row however large
+    * the fact table. */
+  private[graft] val funnelLatency = Q("funnel_latency",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_signup"))
+      val latency = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts_us") > col("first_signup"))
+        .groupBy("user_id")
+        .agg((min(col("ts_us")) - first(col("first_signup")))
+          .as("lat_us"))
+      latency.agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(lat_us, 0.5)") / 1e6, 3).as("p50_sec"),
+        round(expr("percentile(lat_us, 0.9)") / 1e6, 3).as("p90_sec"),
+        round(expr("percentile(lat_us, 0.99)") / 1e6, 3).as("p99_sec"),
+        round(sum(col("lat_us")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 3).as("mean_sec"))
+    },
+    Some("""WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      lat AS (
+        SELECT e.user_id,
+          MIN(epoch_us(e.ts)) - ANY_VALUE(s.first_signup) AS lat_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s.first_signup
+        GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+        ROUND(quantile_cont(lat_us, 0.5) / 1e6, 3) AS p50_sec,
+        ROUND(quantile_cont(lat_us, 0.9) / 1e6, 3) AS p90_sec,
+        ROUND(quantile_cont(lat_us, 0.99) / 1e6, 3) AS p99_sec,
+        ROUND(CAST(SUM(lat_us) AS DOUBLE) /
+          (CAST(COUNT(*) AS DOUBLE) * 1e6), 3) AS mean_sec
+      FROM lat"""))
 
 }
