@@ -77,6 +77,10 @@ object Queries {
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,
     QueriesRelational.tableDiff, QueriesRelational.graphTriangles,
+    QueriesRelational.ewmaValue, QueriesRelational.changepointCusum,
+    QueriesRelational.journeyClassify, QueriesDedupSim.simTopkHamming,
+    QueriesRelational.graphComponents, QueriesRelational.statsTtest,
+    QueriesKpi.sketchHllIntersect,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,

@@ -1430,4 +1430,82 @@ private[graft] object QueriesDedupSim {
       FROM p WHERE GREATEST(c_ab, c_ba) >= 0.9
       ORDER BY id_a, id_b"""))
 
+  /** Binary sign quantization: each 64-dim float vector collapses to
+    * ONE 64-bit signature (bit i = embedding[i] > 0), Hamming distance
+    * is a single `xor` + `bit_count` — 32× less index than float32 and
+    * the cheapest possible codegen'd distance. Retrieval is two-stage:
+    * (1) Hamming top-20 candidates over signatures only — the shuffle
+    * carries (query_id, vec_id, hamming), 24 bytes/row, never a
+    * vector; (2) exact quantized-cosine rerank that rejoins full
+    * vectors ONLY for the 20 candidates per query. At 100 TB the
+    * signature index is the only thing scanned densely (8 B/vector —
+    * a 1B-vector index is 8 GB, broadcastable), which is why sign
+    * bits are the standard first stage before int8/PQ rerank. DuckDB
+    * twin avoids 64-bit packing (its BIGINT ops trap on overflow):
+    * Hamming over 0/1 sign lists via |a|₁ + |b|₁ − 2·⟨a,b⟩, which
+    * equals bit_count(xor) exactly. */
+  private[graft] val simTopkHamming = Q("sim_topk_hamming",
+    (s, dir) => {
+      val signPack = expr(
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+          "shiftleft(acc, 1) | IF(CAST(embedding[i] AS DOUBLE) > 0.0D, " +
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+      val base = t(s, dir, "embeddings")
+      val sigs = base.select(col("vec_id"), signPack.as("sig"))
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+      val cand = sigs.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
+            .as("hamming"))
+      val wH = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val top = cand.withColumn("crk", row_number().over(wH))
+        .filter(col("crk") <= 20).drop("crk")
+      val qvec = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          quantize(col("embedding")).as("qq"))
+      val rer = top
+        .join(base.select(col("vec_id"),
+          quantize(col("embedding")).as("q")), "vec_id")
+        .join(broadcast(qvec), "query_id")
+        .withColumn("cos_sim", qcos(col("qq"), col("q")))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      rer.withColumn("rank", row_number().over(wC).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("hamming"),
+          col("cos_sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x ->
+          CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END) AS s,
+        list_transform(embedding, x ->
+          CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, s AS qsig, q AS qq
+        FROM e WHERE vec_id < 5),
+      cand AS (SELECT query_id, e.vec_id,
+        CAST(list_sum(qsig) + list_sum(e.s)
+          - 2 * list_dot_product(qsig, e.s) AS BIGINT) AS hamming
+        FROM qs, e WHERE e.vec_id != query_id),
+      top AS (SELECT query_id, vec_id, hamming FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY hamming, vec_id) AS crk FROM cand)
+        WHERE crk <= 20),
+      rer AS (SELECT t.query_id, t.vec_id AS neighbor_id, t.hamming,
+        list_dot_product(qs.qq, e.q) /
+          (sqrt(list_dot_product(qs.qq, qs.qq)) *
+           sqrt(list_dot_product(e.q, e.q))) AS cos_sim
+        FROM top t JOIN e ON t.vec_id = e.vec_id
+        JOIN qs ON t.query_id = qs.query_id)
+      SELECT query_id, rank, neighbor_id, hamming, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
 }

@@ -322,4 +322,46 @@ private[graft] object QueriesKpi {
           AS wow_growth
       FROM lagged ORDER BY event_type, week"""))
 
+  /** HLL set-INTERSECTION estimate via inclusion–exclusion
+    * (|A∩B| ≈ hll(A) + hll(B) − hll(A∪B)) — audience-overlap without
+    * ever shuffling the key sets together, the 100 TB form of "how
+    * many users both clicked and purchased". Three sketches at 2%
+    * target error; inclusion–exclusion amplifies relative error when
+    * the overlap is small, so the gate bounds the estimate at 15% of
+    * the EXACT overlap (computed independently by both engines — the
+    * gate can't pass vacuously). Sketch estimates are deterministic
+    * for fixed data, so violations==0 is a hash-stable oracle row. */
+  private[graft] val sketchHllIntersect = Q("sketch_hll_intersection",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val est = ev.agg(
+        approx_count_distinct(
+          when(col("event_type") === "click", col("user_id")), 0.02)
+          .as("est_a"),
+        approx_count_distinct(
+          when(col("event_type") === "purchase", col("user_id")), 0.02)
+          .as("est_b"),
+        approx_count_distinct(
+          when(col("event_type").isin("click", "purchase"),
+            col("user_id")), 0.02).as("est_u"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(count_distinct(col("event_type")).as("k"))
+        .agg(count(when(col("k") === 2, 1)).as("exact_inter"))
+      est.crossJoin(exact).select(
+        col("exact_inter"),
+        when(abs(col("est_a") + col("est_b") - col("est_u") -
+            col("exact_inter")).cast("double") >
+            col("exact_inter").cast("double") * 0.15, 1L)
+          .otherwise(0L).as("violations"))
+    },
+    Some("""WITH both_types AS (
+        SELECT user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+        HAVING COUNT(DISTINCT event_type) = 2)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_types)
+          AS exact_inter,
+        CAST(0 AS BIGINT) AS violations"""))
+
 }

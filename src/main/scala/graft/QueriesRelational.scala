@@ -1623,4 +1623,290 @@ private[graft] object QueriesRelational {
           (CAST(COUNT(*) AS DOUBLE) * 1e6), 3) AS mean_sec
       FROM lat"""))
 
+  /** Per-key exponential moving average (α = 0.5) over each user's
+    * daily spend series — the smoothing primitive behind trend
+    * dashboards and streaming feature stores. Spark has no EWMA
+    * built-in; rather than a quadratic self-join or a non-deterministic
+    * double cumsum, the fold runs INSIDE one row via
+    * `aggregate(array_sort(collect_list(...)))`: one shuffle on the
+    * key, then a sequential in-memory fold over the (bounded, horizon-
+    * sized) series — at 100 TB the state per key is days-in-horizon,
+    * not events. α = 0.5 and DECIMAL(18,2) daily sums make every fold
+    * step an exact IEEE op sequence both engines replicate bit-for-bit
+    * (halving is exponent arithmetic), so the raw double hash-matches
+    * with no rounding. DuckDB twin: `list_reduce(list(x ORDER BY d))`,
+    * whose accumulator-first lambda folds in the same order. */
+  private[graft] val ewmaValue = Q("ewma_value",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(dsum(col("value")).as("x"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("date")).as("last_date"),
+          aggregate(
+            array_sort(collect_list(struct(col("date"), col("x")))),
+            lit(null).cast("double"),
+            (acc, e) => when(acc.isNull, e.getField("x"))
+              .otherwise(e.getField("x") * lit(0.5) + acc * lit(0.5)))
+            .as("ewma"))
+        .orderBy("user_id")
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS date,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        MAX(date) AS last_date,
+        list_reduce(list(x ORDER BY date),
+          (acc, v) -> v * 0.5 + acc * 0.5) AS ewma
+      FROM daily GROUP BY user_id ORDER BY user_id"""))
+
+  /** CUSUM changepoint detection over each event type's daily count
+    * series: the day where the cumulative deviation from the series
+    * mean peaks — the classic single-changepoint estimator behind
+    * "when did this metric shift?". All math is scaled to BIGINT
+    * (S_t = Σ n·c_i − t·total — the mean-deviation cumsum times n),
+    * so the statistic is exact and shuffle-order-independent. One
+    * shuffle on the (low-cardinality) key; the cumsum window is
+    * sequential within a key but each key's series is horizon-bounded
+    * (days, not rows), so at 100 TB the heavy part stays the daily
+    * pre-aggregate, which is a plain partial+final count. */
+  private[graft] val changepointCusum = Q("changepoint_cusum",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("c"))
+      val whole = Window.partitionBy(col("event_type"))
+      val seq0 = Window.partitionBy(col("event_type"))
+        .orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("total", sum(col("c")).over(whole))
+        .withColumn("s",
+          sum(col("n") * col("c") - col("total")).over(seq0))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("s")).desc, col("date"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("date").as("cp_date"),
+          abs(col("s")).as("s_abs"),
+          when(col("s") > 0, lit("up")).otherwise(lit("down"))
+            .as("direction"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS date,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, date, c,
+          COUNT(*) OVER (PARTITION BY event_type) AS n,
+          SUM(c) OVER (PARTITION BY event_type) AS total
+        FROM daily),
+      cum AS (
+        SELECT event_type, date,
+          CAST(SUM(n * c - total) OVER (PARTITION BY event_type
+            ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS s
+        FROM scored)
+      SELECT event_type, date AS cp_date, abs(s) AS s_abs,
+        CASE WHEN s > 0 THEN 'up' ELSE 'down' END AS direction
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY abs(s) DESC, date) AS rk FROM cum)
+      WHERE rk = 1 ORDER BY event_type"""))
+
+  /** MATCH_RECOGNIZE-lite: classify every SESSION's ordered journey by
+    * regex over its '>'-joined event-type path — sequence-pattern
+    * bucketing (converted / error-streak / multi / single) without a
+    * row-pattern engine. Reuses `session_paths`' one-shuffle
+    * sessionize-collect-sort shape; the regexes then run scan-side on
+    * one short string per session (paths are gap-bounded), so pattern
+    * cost never touches the raw event volume. Patterns stay in the
+    * Java∩RE2 common subset so both engines agree. */
+  private[graft] val journeyClassify = Q("journey_classify",
+    (s, dir) => {
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSess = when(
+        col("ts_us") - lag(col("ts_us"), 1).over(byKey) >
+          lit(1800L * 1000000L), 1).otherwise(0)
+      val paths = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("session_id",
+          sum(newSess).over(byKey.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(">",
+            transform(
+              array_sort(collect_list(struct(col("ts_us"),
+                col("event_id"), col("event_type")))),
+              e => e.getField("event_type"))).as("path"))
+      val bucket = when(col("path").rlike("signup.*purchase"),
+          lit("converted"))
+        .when(col("path").rlike("(^|>)error>error"),
+          lit("error_streak"))
+        .when(col("n_events") >= 2, lit("multi_event"))
+        .otherwise(lit("single_event"))
+      paths.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          min(col("user_id")).as("sample_user"))
+        .orderBy("bucket")
+    },
+    Some("""WITH tagged_ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_id
+        FROM tagged_ev),
+      paths AS (
+        SELECT user_id, session_id,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM sess GROUP BY 1, 2),
+      tagged AS (
+        SELECT *, CASE
+          WHEN regexp_matches(path, 'signup.*purchase')
+            THEN 'converted'
+          WHEN regexp_matches(path, '(^|>)error>error')
+            THEN 'error_streak'
+          WHEN n_events >= 2 THEN 'multi_event'
+          ELSE 'single_event' END AS bucket
+        FROM paths)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        MIN(user_id) AS sample_user
+      FROM tagged GROUP BY bucket ORDER BY bucket"""))
+
+  /** Connected components as a first-class graph query (the same
+    * [[graft.llmops.Dedup.connectedComponents]] min-label propagation
+    * the dedup clusterer runs, here over a general graph): the sparse
+    * order↔part bipartite graph (low-quantity line items), components
+    * summarized as a size histogram. Node ids are disjoint by parity
+    * (order→2k, part→2k+1) — no magic offsets to collide at scale.
+    * Each propagation round is one equi-join + min-aggregate on two
+    * longs with localCheckpoint lineage barriers; rounds are bounded
+    * by component diameter and stop early on the exact comp-sum
+    * convergence signal, so at 100 TB the cost is O(diameter) key
+    * shuffles, never a transitive-closure blowup. The DuckDB twin IS
+    * the transitive closure (exact, affordable at oracle scale) —
+    * agreement proves the iterative path converged to true components.
+    */
+  private[graft] val graphComponents = Q("graph_components",
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select((col("l_orderkey") * 2).as("id_a"),
+          (col("l_partkey") * 2 + 1).as("id_b"))
+      val labels = graft.llmops.Dedup
+        .connectedComponents(pairs, iterations = 50)
+      labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("comp_size"))
+        .groupBy(col("comp_size"))
+        .agg(count(lit(1)).as("n_components"),
+          min(col("comp")).as("min_comp_id"))
+        .orderBy("comp_size")
+    },
+    Some("""WITH RECURSIVE
+      base AS (SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem WHERE l_quantity <= 2),
+      edges AS (SELECT a AS src, b AS dst FROM base
+        UNION SELECT b, a FROM base),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r
+          JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+      sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+        FROM comp GROUP BY comp)
+      SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+        MIN(comp) AS min_comp_id
+      FROM sizes GROUP BY comp_size ORDER BY comp_size"""))
+
+  /** Welch two-sample t-test — the A/B significance primitive — over
+    * per-event spend of two event types. Both engines reduce each
+    * group to EXACT integer moments first (cents BIGINT: n, Σx, Σx²;
+    * one partial+final aggregate, no row ever leaves the scan), then
+    * run the identical double-arithmetic formula on those six exact
+    * longs — so the t statistic and Welch–Satterthwaite df hash-match
+    * bit-for-bit with no tolerance. Squares stay well inside long
+    * range (cents ≤ 49 002 ⇒ x² ≤ 2.4e9); at any scale the moment
+    * sums would move to the hi/lo BIGINT split `stats_exact` uses. */
+  private[graft] val statsTtest = Q("stats_ttest",
+    (s, dir) => {
+      val m = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+        .withColumn("mean",
+          col("sx").cast("double") / col("n").cast("double") / 100.0)
+        .withColumn("variance",
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) /
+            (col("n").cast("double") - 1.0) / 10000.0)
+      val a = m.filter(col("event_type") === "click")
+        .select(col("n").as("n1"), col("mean").as("m1"),
+          col("variance").as("v1"))
+      val b = m.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("mean").as("m2"),
+          col("variance").as("v2"))
+      val se2a = col("v1") / col("n1").cast("double")
+      val se2b = col("v2") / col("n2").cast("double")
+      a.crossJoin(b).select(
+        col("n1"), col("n2"),
+        (col("m1") - col("m2")).as("mean_diff"),
+        ((col("m1") - col("m2")) / sqrt(se2a + se2b)).as("t_stat"),
+        ((se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (col("n1").cast("double") - 1.0) +
+            se2b * se2b / (col("n2").cast("double") - 1.0)))
+          .as("welch_df"))
+    },
+    Some("""WITH m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(c) AS BIGINT) AS sx,
+          CAST(SUM(c * c) AS BIGINT) AS sxx
+        FROM (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('click', 'view'))
+        GROUP BY event_type),
+      mm AS (SELECT event_type, n,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0
+            AS variance
+        FROM m),
+      a AS (SELECT n AS n1, mean AS m1, variance AS v1 FROM mm
+        WHERE event_type = 'click'),
+      b AS (SELECT n AS n2, mean AS m2, variance AS v2 FROM mm
+        WHERE event_type = 'view')
+      SELECT n1, n2, m1 - m2 AS mean_diff,
+        (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE) +
+          v2 / CAST(n2 AS DOUBLE)) AS t_stat,
+        (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) *
+          (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) /
+          (v1 / CAST(n1 AS DOUBLE) * (v1 / CAST(n1 AS DOUBLE)) /
+            (CAST(n1 AS DOUBLE) - 1.0) +
+           v2 / CAST(n2 AS DOUBLE) * (v2 / CAST(n2 AS DOUBLE)) /
+            (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+      FROM a, b"""))
+
 }
