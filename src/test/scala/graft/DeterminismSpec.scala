@@ -20,7 +20,13 @@ class DeterminismSpec extends AnyFunSuite {
 
   private val targets = Seq("corpus_domain_cap", "dedup_repeated_spans",
     "kanon_audit", "embedding_centroids", "curriculum_mix",
-    "sim_knn_vote")
+    "sim_knn_vote",
+    // round-8 additions: ewma_value's in-row double fold must order by
+    // the sorted array, never arrival; graph_components' min-label
+    // propagation and sim_topk_hamming's two-stage rerank must not
+    // depend on how candidate shuffles were partitioned
+    "ewma_value", "changepoint_cusum", "journey_classify",
+    "sim_topk_hamming", "graph_components", "stats_ttest")
 
   targets.foreach { name =>
     test(s"$name is shuffle-partitioning independent") {
