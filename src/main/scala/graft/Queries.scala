@@ -81,6 +81,8 @@ object Queries {
     QueriesRelational.journeyClassify, QueriesDedupSim.simTopkHamming,
     QueriesRelational.graphComponents, QueriesRelational.statsTtest,
     QueriesKpi.sketchHllIntersect,
+    QueriesRelational.statsChi2, QueriesRelational.graphBfsDepth,
+    QueriesRelational.attributionPosition, QueriesDedupSim.simMmrRerank,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,

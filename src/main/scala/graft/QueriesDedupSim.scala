@@ -1508,4 +1508,170 @@ private[graft] object QueriesDedupSim {
           ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Maximal-marginal-relevance (MMR) rerank: diversify each query's
+    * top-20 cosine candidates into 5 picks by greedily maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 0.7 — the standard
+    * redundancy-suppressing rerank for retrieval-augmented pipelines.
+    * The greedy loop is UNROLLED into k−1 deterministic dataflow
+    * steps (each: anti-join away selected, max-sim join against the
+    * selected set, windowed argmax with id tiebreak) — no driver-side
+    * data access, and DuckDB replicates the identical unrolled CTE
+    * chain, so the full (rank, id, score) trajectory hash-matches.
+    * All pairwise math happens AFTER the per-query top-20 cut: the
+    * candidate and sim tables are (queries × 20) and (queries × 20²)
+    * however big the corpus — the quadratic term is bounded by k',
+    * never by data. localCheckpoint pins each tiny selection round so
+    * the unrolled lineage can't re-execute upstream scoring 2^steps
+    * times. */
+  private[graft] val simMmrRerank = Q("sim_mmr_rerank",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          qcos(col("qq"), col("q")).as("rel"))
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cand = scored.withColumn("crk", row_number().over(wRel))
+        .filter(col("crk") <= 20).drop("crk")
+        .localCheckpoint(true)
+      val ce = cand.join(e, cand("vec_id") === e("vec_id"))
+        .select(cand("query_id"), cand("vec_id").as("id"), e("q"))
+      val sims = ce.as("x").join(ce.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.id") =!= col("y.id"))
+        .select(col("x.query_id").as("query_id"), col("x.id").as("a"),
+          col("y.id").as("b"),
+          qcos(col("x.q"), col("y.q")).as("simv"))
+        .localCheckpoint(true)
+      var sel = cand.withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("id"),
+          lit(1L).as("rank"), col("rel").as("score"))
+        .localCheckpoint(true)
+      for (k <- 2 to 5) {
+        val selIds = sel.select(col("query_id"), col("id").as("b"))
+        val mx = sims.join(selIds, Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("a"))
+          .agg(max(col("simv")).as("mx"))
+        val rem = cand.join(
+          sel.select(col("query_id"), col("id")).withColumnRenamed(
+            "id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        val scoredK = rem.join(mx,
+            rem("query_id") === mx("query_id") &&
+              rem("vec_id") === mx("a"))
+          .select(rem("query_id"), rem("vec_id"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("mx"))
+              .as("score"))
+        val wk = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id"))
+        val pick = scoredK.withColumn("rn", row_number().over(wk))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("vec_id").as("id"),
+            lit(k.toLong).as("rank"), col("score"))
+        sel = sel.union(pick).localCheckpoint(true)
+      }
+      sel.select(col("query_id"), col("rank"),
+          col("id").as("neighbor_id"), col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x ->
+          CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+        WHERE vec_id < 5),
+      scored AS (SELECT query_id, e.vec_id,
+        list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) *
+           sqrt(list_dot_product(e.q, e.q))) AS rel
+        FROM qs, e WHERE e.vec_id != query_id),
+      cand AS (SELECT query_id, vec_id, rel FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, vec_id) AS crk FROM scored)
+        WHERE crk <= 20),
+      ce AS (SELECT c.query_id, c.vec_id AS id, e.q
+        FROM cand c JOIN e ON c.vec_id = e.vec_id),
+      sims AS (SELECT x.query_id, x.id AS a, y.id AS b,
+        list_dot_product(x.q, y.q) /
+          (sqrt(list_dot_product(x.q, x.q)) *
+           sqrt(list_dot_product(y.q, y.q))) AS simv
+        FROM ce x JOIN ce y
+        ON x.query_id = y.query_id AND x.id != y.id),
+      sel1 AS (SELECT query_id, vec_id AS id, CAST(1 AS BIGINT)
+          AS rank, rel AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, vec_id) AS rn FROM cand)
+        WHERE rn = 1),
+      mx2 AS (SELECT s.query_id, s.a, MAX(s.simv) AS mx FROM sims s
+        JOIN sel1 z ON s.query_id = z.query_id AND s.b = z.id
+        GROUP BY 1, 2),
+      sc2 AS (SELECT c.query_id, c.vec_id,
+          CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.mx
+            AS score
+        FROM cand c JOIN mx2 m
+          ON c.query_id = m.query_id AND c.vec_id = m.a
+        LEFT JOIN sel1 z
+          ON c.query_id = z.query_id AND c.vec_id = z.id
+        WHERE z.id IS NULL),
+      sel2 AS (SELECT * FROM sel1 UNION ALL
+        SELECT query_id, vec_id, CAST(2 AS BIGINT), score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn FROM sc2)
+        WHERE rn = 1),
+      mx3 AS (SELECT s.query_id, s.a, MAX(s.simv) AS mx FROM sims s
+        JOIN sel2 z ON s.query_id = z.query_id AND s.b = z.id
+        GROUP BY 1, 2),
+      sc3 AS (SELECT c.query_id, c.vec_id,
+          CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.mx
+            AS score
+        FROM cand c JOIN mx3 m
+          ON c.query_id = m.query_id AND c.vec_id = m.a
+        LEFT JOIN sel2 z
+          ON c.query_id = z.query_id AND c.vec_id = z.id
+        WHERE z.id IS NULL),
+      sel3 AS (SELECT * FROM sel2 UNION ALL
+        SELECT query_id, vec_id, CAST(3 AS BIGINT), score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn FROM sc3)
+        WHERE rn = 1),
+      mx4 AS (SELECT s.query_id, s.a, MAX(s.simv) AS mx FROM sims s
+        JOIN sel3 z ON s.query_id = z.query_id AND s.b = z.id
+        GROUP BY 1, 2),
+      sc4 AS (SELECT c.query_id, c.vec_id,
+          CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.mx
+            AS score
+        FROM cand c JOIN mx4 m
+          ON c.query_id = m.query_id AND c.vec_id = m.a
+        LEFT JOIN sel3 z
+          ON c.query_id = z.query_id AND c.vec_id = z.id
+        WHERE z.id IS NULL),
+      sel4 AS (SELECT * FROM sel3 UNION ALL
+        SELECT query_id, vec_id, CAST(4 AS BIGINT), score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn FROM sc4)
+        WHERE rn = 1),
+      mx5 AS (SELECT s.query_id, s.a, MAX(s.simv) AS mx FROM sims s
+        JOIN sel4 z ON s.query_id = z.query_id AND s.b = z.id
+        GROUP BY 1, 2),
+      sc5 AS (SELECT c.query_id, c.vec_id,
+          CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.mx
+            AS score
+        FROM cand c JOIN mx5 m
+          ON c.query_id = m.query_id AND c.vec_id = m.a
+        LEFT JOIN sel4 z
+          ON c.query_id = z.query_id AND c.vec_id = z.id
+        WHERE z.id IS NULL),
+      sel5 AS (SELECT * FROM sel4 UNION ALL
+        SELECT query_id, vec_id, CAST(5 AS BIGINT), score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn FROM sc5)
+        WHERE rn = 1)
+      SELECT query_id, rank, id AS neighbor_id, score FROM sel5
+      ORDER BY query_id, rank"""))
+
 }

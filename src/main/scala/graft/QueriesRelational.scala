@@ -1909,4 +1909,227 @@ private[graft] object QueriesRelational {
             (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
       FROM a, b"""))
 
+  /** Chi-square test of independence over the customer-segment ×
+    * order-status contingency table — "does order status depend on
+    * segment?". Per-cell terms use the all-integer identity
+    * χ²ᵢⱼ = (N·nᵢⱼ − rᵢ·cⱼ)² / (N·rᵢ·cⱼ): the numerator N·nᵢⱼ − rᵢ·cⱼ
+    * is an exact BIGINT, representable exactly as a double below 2⁵³
+    * (≈9e15 — holds to N≈10⁸ rows; past that, move the square to the
+    * hi/lo BIGINT split `stats_exact` uses), so squaring in double is
+    * ONE identically-rounded op per cell in both engines. The
+    * final reduction folds the 15 cell terms in sorted (segment,
+    * status) order inside one row — double summation order is pinned,
+    * so χ² hash-matches bit-for-bit. The only data-sized work is the
+    * fact-side count aggregate; everything after runs on a 15-row
+    * table. */
+  private[graft] val statsChi2 = Q("stats_chi2",
+    (s, dir) => {
+      val cells = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+      val whole = Window.partitionBy()
+      val withMargins = cells
+        .withColumn("r", sum(col("n")).over(
+          Window.partitionBy(col("seg"))))
+        .withColumn("c", sum(col("n")).over(
+          Window.partitionBy(col("status"))))
+        .withColumn("total", sum(col("n")).over(whole))
+        .withColumn("num",
+          (col("total") * col("n") - col("r") * col("c"))
+            .cast("double"))
+        .withColumn("term",
+          (col("num") * col("num")) /
+            (col("total").cast("double") * col("r").cast("double") *
+              col("c").cast("double")))
+      withMargins
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n_cells"),
+          countDistinct(col("seg")).as("n_seg"),
+          countDistinct(col("status")).as("n_status"),
+          aggregate(
+            array_sort(collect_list(struct(col("seg"), col("status"),
+              col("term")))),
+            lit(0.0),
+            (acc, e) => acc + e.getField("term")).as("chi2"))
+        .select(col("n_cells"),
+          ((col("n_seg") - 1) * (col("n_status") - 1)).as("dof"),
+          col("chi2"))
+    },
+    Some("""WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderstatus AS status,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT seg, status, n,
+          SUM(n) OVER (PARTITION BY seg) AS r,
+          SUM(n) OVER (PARTITION BY status) AS c,
+          SUM(n) OVER () AS total
+        FROM cells),
+      terms AS (
+        SELECT seg, status,
+          (CAST(total * n - r * c AS DOUBLE) *
+           CAST(total * n - r * c AS DOUBLE)) /
+            (CAST(total AS DOUBLE) * CAST(r AS DOUBLE) *
+             CAST(c AS DOUBLE)) AS term
+        FROM m)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST((COUNT(DISTINCT seg) - 1) *
+          (COUNT(DISTINCT status) - 1) AS BIGINT) AS dof,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list(term ORDER BY seg, status)),
+          (acc, v) -> acc + v) AS chi2
+      FROM terms"""))
+
+  /** Multi-source BFS hop distance — "how far is every node from the
+    * seed set?" — over the same sparse order↔part graph as
+    * `graph_components`, seeds = the 10 smallest node ids. The same
+    * iterative shape as min-label propagation (one equi-join + min
+    * aggregate per round, localCheckpoint barriers) except the label
+    * is hops and convergence is exact when a round changes nothing;
+    * rounds are bounded by graph eccentricity, not volume. Unreached
+    * nodes report hops = -1 (a real row, not an absent one — silent
+    * truncation would vanish them). Output is the hop histogram. The
+    * DuckDB twin is the exact recursive closure. */
+  private[graft] val graphBfsDepth = Q("graph_bfs_depth",
+    (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select((col("l_orderkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .union(base.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val seeds = nodes.orderBy("id").limit(10)
+        .select(col("id"), lit(0L).as("hops"))
+      var dist = nodes.join(seeds.select(col("id"), col("hops")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hops"), lit(-1L)).as("hops"))
+        .localCheckpoint(true)
+      var reached = dist.filter(col("hops") >= 0).count()
+      var converged = false
+      var i = 0
+      while (i < 50 && !converged) {
+        val next = edges.join(
+            dist.filter(col("hops") >= 0), edges("src") === col("id"))
+          .select(col("dst").as("id"), (col("hops") + 1).as("h"))
+        dist = dist.join(
+            next.groupBy("id").agg(min(col("h")).as("h")),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("hops") >= 0, col("hops"))
+              .otherwise(coalesce(col("h"), lit(-1L))).as("hops"))
+          .localCheckpoint(true)
+        val r = dist.filter(col("hops") >= 0).count()
+        converged = r == reached
+        reached = r
+        i += 1
+      }
+      edges.unpersist()
+      dist.groupBy(col("hops"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+        .orderBy("hops")
+    },
+    Some("""WITH RECURSIVE
+      base AS (SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem WHERE l_quantity <= 2),
+      edges AS (SELECT a AS src, b AS dst FROM base
+        UNION SELECT b, a FROM base),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+      reach(id, hops) AS (
+        SELECT id, CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT e.dst, r.hops + 1 FROM reach r
+          JOIN edges e ON e.src = r.id
+        WHERE r.hops < 50),
+      dist AS (SELECT id, MIN(hops) AS hops FROM reach GROUP BY id),
+      full_dist AS (
+        SELECT n.id, COALESCE(d.hops, -1) AS hops
+        FROM nodes n LEFT JOIN dist d ON n.id = d.id)
+      SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        MIN(id) AS min_id
+      FROM full_dist GROUP BY hops ORDER BY hops"""))
+
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    * each purchase distributes 1.0 of credit over the user's
+    * click/view touches in the prior 7 days — 40% to the first touch,
+    * 40% to the last, the 20% middle pool split over interior touches.
+    * Credit lives in exact BIGINT micro-units; the middle split is
+    * floor division with the remainder assigned to the FIRST interior
+    * touch (deterministic, so per-purchase credit sums to exactly
+    * 1 000 000 and channel totals are shuffle-order-independent —
+    * fractional-credit doubles would not be). The join is user-keyed
+    * equi + time-range predicate (the `interval_attribution` shape);
+    * the per-purchase position window sees only horizon-bounded touch
+    * lists. 1-touch and 2-touch journeys take the whole/half credits
+    * (the standard degenerate-form rule). */
+  private[graft] val attributionPosition = Q("attribution_position",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts_us").as("p_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+      val joined = touches.join(purchases, Seq("user_id"))
+        .filter(col("ts_us") < col("p_ts") &&
+          col("ts_us") >= col("p_ts") - lit(7L * 86400 * 1000000))
+      val byPurchase = Window.partitionBy(col("user_id"), col("p_id"))
+      val pos = joined
+        .withColumn("pos", row_number().over(
+          byPurchase.orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("m", count(lit(1)).over(byPurchase))
+      val credit = expr("""CASE
+        WHEN m = 1 THEN CAST(1000000 AS BIGINT)
+        WHEN m = 2 THEN CAST(500000 AS BIGINT)
+        WHEN pos = 1 OR pos = m THEN CAST(400000 AS BIGINT)
+        ELSE CAST(200000 AS BIGINT) div (m - 2) +
+          IF(pos = 2, CAST(200000 AS BIGINT) % (m - 2),
+             CAST(0 AS BIGINT)) END""")
+      pos.withColumn("credit", credit)
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          (sum(col("credit")).cast("double") / 1e6).as("credit"))
+        .orderBy("channel")
+    },
+    Some("""WITH p AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT t.user_id, t.event_id, t.event_type, t.ts_us,
+          p.p_id, p.p_ts
+        FROM t JOIN p ON t.user_id = p.user_id
+        WHERE t.ts_us < p.p_ts
+          AND t.ts_us >= p.p_ts - CAST(604800000000 AS BIGINT)),
+      pos AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY user_id, p_id
+            ORDER BY ts_us, event_id) AS BIGINT) AS pos,
+          CAST(COUNT(*) OVER (PARTITION BY user_id, p_id) AS BIGINT)
+            AS m
+        FROM j),
+      credited AS (
+        SELECT event_type, CASE
+          WHEN m = 1 THEN 1000000
+          WHEN m = 2 THEN 500000
+          WHEN pos = 1 OR pos = m THEN 400000
+          ELSE 200000 // (m - 2) +
+            CASE WHEN pos = 2 THEN 200000 % (m - 2) ELSE 0 END
+          END AS credit
+        FROM pos)
+      SELECT event_type AS channel,
+        CAST(COUNT(*) AS BIGINT) AS n_touches,
+        CAST(SUM(credit) AS DOUBLE) / 1e6 AS credit
+      FROM credited GROUP BY 1 ORDER BY 1"""))
+
 }

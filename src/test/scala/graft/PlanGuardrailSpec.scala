@@ -30,7 +30,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
   private val globalWindowOk = Set("customer_deciles", "kpi_moving_avg_7d",
     "deciles_approx_check", // lag over the 10-row bucket aggregate
     "curriculum_mix", // ntileByValue CDF over the bounded n_chars domain
-    "text_vocabulary") // cumulative share over the 200-row top-k LIMIT
+    "text_vocabulary", // cumulative share over the 200-row top-k LIMIT
+    "stats_chi2") // grand-total margin over the seg x status cell aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
