@@ -83,6 +83,9 @@ object Queries {
     QueriesKpi.sketchHllIntersect,
     QueriesRelational.statsChi2, QueriesRelational.graphBfsDepth,
     QueriesRelational.attributionPosition, QueriesDedupSim.simMmrRerank,
+    QueriesRelational.priorityRevenue,
+    QueriesRelational.regionalSupplierVolume,
+    QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,

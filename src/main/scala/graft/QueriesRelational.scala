@@ -2132,4 +2132,259 @@ private[graft] object QueriesRelational {
         CAST(SUM(credit) AS DOUBLE) / 1e6 AS credit
       FROM credited GROUP BY 1 ORDER BY 1"""))
 
+  /** Deep 3-table join chain (the TPC-H Q3 "shipping priority" shape):
+    * segment-filtered customers x date-bounded orders x post-cutoff
+    * lineitems, revenue per order, top 10. Revenue quantizes BOTH
+    * factors to BIGINT hundredths BEFORE multiplying (price-cents x
+    * discount-percent = 1e-4-dollar units), so the per-order sum is
+    * pure long arithmetic — exact under any shuffle order and
+    * bit-identical in DuckDB; the per-row product stays under ~1e9
+    * and a single order has bounded lineitems, so the group sum can
+    * never overflow. Scale shape: both joins are equi-joins that
+    * shuffle on their natural keys; the segment filter (1/5 of
+    * customers) and date filters are pushed to the scans, and the
+    * top-10 is TakeOrderedAndProject (per-partition heads, never a
+    * global sort). Ties broken by o_orderkey. */
+  private[graft] val priorityRevenue = Q("priority_revenue_top10",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (expr("cast(round(l_extendedprice * 100) as bigint)") *
+            expr("cast(round((1.0 - l_discount) * 100) as bigint)"))
+            .as("rev_u"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_u")).as("rev_units"))
+        .orderBy(col("rev_units").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          (col("rev_units").cast("double") / 1e4).as("revenue"),
+          to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderkey,
+        CAST(rev_units AS DOUBLE) / 1e4 AS revenue,
+        order_date, o_orderpriority
+      FROM (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          o_orderpriority,
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+            CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+            AS rev_units
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3)
+      ORDER BY rev_units DESC, o_orderkey LIMIT 10"""))
+
+  /** 6-table join chain (the TPC-H Q5 "local supplier volume" shape):
+    * region -> nation -> customer -> orders -> lineitem -> supplier,
+    * with the co-location predicate s_nationkey = c_nationkey, revenue
+    * per nation for one region-year. Scale shape: region/nation and
+    * supplier are broadcast (bounded dimension tables — suppliers
+    * scale far slower than facts and carry 2 columns here); customer x
+    * orders and orders x lineitem shuffle on their keys. The revenue
+    * sum splits each 1e-4-dollar unit product DIV/% 1e6 into two long
+    * sums (the `stats_exact` trick) so a nation's total can't overflow
+    * before ~1e12 rows, recombined in double at the end — exact and
+    * engine-identical. Output ordered by revenue desc with n_name
+    * tiebreak. */
+  private[graft] val regionalSupplierVolume = Q("regional_supplier_volume",
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("cast(round(l_extendedprice * 100) as bigint)") *
+            expr("cast(round((1.0 - l_discount) * 100) as bigint)"))
+            .as("rev_u"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("rev_u DIV 1000000")).as("hi"),
+          sum(expr("rev_u % 1000000")).as("lo"))
+        .select(col("n_name"),
+          ((col("hi").cast("double") * 1e6 + col("lo").cast("double"))
+            / 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        (CAST(hi AS DOUBLE) * 1e6 + CAST(lo AS DOUBLE)) / 1e4 AS revenue
+      FROM (
+        SELECT n_name,
+          CAST(SUM(ru // 1000000) AS BIGINT) AS hi,
+          CAST(SUM(ru % 1000000) AS BIGINT) AS lo
+        FROM (
+          SELECT n_name,
+            CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+              CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT) AS ru
+          FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        GROUP BY 1)
+      ORDER BY revenue DESC, n_name"""))
+
+  /** Spearman rank correlation of l_quantity vs l_discount — computed
+    * entirely from the JOINT VALUE HISTOGRAM, never from per-row
+    * ranks: both measures have bounded value domains (50 and 11
+    * distinct cent-quantized values), so the only data-sized work is
+    * ONE partial-aggregated shuffle onto <= 550 (quantity, discount)
+    * cell keys. Average ranks come from cumulative marginal counts
+    * (windows over the tiny marginal aggregates — bounded by the value
+    * domain, not row count), doubled to stay integral (avg rank is a
+    * multiple of 0.5). Rank moments accumulate per-cell as
+    * Decimal(38,0) — exact 128-bit integers in both engines, off the
+    * codegen path only for the 550-row tail — and are cast to double
+    * BEFORE the final Pearson combination, so both engines run the
+    * same IEEE expression over identical inputs. Exact while
+    * cnt*r2a*r2b < 1e38, i.e. to ~1e11 rows. */
+  private[graft] val statsSpearman = Q("stats_spearman",
+    (s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .select(expr("cast(round(l_quantity * 100) as bigint)").as("qv"),
+          expr("cast(round(l_discount * 100) as bigint)").as("dv"))
+        .groupBy(col("qv"), col("dv"))
+        .agg(count(lit(1)).as("cnt"))
+      def ranks(key: String, rk: String) = {
+        val w = Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cells.groupBy(col(key)).agg(sum(col("cnt")).as("m"))
+          .withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))
+          .select(col(key), (col("before") * 2 + col("m") + 1).as(rk))
+      }
+      val d38 = DecimalType(38, 0)
+      val moments = cells
+        .join(broadcast(ranks("qv", "r2a")), Seq("qv"))
+        .join(broadcast(ranks("dv", "r2b")), Seq("dv"))
+        .select(col("cnt").cast(d38).as("c"),
+          col("r2a").cast(d38).as("ra"), col("r2b").cast(d38).as("rb"))
+        .agg(sum(col("c")).cast("double").as("n"),
+          sum(col("c") * col("ra")).cast("double").as("sa"),
+          sum(col("c") * col("rb")).cast("double").as("sb"),
+          sum(col("c") * col("ra") * col("ra")).cast("double").as("saa"),
+          sum(col("c") * col("rb") * col("rb")).cast("double").as("sbb"),
+          sum(col("c") * col("ra") * col("rb")).cast("double").as("sab"))
+      moments.select(col("n"),
+        ((col("n") * col("sab") - col("sa") * col("sb")) /
+          (sqrt(col("n") * col("saa") - col("sa") * col("sa")) *
+            sqrt(col("n") * col("sbb") - col("sb") * col("sb"))))
+          .as("spearman_qty_discount"))
+    },
+    Some("""WITH cells AS (
+        SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qv,
+          CAST(ROUND(l_discount * 100) AS BIGINT) AS dv,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      ra AS (SELECT qv, CAST(2 * COALESCE(SUM(m) OVER (ORDER BY qv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + m + 1 AS BIGINT) AS r2a
+        FROM (SELECT qv, CAST(SUM(cnt) AS BIGINT) AS m
+          FROM cells GROUP BY 1)),
+      rb AS (SELECT dv, CAST(2 * COALESCE(SUM(m) OVER (ORDER BY dv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + m + 1 AS BIGINT) AS r2b
+        FROM (SELECT dv, CAST(SUM(cnt) AS BIGINT) AS m
+          FROM cells GROUP BY 1)),
+      mo AS (SELECT
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE) AS n,
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * r2a) AS DOUBLE) AS sa,
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * r2b) AS DOUBLE) AS sb,
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * r2a * r2a) AS DOUBLE)
+            AS saa,
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * r2b * r2b) AS DOUBLE)
+            AS sbb,
+          CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * r2a * r2b) AS DOUBLE)
+            AS sab
+        FROM cells JOIN ra USING (qv) JOIN rb USING (dv))
+      SELECT n, (n * sab - sa * sb) /
+          (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+          AS spearman_qty_discount
+      FROM mo"""))
+
+  /** Common-neighbor link prediction over the customer<->part basket
+    * graph (who bought what, via orders x lineitem): for every part
+    * pair sharing >= 2 buyers, the shared-buyer count and the Jaccard
+    * overlap of their buyer neighborhoods, top 100. Scale shape: pair
+    * enumeration is a self equi-join ON THE CUSTOMER KEY, so
+    * candidates are bounded per customer by their own (quantity-
+    * filtered) basket size — never all part pairs; degrees are one
+    * groupBy over the deduped edge list, joined back by part key.
+    * Jaccard divides two longs — identical IEEE result in both
+    * engines; ordering ties break on (part_a, part_b). */
+  private[graft] val graphLinkPredict = Q("graph_link_predict",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 5)
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .dropDuplicates("c", "p")
+      val deg = edges.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      val common = edges.select(col("c"), col("p").as("pa"))
+        .join(edges.select(col("c"), col("p").as("pb")), Seq("c"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 2)
+      common
+        .join(deg.select(col("p").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("p").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("n_common"),
+          (col("n_common").cast("double") /
+            (col("da") + col("db") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+    Some("""WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 5),
+      deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1),
+      common AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM edges a JOIN edges b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT pa AS part_a, pb AS part_b, n_common,
+        CAST(n_common AS DOUBLE) / CAST(da + db - n_common AS DOUBLE)
+          AS jaccard
+      FROM (SELECT c.pa, c.pb, c.n_common, x.d AS da, y.d AS db
+        FROM common c JOIN deg x ON c.pa = x.p JOIN deg y ON c.pb = y.p)
+      ORDER BY jaccard DESC, part_a, part_b LIMIT 100"""))
+
 }

@@ -31,7 +31,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "deciles_approx_check", // lag over the 10-row bucket aggregate
     "curriculum_mix", // ntileByValue CDF over the bounded n_chars domain
     "text_vocabulary", // cumulative share over the 200-row top-k LIMIT
-    "stats_chi2") // grand-total margin over the seg x status cell aggregate
+    "stats_chi2", // grand-total margin over the seg x status cell aggregate
+    "stats_spearman") // cumulative ranks over the bounded value-domain marginals
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
