@@ -17,13 +17,24 @@ private[graft] object Qdsl {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4's
-    * parquet reader rejects outright; read nanos as long (legacy conf,
-    * runtime-settable) and convert to a micros timestamp. */
+  /** events.parquet has shipped ts as TIMESTAMP(NANOS) in some data
+    * drops (Spark 4's parquet reader rejects it unless read as long
+    * via the legacy conf) and TIMESTAMP(MICROS) in others. Normalize
+    * whatever arrived to a session-zoned TimestampType column so every
+    * consumer sees one type. Schema-dispatch, not config: the same
+    * engine build must read both layouts. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // nanos read as long under the legacy conf
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // micros; value-identical under UTC session tz
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(t(s, dir, "events"))
   }
 
   /** Exact, order-independent sum of a 2-decimal double measure. */

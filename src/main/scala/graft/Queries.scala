@@ -89,6 +89,8 @@ object Queries {
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
-    QueriesStreaming.streamStateInspect)
+    QueriesStreaming.streamStateInspect,
+    QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
+    QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags)
 }
 

@@ -75,15 +75,23 @@ private[graft] object QueriesStreaming {
       cache.getOrElseUpdate(dir, {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val maxNanos = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
+        // far-future sentinel ts = max(ts) + 10 days, built in whatever
+        // physical type the source shipped (nanos-as-long or micros ntz)
+        // so the sentinel file unions cleanly with the copied source files
+        val sentinelTs: Any = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head().get(0) match {
+            case n: java.lang.Long => n + 10L * 86400 * 1000000000L
+            case t: java.time.LocalDateTime => t.plusDays(10)
+            case t: java.sql.Timestamp =>
+              java.sql.Timestamp.from(t.toInstant.plusSeconds(10L * 86400))
+          }
         val root = StreamTemp.dir("graft_stream_in")
         def sentinelRow(eventType: String) =
           org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map {
             f => f.name match {
               case "user_id" => -1L
               case "event_type" => eventType
-              case "ts" => maxNanos + 10L * 86400 * 1000000000L
+              case "ts" => sentinelTs
               case _ => null
             }
           })
@@ -156,7 +164,7 @@ private[graft] object QueriesStreaming {
         val staged = StreamStage(s, dir)
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
         val agg = stream
           .withWatermark("ts", "1 day")
           .filter(col("event_type") === "purchase")
@@ -204,7 +212,7 @@ private[graft] object QueriesStreaming {
         val staged = StreamStage(s, dir)
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
         val agg = stream
           .withWatermark("ts", "1 day")
           .groupBy(window(col("ts"), "1 day").as("day"),
@@ -280,7 +288,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_sliding")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("ts"), col("event_type"))
           .withWatermark("ts", "1 day")
           .filter(col("event_type") === "purchase") // sentinel passes
@@ -331,7 +339,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_topk")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("ts"),
             coalesce(col("event_type"), lit("(none)")).as("event_type"))
           .withWatermark("ts", "1 day")
@@ -383,7 +391,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_sess")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("ts"))
         val sess = graft.stream.StreamingFact.sessionWindows(
           stream, "ts", "user_id")
@@ -449,7 +457,7 @@ private[graft] object QueriesStreaming {
           val root = StreamTemp.dir("graft_stream_tws")
           val stream = s.readStream.schema(staged.schema)
             .parquet(staged.inDir)
-            .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .transform(normalizeTs)
             .select(col("user_id"), col("ts"),
               // sentinel rows carry null value; Ev.value is a primitive
               coalesce(col("value"), lit(0.0)).as("value"))
@@ -513,7 +521,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_dedup")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("event_id"), col("ts"))
         val doubled = stream.union(stream)
         val deduped = graft.stream.StreamingFact.dedupStream(
@@ -557,7 +565,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_state")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("event_id"), col("ts"))
         val deduped = graft.stream.StreamingFact.dedupStream(
           stream, "ts", Seq("event_id"))
@@ -614,7 +622,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_attr")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"))
         val joined = graft.stream.StreamingFact.attributionJoin(
@@ -706,7 +714,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_attr_daily")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"))
         val p = stream.filter(col("event_type") === "purchase")
@@ -770,7 +778,7 @@ private[graft] object QueriesStreaming {
         val root = StreamTemp.dir("graft_stream_attr_outer")
         val stream = s.readStream.schema(staged.schema)
           .parquet(staged.inDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeTs)
           .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"))
         val joined = graft.stream.StreamingFact.attributionJoin(

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SQL-facing surface: registers the testdata tables as temp views
-  * (with the events nano-timestamp normalization applied) plus graft's
-  * custom functions, so the whole engine is usable from `spark.sql`.
+  * (with the events timestamp normalization applied — see
+  * [[Qdsl.normalizeTs]]) plus graft's custom functions, so the whole
+  * engine is usable from `spark.sql`.
   */
 object Tables {
 
@@ -15,8 +16,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      Qdsl.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view + the custom SQL functions.
