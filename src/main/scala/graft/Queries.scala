@@ -87,10 +87,14 @@ object Queries {
     QueriesRelational.regionalSupplierVolume,
     QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
-    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionDaily,
+    QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
+    QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamStateInspect,
     QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
-    QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags)
+    QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,
+    QueriesAnalytics.rfmSegments, QueriesAnalytics.revenueLorenz,
+    QueriesAnalytics.revenueGini, QueriesAnalytics.statsAcf,
+    QueriesAnalytics.statsEntropy, QueriesAnalytics.basketLift)
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -213,5 +213,303 @@ private[graft] object QueriesAnalytics {
       FROM o
       WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
+
+  /** RFM segmentation — the classic CRM quartile grid: per customer,
+    * recency (days since last order, against the corpus max date),
+    * frequency (order count), monetary (exact cents), each scored
+    * NTILE(4); output one row per (r,f,m) cell (≤64 rows) with size
+    * and exact revenue. The global NTILE runs as
+    * [[graft.etl.Ranking.ntileByValue]] — a CDF window over the
+    * VALUE-AGGREGATED relation, never a global sort of customers —
+    * so each tiling's window is bounded by its value domain: recency
+    * by the date span, frequency by max-orders-per-customer, monetary
+    * by $10 bands (the banding is part of the query's definition and
+    * mirrored in the oracle; tile boundaries at $10 granularity are
+    * an analytics non-event). Tile 1 = most recent / fewest / lowest
+    * by NTILE's ascending convention; consumers relabel as they like. */
+  private[graft] val rfmSegments = Q("kpi_rfm_segments",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val maxd = o.agg(max(col("d")).as("maxd"))
+      val per = o.groupBy("o_custkey").agg(
+          max(col("d")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(maxd)) // 1-row aggregate compose
+        .select(col("o_custkey"), col("freq"), col("cents"),
+          datediff(col("maxd"), col("lastd")).as("rec_days"),
+          expr("cents DIV 1000").as("mband"))
+      val r = graft.etl.Ranking.ntileByValue(per, "rec_days", "o_custkey", 4)
+        .withColumnRenamed("ntile", "r_tile")
+      val f = graft.etl.Ranking.ntileByValue(r, "freq", "o_custkey", 4)
+        .withColumnRenamed("ntile", "f_tile")
+      val m = graft.etl.Ranking.ntileByValue(f, "mband", "o_custkey", 4)
+        .withColumnRenamed("ntile", "m_tile")
+      m.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / 100.0).as("monetary"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    },
+    Some("""WITH per AS (SELECT o_custkey, COUNT(*) AS freq,
+        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+        date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+          (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS rec_days
+        FROM orders GROUP BY o_custkey),
+      sc AS (SELECT cents,
+        NTILE(4) OVER (ORDER BY rec_days, o_custkey) AS r_tile,
+        NTILE(4) OVER (ORDER BY freq, o_custkey) AS f_tile,
+        NTILE(4) OVER (ORDER BY cents // 1000, o_custkey) AS m_tile
+        FROM per)
+      SELECT r_tile, f_tile, m_tile, COUNT(*) AS n,
+        CAST(SUM(cents) AS DOUBLE) / 100.0 AS monetary
+      FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** Lorenz curve of revenue concentration at decile granularity —
+    * "the top decile of customers carries X% of revenue". Customers
+    * are tiled into revenue deciles (ntileByValue over $100 bands —
+    * same bounded-domain discipline as [[rfmSegments]]), then each
+    * decile's EXACT cents sum feeds a cumulative share. The only
+    * windows after the tiling run over the 10-row decile aggregate.
+    * Shares are exact-BIGINT cents over exact total — one float
+    * division per output cell. */
+  private[graft] val revenueLorenz = Q("revenue_lorenz",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+        .withColumn("band", expr("cents DIV 10000"))
+      val dec = graft.etl.Ranking.ntileByValue(per, "band", "o_custkey", 10)
+        .groupBy(col("ntile").as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("dec_cents"))
+      val cumW = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy() // over the 10-row aggregate
+      dec.select(col("decile"), col("n"),
+          (col("dec_cents").cast("double") / 100.0).as("revenue"),
+          (sum(col("dec_cents")).over(cumW).cast("double") /
+            sum(col("dec_cents")).over(allW).cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+      tiled AS (SELECT cents,
+        NTILE(10) OVER (ORDER BY cents // 10000, o_custkey) AS decile
+        FROM per),
+      dec AS (SELECT decile, COUNT(*) AS n, SUM(cents) AS dec_cents
+        FROM tiled GROUP BY 1)
+      SELECT decile, n, CAST(dec_cents AS DOUBLE) / 100.0 AS revenue,
+        CAST(SUM(dec_cents) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+          CAST(SUM(dec_cents) OVER () AS DOUBLE) AS cum_share
+      FROM dec ORDER BY decile"""))
+
+  /** Gini coefficient of the decile-grouped revenue distribution —
+    * the piecewise-linear-Lorenz Gini over [[revenueLorenz]]'s exact
+    * decile aggregate: G = 1 - Σ n_i·(2·cum_i − x_i) / (N·total),
+    * every moment exact (Decimal(38,0) products of counts × cents) and
+    * ONE float division at the end. Grouping at decile granularity is
+    * the scale trade: the exact per-customer Gini needs a global rank
+    * of every customer, the decile version needs a 10-row window —
+    * and the two differ only by the within-decile term the Lorenz
+    * chord straightens out. */
+  private[graft] val revenueGini = Q("revenue_gini",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+        .withColumn("band", expr("cents DIV 10000"))
+      val dec = graft.etl.Ranking.ntileByValue(per, "band", "o_custkey", 10)
+        .groupBy(col("ntile").as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("x"))
+      val cumW = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.select(col("n"), col("x"),
+          sum(col("x")).over(cumW).as("cum"))
+        .agg(
+          sum(col("n")).as("n_customers"),
+          (lit(1.0) -
+            sum(col("n").cast(DecimalType(38, 0)) *
+              (lit(2) * col("cum") - col("x"))).cast("double") /
+            (sum(col("n")).cast(DecimalType(38, 0)) *
+              max(col("cum"))).cast("double")).as("gini"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+      tiled AS (SELECT cents,
+        NTILE(10) OVER (ORDER BY cents // 10000, o_custkey) AS decile
+        FROM per),
+      dec AS (SELECT decile, COUNT(*) AS n, SUM(cents) AS x
+        FROM tiled GROUP BY 1),
+      cums AS (SELECT n, x, SUM(x) OVER (ORDER BY decile
+        ROWS UNBOUNDED PRECEDING) AS cum FROM dec)
+      SELECT SUM(n) AS n_customers,
+        1.0 - CAST(SUM(CAST(n AS HUGEINT) * (2 * cum - x)) AS DOUBLE) /
+          CAST(SUM(n) * MAX(cum) AS DOUBLE) AS gini
+      FROM cums"""))
+
+  /** Autocorrelation of the daily-revenue series at lags 1..7 — the
+    * seasonality probe a forecasting pipeline runs first (a weekly
+    * cycle shows as a lag-7 peak). The series is the date-grouped
+    * revenue aggregate (bounded by the calendar span, not row count);
+    * each lag's (x_t, x_{t-l}) pairing is an EQUI-JOIN of the series
+    * against its date-shifted self (`explode(1..7)` fans the bounded
+    * series ×7, never a window over raw rows). Pearson r per lag from
+    * exact Decimal(38,0) moments of the cents values; the float math
+    * happens once per lag on exact scalars. */
+  private[graft] val statsAcf = Q("stats_acf",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy("d").agg(sum(col("cents")).as("x"))
+      val lagged = daily
+        .select(explode(sequence(lit(1), lit(7))).as("lag"),
+          expr("date_add(d, lag)").as("d"), col("x").as("xl"))
+      val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      daily.join(lagged, Seq("d"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("xl"))).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("xl")) * dec(col("xl"))).as("syy"),
+          sum(dec(col("x")) * dec(col("xl"))).as("sxy"))
+        .select(col("lag"), col("n"),
+          ((dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+      pairs AS (SELECT l.lag, a.x AS x, b.x AS xl
+        FROM daily a
+        CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+        JOIN daily b ON b.d = a.d - CAST(l.lag AS INTEGER)),
+      mom AS (SELECT lag, COUNT(*) AS n,
+        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(xl AS HUGEINT)) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(xl AS HUGEINT) * xl) AS syy,
+        SUM(CAST(x AS HUGEINT) * xl) AS sxy
+        FROM pairs GROUP BY 1)
+      SELECT lag, n,
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+      FROM mom ORDER BY lag"""))
+
+  /** Shannon entropy of each market segment's order-priority mix —
+    * "how concentrated is demand urgency per segment". The priority
+    * domain is a FIXED five-value enum, so the per-segment
+    * distribution pivots to five named count columns and the entropy
+    * is one closed-form expression over exact counts:
+    * H = ln(n) − Σ c_i·ln(c_i)/n, with the Σ written term-by-term in
+    * a fixed textual order — float addition order is part of the query
+    * definition, identical in both engines, so no
+    * nondeterministic double summation ever happens. No windows, no
+    * HOFs: one segment-keyed aggregate at any scale. */
+  private[graft] val statsEntropy = Q("stats_entropy",
+    (s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderpriority").as("prio"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val cells = o.join(c, Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("prio", prios).agg(count(lit(1)))
+      val cnt = (i: Int) => coalesce(col(s"`${prios(i)}`"), lit(0L))
+      val term = (i: Int) => when(cnt(i) > 0,
+        cnt(i).cast("double") * log(cnt(i).cast("double")))
+        .otherwise(lit(0.0))
+      val n = prios.indices.map(cnt).reduce(_ + _)
+      cells.select(col("c_mktsegment"), n.as("n_orders"),
+          (log(n.cast("double")) -
+            prios.indices.map(term).reduce(_ + _) / n.cast("double"))
+            .as("entropy"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH cells AS (SELECT c_mktsegment,
+        COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS c1,
+        COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS c2,
+        COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS c3,
+        COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS c4,
+        COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS c5
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1)
+      SELECT c_mktsegment, c1 + c2 + c3 + c4 + c5 AS n_orders,
+        ln(CAST(c1 + c2 + c3 + c4 + c5 AS DOUBLE)) -
+          (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END +
+           CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END +
+           CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) * ln(CAST(c3 AS DOUBLE)) ELSE 0.0 END +
+           CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE) * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END +
+           CASE WHEN c5 > 0 THEN CAST(c5 AS DOUBLE) * ln(CAST(c5 AS DOUBLE)) ELSE 0.0 END)
+          / CAST(c1 + c2 + c3 + c4 + c5 AS DOUBLE) AS entropy
+      FROM cells ORDER BY c_mktsegment"""))
+
+  /** Market-basket association — top part pairs by lift over the
+    * order "baskets": support (co-occurrence count), and
+    * lift = N·n₁₂/(n₁·n₂) against the parts' independent frequencies.
+    * The pair enumeration is a SELF-EQUI-JOIN on the order key with
+    * p1 < p2 — per-order fan-out is C(basket size, 2), a per-row
+    * constant (TPC-H baskets are ≤7 items; a retail basket is
+    * dozens), never a cross join. Part frequencies are a bounded
+    * aggregate (|parts| rows) broadcast onto the pair counts; the
+    * basket count composes as a 1-row broadcast. Lift is exact
+    * integers → one float division; the top-20 runs as
+    * TakeOrderedAndProject on (support DESC, lift DESC, keys). */
+  private[graft] val basketLift = Q("basket_lift",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = lp.select("ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val freq = lp.groupBy(col("pk")).agg(count(lit(1)).as("nf"))
+      val pairs = lp.as("a")
+        .join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      pairs
+        .join(broadcast(freq.select(col("pk").as("p1"),
+          col("nf").as("n1"))), Seq("p1"))
+        .join(broadcast(freq.select(col("pk").as("p2"),
+          col("nf").as("n2"))), Seq("p2"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("support"),
+          ((col("support") * col("n_orders")).cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("lift"))
+        .orderBy(col("support").desc, col("lift").desc,
+          col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      n_orders AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM lp),
+      freq AS (SELECT pk, COUNT(*) AS nf FROM lp GROUP BY 1),
+      pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p1, p2, support,
+        CAST(support * n_orders AS DOUBLE) /
+          CAST(f1.nf * f2.nf AS DOUBLE) AS lift
+      FROM pairs
+      JOIN freq f1 ON f1.pk = p1
+      JOIN freq f2 ON f2.pk = p2
+      CROSS JOIN n_orders
+      ORDER BY support DESC, lift DESC, p1, p2 LIMIT 20"""))
 
 }

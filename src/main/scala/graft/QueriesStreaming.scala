@@ -75,15 +75,20 @@ private[graft] object QueriesStreaming {
       cache.getOrElseUpdate(dir, {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        // far-future sentinel ts = max(ts) + 10 days, built in whatever
+        // far-future sentinel ts = max(ts) + 30 days, built in whatever
         // physical type the source shipped (nanos-as-long or micros ntz)
-        // so the sentinel file unions cleanly with the copied source files
+        // so the sentinel file unions cleanly with the copied source
+        // files. 30 days, not 10: the GLOBAL watermark is the min over
+        // both sides' watermark operators, so a join whose lagging side
+        // carries a windowDays+1 delay sees sentinel − (window+1) — the
+        // horizon must clear max(ts) + window + the largest delay, or
+        // the tail of the full-outer join's unmatched rows never evicts
         val sentinelTs: Any = s.read.parquet(s"$dir/events.parquet")
           .agg(max(col("ts"))).head().get(0) match {
-            case n: java.lang.Long => n + 10L * 86400 * 1000000000L
-            case t: java.time.LocalDateTime => t.plusDays(10)
+            case n: java.lang.Long => n + 30L * 86400 * 1000000000L
+            case t: java.time.LocalDateTime => t.plusDays(30)
             case t: java.sql.Timestamp =>
-              java.sql.Timestamp.from(t.toInstant.plusSeconds(10L * 86400))
+              java.sql.Timestamp.from(t.toInstant.plusSeconds(30L * 86400))
           }
         val root = StreamTemp.dir("graft_stream_in")
         def sentinelRow(eventType: String) =
@@ -805,6 +810,60 @@ private[graft] object QueriesStreaming {
       FROM (SELECT user_id, event_id, ts FROM events
         WHERE event_type = 'purchase') p
       LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+        AND p.ts < s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
+  /** STREAM-STREAM FULL-OUTER join — completes the join matrix
+    * ([[streamAttribution]] inner, [[streamAttributionOuter]]
+    * left-outer): unmatched purchases AND unmatched signups both
+    * emit, each at its own state eviction. A full-outer stream join
+    * surfaces BOTH data-quality tails at once — conversions with no
+    * attributable signup and signups that never converted — from one
+    * state store, where running the two one-sided joins would buffer
+    * the inputs twice. The far-future sentinels on both branches push
+    * both watermarks past every real row's eviction horizon, so the
+    * bounded replay flushes both unmatched sides exactly like an
+    * advancing production stream. Oracle: the batch FULL JOIN twin
+    * with null keys coalesced to -1 (order keys must be non-null). */
+  private[graft] val streamAttributionFull = Q("stream_attribution_full",
+    (s, dir) => {
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val root = StreamTemp.dir("graft_stream_attr_full")
+        val stream = s.readStream.schema(staged.schema)
+          .parquet(staged.inDir)
+          .transform(normalizeTs)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+        val joined = graft.stream.StreamingFact.attributionJoin(
+          stream.filter(col("event_type") === "purchase"),
+          stream.filter(col("event_type") === "signup"),
+          joinType = "full_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            coalesce(col("purchase_event_id"), lit(-1L))
+              .as("purchase_event_id"),
+            coalesce(col("signup_event_id"), lit(-1L))
+              .as("signup_event_id"))
+          .orderBy("user_id", "purchase_event_id", "signup_event_id")
+      }
+    },
+    Some("""SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+      COALESCE(p.event_id, -1) AS purchase_event_id,
+      COALESCE(s.event_id, -1) AS signup_event_id
+      FROM (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT user_id, event_id, ts FROM events
         WHERE event_type = 'signup') s
       ON p.user_id = s.user_id AND p.ts >= s.ts
         AND p.ts < s.ts + INTERVAL 7 DAY

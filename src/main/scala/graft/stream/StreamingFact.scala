@@ -237,8 +237,12 @@ object StreamingFact {
     p.join(s, expr(
       s"""p_user = s_user AND p_ts >= s_ts AND
           p_ts < s_ts + interval $windowDays days"""), joinType)
-      .select(col("p_user").as("user_id"), col("purchase_event_id"),
-        col("signup_event_id"))
+      // full_outer additionally emits never-matched SIGNUPS (evicted
+      // once the watermark passes signup_ts + window) with a null
+      // purchase side — so the user key coalesces across sides; for
+      // inner/left_outer p_user is never null and this is a no-op
+      .select(coalesce(col("p_user"), col("s_user")).as("user_id"),
+        col("purchase_event_id"), col("signup_event_id"))
   }
 
   /** Streaming dedup under a watermark: duplicate events (same key)

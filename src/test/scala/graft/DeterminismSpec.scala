@@ -26,7 +26,13 @@ class DeterminismSpec extends AnyFunSuite {
     // propagation and sim_topk_hamming's two-stage rerank must not
     // depend on how candidate shuffles were partitioned
     "ewma_value", "changepoint_cusum", "journey_classify",
-    "sim_topk_hamming", "graph_components", "stats_ttest")
+    "sim_topk_hamming", "graph_components", "stats_ttest",
+    // analytics batch: fixed-order float sums (entropy), decimal-moment
+    // formulas (acf, gini), NTILE-over-CDF tilings (rfm), and a
+    // float-keyed top-k (basket lift) — each must survive re-partitioned
+    // shuffles bit-identically
+    "stats_acf", "stats_entropy", "revenue_gini", "kpi_rfm_segments",
+    "basket_lift")
 
   targets.foreach { name =>
     test(s"$name is shuffle-partitioning independent") {

@@ -32,7 +32,10 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "curriculum_mix", // ntileByValue CDF over the bounded n_chars domain
     "text_vocabulary", // cumulative share over the 200-row top-k LIMIT
     "stats_chi2", // grand-total margin over the seg x status cell aggregate
-    "stats_spearman") // cumulative ranks over the bounded value-domain marginals
+    "stats_spearman", // cumulative ranks over the bounded value-domain marginals
+    "kpi_rfm_segments", // ntileByValue CDFs over banded R/F/M value domains
+    "revenue_lorenz", // cumulative share over the 10-row decile aggregate
+    "revenue_gini") // same 10-row decile window as revenue_lorenz
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
