@@ -95,6 +95,9 @@ object Queries {
     QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,
     QueriesAnalytics.rfmSegments, QueriesAnalytics.revenueLorenz,
     QueriesAnalytics.revenueGini, QueriesAnalytics.statsAcf,
-    QueriesAnalytics.statsEntropy, QueriesAnalytics.basketLift)
+    QueriesAnalytics.statsEntropy, QueriesAnalytics.basketLift,
+    QueriesAnalytics.statsBenford, QueriesAnalytics.survivalKm,
+    QueriesAnalytics.windowPercentiles, QueriesAnalytics.intervalConcurrency,
+    QueriesAnalytics.dowSeasonality)
 }
 

@@ -512,4 +512,236 @@ private[graft] object QueriesAnalytics {
       CROSS JOIN n_orders
       ORDER BY support DESC, lift DESC, p1, p2 LIMIT 20"""))
 
+  /** Benford first-significant-digit audit of order totals — the
+    * forensic DQ check for fabricated or truncated monetary data: the
+    * observed share per leading digit next to Benford's expectation
+    * log10(1+1/d). One 9-cell aggregate (digit from the exact-cents
+    * string — scan-side, no float log in the grouping), total composed
+    * back as a 1-row broadcast; share is one float division, the
+    * expectation a closed-form scalar. */
+  private[graft] val statsBenford = Q("stats_benford",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("cast(substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as int)")
+          .as("digit"))
+      val tot = o.agg(count(lit(1)).as("total"))
+      o.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            .as("benford"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT CAST(SUBSTRING(CAST(
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+          AS INTEGER) AS digit FROM orders),
+      tot AS (SELECT COUNT(*) AS total FROM d)
+      SELECT digit, COUNT(*) AS n,
+        CAST(COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford
+      FROM d CROSS JOIN tot
+      GROUP BY digit, total ORDER BY digit"""))
+
+  /** Kaplan-Meier survival curve of signup→purchase conversion — the
+    * censoring-aware "time to convert" a naive average gets wrong
+    * (users who haven't converted YET are information, not missing
+    * data). Per user: first signup, first purchase at-or-after it;
+    * non-converters censor at the corpus horizon. The KM table
+    * aggregates durations to DAY grain — every step after that runs
+    * over the day-domain aggregate (calendar-sized, never row-sized):
+    * risk set n(t) = N − cum(d+c before t); survival
+    * S(t) = Π (n−d)/n as an ORDERED LEFT FOLD over the collected day
+    * array (the [[QueriesRelational.ewmaValue]] technique) — float
+    * multiply/divide are exactly-rounded IEEE ops, identical across
+    * engines, where the exp(Σ ln) formulation diverges by a libm ulp.
+    * The fold also absorbs the terminal d=n row: its ratio is exactly
+    * 0.0, no log-of-zero special case. */
+  private[graft] val survivalKm = Q("survival_km",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val per = su.join(pu, Seq("user_id"), "left")
+        .groupBy("user_id", "s_ts")
+        .agg(min(when(col("ts") >= col("s_ts"), col("ts"))).as("p_ts"))
+      val mx = ev.agg(max(to_date(col("ts"))).as("maxd"))
+      val durs = per.crossJoin(broadcast(mx))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(to_date(col("p_ts")), to_date(col("s_ts"))))
+            .otherwise(datediff(col("maxd"), to_date(col("s_ts"))))
+            .as("t"),
+          col("p_ts").isNotNull.cast("long").as("event"))
+      val tbl = durs.groupBy("t")
+        .agg(sum(col("event")).as("d"),
+          sum(lit(1L) - col("event")).as("c"))
+      val prevW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val allW = Window.partitionBy() // over the day-domain aggregate
+      val nRisk = (sum(col("d") + col("c")).over(allW) -
+        coalesce(sum(col("d") + col("c")).over(prevW), lit(0L)))
+      val rows = tbl.withColumn("n_risk", nRisk)
+        .withColumn("ratio",
+          (col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))
+      // one bounded array (day domain) → running product left fold
+      val acc0 = struct(
+        expr("cast(array() as array<struct<t:int,d:bigint,c:bigint," +
+          "n_risk:bigint,km:double>>)").as("out"),
+        lit(1.0).as("run"))
+      val folded = rows
+        .agg(array_sort(collect_list(struct(col("t"), col("d"),
+          col("c"), col("n_risk"), col("ratio")))).as("arr"))
+        .select(aggregate(col("arr"), acc0, (acc, e) => {
+          val km = acc.getField("run") * e.getField("ratio")
+          struct(
+            concat(acc.getField("out"), array(struct(
+              e.getField("t").as("t"), e.getField("d").as("d"),
+              e.getField("c").as("c"),
+              e.getField("n_risk").as("n_risk"), km.as("km")))).as("out"),
+            km.as("run"))
+        }).getField("out").as("out"))
+      folded.select(explode(col("out")).as("r"))
+        .select(col("r.t").as("t"), col("r.d").as("d"),
+          col("r.c").as("c"), col("r.n_risk").as("n_risk"),
+          col("r.km").as("km"))
+        .orderBy("t")
+    },
+    Some("""WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      per AS (SELECT su.user_id, su.s_ts,
+        MIN(CASE WHEN e.ts >= su.s_ts THEN e.ts END) AS p_ts
+        FROM su LEFT JOIN (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase') e USING (user_id)
+        GROUP BY 1, 2),
+      mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+      durs AS (SELECT CASE WHEN p_ts IS NOT NULL
+          THEN date_diff('day', CAST(s_ts AS DATE), CAST(p_ts AS DATE))
+          ELSE date_diff('day', CAST(s_ts AS DATE), maxd) END AS t,
+        CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM per CROSS JOIN mx),
+      tbl AS (SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+        CAST(SUM(1 - event) AS BIGINT) AS c FROM durs GROUP BY 1),
+      nr AS (SELECT t, d, c,
+        (SELECT SUM(d + c) FROM tbl) -
+          COALESCE(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM tbl),
+      nrr AS (SELECT t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS ratio,
+        ROW_NUMBER() OVER (ORDER BY t) AS i FROM nr),
+      arr AS (SELECT list(ratio ORDER BY t) AS rs FROM nrr)
+      SELECT t, d, c, n_risk,
+        list_reduce(rs[1:i], (a, b) -> a * b) AS km
+      FROM nrr CROSS JOIN arr ORDER BY t"""))
+
+  /** percent_rank / cume_dist within nation — the distributional
+    * window pair ([[QueriesRelational.windowRanks]] covers
+    * rank/dense_rank/row_number): where does each customer's balance
+    * sit inside their nation. The windows PARTITION BY nation — keyed
+    * windows scale, the shuffle is one pass on the nation key and the
+    * per-partition sort is one nation's customers. The order is made
+    * total (acctbal, custkey) so both rank functions are
+    * deterministic under ties. */
+  private[graft] val windowPercentiles = Q("window_percentiles",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("n_name", "c_custkey")
+    },
+    Some("""SELECT n_name, c_custkey, c_acctbal,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+      ORDER BY n_name, c_custkey"""))
+
+  /** Concurrent-interval count — how many orders are OPEN (ordered,
+    * not yet fully shipped) on each calendar day, the classic
+    * sweep-line: ±1 deltas at interval endpoints, aggregated to the
+    * DAY domain, then one cumulative window over the bounded delta
+    * table. The alternative — joining a day spine against the
+    * interval table — re-scans the intervals once per day; the
+    * sweep-line touches each interval exactly twice regardless of its
+    * length, and everything after the delta aggregate is
+    * calendar-sized. Exact integers throughout. Both endpoint deltas
+    * EXPLODE out of one pass over the joined intervals — a UNION of
+    * two selects re-executes the whole scan+join subtree per branch
+    * (the text_bm25 lesson; measured 19× at the 10× rehearsal before
+    * this shape, 1.4× after). */
+  private[graft] val intervalConcurrency = Q("interval_concurrency",
+    (s, dir) => {
+      val ends = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(max(to_date(col("l_shipdate"))).as("endd"))
+      val iv = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"),
+          to_date(col("o_orderdate")).as("od"))
+        .join(ends, Seq("ok"))
+      val deltas = iv.select(explode(array(
+          struct(col("od").as("d"), lit(1L).as("delta")),
+          struct(date_add(col("endd"), 1).as("d"),
+            lit(-1L).as("delta")))).as("e"))
+        .groupBy(col("e.d").as("d")).agg(sum(col("e.delta")).as("delta"))
+      val cumW = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.select(col("d"), sum(col("delta")).over(cumW).as("open"))
+        .orderBy("d")
+    },
+    Some("""WITH ends AS (SELECT l_orderkey,
+        MAX(CAST(l_shipdate AS DATE)) AS endd
+        FROM lineitem GROUP BY 1),
+      iv AS (SELECT CAST(o.o_orderdate AS DATE) AS od, e.endd
+        FROM orders o JOIN ends e ON o.o_orderkey = e.l_orderkey),
+      deltas AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT od AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT endd + 1 AS d, -1 AS delta FROM iv) GROUP BY 1)
+      SELECT d, SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        AS open
+      FROM deltas ORDER BY d"""))
+
+  /** Day-of-week seasonality index of order revenue — share of weekly
+    * revenue per weekday and the ×7 index against a flat week (the
+    * first profile a forecaster detrends by, and what [[statsAcf]]'s
+    * lag-7 peak quantifies). One 7-cell aggregate of exact cents; the
+    * overall total composes back as a 1-row broadcast; one float
+    * division per cell. Weekday numbering is pinned 0=Sunday in both
+    * engines. */
+  private[graft] val dowSeasonality = Q("kpi_dow_seasonality",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val tot = o.agg(sum(col("cents")).as("total"))
+      o.groupBy("dow")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_orders"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          ((lit(7L) * col("cents")).cast("double") /
+            col("total").cast("double")).as("index"))
+        .orderBy("dow")
+    },
+    Some("""WITH o AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      tot AS (SELECT SUM(cents) AS total FROM o)
+      SELECT dow, COUNT(*) AS n_orders,
+        CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        CAST(7 * SUM(cents) AS DOUBLE) / CAST(total AS DOUBLE) AS index
+      FROM o CROSS JOIN tot
+      GROUP BY dow, total ORDER BY dow"""))
+
 }

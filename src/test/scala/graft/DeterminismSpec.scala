@@ -32,7 +32,10 @@ class DeterminismSpec extends AnyFunSuite {
     // float-keyed top-k (basket lift) — each must survive re-partitioned
     // shuffles bit-identically
     "stats_acf", "stats_entropy", "revenue_gini", "kpi_rfm_segments",
-    "basket_lift")
+    "basket_lift",
+    // survival_km's running product is an ordered array fold; the
+    // sweep-line cumsum and the Benford/dow shares are exact-integer
+    "survival_km", "interval_concurrency", "stats_benford")
 
   targets.foreach { name =>
     test(s"$name is shuffle-partitioning independent") {

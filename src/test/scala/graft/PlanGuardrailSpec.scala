@@ -35,7 +35,9 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "stats_spearman", // cumulative ranks over the bounded value-domain marginals
     "kpi_rfm_segments", // ntileByValue CDFs over banded R/F/M value domains
     "revenue_lorenz", // cumulative share over the 10-row decile aggregate
-    "revenue_gini") // same 10-row decile window as revenue_lorenz
+    "revenue_gini", // same 10-row decile window as revenue_lorenz
+    "survival_km", // risk-set + survival windows over the day-domain KM table
+    "interval_concurrency") // sweep-line cumsum over the day-domain delta table
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
