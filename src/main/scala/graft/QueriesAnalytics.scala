@@ -349,7 +349,7 @@ private[graft] object QueriesAnalytics {
         FROM tiled GROUP BY 1),
       cums AS (SELECT n, x, SUM(x) OVER (ORDER BY decile
         ROWS UNBOUNDED PRECEDING) AS cum FROM dec)
-      SELECT SUM(n) AS n_customers,
+      SELECT CAST(SUM(n) AS BIGINT) AS n_customers,
         1.0 - CAST(SUM(CAST(n AS HUGEINT) * (2 * cum - x)) AS DOUBLE) /
           CAST(SUM(n) * MAX(cum) AS DOUBLE) AS gini
       FROM cums"""))
@@ -464,10 +464,12 @@ private[graft] object QueriesAnalytics {
     * The pair enumeration is a SELF-EQUI-JOIN on the order key with
     * p1 < p2 — per-order fan-out is C(basket size, 2), a per-row
     * constant (TPC-H baskets are ≤7 items; a retail basket is
-    * dozens), never a cross join. Part frequencies are a bounded
-    * aggregate (|parts| rows) broadcast onto the pair counts; the
-    * basket count composes as a 1-row broadcast. Lift is exact
-    * integers → one float division; the top-20 runs as
+    * dozens), never a cross join. Part frequencies aggregate to
+    * |parts| rows — a dimension that GROWS with corpus scale, so the
+    * join carries no broadcast hint: AQE broadcasts it while it fits
+    * and falls back to a shuffled hash join on the (p1)/(p2) keys
+    * when it doesn't. Only the 1-row basket count is hint-broadcast.
+    * Lift is exact integers → one float division; the top-20 runs as
     * TakeOrderedAndProject on (support DESC, lift DESC, keys). */
   private[graft] val basketLift = Q("basket_lift",
     (s, dir) => {
@@ -484,10 +486,10 @@ private[graft] object QueriesAnalytics {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
       pairs
-        .join(broadcast(freq.select(col("pk").as("p1"),
-          col("nf").as("n1"))), Seq("p1"))
-        .join(broadcast(freq.select(col("pk").as("p2"),
-          col("nf").as("n2"))), Seq("p2"))
+        .join(freq.select(col("pk").as("p1"), col("nf").as("n1")),
+          Seq("p1"))
+        .join(freq.select(col("pk").as("p2"), col("nf").as("n2")),
+          Seq("p2"))
         .crossJoin(broadcast(nOrders))
         .select(col("p1"), col("p2"), col("support"),
           ((col("support") * col("n_orders")).cast("double") /
@@ -709,8 +711,8 @@ private[graft] object QueriesAnalytics {
         SELECT od AS d, 1 AS delta FROM iv
         UNION ALL
         SELECT endd + 1 AS d, -1 AS delta FROM iv) GROUP BY 1)
-      SELECT d, SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-        AS open
+      SELECT d, CAST(SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED
+        PRECEDING) AS BIGINT) AS open
       FROM deltas ORDER BY d"""))
 
   /** Day-of-week seasonality index of order revenue — share of weekly

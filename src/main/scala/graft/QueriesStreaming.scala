@@ -89,6 +89,9 @@ private[graft] object QueriesStreaming {
             case t: java.time.LocalDateTime => t.plusDays(30)
             case t: java.sql.Timestamp =>
               java.sql.Timestamp.from(t.toInstant.plusSeconds(30L * 86400))
+            // TimestampType surfaces as Instant when
+            // spark.sql.datetime.java8API.enabled=true
+            case i: java.time.Instant => i.plusSeconds(30L * 86400)
           }
         val root = StreamTemp.dir("graft_stream_in")
         def sentinelRow(eventType: String) =

@@ -239,6 +239,153 @@ class StreamingFactSpec extends AnyFunSuite {
     }
   }
 
+  // --- checkpoint kill-and-restart recovery -------------------------
+  //
+  // The first streaming incident a production user hits is a crashed
+  // query restarted from its checkpoint MID-STREAM. Two failure points
+  // bracket the exactly-once contract:
+  //   (a) crash BEFORE a batch's sink write → the batch never commits,
+  //       restart re-runs it; join/agg STATE checkpointed at the prior
+  //       commit must still hold the buffered rows, and committed
+  //       batches must not re-emit (no double-count);
+  //   (b) crash AFTER the sink write but before the checkpoint commit
+  //       → restart REPLAYS the batch, so the sink must be idempotent
+  //       for end-to-end exactly-once (upsertBatch's documented
+  //       contract).
+  // Both drive a real FILE source (maxFilesPerTrigger=1 forces multiple
+  // micro-batches over pre-staged files) so the restarted query re-reads
+  // offsets exactly as a restarted cluster job would.
+
+  test("kill-and-restart (a): stream-stream join resumes exactly-once " +
+    "from checkpoint after a crash between batches") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_recover_join").toString
+    def stage(side: String,
+              files: Seq[Seq[(Long, Long, java.sql.Timestamp)]]): Unit =
+      files.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("user_id", "event_id", "ts").coalesce(1)
+          .write.mode("append").parquet(s"$root/$side")
+        // pin file mtimes in staging order so the file source's
+        // (mtime, path) ordering batches deterministically
+        new java.io.File(s"$root/$side").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.lastModified).zipWithIndex.foreach { case (f, j) =>
+            f.setLastModified(1700000000000L + j * 60000L) }
+      }
+    // batch-0 files hold a signup whose purchase only arrives in the
+    // batch-1 files (and vice versa): the pairs can ONLY emit if the
+    // join state survives the crash-restart boundary
+    stage("signups", Seq(
+      Seq((1L, 101L, ts("2024-01-01 10:00:00")),
+        (3L, 103L, ts("2024-01-01 10:00:00"))),
+      Seq((2L, 102L, ts("2024-01-01 09:00:00")))))
+    stage("purchases", Seq(
+      Seq((1L, 201L, ts("2024-01-02 10:00:00")),
+        (2L, 202L, ts("2024-01-03 10:00:00"))),
+      Seq((3L, 203L, ts("2024-01-04 10:00:00")),
+        (9L, 209L, ts("2024-01-05 10:00:00"))))) // no signup → no pair
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("event_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    def src(side: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/$side")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(tag: String, crashAtBatch: Long): Unit = {
+      val q = StreamingFact
+        .attributionJoin(src("purchases"), src("signups"), 7, "inner")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt_$tag")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            if (id >= crashAtBatch && crashed.compareAndSet(false, true))
+              throw new RuntimeException("injected crash")
+            b.write.mode("append").parquet(s"$root/out_$tag")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def result(tag: String): Seq[(Long, Long, Long)] =
+      spark.read.parquet(s"$root/out_$tag")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_event_id"),
+          r.getAs[Long]("signup_event_id"))).toSeq.sorted
+    // interrupted run: batch 0 commits, batch 1 is killed mid-replay...
+    val ex = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException](run("kill", crashAtBatch = 1L))
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(crashed.get(), "crash never fired: query ran as one batch " +
+      "and the test exercised nothing")
+    // ...then the SAME checkpoint restarts and drains to completion
+    run("kill", crashAtBatch = Long.MaxValue)
+    // uninterrupted twin on a fresh checkpoint = ground truth
+    run("truth", crashAtBatch = Long.MaxValue)
+    val expected = Seq((1L, 201L, 101L), (2L, 202L, 102L),
+      (3L, 203L, 103L))
+    assert(result("truth") == expected)
+    assert(result("kill") == expected,
+      "restarted run dropped or double-emitted rows")
+  }
+
+  test("kill-and-restart (b): crash AFTER sink write replays the " +
+    "batch; idempotent upsert still converges") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_recover_upsert").toString
+    Seq((ts("2024-01-01 10:00:00"), 1L, "play", 10.0),
+      (ts("2024-01-01 11:00:00"), 2L, "play", 20.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    Seq((ts("2024-01-01 12:00:00"), 1L, "play", 5.0),
+      (ts("2024-01-02 09:00:00"), 3L, "play", 7.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    new java.io.File(s"$root/in").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified).zipWithIndex.foreach { case (f, j) =>
+        f.setLastModified(1700000000000L + j * 60000L) }
+    val schema = spark.read.parquet(s"$root/in").schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(crashAfterBatch0: Boolean): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val agg = StreamingFact.dailyEngagement(stream, "ts", "user_id",
+        "event_type", "value")
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            StreamingFact.upsertBatch(b, s"$root/fact", Seq("user_id"))
+            // sink effects are ON DISK; the checkpoint commit for this
+            // batch now never happens → restart must replay it
+            if (crashAfterBatch0 && id == 0L &&
+                crashed.compareAndSet(false, true))
+              throw new RuntimeException("injected crash")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      run(crashAfterBatch0 = true))
+    assert(crashed.get())
+    // batch 0's rows are already in the fact dir from the killed run
+    assert(spark.read.parquet(s"$root/fact").count() == 2)
+    run(crashAfterBatch0 = false) // restart: replays batch 0, runs batch 1
+    val back = spark.read.parquet(s"$root/fact").collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[Long]("user_id")) ->
+        (r.getAs[Long]("play_count"), r.getAs[Double]("total_value")))
+      .toMap
+    assert(back.size == 3, s"replayed batch duplicated rows: $back")
+    assert(back(("2024-01-01", 1L)) == (2L, 15.0))
+    assert(back(("2024-01-01", 2L)) == (1L, 20.0))
+    assert(back(("2024-01-02", 3L)) == (1L, 7.0))
+  }
+
   test("sessionWindows: event-time gap sessions, append-once emission") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
