@@ -51,6 +51,7 @@ object Queries {
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
+    QueriesDedupSim.simTopkLshHi, QueriesDedupSim.simTopkLshHiGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,

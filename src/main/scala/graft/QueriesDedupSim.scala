@@ -951,6 +951,93 @@ private[graft] object QueriesDedupSim {
       CAST(0 AS BIGINT) AS lsh_row_shortfall,
       CAST(0 AS BIGINT) AS ivf_row_shortfall"""))
 
+  /** HIGH-RECALL LSH configuration — the other end of the recall/cost
+    * ladder from `sim_topk_lsh` (numPlanes=6 × numTables=8, mean recall
+    * 0.28). Fewer planes per table widen each bucket and more tables
+    * multiply the union: numPlanes=4 × numTables=16 measures mean
+    * recall@5 = 0.92 on this corpus (captured 2026-08-13). The price is
+    * candidate volume — ~315 of 500 corpus vectors scored per query
+    * (63%) vs ~82 (16%) for the 0.28 config, because these embeddings
+    * have weak similarity structure (best neighbors at cos ~0.37 vs
+    * ~0.2 random), so the only road to high recall widens the
+    * candidate net toward the corpus itself. That trade is exactly
+    * what a retrieval user picks per use case; SCALE.md records the
+    * ladder. Plan shape is unchanged from [[Similarity.lshTopK]]:
+    * (table, bucket) equi-joins, id-pair dedup before vectors rejoin —
+    * more tables fan the explode ×2 and the candidate shuffle grows,
+    * nothing becomes quadratic in the corpus. Seeded hyperplanes →
+    * frozen sf0.01 oracle (25 rows, captured 2026-08-13). */
+  private[graft] val simTopkLshHi = Q("sim_topk_lsh_hi",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", dim = 64, k = 5, numPlanes = 4, numTables = 16)
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT), CAST('0.3699935965460897' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS INTEGER), CAST(334 AS BIGINT), CAST('0.3627220558741131' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(387 AS BIGINT), CAST('0.33113871888314317' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS INTEGER), CAST(423 AS BIGINT), CAST('0.2969335986409863' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS INTEGER), CAST(73 AS BIGINT), CAST('0.29543411523164853' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(386 AS BIGINT), CAST('0.37148454183744223' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(27 AS BIGINT), CAST('0.3482081864636984' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(407 AS BIGINT), CAST('0.3270099496117245' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(195 AS BIGINT), CAST('0.32274442635213746' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), CAST(64 AS BIGINT), CAST('0.3163742953318501' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST('0.318142564237661' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(450 AS BIGINT), CAST('0.26634395520019954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER), CAST(145 AS BIGINT), CAST('0.26349429911567107' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(4 AS INTEGER), CAST(188 AS BIGINT), CAST('0.263272104561668' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), CAST(320 AS BIGINT), CAST('0.25504277088103294' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER), CAST(130 AS BIGINT), CAST('0.39987234325628024' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(2 AS INTEGER), CAST(149 AS BIGINT), CAST('0.3299339769519209' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(3 AS INTEGER), CAST(174 AS BIGINT), CAST('0.30354804540607316' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(4 AS INTEGER), CAST(231 AS BIGINT), CAST('0.29878836545413046' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(5 AS INTEGER), CAST(207 AS BIGINT), CAST('0.29170184705661967' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER), CAST(114 AS BIGINT), CAST('0.39851269358433744' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(2 AS INTEGER), CAST(496 AS BIGINT), CAST('0.34121178056570023' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(3 AS INTEGER), CAST(408 AS BIGINT), CAST('0.32275312529105415' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(280 AS BIGINT), CAST('0.27982608680315935' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(257 AS BIGINT), CAST('0.27239859168203207' AS DOUBLE)))
+      AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
+
+  /** Recall floor for the high-recall configuration: the frozen row
+    * above pins the exact output, this gate pins the SEMANTIC claim —
+    * the config reaches recall ≥ 0.9 — via a HOF-free recompute
+    * against brute-force truth, so a hyperplane/seed regression that
+    * still produced 25 plausible rows cannot pass. Floor 0.8999
+    * absorbs float-sum ulp under the measured 0.92. */
+  private[graft] val simTopkLshHiGate = Q("sim_topk_lsh_hi_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hi = Similarity.lshTopK(e, qs, "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 4, numTables = 16)
+        .localCheckpoint(true) // feeds both the semi-join and the count
+      val recall = exact
+        .join(hi.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("avg_recall"))
+      recall
+        .crossJoin(hi.agg(count(lit(1)).as("hi_rows")))
+        .select(
+          when(col("avg_recall") >= 0.8999, 0L).otherwise(1L)
+            .as("below_recall_floor"),
+          greatest(lit(0L), lit(25L) - col("hi_rows"))
+            .as("hi_row_shortfall"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
+      CAST(0 AS BIGINT) AS hi_row_shortfall"""))
+
   /** Int8 embedding-quantization error bound, verified INDEPENDENTLY by
     * both engines ([[Similarity.int8Quantize]]): each engine quantizes,
     * dequantizes, and recomputes the cosine between the original and
