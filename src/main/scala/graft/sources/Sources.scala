@@ -63,6 +63,46 @@ object Sources {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Re-bucket an existing bucketed table to a new bucket count — the
+    * operation a growing deployment runs when the cluster outgrows the
+    * count the table was written with (bucket count ~ parallelism of
+    * every downstream zero-Exchange join, so it must scale with the
+    * executor fleet; see SCALE.md). Bucket/sort COLUMNS are read from
+    * the catalog — a re-bucket changes the count, never the key.
+    *
+    * The rewrite is the pay-once shuffle (same cost class as the
+    * original bucketed write); it lands in a staging table first, then
+    * swaps via drop + rename so a crash mid-rewrite leaves the
+    * original table intact (the swap window itself is two catalog ops;
+    * a lake deployment makes that window atomic with its catalog's
+    * transaction, which plain Hive-style catalogs don't offer).
+    * Returns the new bucket count as read back from the catalog. */
+  def rebucketTable(spark: SparkSession, table: String,
+                    newNumBuckets: Int): Int = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — rebucketTable only rescales an " +
+        "existing bucket layout"))
+    require(newNumBuckets > 0 && newNumBuckets != spec.numBuckets,
+      s"new bucket count $newNumBuckets must be positive and differ " +
+        s"from current ${spec.numBuckets}")
+    val staging = s"${table}__rebucket_$newNumBuckets"
+    val w = spark.table(table).write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(newNumBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (spec.sortColumnNames match {
+      case head +: tail => w.sortBy(head, tail: _*)
+      case _ => w
+    }).saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    cat.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+      .getOrElse(0)
+  }
+
   /** S10: gold JDBC truncate-and-insert (adf:115-207 semantics —
     * `TRUNCATE TABLE stg_*` then bulk insert). `truncate=true` +
     * Overwrite reproduces ADF's staging-isolation exactly: target DDL

@@ -25,6 +25,35 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("rebucketTable rescales bucket count; joins stay zero-Exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sources.writeBucketedTable(a, "rbk_a", "k", 4, "k")
+    Sources.writeBucketedTable(b, "rbk_b", "k", 4, "k")
+    assert(Sources.rebucketTable(spark, "rbk_a", 8) == 8)
+    assert(Sources.rebucketTable(spark, "rbk_b", 8) == 8)
+    // data survived the rewrite intact
+    assert(spark.table("rbk_a").count() == 1000)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("rbk_a").join(spark.table("rbk_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+      // the new count is real in the executed plan, not just catalog
+      // metadata: with zero Exchange the join's parallelism IS the
+      // bucket count (a bare table scan would coalesce by file size)
+      assert(joined.rdd.getNumPartitions == 8)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a non-bucketed table is refused
+    (1 to 10).map(i => (i, i)).toDF("k", "v")
+      .write.mode("overwrite").saveAsTable("rbk_plain")
+    intercept[IllegalArgumentException](
+      Sources.rebucketTable(spark, "rbk_plain", 8))
+  }
+
   test("date-partitioned silver scan prunes partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_part")
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3))
