@@ -262,7 +262,19 @@ object ManifestTable {
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones
     * are dropped first so their exclusive files become unreferenced.
-    * Returns the deleted file names. */
+    * Returns the deleted file names.
+    *
+    * Vacuum-vs-reader contract (spec-pinned): a reader pinned to a
+    * RETAINED version is untouched — its files are referenced, so it
+    * completes identically before/after the vacuum. A reader pinned
+    * to an EXPIRED version holds a frozen file list to files this
+    * call may delete; it fails at ACTION time with the store's
+    * missing-file error (FileNotFoundException under the Spark
+    * wrapper) — never with silently partial rows, because parquet
+    * footers are per-file (a file either resolves whole or errors).
+    * `keepVersions` is therefore the retention knob that must cover
+    * the longest-running reader — the same contract as Delta/Iceberg
+    * vacuum retention vs snapshot age. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 2): Seq[String] = {
     val t = new Path(table)

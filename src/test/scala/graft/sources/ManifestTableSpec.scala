@@ -66,6 +66,34 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum under a live pinned reader: retained survives, expired " +
+    "fails with the documented missing-file error") {
+    val t = tmpTable()
+    ManifestTable.commitOverwrite(spark, t,
+      (1L to 40L).toDF("id").repartition(4))         // v1: 4 small files
+    val pinnedExpired = ManifestTable.read(spark, t, Some(1L))
+    ManifestTable.compact(spark, t, targetFiles = 1) // v2
+    ManifestTable.commitAppend(spark, t, (41L to 45L).toDF("id")) // v3
+    val pinnedRetained = ManifestTable.read(spark, t, Some(2L))
+    // keep v2+v3: v1 expires and its 4 exclusive files are reclaimed
+    // WHILE both readers hold their frozen file lists
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    assert(deleted.length == 4, s"deleted: $deleted")
+    // retained-version reader: completely unaffected by the vacuum
+    assert(ids(pinnedRetained) == (1L to 40L))
+    // expired-version reader: fails at action time with the store's
+    // missing-file error (the documented contract — retention must
+    // cover the longest-running reader), never silently partial rows
+    val e = intercept[Exception] { pinnedExpired.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getMessage != null && (c.getMessage.contains("does not exist")
+          || c.getMessage.contains("FileNotFound"))),
+      s"expected a missing-file failure, got: $e")
+  }
+
   test("readAppendsSince delivers only new rows; rewrites fail loudly") {
     val t = tmpTable()
     ManifestTable.commitOverwrite(spark, t, (1L to 5L).toDF("id"))
