@@ -880,25 +880,37 @@ private[graft] object QueriesRelational {
     * by recursion instead of `sequence()`, hash-matched against the
     * identical DuckDB recursion — proving the recursive execution
     * itself, and giving kpi_daily_spine a second independent
-    * formulation. */
+    * formulation. The termination bound rides IN the recursion rows
+    * (spine carries mx from the anchor) rather than as a scalar
+    * subquery in the step's WHERE: Spark re-evaluates the step plan
+    * every iteration, so a correlated `(SELECT MAX … FROM events)`
+    * bound re-scanned the fact ~30 times — carrying the bound made
+    * each step a frontier-local projection and took the row 6.5 s →
+    * 0.7 s at sf0.1 (round 9; the round-8 drift was exactly the
+    * per-iteration rescan getting costlier with the events reader). */
   private[graft] val recursiveCteSpine = Q("recursive_cte_spine",
     (s, dir) => {
       events(s, dir).createOrReplaceTempView("events_rcte")
-      s.sql("""WITH RECURSIVE spine(date) AS (
-          SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events_rcte)
+      s.sql("""WITH RECURSIVE bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx
+          FROM events_rcte),
+        spine(date, mx) AS (
+          SELECT mn, mx FROM bounds
           UNION ALL
-          SELECT date_add(date, 1) FROM spine
-          WHERE date < (SELECT MAX(CAST(ts AS DATE)) FROM events_rcte)),
+          SELECT date_add(date, 1), mx FROM spine WHERE date < mx),
         d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
           FROM events_rcte GROUP BY 1)
         SELECT spine.date, COALESCE(d.n, 0) AS n_events
         FROM spine LEFT JOIN d USING (date) ORDER BY spine.date""")
     },
-    Some("""WITH RECURSIVE spine(date) AS (
-        SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    Some("""WITH RECURSIVE bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx
+        FROM events),
+      spine(date, mx) AS (
+        SELECT mn, mx FROM bounds
         UNION ALL
-        SELECT CAST(date + INTERVAL 1 DAY AS DATE) FROM spine
-        WHERE date < (SELECT MAX(CAST(ts AS DATE)) FROM events)),
+        SELECT CAST(date + INTERVAL 1 DAY AS DATE), mx FROM spine
+        WHERE date < mx),
       d AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
         FROM events GROUP BY 1)
       SELECT spine.date, COALESCE(d.n, 0) AS n_events
