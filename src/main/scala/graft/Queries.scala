@@ -52,6 +52,7 @@ object Queries {
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.simTopkLshHi, QueriesDedupSim.simTopkLshHiGate,
+    QueriesDedupSim.simTopkIvfPq, QueriesDedupSim.simTopkIvfPqGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,

@@ -1038,6 +1038,89 @@ private[graft] object QueriesDedupSim {
     Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
       CAST(0 AS BIGINT) AS hi_row_shortfall"""))
 
+  /** IVF-PQ composite top-k ([[Similarity.ivfPqTopK]]) — the
+    * billion-scale ANN architecture (FAISS IndexIVFPQ; Jégou et al.
+    * 2011): coarse cells route the probe, RESIDUAL PQ codes score it,
+    * exact cosine reranks the survivors. Both prunings multiply: only
+    * CODES in probed cells are scored (pqTopK scores every code row;
+    * ivfTopK reads full vectors in probed cells). rerankFactor=10 is
+    * the measured knee on this corpus: the nProbe=2 cells contain
+    * every true neighbor (ivfTopK recall 1.0), so recall loss is pure
+    * ADC-truncation — rf 3/6/10/20 → recall 0.44/0.64/0.88/0.92
+    * (captured 2026-08-13), and the rerank cost is k·rf FULL-vector
+    * scores per query regardless of corpus size. Deterministic
+    * codebooks (seeded init, fixed rounds, DECIMAL partials) → frozen
+    * sf0.01 oracle (25 rows, captured 2026-08-13). */
+  private[graft] val simTopkIvfPq = Q("sim_topk_ivfpq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, rerankFactor = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT), CAST('0.3699935965460897' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS INTEGER), CAST(334 AS BIGINT), CAST('0.3627220558741131' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(387 AS BIGINT), CAST('0.33113871888314317' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS INTEGER), CAST(423 AS BIGINT), CAST('0.2969335986409863' AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS INTEGER), CAST(73 AS BIGINT), CAST('0.29543411523164853' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(386 AS BIGINT), CAST('0.37148454183744223' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(27 AS BIGINT), CAST('0.3482081864636984' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(407 AS BIGINT), CAST('0.3270099496117245' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(195 AS BIGINT), CAST('0.32274442635213746' AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS INTEGER), CAST(64 AS BIGINT), CAST('0.3163742953318501' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST('0.318142564237661' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(450 AS BIGINT), CAST('0.26634395520019954' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(3 AS INTEGER), CAST(188 AS BIGINT), CAST('0.263272104561668' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(4 AS INTEGER), CAST(418 AS BIGINT), CAST('0.25402949645206835' AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(5 AS INTEGER), CAST(112 AS BIGINT), CAST('0.24531081757260517' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(1 AS INTEGER), CAST(130 AS BIGINT), CAST('0.39987234325628024' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(2 AS INTEGER), CAST(343 AS BIGINT), CAST('0.30847165466962984' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(3 AS INTEGER), CAST(174 AS BIGINT), CAST('0.30354804540607316' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(4 AS INTEGER), CAST(231 AS BIGINT), CAST('0.29878836545413046' AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(5 AS INTEGER), CAST(207 AS BIGINT), CAST('0.29170184705661967' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(1 AS INTEGER), CAST(114 AS BIGINT), CAST('0.39851269358433744' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(2 AS INTEGER), CAST(496 AS BIGINT), CAST('0.34121178056570023' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(3 AS INTEGER), CAST(408 AS BIGINT), CAST('0.32275312529105415' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(482 AS BIGINT), CAST('0.31389702932135605' AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(280 AS BIGINT), CAST('0.27982608680315935' AS DOUBLE)))
+      AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
+
+  /** Recall + coverage floor for IVF-PQ, independent of the frozen row
+    * (same split as the PQ and LSH-hi gates): recall ≥ 0.8799 (just
+    * under the measured 0.88) against brute-force truth recomputed
+    * here, and the full k×|queries| row count so an empty-probe
+    * regression cannot pass vacuously. */
+  private[graft] val simTopkIvfPqGate = Q("sim_topk_ivfpq_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .dropDuplicates("vec_id") // rehearsal-layout guard, see dedupCorpus
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivfpq = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
+        k = 5, rerankFactor = 10)
+        .localCheckpoint(true) // feeds both the semi-join and the count
+      val recall = exact
+        .join(ivfpq.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("avg_recall"))
+      recall
+        .crossJoin(ivfpq.agg(count(lit(1)).as("ivfpq_rows")))
+        .select(
+          when(col("avg_recall") >= 0.8799, 0L).otherwise(1L)
+            .as("below_recall_floor"),
+          greatest(lit(0L), lit(25L) - col("ivfpq_rows"))
+            .as("ivfpq_row_shortfall"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS below_recall_floor,
+      CAST(0 AS BIGINT) AS ivfpq_row_shortfall"""))
+
   /** Int8 embedding-quantization error bound, verified INDEPENDENTLY by
     * both engines ([[Similarity.int8Quantize]]): each engine quantizes,
     * dequantizes, and recomputes the cosine between the original and

@@ -398,6 +398,98 @@ object Similarity {
     best.select(out: _*)
   }
 
+  /** IVF-PQ composite top-k — the billion-scale ANN architecture
+    * (FAISS's IndexIVFPQ, Jégou et al. 2011 "Product Quantization for
+    * Nearest Neighbor Search"): a coarse quantizer routes the search
+    * to `nProbe` cells, and within cells vectors are represented by PQ
+    * codes of their RESIDUAL (v − centroid[cell]) — residuals
+    * concentrate around 0, so the same code budget quantizes them with
+    * far less error than raw vectors. Scoring is fully asymmetric:
+    * dot(q, v) ≈ dot(q, c) + dot(q_residual_lut, codes), where the
+    * first term is one number per (query, probed cell) and the second
+    * is the additive ADC sum — corpus vectors are never touched until
+    * the exact re-rank of the top `rerankFactor`·k survivors.
+    *
+    * At 100 TB: the index is (cell_id + m codes) per vector — the same
+    * ~128× compression as [[pqTopK]] — and the probe restricts
+    * scoring to nProbe/numCells of the corpus, so the scored-candidate
+    * volume multiplies BOTH prunings (pqTopK scores every code row;
+    * ivfTopK scores full vectors in probed cells; this scores only
+    * CODES in probed cells). The LUT join is an equi-join on
+    * (cell_id, s, code_id) against a broadcast table of
+    * queries × nProbe × m × k partial dots; the coarse and PQ
+    * codebooks are the only driver state. Same determinism posture as
+    * [[pqTopK]]: 9dp-rounded DECIMAL partials, id tiebreaks. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, numCells: Int = 8,
+                nProbe: Int = 2, m: Int = 4, codebookK: Int = 16,
+                iterations: Int = 1, rerankFactor: Int = 3): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // coarse quantizer: cosine cells, deterministic seed (shared with
+    // ivfTopK so the routing behavior is the audited one)
+    val coarse = trainCodebook(corpus, idCol, vecCol, numCells,
+      iterations).localCheckpoint(true)
+    val corpusCells = assignCells(corpus.select(col(idCol).as("vid"),
+      col(vecCol).as("cv")), coarse, "vid", "cv", 1)
+    // residual encode: PQ codebooks trained on (v - centroid), codes
+    // assigned per (vector, subspace) — the index rows
+    val resid = corpusCells.join(broadcast(coarse), Seq("cell_id"))
+      .select(col("vid"), col("cell_id"),
+        zip_with(col("cv"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("rv"))
+      .localCheckpoint(true) // two consumers: codebook train + encode
+    val pqCents = trainPqCodebooks(resid, "vid", "rv", m, codebookK,
+      iterations).localCheckpoint(true)
+    val codes = assignPqCodes(
+      resid.select(col("vid"),
+        posexplode(subvectors(col("rv"), m, sub)).as(Seq("s", "subv"))),
+      pqCents)
+      .join(resid.select("vid", "cell_id"), Seq("vid"))
+    // query side: route to nProbe cells; per probed cell the constant
+    // dot(q, centroid) term plus the residual-LUT of partial dots
+    val queryCells = assignCells(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), coarse, "query_id", "qv", nProbe)
+    val qResid = queryCells.join(broadcast(coarse), Seq("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        round(dot(col("qv"), col("centroid")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("qc"),
+        zip_with(col("qv"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("qrv"))
+    val lut = qResid
+      .select(col("query_id"), col("cell_id"), col("qc"),
+        posexplode(subvectors(col("qrv"), m, sub)).as(Seq("s", "qsubv")))
+      .join(broadcast(pqCents), Seq("s"))
+      .select(col("query_id"), col("cell_id"), col("qc"), col("s"),
+        col("code_id"),
+        round(dot(col("qsubv"), col("centroid")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("pdot"))
+    val approx = codes.join(broadcast(lut), Seq("cell_id", "s", "code_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      // qc repeats identically across a (query, vid) pair's m code
+      // rows: first() folds it back to one constant term
+      .agg((sum(col("pdot")) + first(col("qc"))).as("adc"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vid"))
+    val survivors = approx
+      .withColumn("ar", row_number().over(wApprox))
+      .filter(col("ar") <= k * rerankFactor)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vid"))
+    survivors
+      .join(cv, Seq("vid"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Product-quantization approximate top-k with asymmetric-distance
     * scoring and exact re-rank — the ANN memory-scale path past
     * [[ivfTopK]]: the corpus index is m SMALL CODES per vector

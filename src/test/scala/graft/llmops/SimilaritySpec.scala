@@ -179,6 +179,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert((ranges.getInt(2), ranges.getInt(3)) == (0, k - 1))
   }
 
+  test("ivfPqTopK: k rows per query, self excluded, descending exact " +
+    "scores, and candidates restricted to probed cells") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .dropDuplicates("vec_id")
+    val qs = e.filter(col("vec_id") < 3)
+    val out = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
+      k = 4, numCells = 4, nProbe = 2, rerankFactor = 10).collect()
+    assert(out.length == 12) // 3 queries x k=4
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+      val scores = byRank.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(scores == scores.sorted.reverse, s"q=$q not descending")
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // every returned neighbor must live in one of its query's nProbe
+    // probed cells — the probe really restricts the candidate space
+    val cents = Similarity.trainCodebook(e, "vec_id", "embedding", 4, 1)
+    def cellsOf(df: org.apache.spark.sql.DataFrame, n: Int) = {
+      val scored = df.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          Similarity.cosine(col("embedding"), col("centroid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cdist").desc, col("cell_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= n)
+        .select("vec_id", "cell_id").collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (k2, v) => k2 -> v.map(_.getAs[Long]("cell_id")).toSet }
+    }
+    val qCells = cellsOf(qs, 2)
+    val cCells = cellsOf(e, 1)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val nb = r.getAs[Long]("neighbor_id")
+      assert(qCells(q).intersect(cCells(nb)).nonEmpty,
+        s"neighbor $nb of query $q came from an unprobed cell")
+    }
+  }
+
   test("pqTopK: k rows per query, self excluded, exact re-ranked " +
     "scores descend per query") {
     import org.apache.spark.sql.functions._
