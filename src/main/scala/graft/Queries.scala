@@ -44,7 +44,8 @@ object Queries {
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,
     QueriesDedupSim.dedupNgramJaccard,
-    QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupIncremental,
+    QueriesDedupSim.dedupCorpus, QueriesDedupSim.dedupSurvivorQuality,
+    QueriesDedupSim.dedupIncremental,
     QueriesDedupSim.dedupIncrementalBloom, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.decontaminateSemantic,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,

@@ -334,6 +334,87 @@ private[graft] object QueriesDedupSim {
         SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a)
       ORDER BY id"""))
 
+  /** QUALITY-AWARE survivor election — the curation semantics a real
+    * training-data pipeline wants from near-dup clusters: exact-dup
+    * copies are interchangeable, but NEAR-dup cluster members differ
+    * (truncations, quote-expansions, boilerplate variants), and
+    * min-id election keeps whichever happened to be crawled first.
+    * This row elects per cluster by (n_tokens DESC, doc_id ASC) —
+    * keep the LONGEST member, the standard keep-the-superset rule; a
+    * production pipeline swaps in any portable score (the
+    * text_quality_profile columns compose here unchanged). Same
+    * bounded portable pair set + clustering as [[dedupCorpus]]; the
+    * election itself is one `min_by` over a (-n_tokens, id) struct —
+    * map-side partial, no window, no text in the shuffle (ids and two
+    * ints). Oracle recomputes everything in DuckDB: recursive-CTE
+    * transitive closure + ROW_NUMBER election — a true cross-engine
+    * equivalence, not a frozen snapshot. At 100 TB the pair source is
+    * the MinHash band join and the cluster pass is [[dedupMinhashCorpus]]'s;
+    * the election step is unchanged (cluster_id keyed, constant
+    * payload). */
+  private[graft] val dedupSurvivorQuality = Q("dedup_survivor_quality",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("doc_id") < 200)
+        // identity on the real corpus (unique ids); keeps the bounded
+        // pair demo bounded under rehearsal layouts that replicate
+        // files id-and-all (100 copies/id would square the crossJoin)
+        .dropDuplicates("doc_id")
+        .localCheckpoint(true) // feeds pairs AND the n_tokens join
+      val docs = base.select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+      val ntok = base.select(col("doc_id").as("id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.llmops.Dedup.dedupClusters(pairs)
+        .join(ntok, Seq("id"))
+        .groupBy(col("keep_id").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min_by(struct(col("id"), col("n_tokens")),
+            struct((-col("n_tokens")).as("neg_nt"), col("id"))).as("s"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("s.id").as("keep_id"), col("s.n_tokens").as("n_tokens"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH s AS (SELECT doc_id, text,
+        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 200),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a, s b WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.9),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges)
+      , reach AS (
+        WITH RECURSIVE r(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT a, b FROM r),
+      comp AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      nt AS (SELECT doc_id AS id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          AS n_tokens FROM s),
+      ranked AS (SELECT c.cluster_id, c.id, nt.n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+          ORDER BY nt.n_tokens DESC, c.id) AS rn
+        FROM comp c JOIN nt ON nt.id = c.id),
+      sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+        AS cluster_size FROM comp GROUP BY 1)
+      SELECT r.cluster_id, z.cluster_size, r.id AS keep_id, r.n_tokens
+      FROM ranked r JOIN sizes z USING (cluster_id) WHERE rn = 1
+      ORDER BY cluster_id"""))
+
   /** Incremental corpus dedup — the shape every RUNNING training-data
     * pipeline needs: a new batch is deduped against the accumulated
     * corpus by content fingerprint (left-anti on the digest — the

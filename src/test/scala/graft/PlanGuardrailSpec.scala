@@ -21,7 +21,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
   /** Bounded-id crossJoin oracle demos (doc_id/vec_id-filtered), each
     * documented in Queries.scala with its LSH/banded scale path. */
   private val cartesianOk = Set("dedup_ngram_jaccard", "dedup_corpus",
-    "dedup_embedding", "dedup_containment")
+    "dedup_survivor_quality", "dedup_embedding", "dedup_containment")
 
   /** Queries allowed an unpartitioned window — and ONLY over aggregated
     * input, asserted below: the window's size is bounded by a value
