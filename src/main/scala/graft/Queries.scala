@@ -63,7 +63,7 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
-    QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.dedupContainment,
+    QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,

@@ -1574,6 +1574,82 @@ private[graft] object QueriesDedupSim {
       (CAST(4 AS BIGINT), CAST(4 AS INTEGER), CAST(280 AS BIGINT), CAST('0.27982608680315935' AS DOUBLE)),
       (CAST(4 AS BIGINT), CAST(5 AS INTEGER), CAST(249 AS BIGINT), CAST('0.2796306459978647' AS DOUBLE)))
       AS t(query_id, rank, neighbor_id, cos_sim) ORDER BY query_id, rank"""))
+  /** Index BUILD/SERVE split ([[Similarity.buildPqIndex]] /
+    * [[Similarity.pqTopKFromIndex]]): the PQ codebooks + codes persist
+    * as a parquet artifact and top-k is served from the artifact with
+    * NO recomputation — the offline-build / online-serve separation a
+    * production retrieval stack runs (the codes table is the
+    * ~128×-compressed thing that ships to the serving fleet). Shares
+    * [[simTopkPq]]'s frozen oracle VERBATIM: the served path must
+    * reproduce the inline path byte-for-byte through the parquet
+    * round-trip — codebook doubles, code assignments, DECIMAL ADC
+    * partials and the rerank all survive persistence, or the hash
+    * flips. */
+  private[graft] val simTopkPqServed = Q("sim_topk_pq_served",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val root = QueriesStreaming.StreamTemp.dir("graft_pq_index")
+      Similarity.buildPqIndex(e, "vec_id", "embedding", s"$root/idx")
+      Similarity.pqTopKFromIndex(s"$root/idx", e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    simTopkPq.oracle)
+
+  /** Incremental ANN index maintenance ([[Similarity.assignToCells]]):
+    * a RUNNING index appends new vector batches by routing them
+    * through the FROZEN coarse quantizer — retraining per batch would
+    * invalidate every stored assignment (and at 100 TB, re-encode the
+    * whole corpus). The row trains the codebook on the corpus cut
+    * (vec_id < 400) ONLY, routes the held-out batch through it, and
+    * emits the per-cell (corpus, batch) occupancy — exactly the
+    * balance monitor a production deployment watches: a batch whose
+    * routing skews hard against the corpus distribution is the
+    * retrain trigger (codebook drift), while balanced in-flow means
+    * the frozen quantizer still fits. Deterministic codebook → frozen
+    * sf0.01 oracle (16 cells, captured 2026-08-13); a regression in
+    * codebook seeding, Lloyd rounds, or assignment tiebreaks shifts
+    * the counts. The routing cost is one broadcast of numCells
+    * centroids against the BATCH only — the corpus is never
+    * re-touched, which is the point. */
+  private[graft] val simIndexIncremental = Q("sim_index_incremental",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val corpus = e.filter(col("vec_id") < 400)
+      val batch = e.filter(col("vec_id") >= 400)
+      val cents = Similarity.trainCodebook(corpus, "vec_id",
+        "embedding", 16, 1)
+      val nc = Similarity.assignToCells(corpus, cents, "vec_id",
+          "embedding")
+        .groupBy("cell_id").agg(count(lit(1)).as("n_corpus"))
+      val nb = Similarity.assignToCells(batch, cents, "vec_id",
+          "embedding")
+        .groupBy("cell_id").agg(count(lit(1)).as("n_batch"))
+      nc.join(nb, Seq("cell_id"), "full_outer")
+        .select(col("cell_id"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+        .orderBy("cell_id")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(29 AS BIGINT), CAST(4 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(23 AS BIGINT), CAST(8 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(25 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(25 AS BIGINT), CAST(8 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(26 AS BIGINT), CAST(5 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(25 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(6 AS BIGINT), CAST(31 AS BIGINT), CAST(4 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(27 AS BIGINT), CAST(10 AS BIGINT)),
+      (CAST(8 AS BIGINT), CAST(29 AS BIGINT), CAST(4 AS BIGINT)),
+      (CAST(9 AS BIGINT), CAST(17 AS BIGINT), CAST(6 AS BIGINT)),
+      (CAST(10 AS BIGINT), CAST(30 AS BIGINT), CAST(9 AS BIGINT)),
+      (CAST(11 AS BIGINT), CAST(20 AS BIGINT), CAST(7 AS BIGINT)),
+      (CAST(12 AS BIGINT), CAST(24 AS BIGINT), CAST(8 AS BIGINT)),
+      (CAST(13 AS BIGINT), CAST(26 AS BIGINT), CAST(6 AS BIGINT)),
+      (CAST(14 AS BIGINT), CAST(24 AS BIGINT), CAST(4 AS BIGINT)),
+      (CAST(15 AS BIGINT), CAST(19 AS BIGINT), CAST(5 AS BIGINT)))
+      AS t(cell_id, n_corpus, n_batch) ORDER BY cell_id"""))
+
   /** Constant-0 gate for [[simTopkPq]]: (a) mean recall vs the exact
     * brute-force top-5 stays at/above its measured 0.52 (floor 0.5199
     * absorbs float-sum ulp — the convention `sim_lsh_recall_gate`

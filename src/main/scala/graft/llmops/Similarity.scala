@@ -142,6 +142,16 @@ object Similarity {
     cents
   }
 
+  /** Public assignment seam for INDEX MAINTENANCE: route vectors to
+    * their nearest coarse cell(s) under an EXISTING codebook — the
+    * append path of a running ANN index, where new batches must route
+    * through the frozen quantizer (retraining would invalidate every
+    * stored code/cell assignment). Returns (id, cell_id). */
+  def assignToCells(df: DataFrame, cents: DataFrame, idCol: String,
+                    vecCol: String, nCells: Int = 1): DataFrame =
+    assignCells(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      cents, "id", "v", nCells).select("id", "cell_id")
+
   private def assignCells(df: DataFrame, cents: DataFrame, idAs: String,
                           vecAs: String, nCells: Int): DataFrame = {
     val scored = df.select(col(idAs), col(vecAs))
@@ -515,6 +525,18 @@ object Similarity {
       corpus.select(col(idCol).as("vid"),
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
       cents)
+    pqServe(codes, cents, corpus, queries, idCol, vecCol, k, m, sub,
+      rerankFactor)
+  }
+
+  /** The PQ SERVE stage, shared by the inline [[pqTopK]] and the
+    * persisted-index [[pqTopKFromIndex]] path: broadcast per-query ADC
+    * lookup table, additive approximate scores over the code rows,
+    * exact-cosine re-rank of the top `rerankFactor`·k. */
+  private def pqServe(codes: DataFrame, cents: DataFrame,
+                      corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, m: Int,
+                      sub: Int, rerankFactor: Int): DataFrame = {
     // per-query lookup table: partial dot of the query subvector with
     // every centroid of its subspace (m×k rows per query, broadcast)
     val lut = queries
@@ -545,5 +567,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
         col("cos_sim"))
+  }
+
+  /** BUILD the PQ index as a persisted artifact: codebooks + codes as
+    * parquet under `path`. This is the offline half of the
+    * build/serve split a production retrieval stack runs — the index
+    * is built once per corpus version (the expensive training +
+    * assignment pass), then served arbitrarily many times without
+    * recomputation. At 100 TB the codes table is the ~128×-compressed
+    * artifact that ships to the serving fleet; versioning it is what
+    * [[graft.sources.ManifestTable]] is for. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, m: Int = 4, codebookK: Int = 16,
+                   iterations: Int = 1): Unit = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
+      iterations).localCheckpoint(true)
+    cents.write.mode("overwrite").parquet(s"$path/codebooks")
+    assignPqCodes(
+      corpus.select(col(idCol).as("vid"),
+        posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
+      cents)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** SERVE top-k from a [[buildPqIndex]] artifact: codebooks/codes are
+    * read back from `path`, never recomputed — byte-identical results
+    * to the inline [[pqTopK]] at the same geometry (the registered
+    * `sim_topk_pq_served` row proves it against the SAME frozen
+    * oracle). `corpus` supplies only the re-rank vectors (the refine
+    * step needs originals; same contract as a FAISS refine index). */
+  def pqTopKFromIndex(path: String, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      rerankFactor: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+    val geom = cents.agg(max(col("s")).as("ms"),
+      max(size(col("centroid"))).as("sub")).head()
+    pqServe(codes, cents, corpus, queries, idCol, vecCol, k,
+      m = geom.getInt(0) + 1, sub = geom.getInt(1),
+      rerankFactor = rerankFactor)
   }
 }
