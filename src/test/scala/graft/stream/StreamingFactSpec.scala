@@ -256,10 +256,10 @@ class StreamingFactSpec extends AnyFunSuite {
   // micro-batches over pre-staged files) so the restarted query re-reads
   // offsets exactly as a restarted cluster job would.
 
-  test("kill-and-restart (a): stream-stream join resumes exactly-once " +
-    "from checkpoint after a crash between batches") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_recover_join").toString
+  /** Scenario (a) body, shared by the default-provider and RocksDB
+    * tests: the state backend changes, the exactly-once contract must
+    * not. */
+  private def killRestartJoinScenario(root: String): Unit = {
     def stage(side: String,
               files: Seq[Seq[(Long, Long, java.sql.Timestamp)]]): Unit =
       files.zipWithIndex.foreach { case (rows, i) =>
@@ -328,6 +328,28 @@ class StreamingFactSpec extends AnyFunSuite {
     assert(result("truth") == expected)
     assert(result("kill") == expected,
       "restarted run dropped or double-emitted rows")
+  }
+
+  test("kill-and-restart (a): stream-stream join resumes exactly-once " +
+    "from checkpoint after a crash between batches") {
+    killRestartJoinScenario(java.nio.file.Files
+      .createTempDirectory("graft_recover_join").toString)
+  }
+
+  test("kill-and-restart (a, RocksDB): same exactly-once contract on " +
+    "the state backend a 100TB deployment runs") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try killRestartJoinScenario(java.nio.file.Files
+      .createTempDirectory("graft_recover_join_rocks").toString)
+    finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("kill-and-restart (b): crash AFTER sink write replays the " +
