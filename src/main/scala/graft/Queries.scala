@@ -36,6 +36,7 @@ object Queries {
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
     QueriesCore.manifestSync, QueriesCore.bucketedJoin,
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
+    QueriesCore.mvIncrementalDaily,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,
@@ -63,7 +64,8 @@ object Queries {
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
-    QueriesText.chunkDocuments, QueriesText.stratifiedSample, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
+    QueriesText.chunkDocuments, QueriesText.stratifiedSample,
+    QueriesText.sampleWeighted, QueriesText.bpePairCounts, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,
@@ -101,6 +103,6 @@ object Queries {
     QueriesAnalytics.statsEntropy, QueriesAnalytics.basketLift,
     QueriesAnalytics.statsBenford, QueriesAnalytics.survivalKm,
     QueriesAnalytics.windowPercentiles, QueriesAnalytics.intervalConcurrency,
-    QueriesAnalytics.dowSeasonality)
+    QueriesAnalytics.dowSeasonality, QueriesAnalytics.seasonalAnomaly)
 }
 

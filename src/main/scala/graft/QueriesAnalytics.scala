@@ -746,4 +746,81 @@ private[graft] object QueriesAnalytics {
       FROM o CROSS JOIN tot
       GROUP BY dow, total ORDER BY dow"""))
 
+  /** ADDITIVE SEASONAL DECOMPOSITION + residual anomaly flag over the
+    * daily event count — the classic trend/seasonal/residual split
+    * (STL's moving-average skeleton): trend = centered 7-day moving
+    * average (interior days only, m = 7), seasonal = day-of-week mean
+    * of the detrended series, residual = detrended − seasonal, flagged
+    * when it exceeds 15% of trend. Determinism: the detrended series
+    * is carried as the EXACT integer 7·n − Σ₇n (never a summed
+    * double), the day-of-week mean sums those integers, and every
+    * double emerges from one terminal expression over exact inputs —
+    * the [[anomalyZscore]] discipline. Both unpartitioned windows run
+    * over the AGGREGATED daily series (bounded by the calendar, the
+    * [[graft.etl.Ranking]] justification), so the raw event volume
+    * never meets a global sort: the plan is one count shuffle + two
+    * tiny windows at any scale. */
+  private[graft] val seasonalAnomaly = Q("seasonal_anomaly",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val wMa = Window.orderBy("date").rowsBetween(-3, 3)
+      val interior = daily
+        .select(col("date"), col("n"),
+          sum(col("n")).over(wMa).as("s1"),
+          count(col("n")).over(wMa).as("m"))
+        .filter(col("m") === 7) // centered MA defined on interior days
+        .select(col("date"), col("n"), col("s1"),
+          (dayofweek(col("date")) - 1).as("dow"),
+          (lit(7L) * col("n") - col("s1")).as("detr7")) // exact 7·detrended
+      val wDow = Window.partitionBy("dow")
+      val trend = col("s1").cast("double") / 7.0
+      val seasonal = col("dsum").cast("double") /
+        (lit(7.0) * col("dcnt").cast("double"))
+      val resid = col("detr7").cast("double") / 7.0 - seasonal
+      interior
+        .select(col("date"), col("n"), col("dow"), col("s1"),
+          col("detr7"),
+          sum(col("detr7")).over(wDow).as("dsum"),
+          count(col("detr7")).over(wDow).as("dcnt"))
+        .select(col("date"), col("n"), col("dow"),
+          round(trend, 6).as("trend"),
+          round(seasonal, 6).as("seasonal"),
+          round(resid, 6).as("residual"),
+          (abs(resid) > lit(0.15) * trend).as("is_anomaly"))
+        .orderBy("date")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      ma AS (
+        SELECT date, n,
+          CAST(SUM(n) OVER f AS BIGINT) AS s1,
+          COUNT(n) OVER f AS m
+        FROM daily
+        WINDOW f AS (ORDER BY date
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      interior AS (
+        SELECT date, n, s1,
+          CAST(dayofweek(date) AS INTEGER) AS dow,
+          7 * n - s1 AS detr7
+        FROM ma WHERE m = 7),
+      season AS (
+        SELECT date, n, dow, s1, detr7,
+          CAST(SUM(detr7) OVER (PARTITION BY dow) AS BIGINT) AS dsum,
+          COUNT(detr7) OVER (PARTITION BY dow) AS dcnt
+        FROM interior)
+      SELECT date, n, dow,
+        ROUND(CAST(s1 AS DOUBLE) / 7.0, 6) AS trend,
+        ROUND(CAST(dsum AS DOUBLE) / (7.0 * CAST(dcnt AS DOUBLE)), 6)
+          AS seasonal,
+        ROUND(CAST(detr7 AS DOUBLE) / 7.0 -
+          CAST(dsum AS DOUBLE) / (7.0 * CAST(dcnt AS DOUBLE)), 6)
+          AS residual,
+        ABS(CAST(detr7 AS DOUBLE) / 7.0 -
+          CAST(dsum AS DOUBLE) / (7.0 * CAST(dcnt AS DOUBLE)))
+          > 0.15 * (CAST(s1 AS DOUBLE) / 7.0) AS is_anomaly
+      FROM season ORDER BY date"""))
+
 }

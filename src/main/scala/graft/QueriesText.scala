@@ -993,4 +993,88 @@ private[graft] object QueriesText {
       FROM top CROSS JOIN total
       ORDER BY rank"""))
 
+  /** DETERMINISTIC WEIGHT-PROPORTIONAL SAMPLING (Poisson sampling with
+    * per-row inclusion probability min(1, k·w/W)) — the "sample 100
+    * documents, long ones proportionally more often" primitive behind
+    * importance-weighted corpus subsetting, where the weight is any
+    * per-row quality/length score. Inclusion is a pure function of the
+    * row key: u = first 8 md5 hex digits of the salted doc id (a
+    * 32-bit uniform), keep iff u·W < w·k·2^32 — rearranged so BOTH
+    * sides are exact integer products (evaluated in DECIMAL(38,0) /
+    * HUGEINT, overflow-proof at any corpus weight), never a float or a
+    * libm call, so DuckDB reproduces the sample membership
+    * bit-for-bit. The scale shape: one 1-row total-weight aggregate
+    * broadcast back over the scan — sampling itself is a stateless
+    * filter, no shuffle, no sort, resumable per-partition; E[size] = k
+    * regardless of corpus size; replayable (the same doc set at every
+    * rerun — the property ad-hoc rand() sampling can never give a
+    * 100 TB pipeline). */
+  private[graft] val sampleWeighted = Q("sample_weighted",
+    (s, dir) => {
+      val k = 100L
+      val docs = t(s, dir, "documents")
+      val wTotal = docs.agg(sum(col("n_chars")).as("w_total")) // 1 row
+      val u32 = conv(substring(md5(concat(lit("w:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs
+        .withColumn("u32", u32)
+        .crossJoin(broadcast(wTotal)) // 1-row aggregate compose
+        .filter(col("u32").cast(DecimalType(38, 0)) *
+          col("w_total").cast(DecimalType(38, 0)) <
+          col("n_chars").cast(DecimalType(38, 0)) *
+            lit(k * 4294967296L).cast(DecimalType(38, 0)))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tot AS (SELECT SUM(n_chars) AS w_total FROM documents)
+      SELECT doc_id, source, n_chars
+      FROM documents CROSS JOIN tot
+      WHERE CAST(CAST('0x' || substring(
+          md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          AS HUGEINT) * w_total
+        < CAST(n_chars AS HUGEINT) * 429496729600
+      ORDER BY doc_id"""))
+
+  /** BPE TOKENIZER-TRAINING MERGE STEP — the corpus-wide adjacent-pair
+    * count whose argmax becomes the next merge rule (Sennrich et al.
+    * 2016; the statistic a distributed tokenizer trainer computes once
+    * per merge round over the full corpus). Top-20 adjacent character
+    * pairs inside whitespace tokens. The plan is pure scan-side
+    * generation: tokens explode from the scan, each token's pairs come
+    * from `transform(sequence(...))` over the token (substr(i,2) IS
+    * the adjacent pair — no join, no window), and the only shuffle
+    * carries (2-char pair, partial count) with map-side combine; the
+    * top-20 is TakeOrderedAndProject. A full BPE train is this query
+    * in a driver loop (apply argmax merge, re-split, recount) — each
+    * round stays this same one-shuffle shape. Guard: `sequence(a,b)`
+    * DESCENDS when b < a (1-char tokens would fabricate pairs), so
+    * single-char tokens are filtered before pair generation. */
+  private[graft] val bpePairCounts = Q("bpe_pair_counts",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("tok"))
+        .filter(col("tok") =!= "" && length(col("tok")) >= 2)
+      toks
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+    Some(raw"""WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS tok
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      pairs AS (
+        SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+        FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1))
+            AS i
+          FROM toks WHERE tok != '' AND length(tok) >= 2))
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1
+      ORDER BY n DESC, pair LIMIT 20"""))
+
 }
