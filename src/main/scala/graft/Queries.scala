@@ -56,6 +56,7 @@ object Queries {
     QueriesDedupSim.simTopkLshHi, QueriesDedupSim.simTopkLshHiGate,
     QueriesDedupSim.simTopkIvfPq, QueriesDedupSim.simTopkIvfPqGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
+    QueriesDedupSim.embeddingPca, QueriesDedupSim.embeddingPcaGate,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,

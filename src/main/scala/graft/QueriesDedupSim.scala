@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llmops.{Dedup, Similarity, TextAnalysis}
+import graft.llmops.{Dedup, Pca, Similarity, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 3 — corpus deduplication (exact, MinHash+LSH, SimHash,
@@ -2000,5 +2000,77 @@ private[graft] object QueriesDedupSim {
         WHERE rn = 1)
       SELECT query_id, rank, id AS neighbor_id, score FROM sel5
       ORDER BY query_id, rank"""))
+
+  /** TOP PRINCIPAL COMPONENT over the embedding corpus
+    * ([[graft.llmops.Pca]]): the d×d second-moment matrix is the only
+    * cluster-crossing state (exact BIGINT sums over the repo-standard
+    * 1e-3-quantized coordinates; O(d²) shuffle rows after map-side
+    * combine), power iteration runs on the collected 64×64 matrix
+    * (the bounded-model-state precedent of the k-means centroids),
+    * and projection re-enters as a literal-array scan expression —
+    * no second shuffle. Output: the 25 most extreme documents along
+    * PC1 (quantized projections). Frozen sf0.01 oracle — the
+    * xxhash64-family precedent for engine-specific-but-deterministic
+    * outputs; the semantic invariants (λ ≥ max diagonal variance,
+    * eigen-residual ≤ 1%) are [[embeddingPcaGate]]'s. */
+  private[graft] val embeddingPca = Q("embedding_pca",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val (cov, _) = Pca.scaledCovariance(e, "embedding")
+      val v = Pca.topComponent(cov)
+      Pca.project(e, "embedding", v)
+        .select(col("vec_id"), col("label"), col("proj_q"))
+        .orderBy(abs(col("proj_q")).desc, col("vec_id"))
+        .limit(25)
+        .orderBy("vec_id")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(16 AS BIGINT), CAST(2 AS INTEGER), CAST(400 AS BIGINT)),
+      (CAST(20 AS BIGINT), CAST(6 AS INTEGER), CAST(-352 AS BIGINT)),
+      (CAST(35 AS BIGINT), CAST(9 AS INTEGER), CAST(373 AS BIGINT)),
+      (CAST(54 AS BIGINT), CAST(6 AS INTEGER), CAST(-332 AS BIGINT)),
+      (CAST(123 AS BIGINT), CAST(5 AS INTEGER), CAST(346 AS BIGINT)),
+      (CAST(125 AS BIGINT), CAST(9 AS INTEGER), CAST(425 AS BIGINT)),
+      (CAST(197 AS BIGINT), CAST(1 AS INTEGER), CAST(-439 AS BIGINT)),
+      (CAST(247 AS BIGINT), CAST(0 AS INTEGER), CAST(-339 AS BIGINT)),
+      (CAST(254 AS BIGINT), CAST(9 AS INTEGER), CAST(391 AS BIGINT)),
+      (CAST(260 AS BIGINT), CAST(8 AS INTEGER), CAST(-452 AS BIGINT)),
+      (CAST(262 AS BIGINT), CAST(2 AS INTEGER), CAST(411 AS BIGINT)),
+      (CAST(282 AS BIGINT), CAST(0 AS INTEGER), CAST(406 AS BIGINT)),
+      (CAST(288 AS BIGINT), CAST(0 AS INTEGER), CAST(363 AS BIGINT)),
+      (CAST(302 AS BIGINT), CAST(4 AS INTEGER), CAST(-396 AS BIGINT)),
+      (CAST(316 AS BIGINT), CAST(2 AS INTEGER), CAST(373 AS BIGINT)),
+      (CAST(385 AS BIGINT), CAST(8 AS INTEGER), CAST(-326 AS BIGINT)),
+      (CAST(391 AS BIGINT), CAST(9 AS INTEGER), CAST(347 AS BIGINT)),
+      (CAST(402 AS BIGINT), CAST(7 AS INTEGER), CAST(367 AS BIGINT)),
+      (CAST(412 AS BIGINT), CAST(4 AS INTEGER), CAST(-358 AS BIGINT)),
+      (CAST(419 AS BIGINT), CAST(2 AS INTEGER), CAST(335 AS BIGINT)),
+      (CAST(421 AS BIGINT), CAST(4 AS INTEGER), CAST(336 AS BIGINT)),
+      (CAST(444 AS BIGINT), CAST(6 AS INTEGER), CAST(-426 AS BIGINT)),
+      (CAST(455 AS BIGINT), CAST(5 AS INTEGER), CAST(437 AS BIGINT)),
+      (CAST(468 AS BIGINT), CAST(5 AS INTEGER), CAST(350 AS BIGINT)),
+      (CAST(492 AS BIGINT), CAST(5 AS INTEGER), CAST(-358 AS BIGINT)))
+      AS t(vec_id, label, proj_q) ORDER BY vec_id"""))
+
+  /** The PCA invariants, recomputed from scratch and gated to a
+    * constant-0 row: (a) the Rayleigh quotient of the returned
+    * component must be ≥ the largest per-axis variance — PC1 explains
+    * at least as much variance as any coordinate axis, the defining
+    * property a caller relies on; (b) the relative eigen-residual
+    * ‖Cv − λv‖/λ must be ≤ 1% — a direct convergence certificate for
+    * the power iteration (a bad/early-stopped vector fails (b) even
+    * when (a) happens to hold). */
+  private[graft] val embeddingPcaGate = Q("embedding_pca_gate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val (cov, _) = Pca.scaledCovariance(e, "embedding")
+      val v = Pca.topComponent(cov)
+      val (lam, maxDiag) = Pca.rayleighAndMaxDiag(cov, v)
+      val resid = Pca.eigenResidual(cov, v, lam)
+      val bad = (if (lam >= maxDiag) 0 else 1) +
+        (if (resid <= 0.01) 0 else 1)
+      s.sql(s"SELECT CAST($bad AS BIGINT) AS n_violations")
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
 }
