@@ -37,7 +37,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "revenue_lorenz", // cumulative share over the 10-row decile aggregate
     "revenue_gini", // same 10-row decile window as revenue_lorenz
     "survival_km", // risk-set + survival windows over the day-domain KM table
-    "interval_concurrency") // sweep-line cumsum over the day-domain delta table
+    "interval_concurrency", // sweep-line cumsum over the day-domain delta table
+    "seasonal_anomaly") // centered-MA window over the calendar-sized daily aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
@@ -341,5 +342,47 @@ class PlanGuardrailSpec extends AnyFunSuite {
       assert(!codegen.startsWith("Found 0 WholeStageCodegen"),
         codegen.take(200))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("sample_weighted samples scan-side: no Exchange below the filter, " +
+    "total-weight compose is a 1-row broadcast") {
+    val df = Queries.all.find(_.name == "sample_weighted").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only joins are the 1-row total-weight compose (nested-loop
+    // against a 1-row aggregate) — membership itself never shuffles
+    assert(!plan.contains("SortMergeJoin"),
+      s"sampling grew a shuffle join:\n$plan")
+    // exchanges: the 1-row aggregate's own (trivial) + the final sort —
+    // none may carry the documents relation pre-filter
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"sample membership hash-shuffled the corpus:\n$plan")
+  }
+
+  test("bpe_pair_counts is one partial-aggregated shuffle + TakeOrdered") {
+    val df = Queries.all.find(_.name == "bpe_pair_counts").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 lost its TakeOrderedAndProject:\n$plan")
+    // exactly one hash exchange: the (pair, partial count) combine
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"pair counting should shuffle once (partial counts), saw $exchanges:\n$plan")
+    // partial_count before the exchange = map-side combine engaged
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+
+  test("mv_incremental_daily: the refresh merge shuffles partials, and " +
+    "the stored view is read from parquet (not recomputed)") {
+    val df = Queries.all.find(_.name == "mv_incremental_daily").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the stored-state scan is a plain parquet relation scan of the
+    // temp view dir — proof the merged result builds on persisted
+    // partials rather than silently re-aggregating the base slice
+    assert(plan.contains("graft_mv_daily"),
+      s"stored MV state not read from its parquet dir:\n${plan.take(1500)}")
   }
 }
