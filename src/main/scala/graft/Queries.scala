@@ -36,7 +36,8 @@ object Queries {
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
     QueriesCore.manifestSync, QueriesCore.bucketedJoin,
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
-    QueriesCore.mvIncrementalDaily,
+    QueriesCore.mvIncrementalDaily, QueriesCore.mvIncrementalStats,
+    QueriesCore.manifestCompact,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,
@@ -66,7 +67,8 @@ object Queries {
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
-    QueriesText.sampleWeighted, QueriesText.bpePairCounts, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
+    QueriesText.sampleWeighted, QueriesText.bpePairCounts,
+    QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,

@@ -709,4 +709,93 @@ private[graft] object QueriesCore {
         AS avg_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** INCREMENTAL SECOND-MOMENT MAINTENANCE — the variance companion to
+    * [[mvIncrementalDaily]] (Chan et al. parallel-variance posture,
+    * re-expressed as stored partials): per event type the view keeps
+    * (n, Σc, Σc²) over exact integer cents; a delta batch merges by
+    * plain partial addition, and mean/variance/stddev are terminal
+    * expressions over the merged exact sums — so incremental refresh
+    * provably equals full recompute (the oracle) without Welford-style
+    * sequential state, and nothing ever rescans history. Σc² rides
+    * DECIMAL(38,0): overflow-proof at any corpus size where BIGINT's
+    * 9.2e18 would clip (cents² × 1e9 rows ≈ 1e17 already brushes it).
+    */
+  private[graft] val mvIncrementalStats = Q("mv_incremental_stats",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("date"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).as("s1"),
+            sum((col("c") * col("c")).cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 0)).as("s2"))
+      val stored = partials(ev.filter(dayofmonth(col("date")) <= 25))
+      val delta = partials(ev.filter(dayofmonth(col("date")) > 25))
+      val nD = col("n").cast("double")
+      val meanC = col("s1").cast("double") / (nD * 100.0)
+      val varC = (nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (nD * (nD - 1.0)) / 10000.0
+      graft.etl.Materialized
+        .mergePartials(stored, delta, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(meanC, 6).as("mean_value"),
+          round(varC, 6).as("var_value"),
+          round(sqrt(varC), 6).as("stddev_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH p AS (SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+        SUM(CAST(ROUND(value * 100) AS BIGINT) *
+            CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY 1)
+      SELECT event_type, n,
+        ROUND(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+          AS mean_value,
+        ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0, 6)
+          AS var_value,
+        ROUND(SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0), 6)
+          AS stddev_value
+      FROM p ORDER BY event_type"""))
+
+  /** MANIFEST-TABLE COMPACTION under CORRECTNESS
+    * ([[graft.sources.ManifestTable.compact]]): five fragmented
+    * append commits rewritten into a 2-file layout as a NEW snapshot —
+    * the registered output proves the compacted table is row-for-row
+    * the pre-compaction table (the oracle is the plain source
+    * relation) and that the layout actually shrank to the target
+    * (`compacted` pins both directions; a no-op compact or a lossy
+    * rewrite each flip it). Concurrency posture is ManifestTableSpec's
+    * (readers pinned at version N survive the compact; vacuum-vs-
+    * pinned-reader contract). At 100 TB this is the nightly small-file
+    * pass that keeps scan task counts sane under streaming ingest. */
+  private[graft] val manifestCompact = Q("manifest_compact",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_compact")
+      val tbl = s"$root/tbl"
+      (0 until 5).foreach { i =>
+        graft.sources.ManifestTable.commitAppend(s, tbl,
+          c.filter(col("c_custkey") % 5 === i))
+      }
+      val filesBefore =
+        graft.sources.ManifestTable.read(s, tbl).inputFiles.length
+      graft.sources.ManifestTable.compact(s, tbl, targetFiles = 2)
+      val after = graft.sources.ManifestTable.read(s, tbl)
+      val filesAfter = after.inputFiles.length
+      after
+        .withColumn("compacted",
+          lit(filesAfter <= 2 && filesBefore > filesAfter))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c.*, TRUE AS compacted
+      FROM customer c ORDER BY c_custkey"""))
+
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llmops.{Multimodal, TextAnalysis}
+import graft.llmops.{Bpe, Multimodal, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 4 — text analysis, corpus curation, and multimodal
@@ -1076,5 +1076,67 @@ private[graft] object QueriesText {
       SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
       FROM pairs GROUP BY 1
       ORDER BY n DESC, pair LIMIT 20"""))
+
+  /** FULL BPE TOKENIZER TRAINING ([[graft.llmops.Bpe.train]], 10 merge
+    * rounds over the corpus vocabulary): the learned merge table, in
+    * order. The corpus collapses once to (token, freq); every round is
+    * a vocab-sized freq-weighted pair aggregate + 1-row argmax collect
+    * + scan-side greedy fold — corpus bytes never re-enter after the
+    * first shuffle (the `graph_pagerank` driver-sequenced posture,
+    * localCheckpoint barriers between rounds). Frozen sf0.01 oracle
+    * (engine-specific deterministic output, the xxhash64-family
+    * precedent); the semantic invariants live in [[bpeTrainGate]]. */
+  private[graft] val bpeTrainMerges = Q("bpe_train_merges",
+    (s, dir) => {
+      val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", 10)
+      import s.implicits._
+      merges.map(m => (m.round, m.left, m.right, m.left + m.right,
+        m.weight))
+        .toDF("round", "left", "right", "merged", "weight")
+        .orderBy("round")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(1 AS INTEGER), 'e', 'r', 'er', CAST(4568 AS BIGINT)),
+      (CAST(2 AS INTEGER), 'i', 'n', 'in', CAST(2760 AS BIGINT)),
+      (CAST(3 AS INTEGER), 'o', 'w', 'ow', CAST(2747 AS BIGINT)),
+      (CAST(4 AS INTEGER), 'o', 'r', 'or', CAST(2696 AS BIGINT)),
+      (CAST(5 AS INTEGER), 's', 't', 'st', CAST(2676 AS BIGINT)),
+      (CAST(6 AS INTEGER), 'm', 'er', 'mer', CAST(1852 AS BIGINT)),
+      (CAST(7 AS INTEGER), 'a', 't', 'at', CAST(1845 AS BIGINT)),
+      (CAST(8 AS INTEGER), 'l', 'u', 'lu', CAST(1831 AS BIGINT)),
+      (CAST(9 AS INTEGER), 'a', 'r', 'ar', CAST(1758 AS BIGINT)),
+      (CAST(10 AS INTEGER), 'p', 'ar', 'par', CAST(1758 AS BIGINT)))
+      AS t("round", "left", "right", merged, weight)
+      ORDER BY 1"""))
+
+  /** The BPE training invariants, audited per round and gated to a
+    * constant-0 row: (a) winning weights are NON-INCREASING across
+    * rounds — a merge can only create pairs bounded by its own count
+    * while consuming others, so a rising argmax means the recount is
+    * wrong; (b) the conservation law: applying a merge must shrink
+    * Σ freq·|syms| by EXACTLY its counted weight when left ≠ right
+    * (such occurrences cannot overlap), and by 0 < applied ≤ weight
+    * for self-pairs (adjacent counting sees overlaps inside runs —
+    * "aaa" counts 2 but the greedy fold consumes 1, the reference BPE
+    * behavior). A wrong fold, a double-merge, or a stale-vocab
+    * recount each break the applicable case. */
+  private[graft] val bpeTrainGate = Q("bpe_train_gate",
+    (s, dir) => {
+      val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", 10,
+        audit = true)
+      val monotone = merges.sliding(2).count {
+        case Seq(x, y) => y.weight > x.weight
+        case _ => false
+      }
+      val conserve = merges.count { m =>
+        val applied = m.symsBefore - m.symsAfter
+        if (m.left != m.right) applied != m.weight
+        else applied <= 0 || applied > m.weight
+      }
+      val nonEmpty = if (merges.size == 10) 0 else 1
+      s.sql(s"SELECT CAST(${monotone + conserve + nonEmpty} AS BIGINT)" +
+        " AS n_violations")
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
 }

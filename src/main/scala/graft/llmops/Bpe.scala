@@ -1,0 +1,112 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) as a
+  * driver-sequenced Spark loop — the full version of the single
+  * merge-round statistic `bpe_pair_counts` registers.
+  *
+  * Scale shape — the part worth copying: training never iterates over
+  * the corpus. The corpus collapses ONCE to a (token, freq) vocabulary
+  * table (one shuffle, output bounded by vocabulary size — Heaps-law
+  * sublinear in corpus bytes), and every merge round runs on that
+  * table: pair counts are freq-weighted aggregates over vocab rows
+  * (shuffle carries pair keys), the argmax is a 1-row collect, and the
+  * merge application is a scan-side higher-order fold over each
+  * token's symbol array. 10 rounds = 10 vocab-sized shuffles +
+  * 10 one-row collects, regardless of corpus size — the same
+  * driver-sequenced-iteration posture as `graph_pagerank`, with
+  * `localCheckpoint` barriers so round R's plan doesn't re-derive
+  * rounds 1..R-1.
+  *
+  * Determinism: counts are exact longs; the argmax breaks ties by
+  * (weight DESC, left ASC, right ASC) — a total order, so the merge
+  * sequence is reproducible anywhere. The greedy fold merges leftmost
+  * non-overlapping occurrences (the reference BPE behavior): on
+  * "aaa" with rule (a,a) the fold yields [aa, a], because the freshly
+  * merged symbol, not the raw one, is what the next comparison sees.
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` → `left ++ right`, with the
+    * freq-weighted occurrence count that won the round, and the
+    * total-symbol audit pair. Conservation law: when left ≠ right the
+    * occurrences cannot overlap, so applying the merge shrinks
+    * Σ freq·|syms| by EXACTLY `weight`; for self-pairs adjacent
+    * counting sees overlaps inside runs ("aaa" counts 2, the greedy
+    * fold consumes 1), so the applied count is 0 < applied ≤ weight. */
+  case class Merge(round: Int, left: String, right: String,
+                   weight: Long, symsBefore: Long, symsAfter: Long)
+
+  /** Corpus → (token, freq, syms) vocabulary: the ONE corpus-sized
+    * aggregation of the whole train. Tokens are whitespace words,
+    * lowercased; symbols start as single characters. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
+
+  /** Freq-weighted adjacent-pair counts over the vocab's symbol
+    * arrays. Guarded on |syms| ≥ 2 (`sequence(a,b)` DESCENDS when
+    * b < a — the 1-symbol-token trap). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS l,
+                         element_at(syms, i + 1) AS r))""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("weight"))
+
+  /** Greedy leftmost fold applying merge (a, b) → a++b to a symbol
+    * array — built with the Column API (no SQL-string interpolation,
+    * so symbols containing quotes can't break the expression). */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val merged = lit(a + b)
+    aggregate(syms, typedLit(Array.empty[String]), (acc, x) =>
+      when(size(acc) > 0 &&
+        element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Run `rounds` merge rounds; returns the learned merges and the
+    * final vocabulary (tok, freq, syms). When `audit` is set, each
+    * round also measures Σ freq·|syms| before/after so the caller can
+    * gate the conservation law symsBefore − symsAfter == weight (the
+    * merge consumed exactly the occurrences it counted — a
+    * wrong-greedy fold or a double-merge both break it). */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            audit: Boolean = false): (Seq[Merge], DataFrame) = {
+    var vocab = vocabulary(docs, textCol).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("weight").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) { exhausted = true }
+      else {
+        val (a, b, w) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        def totalSyms(v: DataFrame): Long =
+          v.agg(sum(col("freq") * size(col("syms")))).head.getLong(0)
+        val before = if (audit) totalSyms(vocab) else -1L
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true) // barrier: next round plans from here
+        val after = if (audit) totalSyms(vocab) else -1L
+        merges += Merge(r, a, b, w, before, after)
+      }
+      r += 1
+    }
+    (merges.result(), vocab)
+  }
+}
