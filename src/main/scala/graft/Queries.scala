@@ -98,6 +98,7 @@ object Queries {
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
     QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
+    QueriesStreaming.streamMvRefresh,
     QueriesStreaming.streamStateInspect,
     QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
     QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,

@@ -872,4 +872,52 @@ private[graft] object QueriesStreaming {
         AND p.ts < s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
+  /** STREAMING INCREMENTAL MV MAINTENANCE
+    * ([[graft.stream.StreamingFact.mergeToMv]]) — the streaming twin
+    * of `mv_incremental_daily`, and the third maintenance strategy in
+    * the streaming family: [[streamDaily]] keeps windowed agg STATE
+    * and upserts changed keys; this keeps NO streaming state at all —
+    * each micro-batch (`maxFilesPerTrigger=1` forces a real multi-
+    * batch run) folds its partial aggregates into a persisted view
+    * under a versioned exactly-once marker (batch id writes `v<id>`
+    * from the immutable committed base, then atomically swaps the
+    * pointer — replays before or after the swap both converge). No
+    * watermark: a view merge handles arbitrarily late data by
+    * construction, because counts and exact-decimal sums absorb any
+    * batch in any order. State store size: ZERO, at any key
+    * cardinality — the trade is per-batch view I/O, priced in
+    * SCALE.md. Oracle = the full batch recompute over all events. */
+  private[graft] val streamMvRefresh = Q("stream_mv_refresh",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamConf(s) {
+        val staged = StreamStage(s, dir)
+        val stream = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.inDir)
+          .transform(normalizeTs)
+        def partials(df: org.apache.spark.sql.DataFrame) = df
+          .filter(col("user_id") >= 0) // shared watermark sentinels
+          .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).as("sum_value"))
+        val root = StreamTemp.dir("graft_stream_mv")
+        graft.stream.StreamingFact.mergeToMv(stream, s"$root/mv",
+          s"$root/ckpt", Seq("date", "event_type"))(partials)
+        graft.stream.StreamingFact.readMv(s, s"$root/mv")
+          .select(col("date"), col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("total_value"),
+            (col("sum_value").cast("double") / col("n_events"))
+              .as("avg_value"))
+          .orderBy("date", "event_type")
+      }
+    },
+    Some("""SELECT CAST(ts AS DATE) AS date, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
 }

@@ -331,6 +331,71 @@ object StreamingFact {
       ss.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
+  /** STREAMING INCREMENTAL MV MAINTENANCE — the streaming twin of
+    * `mv_incremental_daily`: the stream stays STATELESS (no watermark,
+    * no state store — the aggregation state lives in the VIEW, not in
+    * streaming state), and every micro-batch folds its partial
+    * aggregates into a persisted view via
+    * [[graft.etl.Materialized.mergePartials]]. At 100 TB this
+    * decouples state size from key cardinality entirely: the state
+    * store holds nothing, the view is a parquet table sized by its key
+    * domain, and per-batch cost is O(batch + view) regardless of
+    * stream history.
+    *
+    * Exactly-once via a versioned commit protocol (the manifest-table
+    * posture scaled down to one pointer): batch `id` writes its merged
+    * view to `v<id>` FROM the marker's immutable base `v<last>`, then
+    * atomically swaps the `_committed_batch` marker. A crash anywhere
+    * before the swap makes the replayed batch rewrite `v<id>` from the
+    * SAME base — idempotent; a replay after the swap is dropped by the
+    * `id <= last` guard. foreachBatch alone is only at-least-once;
+    * this marker is what upgrades it. */
+  def mergeToMv(raw: DataFrame, mvDir: String, checkpoint: String,
+                keys: Seq[String])(partialsOf: DataFrame => DataFrame): Unit = {
+    val q = raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeMvBatch(batch.toDF(), id, mvDir, keys, partialsOf)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest committed view version, or -1 before the first commit. */
+  def committedMvBatch(mvDir: String): Long = {
+    val marker = java.nio.file.Paths.get(mvDir, "_committed_batch")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.readString(marker).trim.toLong
+    else -1L
+  }
+
+  /** The committed view snapshot (empty-schema error before any
+    * commit — callers run after at least one batch). */
+  def readMv(spark: SparkSession, mvDir: String): DataFrame =
+    spark.read.parquet(s"$mvDir/v${committedMvBatch(mvDir)}")
+
+  private[stream] def mergeMvBatch(batch: DataFrame, id: Long,
+                                   mvDir: String, keys: Seq[String],
+                                   partialsOf: DataFrame => DataFrame): Unit = {
+    val ss = batch.sparkSession
+    val last = committedMvBatch(mvDir)
+    if (id <= last) return // replay of a committed batch: drop it
+    val p = partialsOf(batch)
+    val merged =
+      if (last < 0) p
+      else graft.etl.Materialized.mergePartials(
+        ss.read.parquet(s"$mvDir/v$last"), p, keys)
+    merged.write.mode("overwrite").parquet(s"$mvDir/v$id")
+    val dir = java.nio.file.Paths.get(mvDir)
+    val tmp = dir.resolve(s"_committed_batch.tmp$id")
+    java.nio.file.Files.writeString(tmp, id.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("_committed_batch"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dim table. Spark re-plans the static side per micro-batch and
     * broadcasts it when small — no stream-side state at all (unlike

@@ -440,4 +440,34 @@ class StreamingFactSpec extends AnyFunSuite {
     assert(all.length == 2) // user 9's session is still open → absent
     assert(all.contains((1L, "2024-01-01 11:30:00.0")))
   }
+
+  test("mergeMvBatch: versioned marker makes the MV merge exactly-once " +
+    "under replay AND under a crash between data write and commit") {
+    import graft.stream.{StreamingFact => SF}
+    val mv = java.nio.file.Files.createTempDirectory("graft_mv_eo").toString
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    def batch(rows: (String, Long)*) = rows.toSeq.toDF("k", "v")
+    def view(): Map[String, (Long, Long)] =
+      SF.readMv(spark, mv).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    SF.mergeMvBatch(batch(("a", 1L), ("b", 2L)), 0L, mv, Seq("k"), partials)
+    SF.mergeMvBatch(batch(("a", 10L)), 1L, mv, Seq("k"), partials)
+    assert(SF.committedMvBatch(mv) == 1L)
+    assert(view() == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+
+    // replay of an ALREADY-COMMITTED batch id: dropped by the guard
+    SF.mergeMvBatch(batch(("a", 10L)), 1L, mv, Seq("k"), partials)
+    assert(view() == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+
+    // crash window: a previous attempt at batch 2 wrote its v2 data
+    // dir but DIED before the marker swap — the replay must rebuild
+    // v2 from the committed base v1, not double-merge on the orphan
+    batch(("z", 99L)).write.mode("overwrite").parquet(s"$mv/v2")
+    assert(SF.committedMvBatch(mv) == 1L) // marker untouched by the orphan
+    SF.mergeMvBatch(batch(("b", 5L)), 2L, mv, Seq("k"), partials)
+    assert(SF.committedMvBatch(mv) == 2L)
+    assert(view() == Map("a" -> (2L, 11L), "b" -> (2L, 7L)))
+  }
 }
