@@ -94,6 +94,7 @@ object Queries {
     QueriesRelational.priorityRevenue,
     QueriesRelational.regionalSupplierVolume,
     QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,
+    QueriesRelational.graphLabelProp,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
     QueriesStreaming.streamAttributionDaily,

@@ -2399,4 +2399,61 @@ private[graft] object QueriesRelational {
         FROM common c JOIN deg x ON c.pa = x.p JOIN deg y ON c.pb = y.p)
       ORDER BY jaccard DESC, part_a, part_b LIMIT 100"""))
 
+  /** COMMUNITY DETECTION by deterministic synchronous label
+    * propagation ([[graft.etl.Graph.labelPropagation]], 4 rounds) over
+    * the same bipartite order–part graph as [[graphComponents]] —
+    * LPA finds assortative clusters where components only find
+    * reachability. Mode-with-min-tie-break per round is a total
+    * order, so the assignment is engine-reproducible and the oracle
+    * is the SAME four rounds unrolled in DuckDB SQL — each round one
+    * neighbor-vote join + per-node argmax, exactly the Spark plan
+    * re-expressed. Output: community-size histogram. O(rounds)
+    * node-keyed shuffles at any graph size; the fixed round budget is
+    * the honest contract (synchronous LPA can oscillate, so
+    * "until converged" is not a well-defined stop). */
+  private[graft] val graphLabelProp = Q("graph_label_propagation",
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select((col("l_orderkey") * 2).as("id_a"),
+          (col("l_partkey") * 2 + 1).as("id_b"))
+      graft.etl.Graph.labelPropagation(pairs, iterations = 4)
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("comm_size"))
+        .groupBy(col("comm_size"))
+        .agg(count(lit(1)).as("n_communities"),
+          min(col("lab")).as("min_label"))
+        .orderBy("comm_size")
+    },
+    Some("""WITH base AS (SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+        FROM lineitem WHERE l_quantity <= 2),
+      edges AS (SELECT a AS src, b AS dst FROM base
+        UNION SELECT b, a FROM base),
+      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+      n1 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c FROM edges e
+        JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+      l1 AS (SELECT node, lab FROM (SELECT node, lab,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM n1) WHERE rn = 1),
+      n2 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c FROM edges e
+        JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+      l2 AS (SELECT node, lab FROM (SELECT node, lab,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM n2) WHERE rn = 1),
+      n3 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c FROM edges e
+        JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+      l3 AS (SELECT node, lab FROM (SELECT node, lab,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM n3) WHERE rn = 1),
+      n4 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c FROM edges e
+        JOIN l3 l ON l.node = e.dst GROUP BY 1, 2),
+      l4 AS (SELECT node, lab FROM (SELECT node, lab,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM n4) WHERE rn = 1),
+      sizes AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS comm_size
+        FROM l4 GROUP BY 1)
+      SELECT comm_size, CAST(COUNT(*) AS BIGINT) AS n_communities,
+        MIN(lab) AS min_label
+      FROM sizes GROUP BY 1 ORDER BY 1"""))
+
 }

@@ -67,4 +67,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), made DETERMINISTIC: every round each node adopts the
+    * MODE of its distinct neighbors' labels with ties broken by the
+    * smallest label — a total order, so the community assignment is
+    * reproducible on any cluster (the async/random-order variant of
+    * the paper is not). Fixed `iterations` rounds, no convergence
+    * check: LPA on some graphs oscillates between 2-colorings under
+    * synchronous update, so a fixed budget is the honest contract.
+    *
+    * Scale shape — identical to [[weightedPageRank]]'s: each round is
+    * one equi-join of the (src, dst) edge list against the label table
+    * plus a per-node partitioned count + row_number — shuffles keyed
+    * by node id carrying (8-byte node, 8-byte label); localCheckpoint
+    * barriers stop round R's plan re-deriving rounds 1..R-1.
+    * `edges` columns: (id_a, id_b), treated undirected, multi-edges
+    * collapsed (a neighbor votes once however many parallel edges). */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    val und = edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    var i = 0
+    while (i < iterations) {
+      val votes = und
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("lab"))
+      labels = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    labels
+  }
 }

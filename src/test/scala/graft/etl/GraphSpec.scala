@@ -36,4 +36,29 @@ class GraphSpec extends AnyFunSuite {
     val r = ranks(Seq((1L, 2L, 1L)), Seq(1L, 2L), 0)
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  test("labelPropagation separates two cliques joined by a bridge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + K4 on {11,12,13,14} + bridge 4—11: each clique
+    // floods to its min label; the bridge nodes see 3 in-clique votes
+    // vs 1 cross-clique vote, so the communities stay separate
+    def k4(base: Long) = for {
+      a <- base to base + 3; b <- base to base + 3 if a < b
+    } yield (a, b)
+    val edges = (k4(1) ++ k4(11) :+ (4L, 11L)).toDF("id_a", "id_b")
+    val labels = graft.etl.Graph.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(labels).toSet == Set(1L))
+    assert((11L to 14L).map(labels).toSet == Set(11L))
+  }
+
+  test("labelPropagation tie-break adopts the smallest neighbor label") {
+    import spark.implicits._
+    // path 1—2—3: node 2's neighbors {1,3} tie at one vote each → 1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = graft.etl.Graph.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(2L) == 1L)
+    assert(labels(1L) == 2L && labels(3L) == 2L) // their only neighbor
+  }
 }
