@@ -37,7 +37,7 @@ object Queries {
     QueriesCore.manifestSync, QueriesCore.bucketedJoin,
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
     QueriesCore.mvIncrementalDaily, QueriesCore.mvIncrementalStats,
-    QueriesCore.manifestCompact,
+    QueriesCore.manifestCompact, QueriesCore.manifestPrune,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,

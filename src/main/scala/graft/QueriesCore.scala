@@ -798,4 +798,41 @@ private[graft] object QueriesCore {
     Some("""SELECT c.*, TRUE AS compacted
       FROM customer c ORDER BY c_custkey"""))
 
+  /** MANIFEST-SIDE FILE SKIPPING
+    * ([[graft.sources.ManifestTable.readPruned]]): five
+    * key-range-disjoint commits record per-file min/max of the key in
+    * the MANIFEST (footer stats captured once at commit), and a
+    * narrow key-range read then scans exactly ONE of the five files —
+    * the Iceberg/Delta data-skipping idea with no table format and no
+    * read-side footer IO. The oracle pins both soundness (rows
+    * identical to the plain filtered table — an over-prune loses
+    * rows) and effectiveness (`files_total`=5, `files_kept`=1 — a
+    * pruner that silently keeps everything still returns right rows;
+    * this column is what catches it). Statless files are always kept
+    * — the safe-fallback path is ManifestTableSpec's. */
+  private[graft] val manifestPrune = Q("manifest_prune",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_prune")
+      val tbl = s"$root/orders_tbl"
+      (0L until 5L).foreach { i =>
+        graft.sources.ManifestTable.commitAppend(s, tbl,
+          o.filter(col("o_orderkey") >= i * 3000 &&
+            col("o_orderkey") < (i + 1) * 3000).repartition(1),
+          statsCol = Some("o_orderkey"))
+      }
+      val pr = graft.sources.ManifestTable
+        .readPruned(s, tbl, "o_orderkey", 7000L, 8000L)
+      pr.df
+        .filter(col("o_orderkey").between(7000, 8000)) // row-level predicate still applies
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("files_total", lit(pr.filesTotal.toLong))
+        .withColumn("files_kept", lit(pr.filesKept.toLong))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(5 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept
+      FROM orders WHERE o_orderkey BETWEEN 7000 AND 8000
+      ORDER BY o_orderkey"""))
+
 }

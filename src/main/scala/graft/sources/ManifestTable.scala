@@ -67,6 +67,63 @@ object ManifestTable {
     finally in.close()
   }
 
+  /** A manifest LINE is `relpath` or (stats-bearing commits)
+    * `relpath \t column \t min \t max` — the Iceberg/Delta idea with
+    * no format dependency: per-file min/max recorded AT COMMIT TIME so
+    * a reader can skip files manifest-side, with zero footer or data
+    * IO at read. Everything that treats lines as identifiers (version
+    * set-diffs) uses whole lines; everything that touches the
+    * filesystem goes through [[entryPath]]. */
+  private def entryPath(line: String): String = line.split('\t').head
+
+  private def entryStats(line: String): Option[(String, Long, Long)] =
+    line.split('\t') match {
+      case Array(_, c, lo, hi) => Some((c, lo.toLong, hi.toLong))
+      case _ => None
+    }
+
+  /** (min, max) of a LONG column from the parquet FOOTER of one
+    * staged file — stats parquet already wrote; no data pages read.
+    * None when the column is absent, not INT64, or all-null. */
+  private def footerRange(spark: SparkSession, file: Path,
+                          column: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val ranges = r.getFooter.getBlocks.asScala.iterator
+        .flatMap(_.getColumns.asScala)
+        .filter(c => c.getPath.toDotString == column &&
+          c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+        }.toList
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  /** Decorate staged relative paths with footer stats for `statsCol`
+    * (files whose footer yields no range stay bare — they are ALWAYS
+    * kept by the pruner, the safe fallback). */
+  private def withStats(spark: SparkSession, table: Path,
+                        staged: Seq[String],
+                        statsCol: Option[String]): Seq[String] =
+    statsCol match {
+      case None => staged
+      case Some(c) => staged.map { rel =>
+        footerRange(spark, new Path(table, rel), c) match {
+          case Some((lo, hi)) => s"$rel\t$c\t$lo\t$hi"
+          case None => rel
+        }
+      }
+    }
+
   /** Stage `df` as immutable files under `data/` WITHOUT publishing
     * them: written through a scratch dir, then moved to unique names.
     * Returns the staged relative paths. */
@@ -145,9 +202,10 @@ object ManifestTable {
     * files + the new ones. Rebases automatically on concurrent
     * commits (the staged files are version-independent). */
   def commitAppend(spark: SparkSession, table: String,
-                   df: DataFrame): Long = {
+                   df: DataFrame,
+                   statsCol: Option[String] = None): Long = {
     val t = new Path(table)
-    val staged = stageFiles(spark, t, df)
+    val staged = withStats(spark, t, stageFiles(spark, t, df), statsCol)
     publish(spark, t, head =>
       (if (head == 0) Nil else readManifest(spark, t, head)) ++ staged)
   }
@@ -155,9 +213,10 @@ object ManifestTable {
   /** Atomic full overwrite: the new version references ONLY `df`'s
     * files; prior versions keep reading their own. */
   def commitOverwrite(spark: SparkSession, table: String,
-                      df: DataFrame): Long = {
+                      df: DataFrame,
+                      statsCol: Option[String] = None): Long = {
     val t = new Path(table)
-    val staged = stageFiles(spark, t, df)
+    val staged = withStats(spark, t, stageFiles(spark, t, df), statsCol)
     publish(spark, t, _ => staged)
   }
 
@@ -170,8 +229,45 @@ object ManifestTable {
     val v = version.getOrElse(latestVersion(spark, table))
     require(v > 0, s"$table has no committed version")
     val files = readManifest(spark, t, v)
-      .map(rel => new Path(t, rel).toString)
+      .map(line => new Path(t, entryPath(line)).toString)
     spark.read.parquet(files: _*)
+  }
+
+  /** A stats-pruned snapshot scan: `filesKept` of `filesTotal`
+    * survived the manifest-side [lo, hi] overlap test on `column`. */
+  final case class PrunedScan(df: DataFrame, filesTotal: Int,
+                              filesKept: Int)
+
+  /** MANIFEST-SIDE FILE SKIPPING: resolve the snapshot, drop every
+    * file whose recorded [min, max] for `column` cannot intersect
+    * [lo, hi], and scan only the survivors — the Iceberg/Delta
+    * data-skipping idea running on commit-time footer stats, with no
+    * table-format dependency and ZERO read-side footer IO. Files with
+    * no stats (pre-stats commits, compaction rewrites, non-INT64
+    * columns) are always kept: pruning is an optimization, never a
+    * correctness filter — the caller still applies the row-level
+    * predicate. At 100 TB this is the difference between "scan 40k
+    * files" and "scan the 12 whose key range matters"; parquet
+    * row-group pruning then handles the within-file remainder. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long,
+                 version: Option[Long] = None): PrunedScan = {
+    val t = new Path(table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    require(v > 0, s"$table has no committed version")
+    val lines = readManifest(spark, t, v)
+    val kept = lines.filter { line =>
+      entryStats(line) match {
+        case Some((c, mn, mx)) if c == column => mx >= lo && mn <= hi
+        case _ => true // no usable stats: never prune blind
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        read(spark, table, Some(v)).limit(0)
+      else spark.read.parquet(
+        kept.map(line => new Path(t, entryPath(line)).toString): _*)
+    PrunedScan(df, lines.size, kept.size)
   }
 
   /** Logical compaction: rewrite the CURRENT snapshot into
@@ -214,7 +310,8 @@ object ManifestTable {
     if (added.isEmpty)
       read(spark, table, Some(head)).limit(0)
     else
-      spark.read.parquet(added.map(rel => new Path(t, rel).toString): _*)
+      spark.read.parquet(
+        added.map(line => new Path(t, entryPath(line)).toString): _*)
   }
 
   /** Incremental-sync driver: the consumer-side watermark pattern
@@ -284,7 +381,7 @@ object ManifestTable {
     (1L until keep.head).foreach(v =>
       f.delete(manifestPath(t, v), false))
     val referenced = keep.flatMap(v => readManifest(spark, t, v))
-      .map(rel => new Path(t, rel).getName).toSet
+      .map(line => new Path(t, entryPath(line)).getName).toSet
     val dataDir = new Path(t, "data")
     if (!f.exists(dataDir)) Nil
     else f.listStatus(dataDir).iterator.map(_.getPath)

@@ -206,4 +206,37 @@ class ManifestTableSpec extends AnyFunSuite {
       assert(after.size == before.size + 1) // exactly one append landed
     }
   }
+
+  test("readPruned skips disjoint files, keeps straddlers, and NEVER " +
+    "prunes stats-less files") {
+    val t = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("k", "v").repartition(1)
+    // two stats-bearing commits with disjoint key ranges...
+    ManifestTable.commitAppend(spark, t, batch(0, 100), Some("k"))
+    ManifestTable.commitAppend(spark, t, batch(100, 200), Some("k"))
+    // ...and one commit WITHOUT stats (e.g. an old writer)
+    ManifestTable.commitAppend(spark, t, batch(200, 300))
+
+    // query inside file 1 only: file 2 pruned, stats-less file kept
+    val pr = ManifestTable.readPruned(spark, t, "k", 10, 20)
+    assert(pr.filesTotal == 3 && pr.filesKept == 2)
+    assert(pr.df.filter($"k".between(10, 20)).count() == 11)
+
+    // straddling range: both stats files kept
+    val pr2 = ManifestTable.readPruned(spark, t, "k", 90, 110)
+    assert(pr2.filesKept == 3)
+    assert(pr2.df.filter($"k".between(90, 110)).count() == 21)
+
+    // pruning on an untracked column keeps everything (safe fallback)
+    val pr3 = ManifestTable.readPruned(spark, t, "nope", 0, 1)
+    assert(pr3.filesKept == 3)
+
+    // compaction rewrites files without stats: pruning degrades to
+    // keep-all, never to wrong answers
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val pr4 = ManifestTable.readPruned(spark, t, "k", 10, 20)
+    assert(pr4.filesKept == pr4.filesTotal)
+    assert(pr4.df.count() == 300)
+  }
 }
