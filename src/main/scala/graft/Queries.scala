@@ -38,6 +38,7 @@ object Queries {
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
     QueriesCore.mvIncrementalDaily, QueriesCore.mvIncrementalStats,
     QueriesCore.manifestCompact, QueriesCore.manifestPrune,
+    QueriesCore.manifestCompactSorted, QueriesCore.retentionExpire,
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,

@@ -835,4 +835,74 @@ private[graft] object QueriesCore {
       FROM orders WHERE o_orderkey BETWEEN 7000 AND 8000
       ORDER BY o_orderkey"""))
 
+  /** SORT-CLUSTERED COMPACTION
+    * ([[graft.sources.ManifestTable.compactSorted]]) — the OPTIMIZE
+    * pass that fixes what plain compaction breaks: after rewriting
+    * the five fragmented commits into three RANGE-CLUSTERED files with
+    * re-recorded footer stats, the same narrow key-range read still
+    * prunes (plain `compact` hash-mixes keys and drops stats —
+    * ManifestTableSpec pins that degradation to keep-all). The oracle
+    * pins content identity post-rewrite and `pruning_effective`
+    * (kept < total); kept is data-boundary-dependent (range sampling),
+    * so the row gates the PROPERTY, not the exact count. */
+  private[graft] val manifestCompactSorted = Q("manifest_compact_sorted",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val root = QueriesStreaming.StreamTemp
+        .dir("graft_manifest_compact_sorted")
+      val tbl = s"$root/orders_tbl"
+      (0L until 5L).foreach { i =>
+        graft.sources.ManifestTable.commitAppend(s, tbl,
+          o.filter(col("o_orderkey") >= i * 3000 &&
+            col("o_orderkey") < (i + 1) * 3000).repartition(1),
+          statsCol = Some("o_orderkey"))
+      }
+      graft.sources.ManifestTable
+        .compactSorted(s, tbl, targetFiles = 3, clusterCol = "o_orderkey")
+      val pr = graft.sources.ManifestTable
+        .readPruned(s, tbl, "o_orderkey", 7000L, 8000L)
+      pr.df
+        .filter(col("o_orderkey").between(7000, 8000))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("pruning_effective",
+          lit(pr.filesKept < pr.filesTotal && pr.filesTotal == 3))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      TRUE AS pruning_effective
+      FROM orders WHERE o_orderkey BETWEEN 7000 AND 8000
+      ORDER BY o_orderkey"""))
+
+  /** RETENTION EXPIRY ([[graft.sources.Sources.expirePartitions]]):
+    * the events table lands date-partitioned, everything before
+    * Jan 10 expires as whole-partition DROPS (directory deletes —
+    * O(expired partitions) metadata ops, zero read/rewrite/shuffle,
+    * vs the full-table rewrite a row-level DELETE costs), and the
+    * survivor read plus the dropped-partition audit count both pin to
+    * the oracle: an under-expire leaves old rows in the hash, an
+    * over-expire loses young ones, and a wrong count means partitions
+    * were dropped that the filter says shouldn't be (or vice versa). */
+  private[graft] val retentionExpire = Q("retention_expire",
+    (s, dir) => {
+      val root = QueriesStreaming.StreamTemp.dir("graft_retention")
+      val path = s"$root/fact"
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("date"), col("event_id"),
+          col("user_id"), col("event_type"))
+      graft.sources.Sources.writeSilverParquet(ev, path,
+        partitionCol = Some("date"))
+      val dropped = graft.sources.Sources
+        .expirePartitions(s, path, "date", "2024-01-10")
+      s.read.parquet(path)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("date").cast("date").as("date"))
+        .withColumn("n_dropped", lit(dropped.size.toLong))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS date,
+      (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events
+        WHERE CAST(ts AS DATE) < DATE '2024-01-10') AS n_dropped
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      ORDER BY event_id"""))
+
 }

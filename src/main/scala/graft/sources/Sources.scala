@@ -412,4 +412,34 @@ object Sources {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** RETENTION EXPIRY on a date-partitioned table: DROP every
+    * partition whose `dateCol` value sorts strictly below `cutoff`
+    * (ISO yyyy-MM-dd — lexicographic == chronological, the reason
+    * date partition values must be ISO). This is the 100 TB retention
+    * path: a partition DROP is a directory delete — O(partitions
+    * expired) filesystem metadata ops, no read, no rewrite, no
+    * shuffle — where a row-level `DELETE WHERE date < cutoff` would
+    * rewrite the entire surviving table. Row-level compliance deletes
+    * within retained partitions remain [[deleteKeys]]'s job. Returns
+    * the dropped partition values. Skips the escaped-null partition
+    * dir (`__HIVE_DEFAULT_PARTITION__`): null-dated rows have no
+    * well-defined age — retention must not silently destroy them. */
+  def expirePartitions(spark: SparkSession, path: String,
+                       dateCol: String, cutoff: String): Seq[String] = {
+    val root = new Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return Nil
+    val prefix = s"$dateCol="
+    f.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .map(p => p -> p.getName.stripPrefix(prefix))
+      .filter { case (_, v) =>
+        v != "__HIVE_DEFAULT_PARTITION__" && v < cutoff
+      }
+      .map { case (p, v) => f.delete(p, true); v }
+      .toList.sorted
+  }
 }

@@ -238,5 +238,15 @@ class ManifestTableSpec extends AnyFunSuite {
     val pr4 = ManifestTable.readPruned(spark, t, "k", 10, 20)
     assert(pr4.filesKept == pr4.filesTotal)
     assert(pr4.df.count() == 300)
+
+    // compactSorted re-clusters AND re-records stats: pruning works
+    // again on the rewritten layout, rows still intact
+    ManifestTable.compactSorted(spark, t, targetFiles = 3,
+      clusterCol = "k")
+    val pr5 = ManifestTable.readPruned(spark, t, "k", 10, 20)
+    assert(pr5.filesTotal == 3 && pr5.filesKept < pr5.filesTotal,
+      s"sorted compaction lost pruning: ${pr5.filesKept}/${pr5.filesTotal}")
+    assert(pr5.df.filter($"k".between(10, 20)).count() == 11)
+    assert(ManifestTable.read(spark, t).count() == 300)
   }
 }

@@ -440,5 +440,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 2)
     assert(df.filter("name IS NULL").count() == 1)
   }
+
+  test("expirePartitions drops only pre-cutoff date partitions and " +
+    "never touches the null partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_exp")
+      .toString + "/tbl"
+    val rows = Seq(
+      ("2024-01-05", 1L), ("2024-01-09", 2L), ("2024-01-10", 3L),
+      ("2024-02-01", 4L), (null: String, 5L))
+    rows.toDF("date", "id").write.partitionBy("date").parquet(root)
+    val dropped = Sources.expirePartitions(spark, root, "date",
+      "2024-01-10")
+    assert(dropped == Seq("2024-01-05", "2024-01-09"))
+    val left = spark.read.parquet(root).select("id")
+      .as[Long].collect().sorted.toSeq
+    // cutoff-day and later survive; the NULL-dated row is untouched
+    // (no well-defined age — retention must not destroy it)
+    assert(left == Seq(3L, 4L, 5L))
+    // idempotent: nothing left to expire
+    assert(Sources.expirePartitions(spark, root, "date",
+      "2024-01-10").isEmpty)
+  }
 }
 
