@@ -1077,6 +1077,56 @@ private[graft] object QueriesText {
       FROM pairs GROUP BY 1
       ORDER BY n DESC, pair LIMIT 20"""))
 
+  /** TEMPERATURE-BASED SOURCE SAMPLING (the multilingual/source
+    * rebalancing rule of Conneau & Lample 2019: sample source i with
+    * p_i ∝ n_i^α, α = 0.5 — upweights low-resource sources relative
+    * to their share) as a deterministic hash filter. Per-source accept
+    * rate r_i = k·√n_i / (S·n_i) with S = Σ√n_j; the acceptance test
+    * is rearranged to u32·S·n_i < k·q_i·2^32 over EXACT integers
+    * (√n quantized to q = ⌊√n·10⁶⌋ BEFORE the cross-source sum — a
+    * float Σ√n would be order-dependent; the quantization cancels in
+    * the ratio), evaluated in DECIMAL(38,0)/HUGEINT. Scale shape: one
+    * source-count aggregate (rows = #sources) broadcast back; the
+    * membership test is scan-side, no shuffle, replayable — the
+    * [[sampleWeighted]] contract with per-GROUP rather than per-row
+    * weighting. */
+  private[graft] val mixTemperature = Q("mix_temperature",
+    (s, dir) => {
+      val k = 200L
+      val docs = t(s, dir, "documents")
+      val rates = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("q",
+          floor(sqrt(col("n_src").cast("double")) * 1e6).cast("long"))
+      val stot = rates.agg(sum(col("q")).as("s_tot")) // #sources rows → 1
+      val u32 = conv(substring(md5(concat(lit("t:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs
+        .join(broadcast(rates), Seq("source"))
+        .crossJoin(broadcast(stot))
+        .withColumn("u32", u32)
+        .filter(col("u32").cast(DecimalType(38, 0)) *
+          col("s_tot").cast(DecimalType(38, 0)) *
+          col("n_src").cast(DecimalType(38, 0)) <
+          col("q").cast(DecimalType(38, 0)) *
+            lit(k * 4294967296L).cast(DecimalType(38, 0)))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH rates AS (
+        SELECT source, COUNT(*) AS n_src,
+          CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS q
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(q) AS s_tot FROM rates)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN rates r USING (source) CROSS JOIN tot
+      WHERE CAST(CAST('0x' || substring(
+            md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          AS HUGEINT) * s_tot * n_src
+        < CAST(q AS HUGEINT) * 858993459200
+      ORDER BY d.doc_id"""))
+
   /** FULL BPE TOKENIZER TRAINING ([[graft.llmops.Bpe.train]], 10 merge
     * rounds over the corpus vocabulary): the learned merge table, in
     * order. The corpus collapses once to (token, freq); every round is
