@@ -110,6 +110,7 @@ object Queries {
     QueriesAnalytics.statsEntropy, QueriesAnalytics.basketLift,
     QueriesAnalytics.statsBenford, QueriesAnalytics.survivalKm,
     QueriesAnalytics.windowPercentiles, QueriesAnalytics.intervalConcurrency,
-    QueriesAnalytics.dowSeasonality, QueriesAnalytics.seasonalAnomaly)
+    QueriesAnalytics.dowSeasonality, QueriesAnalytics.seasonalAnomaly,
+    QueriesAnalytics.statsBootstrapCi)
 }
 

@@ -746,6 +746,88 @@ private[graft] object QueriesAnalytics {
       FROM o CROSS JOIN tot
       GROUP BY dow, total ORDER BY dow"""))
 
+  /** DETERMINISTIC POISSON BOOTSTRAP — the scalable bootstrap for
+    * massive data (Kleiner et al. / the Poisson-resampling form used
+    * at cluster scale: per (row, replica) draw a Poisson(1) weight
+    * instead of materializing resamples): a 95% CI for the mean
+    * purchase value from B = 200 replicas. Weights are DERIVED, not
+    * drawn — u32 = md5(replica, event_id) bucketed by fixed integer
+    * thresholds ⌊e⁻¹·2³²⌋… into w ∈ {0,1,2,3} (tail lumped at 3) — so
+    * both engines produce the SAME resample universe and the CI
+    * hash-matches exactly; rand()-based bootstrap can never be
+    * replayed or verified. Plan shape: the ×B fan-out is a scan-side
+    * `explode(sequence)`, the only shuffle carries B×(Σwx, Σw)
+    * integer partials (map-side combined), replica means are one
+    * division each, and the CI is an exact interpolated percentile
+    * over the B-row replica table — at 100 TB the cost is B linear
+    * scans' worth of map work and a B-row reduce, no resampled copy
+    * of the data ever exists. */
+  private[graft] val statsBootstrapCi = Q("stats_bootstrap_ci",
+    (s, dir) => {
+      val b = 200
+      val x = events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+      val u32 = conv(substring(md5(concat(lit("b:"),
+        col("rep").cast("string"), lit(":"),
+        col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      val w = when(u32 < 1580030168L, 0L)
+        .when(u32 < 3160060337L, 1L)
+        .when(u32 < 3950075421L, 2L)
+        .otherwise(3L)
+      val reps = x
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(b - 1))).as("rep"))
+        .select(col("rep"), col("c"), w.as("w"))
+        .groupBy("rep")
+        .agg(sum(col("w") * col("c")).as("swx"), sum(col("w")).as("sw"))
+        .select((col("swx").cast("double") /
+          (col("sw").cast("double") * 100.0)).as("m"))
+      val base = x.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      reps.agg(
+          expr("percentile(m, 0.025)").as("lo"),
+          expr("percentile(m, 0.975)").as("hi"))
+        .crossJoin(broadcast(base)) // 1-row compose
+        .select(col("n"),
+          round(col("sc").cast("double") /
+            (col("n").cast("double") * 100.0), 6).as("mean_value"),
+          round(col("lo"), 6).as("ci_lo"),
+          round(col("hi"), 6).as("ci_hi"))
+    },
+    Some("""WITH x AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      pairs AS (
+        SELECT rep, c,
+          CASE
+            WHEN u32 < 1580030168 THEN 0
+            WHEN u32 < 3160060337 THEN 1
+            WHEN u32 < 3950075421 THEN 2
+            ELSE 3 END AS w
+        FROM (
+          SELECT x.event_id, x.c, g.rep,
+            CAST('0x' || substring(md5('b:' || CAST(g.rep AS VARCHAR)
+              || ':' || CAST(x.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+              AS u32
+          FROM x CROSS JOIN (SELECT unnest(generate_series(0, 199))
+            AS rep) g)),
+      reps AS (
+        SELECT CAST(SUM(w * c) AS DOUBLE) /
+          (CAST(SUM(w) AS DOUBLE) * 100.0) AS m
+        FROM pairs GROUP BY rep),
+      base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(c) AS BIGINT) AS sc FROM x)
+      SELECT n,
+        ROUND(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+          AS mean_value,
+        ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+      FROM reps CROSS JOIN base
+      GROUP BY n, sc"""))
+
   /** ADDITIVE SEASONAL DECOMPOSITION + residual anomaly flag over the
     * daily event count — the classic trend/seasonal/residual split
     * (STL's moving-average skeleton): trend = centered 7-day moving

@@ -813,26 +813,33 @@ private[graft] object QueriesCore {
   private[graft] val manifestPrune = Q("manifest_prune",
     (s, dir) => {
       val o = t(s, dir, "orders")
+      // ranges scale with the fixture: W = maxKey/5 + 1 per commit, the
+      // probe range sits strictly inside commit 2 at every SF
+      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val w = mx / 5 + 1
       val root = QueriesStreaming.StreamTemp.dir("graft_manifest_prune")
       val tbl = s"$root/orders_tbl"
       (0L until 5L).foreach { i =>
         graft.sources.ManifestTable.commitAppend(s, tbl,
-          o.filter(col("o_orderkey") >= i * 3000 &&
-            col("o_orderkey") < (i + 1) * 3000).repartition(1),
+          o.filter(col("o_orderkey") >= i * w &&
+            col("o_orderkey") < (i + 1) * w).repartition(1),
           statsCol = Some("o_orderkey"))
       }
+      val (lo, hi) = (2 * w, 2 * w + w / 2)
       val pr = graft.sources.ManifestTable
-        .readPruned(s, tbl, "o_orderkey", 7000L, 8000L)
+        .readPruned(s, tbl, "o_orderkey", lo, hi)
       pr.df
-        .filter(col("o_orderkey").between(7000, 8000)) // row-level predicate still applies
+        .filter(col("o_orderkey").between(lo, hi)) // row-level predicate still applies
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .withColumn("files_total", lit(pr.filesTotal.toLong))
         .withColumn("files_kept", lit(pr.filesKept.toLong))
         .orderBy("o_orderkey")
     },
-    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
-      CAST(5 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept
-      FROM orders WHERE o_orderkey BETWEEN 7000 AND 8000
+    Some("""WITH m AS (SELECT (MAX(o_orderkey) // 5) + 1 AS w FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(5 AS BIGINT) AS files_total, CAST(1 AS BIGINT) AS files_kept
+      FROM orders CROSS JOIN m
+      WHERE o_orderkey BETWEEN 2 * w AND 2 * w + w // 2
       ORDER BY o_orderkey"""))
 
   /** SORT-CLUSTERED COMPACTION
@@ -848,29 +855,34 @@ private[graft] object QueriesCore {
   private[graft] val manifestCompactSorted = Q("manifest_compact_sorted",
     (s, dir) => {
       val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val w = mx / 5 + 1 // fixture-scaled ranges, as in manifestPrune
       val root = QueriesStreaming.StreamTemp
         .dir("graft_manifest_compact_sorted")
       val tbl = s"$root/orders_tbl"
       (0L until 5L).foreach { i =>
         graft.sources.ManifestTable.commitAppend(s, tbl,
-          o.filter(col("o_orderkey") >= i * 3000 &&
-            col("o_orderkey") < (i + 1) * 3000).repartition(1),
+          o.filter(col("o_orderkey") >= i * w &&
+            col("o_orderkey") < (i + 1) * w).repartition(1),
           statsCol = Some("o_orderkey"))
       }
       graft.sources.ManifestTable
         .compactSorted(s, tbl, targetFiles = 3, clusterCol = "o_orderkey")
+      val (lo, hi) = (2 * w, 2 * w + w / 2)
       val pr = graft.sources.ManifestTable
-        .readPruned(s, tbl, "o_orderkey", 7000L, 8000L)
+        .readPruned(s, tbl, "o_orderkey", lo, hi)
       pr.df
-        .filter(col("o_orderkey").between(7000, 8000))
+        .filter(col("o_orderkey").between(lo, hi))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .withColumn("pruning_effective",
           lit(pr.filesKept < pr.filesTotal && pr.filesTotal == 3))
         .orderBy("o_orderkey")
     },
-    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
-      TRUE AS pruning_effective
-      FROM orders WHERE o_orderkey BETWEEN 7000 AND 8000
+    Some("""WITH m AS (SELECT (MAX(o_orderkey) // 5) + 1 AS w FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        TRUE AS pruning_effective
+      FROM orders CROSS JOIN m
+      WHERE o_orderkey BETWEEN 2 * w AND 2 * w + w // 2
       ORDER BY o_orderkey"""))
 
   /** RETENTION EXPIRY ([[graft.sources.Sources.expirePartitions]]):
