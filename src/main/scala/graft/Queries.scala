@@ -70,7 +70,8 @@ object Queries {
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate,
-    QueriesText.mixTemperature, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
+    QueriesText.mixTemperature,
+    QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.retention, QueriesRelational.textTfidf,

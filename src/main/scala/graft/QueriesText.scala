@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llmops.{Bpe, Multimodal, TextAnalysis}
+import graft.llmops.{Bpe, Multimodal, QualityModel, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 4 — text analysis, corpus curation, and multimodal
@@ -1126,6 +1126,66 @@ private[graft] object QueriesText {
           AS HUGEINT) * s_tot * n_src
         < CAST(q AS HUGEINT) * 858993459200
       ORDER BY d.doc_id"""))
+
+  /** IN-ENGINE QUALITY-CLASSIFIER TRAINING
+    * ([[graft.llmops.QualityModel]]): deterministic distributed batch
+    * GD on logistic loss — the fasttext-style linear scorer of the
+    * CCNet/LLaMA curation recipes, trained by the engine itself. Each
+    * iteration is one scan + one d-number aggregate (gradients
+    * QUANTIZED before the cross-row sum — a float Σ over a shuffled
+    * corpus is order-dependent), so the weight trajectory is a pure
+    * function of the corpus and the learned weights freeze into a
+    * VALUES oracle. The fixture labels a KNOWN separable concept
+    * (n_chars ≥ 300) so convergence is sharply checkable —
+    * [[qualityClassifierGate]] requires the recovered boundary to
+    * actually classify it; a real deployment supplies human/LLM
+    * quality labels and changes nothing else. Features are z-standardized from quantized
+    * moments (scan-side, literal mu/sigma) so 30 iterations at lr 2.0
+    * suffice.
+    */
+  private[graft] val qualityClassifier = Q("quality_classifier",
+    (s, dir) => {
+      val labeled = t(s, dir, "documents")
+        .select(QualityModel.features(col("text")).as("xs"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+      val fit = QualityModel
+        .trainLogReg(QualityModel.standardize(labeled), iters = 30,
+          lr = 2.0)
+      import s.implicits._
+      QualityModel.featureNames.zipWithIndex.map { case (f, j) =>
+        (j, f, math.floor(fit.weights(j) * 1e6).toLong)
+      }.toDF("idx", "feature", "weight_q").orderBy("idx")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), 'bias', CAST(168208 AS BIGINT)),
+      (CAST(1 AS INTEGER), 'len', CAST(2780111 AS BIGINT)),
+      (CAST(2 AS INTEGER), 'stopword_ratio', CAST(-37964 AS BIGINT)),
+      (CAST(3 AS INTEGER), 'punct_ratio', CAST(0 AS BIGINT)),
+      (CAST(4 AS INTEGER), 'n_tokens', CAST(2805622 AS BIGINT)),
+      (CAST(5 AS INTEGER), 'mean_word_len', CAST(-89604 AS BIGINT)))
+      AS t(idx, feature, weight_q) ORDER BY idx"""))
+
+  /** The training invariants, gated to a constant-0 row: (a) the loss
+    * trajectory DECREASES end-to-end (GD on a separable-ish concept
+    * must descend; a sign error, a wrong quantization scale, or a
+    * divergent lr all break it); (b) the learned model classifies the
+    * training concept at ≥ 90% accuracy — far above the 52% majority
+    * baseline, so a model that silently collapsed to the bias fails;
+    * (c) every weight is finite. */
+  private[graft] val qualityClassifierGate = Q("quality_classifier_gate",
+    (s, dir) => {
+      val labeled = t(s, dir, "documents")
+        .select(QualityModel.features(col("text")).as("xs"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+      val std = QualityModel.standardize(labeled)
+      val fit = QualityModel.trainLogReg(std, iters = 30, lr = 2.0)
+      val acc = QualityModel.accuracy(std, fit.weights)
+      val bad = (if (fit.losses.last < fit.losses.head) 0 else 1) +
+        (if (acc >= 0.90) 0 else 1) +
+        (if (fit.weights.forall(w => !w.isNaN && !w.isInfinite)) 0 else 1)
+      s.sql(s"SELECT CAST($bad AS BIGINT) AS n_violations")
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
   /** FULL BPE TOKENIZER TRAINING ([[graft.llmops.Bpe.train]], 10 merge
     * rounds over the corpus vocabulary): the learned merge table, in
