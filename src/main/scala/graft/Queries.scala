@@ -59,6 +59,7 @@ object Queries {
     QueriesDedupSim.simTopkIvfPq, QueriesDedupSim.simTopkIvfPqGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesDedupSim.embeddingPca, QueriesDedupSim.embeddingPcaGate,
+    QueriesDedupSim.simEvalNdcg,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,

@@ -2052,6 +2052,53 @@ private[graft] object QueriesDedupSim {
       (CAST(492 AS BIGINT), CAST(5 AS INTEGER), CAST(-358 AS BIGINT)))
       AS t(vec_id, label, proj_q) ORDER BY vec_id"""))
 
+  /** GRADED RETRIEVAL EVALUATION — NDCG@5 of the default LSH
+    * configuration against exhaustively-computed truth, per query: the
+    * metric machinery an ANN deployment runs on every index rebuild
+    * (the recall gates bound set overlap; NDCG additionally scores
+    * WHERE in the ranking the true neighbors landed, rel = 6 − true
+    * rank). Determinism: each DCG term quantizes to ⌊rel/log₂(r+1)·
+    * 10⁹⌋ BEFORE the per-query sum (five raw doubles summed through a
+    * shuffle are order-dependent), and NDCG emerges as one integer
+    * division against the constant ideal-DCG — so the metric freezes
+    * into a VALUES oracle like the LSH results it evaluates. Scale:
+    * truth is the one exhaustive pass (bounded query set broadcast);
+    * the metric join is query-set-sized. */
+  private[graft] val simEvalNdcg = Q("sim_eval_ndcg",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val q = e.filter(col("vec_id") < 5)
+      val sys = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 6, numTables = 8)
+        .select(col("query_id"), col("rank").as("sys_rank"),
+          col("neighbor_id"))
+      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5)
+        .select(col("query_id"), col("rank").as("true_rank"),
+          col("neighbor_id"))
+      val idcgQ = (1 to 5).map(r =>
+        math.floor((6 - r) / (math.log(r + 1) / math.log(2)) * 1e9)
+          .toLong).sum
+      val term = floor((lit(6) - col("true_rank")).cast("double") /
+        log2(col("sys_rank").cast("double") + 1.0) * 1e9).cast("long")
+      sys
+        .join(truth, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("term",
+          when(col("true_rank").isNotNull, term).otherwise(0L))
+        .groupBy("query_id")
+        .agg(sum(col("term")).as("dcg_q"))
+        .select(col("query_id"),
+          expr(s"dcg_q * 1000000 div $idcgQ").as("ndcg_ppm"))
+        .orderBy("query_id")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(97352 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(97352 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(871734 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(486763 AS BIGINT)))
+      AS t(query_id, ndcg_ppm) ORDER BY query_id"""))
+
   /** The PCA invariants, recomputed from scratch and gated to a
     * constant-0 row: (a) the Rayleigh quotient of the returned
     * component must be ≥ the largest per-axis variance — PC1 explains
