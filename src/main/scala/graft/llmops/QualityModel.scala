@@ -84,11 +84,12 @@ object QualityModel {
   }
 
   /** Batch GD on logistic loss. `labeled` must carry `xs`
-    * (array<double>, from [[features]]) and `y` (0.0/1.0). */
+    * (array<double>, any fixed width — from [[features]] or caller-
+    * built) and `y` (0.0/1.0). */
   def trainLogReg(labeled: DataFrame, iters: Int, lr: Double): Fit = {
-    val d = featureNames.size
     val data = labeled.select(col("xs"), col("y"))
       .localCheckpoint(true)
+    val d = data.select(size(col("xs"))).head().getInt(0)
     val n = data.count()
     var w = Array.fill(d)(0.0)
     val losses = Seq.newBuilder[Double]
