@@ -113,6 +113,8 @@ object Queries {
     QueriesAnalytics.statsBenford, QueriesAnalytics.survivalKm,
     QueriesAnalytics.windowPercentiles, QueriesAnalytics.intervalConcurrency,
     QueriesAnalytics.dowSeasonality, QueriesAnalytics.seasonalAnomaly,
-    QueriesAnalytics.statsBootstrapCi)
+    QueriesAnalytics.statsBootstrapCi,
+    QueriesAnalytics.recoItemItem, QueriesAnalytics.kpiCohortLtv,
+    QueriesAnalytics.forecastHolt)
 }
 

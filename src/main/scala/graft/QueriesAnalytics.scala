@@ -905,4 +905,216 @@ private[graft] object QueriesAnalytics {
           > 0.15 * (CAST(s1 AS DOUBLE) / 7.0) AS is_anomaly
       FROM season ORDER BY date"""))
 
+  /** Item-item collaborative filtering — the "viewers of this video
+    * also watched" table every media-analytics product ships (the
+    * reference's dashboard stops at per-video KPIs; this is the next
+    * feature its users ask for). Classic neighborhood CF over the
+    * implicit-feedback matrix: cosine(i,j) = |U_i ∩ U_j| /
+    * sqrt(|U_i|·|U_j|) on distinct (user, item) engagement, top-5
+    * neighbors per item.
+    *
+    * The scale hazard is pair generation: a raw self-join on user_id
+    * fans out C(n_u, 2) per user, and one power user with 10^5 items
+    * detonates the stage. The production guard is applied HERE, not
+    * hand-waved: each user is capped to their top-50 items by
+    * engagement count (row_number over the per-user aggregate —
+    * deterministic ties) before the self-join, bounding per-user
+    * fan-out at C(50,2) ≈ 1.2k rows of three longs. That cap is the
+    * standard CF construction (it also denoises crawlers); with it the
+    * co-occurrence shuffle is O(users · 1225) 24-byte rows no matter
+    * how skewed the engagement distribution is, and the final top-5 is
+    * a per-item window over the ≤ items² pair aggregate. Cosine is one
+    * IEEE div-of-sqrt over exact integers, bit-identical in both
+    * engines; ties break on neighbor id. */
+  private[graft] val recoItemItem = Q("reco_item_item",
+    (s, dir) => {
+      val inter = events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"), col("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val capped = inter
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("item"))))
+        .filter(col("rk") <= 50)
+        .select(col("user_id"), col("item"))
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.select(col("i"), col("j"), col("co"))
+        .union(co.select(col("j").as("i"), col("i").as("j"), col("co")))
+      val scored = sym
+        .join(ni.select(col("item").as("i"), col("n").as("ni")), Seq("i"))
+        .join(ni.select(col("item").as("j"), col("n").as("nj")), Seq("j"))
+        .withColumn("cosine",
+          col("co").cast("double") /
+            sqrt((col("ni") * col("nj")).cast("double")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("i"))
+            .orderBy(col("cosine").desc, col("j"))).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("i").as("item"), col("rank"),
+          col("j").as("neighbor"), col("co"), col("cosine"))
+        .orderBy("item", "rank")
+    },
+    Some("""WITH inter AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+          COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2),
+      capped AS (SELECT user_id, item FROM (
+        SELECT user_id, item, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, item) AS rk
+        FROM inter) WHERE rk <= 50),
+      ni AS (SELECT item, COUNT(*) AS n FROM capped GROUP BY 1),
+      co AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS co
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, co FROM co
+        UNION ALL SELECT j AS i, i AS j, co FROM co),
+      scored AS (SELECT s.i, s.j, s.co,
+        CAST(s.co AS DOUBLE) / sqrt(CAST(x.n * y.n AS DOUBLE)) AS cosine
+        FROM sym s JOIN ni x ON s.i = x.item JOIN ni y ON s.j = y.item)
+      SELECT item, rank, neighbor, co, cosine FROM (
+        SELECT i AS item,
+          CAST(ROW_NUMBER() OVER (PARTITION BY i
+            ORDER BY cosine DESC, j) AS BIGINT) AS rank,
+          j AS neighbor, co, cosine
+        FROM scored)
+      WHERE rank <= 5 ORDER BY item, rank"""))
+
+  /** Cohort LTV curves — cumulative revenue per customer by
+    * acquisition-month cohort and month age, the table under every
+    * "payback period" growth chart (and the longitudinal complement of
+    * [[QueriesRelational]]'s retention_cohorts). Cohort = month of the
+    * customer's first order (one min-aggregate on the customer key);
+    * every order joins back to its owner's cohort (an equi-join on
+    * custkey — at 100 TB both sides shuffle once on an 8-byte key, or
+    * zero times if orders are bucketed by custkey like
+    * [[QueriesCore.bucketedJoin]] demonstrates); age =
+    * months-between(order month, cohort month). Revenue sums as exact
+    * cents; the cumulative window runs per cohort over the ≤
+    * months-of-history frame (calendar-bounded, never data-bounded);
+    * LTV-per-customer is the single trailing float division. */
+  private[graft] val kpiCohortLtv = Q("kpi_cohort_ltv",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(trunc(min(col("od")), "month").as("cohort"))
+      val size = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_customers"))
+      val aged = o.join(first, Seq("o_custkey"))
+        .select(col("cohort"),
+          months_between(trunc(col("od"), "month"), col("cohort"))
+            .cast("bigint").as("age"),
+          col("cents"))
+        .groupBy(col("cohort"), col("age"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val cum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      aged.join(size, Seq("cohort"))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(cum))
+        .select(col("cohort"), col("age"), col("n_customers"),
+          col("rev_cents"), col("cum_cents"),
+          (col("cum_cents").cast("double") /
+            (lit(100.0) * col("n_customers").cast("double")))
+            .as("ltv_per_customer"))
+        .orderBy("cohort", "age")
+    },
+    Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      first AS (SELECT o_custkey,
+        CAST(date_trunc('month', MIN(od)) AS DATE) AS cohort
+        FROM o GROUP BY 1),
+      sz AS (SELECT cohort, COUNT(*) AS n_customers FROM first GROUP BY 1),
+      aged AS (SELECT f.cohort,
+          CAST(date_diff('month', f.cohort, date_trunc('month', o.od))
+            AS BIGINT) AS age,
+          CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+        FROM o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2)
+      SELECT a.cohort, a.age, s.n_customers, a.rev_cents,
+        CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort ORDER BY a.age
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort ORDER BY a.age
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+          (100.0 * CAST(s.n_customers AS DOUBLE)) AS ltv_per_customer
+      FROM aged a JOIN sz s ON a.cohort = s.cohort
+      ORDER BY a.cohort, a.age"""))
+
+  /** Holt linear-trend forecast (double exponential smoothing,
+    * α = β = 0.5) of daily order revenue, 7 days ahead — the first
+    * model a metrics team reaches for past a moving average, and the
+    * trend-aware upgrade of [[QueriesRelational.ewmaValue]]. The
+    * recursion l_t = αx_t + (1−α)(l+b); b_t = β(l_t − l) + (1−β)b is
+    * inherently sequential, so the scale shape mirrors ewma/KM: the
+    * HEAVY pass is the daily cents aggregate (partial+final sum,
+    * calendar-bounded output), and the fold runs inside ONE row via
+    * `aggregate(array_sort(collect_list(...)))` over the
+    * days-of-history series — at 100 TB the fold length is the
+    * calendar, not the row count. α = β = 0.5 keeps every step an
+    * IEEE halve-and-add both engines replicate bit-for-bit. The
+    * DuckDB twin is a recursive CTE, NOT list_reduce: DuckDB 1.0's
+    * list_reduce mutates a struct accumulator field-by-field, so the
+    * 'b' lambda would read the already-updated level (verified
+    * empirically — a two-field recursion silently diverges).
+    * Output: the 7 forecast rows ŷ_h = l + h·b. */
+  private[graft] val forecastHolt = Q("forecast_holt",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+      val accT = "struct<l:double,b:double>"
+      val folded = daily
+        .agg(array_sort(collect_list(struct(col("d"),
+          col("cents").cast("double").as("x")))).as("arr"))
+        .select(aggregate(col("arr"), lit(null).cast(accT), (acc, e) => {
+          val x = e.getField("x")
+          val ln = lit(0.5) * x +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          when(acc.isNull, struct(x.as("l"), lit(0.0).as("b")))
+            .otherwise(struct(ln.as("l"),
+              (lit(0.5) * (ln - acc.getField("l")) +
+                lit(0.5) * acc.getField("b")).as("b")))
+        }).as("st"))
+      folded.select(explode(sequence(lit(1L), lit(7L))).as("h"),
+          col("st.l").as("level"), col("st.b").as("trend"))
+        .select(col("h"), col("level"), col("trend"),
+          ((col("level") + col("h").cast("double") * col("trend")) /
+            lit(100.0)).as("forecast"))
+        .orderBy("h")
+    },
+    Some("""WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1),
+      s AS (SELECT CAST(cents AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      holt(i, l, b) AS (
+        SELECT i, x, CAST(0 AS DOUBLE) FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.i,
+          0.5 * s.x + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+        FROM holt h JOIN s ON s.i = h.i + 1),
+      fin AS (SELECT l, b FROM holt
+        WHERE i = (SELECT MAX(i) FROM s))
+      SELECT CAST(h AS BIGINT) AS h, f.l AS level, f.b AS trend,
+        (f.l + CAST(h AS DOUBLE) * f.b) / 100.0 AS forecast
+      FROM fin f CROSS JOIN generate_series(1, 7) AS t(h)
+      ORDER BY h"""))
+
 }
