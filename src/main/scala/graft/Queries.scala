@@ -59,7 +59,7 @@ object Queries {
     QueriesDedupSim.simTopkIvfPq, QueriesDedupSim.simTopkIvfPqGate,
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesDedupSim.embeddingPca, QueriesDedupSim.embeddingPcaGate,
-    QueriesDedupSim.simEvalNdcg,
+    QueriesDedupSim.simEvalNdcg, QueriesDedupSim.mlLdaClassify,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,
@@ -72,6 +72,7 @@ object Queries {
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate,
     QueriesText.mixTemperature,
+    QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,

@@ -2120,4 +2120,116 @@ private[graft] object QueriesDedupSim {
     },
     Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
+  /** Diagonal-LDA classifier trained INSIDE the engine — naive Bayes
+    * with per-dimension pooled variance (the classic high-dimensional
+    * baseline: Gaussian class model, shared diagonal covariance, equal
+    * priors ⇒ argmin of the variance-scaled distance
+    * Σ_d (x_d − μ_cd)² / σ²_d), fit on an 80% vec_id-hash split of the
+    * labeled embeddings and evaluated as a confusion matrix on the
+    * held-out 20%. Complements [[simKnnVote]] (memory-based, needs the
+    * corpus at serve time) with a PARAMETRIC model whose serving
+    * artifact is just C×D means + D variances.
+    *
+    * Scale shape: training is ONE posexplode + hash-aggregate — the
+    * exchange carries map-side partial (Σq, Σq², n) per (label, dim),
+    * so the shuffle is O(classes × dims) regardless of corpus size
+    * (same as [[embeddingCentroids]]); no executor ever holds a class.
+    * The fitted model (640 rows here) broadcasts back to the test
+    * scan, so scoring shuffles only per-(row, class) partial distance
+    * sums. Determinism: moments are exact integers in the established
+    * ×1000 quantization; μ, σ², and each per-dim distance term are one
+    * identical IEEE op sequence in both engines, and per-dim terms
+    * round to 6dp DECIMAL before summing so every aggregate is
+    * shuffle-order-independent; argmin ties break on class id.
+    *
+    * No accuracy-floor gate: the fixture's labels are i.i.d. noise
+    * (measured: nearest-centroid and 1-NN both score ≈ 1/C on the
+    * holdout), so chance-level holdout accuracy is the CORRECT result
+    * here — and is itself a useful check that train/test hashing does
+    * not leak the label. Correctness is the full cross-engine
+    * confusion-matrix hash. */
+  private[graft] val mlLdaClassify = Q("ml_lda_classify",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding")).as("q"))
+      val train = e.filter(col("vec_id") % 5 =!= 0)
+      val test = e.filter(col("vec_id") % 5 === 0)
+      val ex = train.select(col("label"),
+        posexplode(col("q")).as(Seq("pos", "v")))
+      val perClass = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), sum(col("v") * col("v")).as("ssv"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("sv").cast("double") / col("n").cast("double"))
+            .as("mu"),
+          round(col("ssv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") /
+              col("n").cast("double"), 6)
+            .cast(DecimalType(30, 6)).as("w"),
+          col("n"))
+      val pooled = perClass.groupBy(col("pos"))
+        .agg((sum(col("w")).cast("double") /
+          (sum(col("n")) - count(lit(1))).cast("double")).as("variance"))
+      val model = perClass.select(col("label").as("cls"), col("pos"),
+          col("mu"))
+        .join(pooled, Seq("pos"))
+      val terms = test
+        .select(col("vec_id"), col("label"),
+          posexplode(col("q")).as(Seq("pos", "v")))
+        .join(broadcast(model), Seq("pos"))
+        .select(col("vec_id"), col("label"), col("cls"),
+          round(
+            (col("v").cast("double") - col("mu")) *
+              (col("v").cast("double") - col("mu")) /
+              greatest(col("variance"), lit(1e-9)), 6)
+            .cast(DecimalType(30, 6)).as("term"))
+      val dists = terms.groupBy(col("vec_id"), col("label"), col("cls"))
+        .agg(sum(col("term")).as("dist"))
+      val pred = dists.withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("cls"))))
+        .filter(col("rk") === 1)
+      pred.groupBy(col("label"), col("cls").as("predicted_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "predicted_label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings),
+      ex AS (SELECT label, s['pos'] AS pos, s['v'] AS v FROM (
+        SELECT label, unnest(list_transform(q, (x, i) ->
+          {'pos': i - 1, 'v': x})) AS s FROM e
+        WHERE vec_id % 5 != 0)),
+      per_class AS (SELECT label, pos,
+        CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        CAST(ROUND(CAST(SUM(v * v) AS DOUBLE) -
+          CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(30,6)) AS w,
+        COUNT(*) AS n
+        FROM ex GROUP BY 1, 2),
+      pooled AS (SELECT pos, CAST(SUM(w) AS DOUBLE) /
+          CAST(SUM(n) - COUNT(*) AS DOUBLE) AS variance
+        FROM per_class GROUP BY 1),
+      model AS (SELECT p.label AS cls, p.pos, p.mu, v.variance
+        FROM per_class p JOIN pooled v USING (pos)),
+      te AS (SELECT vec_id, label, s['pos'] AS pos, s['v'] AS v FROM (
+        SELECT vec_id, label, unnest(list_transform(q, (x, i) ->
+          {'pos': i - 1, 'v': x})) AS s FROM e
+        WHERE vec_id % 5 = 0)),
+      terms AS (SELECT te.vec_id, te.label, m.cls,
+        CAST(ROUND((CAST(te.v AS DOUBLE) - m.mu) *
+          (CAST(te.v AS DOUBLE) - m.mu) /
+          greatest(m.variance, 1e-9), 6) AS DECIMAL(30,6)) AS term
+        FROM te JOIN model m ON te.pos = m.pos),
+      dists AS (SELECT vec_id, label, cls, SUM(term) AS dist
+        FROM terms GROUP BY 1, 2, 3),
+      pred AS (SELECT vec_id, label, cls FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY dist, cls) AS rk FROM dists) WHERE rk = 1)
+      SELECT label, cls AS predicted_label,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
+
 }

@@ -993,6 +993,135 @@ private[graft] object QueriesText {
       FROM top CROSS JOIN total
       ORDER BY rank"""))
 
+  /** PMI collocation mining — the top word pairs that co-occur far
+    * more than chance (pointwise mutual information over adjacent
+    * bigrams), the classic phrase detector run before tokenizer
+    * training so "new york"-style units become single vocab entries
+    * (Mikolov et al. 2013's phrase pass). Bigram pairing is the
+    * shuffle-free `zip_with`-against-own-tail idiom of
+    * [[textBigramLogprob]]; the unigram and bigram tables are plain
+    * partial+final count aggregates, so the whole plan is two
+    * scan-speed aggregates plus a broadcast of the two scalar totals.
+    * PMI = ln(p(ab) / (p(a)·p(b))) computed in one identical IEEE op
+    * sequence in both engines and rounded to 6dp BEFORE the top-k cut
+    * so the cut ranks on identical keys (ties → pair lexicographic).
+    * A min-count floor of 5 kills the hapax-pair noise that dominates
+    * raw PMI; the top-20 is orderBy+limit =
+    * TakeOrderedAndProject — map-side partial top-k, never a global
+    * sort of the pair table. */
+  private[graft] val textPmiCollocations = Q("text_pmi_collocations",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("a"))
+      val bigrams = toks.select(
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val bf = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bc"))
+      val uf = toks.select(explode(col("a")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+      val totals = uf.agg(sum(col("uc")).as("nu")).crossJoin(
+        bf.agg(sum(col("bc")).as("nb")))
+      bf.filter(col("bc") >= 5)
+        .join(uf.select(col("term").as("w1"), col("uc").as("c1")),
+          Seq("w1"))
+        .join(uf.select(col("term").as("w2"), col("uc").as("c2")),
+          Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("bc"),
+          round(log(
+            (col("bc").cast("double") / col("nb").cast("double")) /
+              ((col("c1").cast("double") / col("nu").cast("double")) *
+                (col("c2").cast("double") / col("nu").cast("double")))),
+            6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some(raw"""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS a
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      bg AS (SELECT z['w1'] AS w1, z['w2'] AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(a)),
+          i -> {'w1': a[i], 'w2': a[i+1]})) AS z FROM toks)),
+      bf AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+        FROM bg GROUP BY 1, 2),
+      uf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS uc FROM
+        (SELECT unnest(a) AS term FROM toks) GROUP BY 1),
+      totals AS (SELECT
+        (SELECT CAST(SUM(uc) AS BIGINT) FROM uf) AS nu,
+        (SELECT CAST(SUM(bc) AS BIGINT) FROM bf) AS nb)
+      SELECT w1, w2, bc,
+        ROUND(ln((CAST(bc AS DOUBLE) / CAST(nb AS DOUBLE)) /
+          ((CAST(c1 AS DOUBLE) / CAST(nu AS DOUBLE)) *
+           (CAST(c2 AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+      FROM (SELECT bf.w1, bf.w2, bf.bc, u1.uc AS c1, u2.uc AS c2
+        FROM bf JOIN uf u1 ON bf.w1 = u1.term
+          JOIN uf u2 ON bf.w2 = u2.term
+        WHERE bf.bc >= 5) CROSS JOIN totals
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
+  /** Vocabulary-coverage / OOV audit — given the top-k corpus
+    * vocabulary (the [[textVocabulary]] construction; k = 20 here so
+    * the 31-term synthetic fixture actually exercises the OOV path —
+    * production k is 10^4..10^5 and changes nothing in the plan), the
+    * per-source out-of-vocabulary rate: the number every tokenizer
+    * owner tracks per ingestion source, because a source whose OOV
+    * rate jumps is drifting away from the trained vocab (new language,
+    * new markup, spam). The vocab is a bounded top-k
+    * (TakeOrderedAndProject) that BROADCASTS to the token stream — the
+    * corpus-side join is map-side, tokens never shuffle for the
+    * membership probe; the per-source rollup is then one partial+final
+    * aggregate keyed by the (low-cardinality) source. Counts exact,
+    * one rounded division per source row. */
+  private[graft] val vocabOovRate = Q("vocab_oov_rate",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(20)
+        .select(col("term"), lit(1).as("in_vocab"))
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_oov"),
+          count_distinct(when(col("in_vocab").isNull, col("term")))
+            .as("oov_terms"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("oov_terms"),
+          round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy("source")
+    },
+    Some(raw"""WITH terms AS (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+          '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      t2 AS (SELECT source, term FROM terms WHERE term != ''),
+      vocab AS (SELECT term, 1 AS in_vocab FROM (
+        SELECT term, COUNT(*) AS tf FROM t2 GROUP BY 1
+        ORDER BY tf DESC, term LIMIT 20)),
+      j AS (SELECT t2.source, t2.term, v.in_vocab
+        FROM t2 LEFT JOIN vocab v ON t2.term = v.term)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_oov,
+        CAST(COUNT(DISTINCT CASE WHEN in_vocab IS NULL THEN term END)
+          AS BIGINT) AS oov_terms,
+        ROUND(CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   /** DETERMINISTIC WEIGHT-PROPORTIONAL SAMPLING (Poisson sampling with
     * per-row inclusion probability min(1, k·w/W)) — the "sample 100
     * documents, long ones proportionally more often" primitive behind
