@@ -70,7 +70,7 @@ object Queries {
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
-    QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate,
+    QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesText.bpeEncode,
     QueriesText.mixTemperature,
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,

@@ -1378,4 +1378,37 @@ private[graft] object QueriesText {
     },
     Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
+  /** BPE ENCODING — the serving half of the tokenizer: re-tokenize the
+    * corpus with the merges [[bpeTrainMerges]] learned, via
+    * [[graft.llmops.Bpe.encodeColumn]] (rank-ordered greedy folds,
+    * pure scan-side column expressions — the merge table is
+    * driver-held and bounded by vocab size, so encoding shuffles
+    * NOTHING at any corpus scale; this is the map-side step a 100 TB
+    * tokenization job runs per document). Invariant-gated to a
+    * constant-0 row, the engine-specific-operator convention:
+    * (a) LOSSLESSNESS — concatenating each token's encoded symbols
+    * must reproduce the token byte-for-byte, for EVERY distinct corpus
+    * token (a fold that drops, duplicates, or reorders a symbol
+    * breaks it); (b) TRAIN/SERVE CONSISTENCY — encoding a token from
+    * its raw characters must land on exactly the symbol array the
+    * training loop's incremental merge application produced for that
+    * token (rank-ordered replay = training's state sequence; an
+    * encoder that applied merges in the wrong order, or re-scanned
+    * already-merged output differently, diverges here). */
+  private[graft] val bpeEncode = Q("bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (merges, trained) = Bpe.train(docs, "text", 10)
+      val enc = trained.select(col("tok"), col("syms").as("trained"),
+        Bpe.encodeColumn(Bpe.charSplit(col("tok")), merges)
+          .as("encoded"))
+      enc.agg(
+        sum(when(concat_ws("", col("encoded")) =!= col("tok"), 1L)
+          .otherwise(0L)).as("n_roundtrip_violations"),
+        sum(when(not(col("encoded") === col("trained")), 1L)
+          .otherwise(0L)).as("n_trainserve_mismatches"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_roundtrip_violations,
+      CAST(0 AS BIGINT) AS n_trainserve_mismatches"""))
+
 }

@@ -76,6 +76,24 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
   }
 
+  /** A word as its initial single-character symbol array — the encode
+    * path's starting state (identical to [[vocabulary]]'s `syms`
+    * initialization, exposed for encoding tokens that never appeared
+    * in training). */
+  def charSplit(tok: Column): Column =
+    transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))
+
+  /** ENCODE: apply a trained merge list to a symbol-array column in
+    * rank order — merge 1 folds to fixpoint over the array before
+    * merge 2 is considered, which is exactly the state sequence
+    * training itself produced, so encoding a trained token reproduces
+    * the final vocabulary's symbols verbatim (the `bpe_encode`
+    * invariant). Scan-side only: the merges are driver-held (bounded
+    * by vocab_size, here 10) and each application is a higher-order
+    * fold per row — encoding shuffles nothing at any corpus size. */
+  def encodeColumn(syms: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
+
   /** Run `rounds` merge rounds; returns the learned merges and the
     * final vocabulary (tok, freq, syms). When `audit` is set, each
     * round also measures Σ freq·|syms| before/after so the caller can
