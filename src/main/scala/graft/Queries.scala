@@ -116,6 +116,7 @@ object Queries {
     QueriesAnalytics.dowSeasonality, QueriesAnalytics.seasonalAnomaly,
     QueriesAnalytics.statsBootstrapCi,
     QueriesAnalytics.recoItemItem, QueriesAnalytics.kpiCohortLtv,
-    QueriesAnalytics.forecastHolt)
+    QueriesAnalytics.forecastHolt, QueriesAnalytics.recoUserTopn,
+    QueriesAnalytics.forecastBacktest)
 }
 

@@ -1117,4 +1117,194 @@ private[graft] object QueriesAnalytics {
       FROM fin f CROSS JOIN generate_series(1, 7) AS t(h)
       ORDER BY h"""))
 
+  /** Personalized top-N recommendations composed from
+    * [[recoItemItem]]'s neighbor table: score every item a user has
+    * NOT engaged with by the summed similarity of the user's own items
+    * that list it as a neighbor, keep the top 3 — the standard
+    * item-based CF serving rule (Sarwar et al. 2001). Plan shape: the
+    * neighbor table is items × 5 rows (small by construction — it
+    * broadcasts), so scoring is a map-side join of the capped
+    * user-item list against it, one aggregate on (user, candidate),
+    * an anti-join back to the seen set on the same key pair, and a
+    * per-user top-3 window. Per-pair similarities round to 6dp DECIMAL
+    * before the sum so the score aggregate is shuffle-order-exact;
+    * ties break on item id. */
+  private[graft] val recoUserTopn = Q("reco_user_topn",
+    (s, dir) => {
+      val inter = events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"), col("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val capped = inter
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("item"))))
+        .filter(col("rk") <= 50)
+        .select(col("user_id"), col("item"))
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.select(col("i"), col("j"), col("co"))
+        .union(co.select(col("j").as("i"), col("i").as("j"), col("co")))
+      val nbrs = sym
+        .join(ni.select(col("item").as("i"), col("n").as("ni")), Seq("i"))
+        .join(ni.select(col("item").as("j"), col("n").as("nj")), Seq("j"))
+        .withColumn("cosine",
+          col("co").cast("double") /
+            sqrt((col("ni") * col("nj")).cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("i"))
+            .orderBy(col("cosine").desc, col("j"))))
+        .filter(col("rk") <= 5)
+        .select(col("i"), col("j").as("cand"),
+          round(col("cosine"), 6).cast(DecimalType(18, 6)).as("sim"))
+      val scoredAll = capped
+        .join(broadcast(nbrs), capped("item") === nbrs("i"))
+        .groupBy(col("user_id"), col("cand"))
+        .agg(sum(col("sim")).as("score_d"))
+      val unseen = scoredAll.join(
+        capped.select(col("user_id"), col("item").as("cand")),
+        Seq("user_id", "cand"), "left_anti")
+      unseen
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("score_d").desc, col("cand"))).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("cand").as("item"),
+          col("score_d").cast("double").as("score"))
+        .orderBy("user_id", "rank")
+    },
+    Some("""WITH inter AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+          COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2),
+      capped AS (SELECT user_id, item FROM (
+        SELECT user_id, item, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, item) AS rk
+        FROM inter) WHERE rk <= 50),
+      ni AS (SELECT item, COUNT(*) AS n FROM capped GROUP BY 1),
+      co AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS co
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, co FROM co
+        UNION ALL SELECT j AS i, i AS j, co FROM co),
+      nbrs AS (SELECT i, cand, sim FROM (
+        SELECT s.i, s.j AS cand,
+          CAST(ROUND(CAST(s.co AS DOUBLE) /
+            sqrt(CAST(x.n * y.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY s.i ORDER BY
+            CAST(s.co AS DOUBLE) / sqrt(CAST(x.n * y.n AS DOUBLE)) DESC,
+            s.j) AS rk
+        FROM sym s JOIN ni x ON s.i = x.item JOIN ni y ON s.j = y.item)
+        WHERE rk <= 5),
+      scored AS (SELECT c.user_id, nb.cand, SUM(nb.sim) AS score_d
+        FROM capped c JOIN nbrs nb ON c.item = nb.i
+        GROUP BY 1, 2),
+      unseen AS (SELECT sc.* FROM scored sc
+        LEFT JOIN capped cp
+          ON sc.user_id = cp.user_id AND sc.cand = cp.item
+        WHERE cp.item IS NULL)
+      SELECT user_id, rank, cand AS item, score FROM (
+        SELECT user_id, cand,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY score_d DESC, cand) AS BIGINT) AS rank,
+          CAST(score_d AS DOUBLE) AS score
+        FROM unseen)
+      WHERE rank <= 3 ORDER BY user_id, rank"""))
+
+  /** Rolling-origin BACKTEST of the [[forecastHolt]] model — the
+    * evaluation a forecast must pass before anyone trusts it: hold out
+    * the final 7 calendar days, fit Holt(α=β=0.5) on the prefix,
+    * and compare its per-day absolute error against the naive
+    * last-observed-value baseline (the bar every forecasting paper
+    * reports, because beating naive is what "the model learned
+    * something" means). Same scale posture as the fit itself: one
+    * daily aggregate, one calendar-bounded fold; the holdout compare
+    * is a 7-row broadcast join. Per-day absolute errors round to 2dp
+    * DECIMAL before averaging so the MAEs are order-exact; output is
+    * one row with both MAEs (dollars) and the holdout day count. */
+  private[graft] val forecastBacktest = Q("forecast_backtest",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+      val cutoff = daily.agg(date_sub(max(col("d")), 7).as("cutoff"))
+      val marked = daily.crossJoin(broadcast(cutoff))
+      val train = marked.filter(col("d") <= col("cutoff"))
+      val test = marked.filter(col("d") > col("cutoff"))
+        .select(col("d"), col("cents"),
+          datediff(col("d"), col("cutoff")).cast("double").as("h"))
+      val accT = "struct<l:double,b:double,last:double>"
+      val fit = train
+        .agg(array_sort(collect_list(struct(col("d"),
+          col("cents").cast("double").as("x")))).as("arr"))
+        .select(aggregate(col("arr"), lit(null).cast(accT), (acc, e) => {
+          val x = e.getField("x")
+          val ln = lit(0.5) * x +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          when(acc.isNull,
+            struct(x.as("l"), lit(0.0).as("b"), x.as("last")))
+            .otherwise(struct(ln.as("l"),
+              (lit(0.5) * (ln - acc.getField("l")) +
+                lit(0.5) * acc.getField("b")).as("b"),
+              x.as("last")))
+        }).as("st"))
+      test.crossJoin(broadcast(fit))
+        .select(col("d"), col("cents"), col("h"),
+          (col("st.l") + col("h") * col("st.b")).as("yhat_holt"),
+          col("st.last").as("yhat_naive"))
+        .select(
+          round(abs(col("cents").cast("double") - col("yhat_holt")) /
+            100.0, 2).cast(DecimalType(18, 2)).as("ae_holt"),
+          round(abs(col("cents").cast("double") - col("yhat_naive")) /
+            100.0, 2).cast(DecimalType(18, 2)).as("ae_naive"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum(col("ae_holt")).cast("double") / count(lit(1)))
+            .as("mae_holt"),
+          (sum(col("ae_naive")).cast("double") / count(lit(1)))
+            .as("mae_naive"))
+    },
+    Some("""WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1),
+      cut AS (SELECT MAX(d) - 7 AS cutoff FROM daily),
+      s AS (SELECT CAST(cents AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (ORDER BY d) AS i
+        FROM daily CROSS JOIN cut WHERE d <= cutoff),
+      holt(i, l, b) AS (
+        SELECT i, x, CAST(0 AS DOUBLE) FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.i,
+          0.5 * s.x + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+        FROM holt h JOIN s ON s.i = h.i + 1),
+      fit AS (SELECT h.l, h.b,
+          (SELECT x FROM s WHERE i = (SELECT MAX(i) FROM s)) AS last
+        FROM holt h WHERE h.i = (SELECT MAX(i) FROM s)),
+      test AS (SELECT d, cents,
+          CAST(date_diff('day', cutoff, d) AS DOUBLE) AS h
+        FROM daily CROSS JOIN cut WHERE d > cutoff),
+      errs AS (SELECT
+          CAST(ROUND(ABS(CAST(cents AS DOUBLE) - (f.l + t.h * f.b)) /
+            100.0, 2) AS DECIMAL(18,2)) AS ae_holt,
+          CAST(ROUND(ABS(CAST(cents AS DOUBLE) - f.last) /
+            100.0, 2) AS DECIMAL(18,2)) AS ae_naive
+        FROM test t CROSS JOIN fit f)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(ae_holt) AS DOUBLE) / COUNT(*) AS mae_holt,
+        CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) AS mae_naive
+      FROM errs"""))
+
 }
