@@ -1231,7 +1231,11 @@ private[graft] object QueriesAnalytics {
     * daily aggregate, one calendar-bounded fold; the holdout compare
     * is a 7-row broadcast join. Per-day absolute errors round to 2dp
     * DECIMAL before averaging so the MAEs are order-exact; output is
-    * one row with both MAEs (dollars) and the holdout day count. */
+    * one row with both MAEs (dollars) and the holdout day count.
+    * On this fixture the naive baseline WINS (the synthetic daily
+    * revenue is stationary noise, so trend extrapolation overshoots) —
+    * the textbook outcome on a trendless series, and exactly the
+    * decision signal a backtest row exists to surface. */
   private[graft] val forecastBacktest = Q("forecast_backtest",
     (s, dir) => {
       val daily = t(s, dir, "orders")

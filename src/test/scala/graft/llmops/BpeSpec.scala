@@ -55,4 +55,32 @@ class BpeSpec extends AnyFunSuite {
     val (merges, _) = Bpe.train(docs, "text", 5)
     assert(merges.isEmpty)
   }
+
+  test("encodeColumn replays training exactly, including OOV tokens") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq("ababab ababab ababab", "cd cd").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", 2)
+    // trained tokens: raw chars + rank-ordered replay == final vocab
+    val enc = vocab.select(col("tok"), col("syms"),
+      Bpe.encodeColumn(Bpe.charSplit(col("tok")), merges).as("encoded"))
+    val mismatches = enc.filter(!(col("syms") === col("encoded"))).count()
+    assert(mismatches == 0)
+    // OOV token never seen in training: merges still apply greedily
+    // where they match ("ab" inside "xabay"), untouched chars survive
+    val oov = Seq("xabay").toDF("tok")
+      .select(Bpe.encodeColumn(Bpe.charSplit(col("tok")), merges).as("e"))
+      .as[Seq[String]].head
+    assert(oov == Seq("x", "ab", "a", "y"))
+    // self-pair rule on an OOV run: leftmost-greedy, like training
+    val (selfMerges, _) = Bpe.train(Seq("aaa aaa").toDF("text"), "text", 1)
+    val run = Seq("aaaa").toDF("tok")
+      .select(Bpe.encodeColumn(Bpe.charSplit(col("tok")), selfMerges).as("e"))
+      .as[Seq[String]].head
+    assert(run == Seq("aa", "aa"))
+    // empty merge list: encoding is the identity char split
+    val none = Seq("ab").toDF("tok")
+      .select(Bpe.encodeColumn(Bpe.charSplit(col("tok")), Nil).as("e"))
+      .as[Seq[String]].head
+    assert(none == Seq("a", "b"))
+  }
 }
