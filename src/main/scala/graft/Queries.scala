@@ -117,6 +117,7 @@ object Queries {
     QueriesAnalytics.statsBootstrapCi,
     QueriesAnalytics.recoItemItem, QueriesAnalytics.kpiCohortLtv,
     QueriesAnalytics.forecastHolt, QueriesAnalytics.recoUserTopn,
-    QueriesAnalytics.forecastBacktest)
+    QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
+    QueriesAnalytics.featureTargetEncoding)
 }
 

@@ -1311,4 +1311,118 @@ private[graft] object QueriesAnalytics {
         CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) AS mae_naive
       FROM errs"""))
 
+  /** ROC-AUC by the Mann–Whitney rank statistic — the evaluation
+    * primitive behind every classifier/quality-score dashboard:
+    * AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), with AVERAGE
+    * ranks for ties (the textbook estimator; naive pairwise
+    * comparison is O(P·N) and a non-starter at scale). Scored here:
+    * does token count predict the long-document label — the same
+    * concept [[QueriesText.qualityClassifier]] trains on, evaluated
+    * without training anything.
+    *
+    * Scale shape: rows collapse to SCORE GROUPS first (one aggregate,
+    * output bounded by distinct scores), so the ranking window runs
+    * over the group table, not raw rows — the classic trick that makes
+    * rank statistics feasible on 100 TB (same posture as
+    * [[QueriesRelational.statsSpearman]]'s histogram ranks). Average
+    * ranks are exact binary halves (cum + (n+1)/2), positive-rank
+    * mass multiplies exact counts, so every sum is IEEE-exact and
+    * order-independent; the final AUC is one division. */
+  private[graft] val mlAuc = Q("ml_auc",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(size(split(trim(col("text")), "\\s+"))
+          .cast("bigint").as("score"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+      val groups = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val wcum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = groups
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .select(col("n"), col("n_pos"),
+          ((col("cum") - col("n")).cast("double") +
+            (col("n").cast("double") + 1.0) / 2.0).as("r_avg"))
+      ranked.agg(
+          sum(col("n_pos")).as("p"),
+          sum(col("n") - col("n_pos")).as("nneg"),
+          sum(col("n_pos").cast("double") * col("r_avg"))
+            .as("pos_rank_sum"))
+        .select(col("p"), col("nneg"),
+          ((col("pos_rank_sum") -
+            col("p").cast("double") * (col("p").cast("double") + 1.0) /
+              2.0) /
+            (col("p").cast("double") * col("nneg").cast("double")))
+            .as("auc"))
+    },
+    Some(raw"""WITH scored AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+            AS BIGINT) AS score,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      groups AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      ranked AS (SELECT n, n_pos,
+          CAST(SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+            - n AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0 AS r_avg
+        FROM groups),
+      agg AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+          CAST(SUM(n - n_pos) AS BIGINT) AS nneg,
+          SUM(CAST(n_pos AS DOUBLE) * r_avg) AS pos_rank_sum
+        FROM ranked)
+      SELECT p, nneg,
+        (pos_rank_sum - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0)
+          / 2.0) / (CAST(p AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
+      FROM agg"""))
+
+  /** Smoothed target encoding — the feature-engineering workhorse for
+    * high-cardinality categoricals: replace each category with
+    * (Σ target + k·global_mean) / (n + k), the empirical-Bayes
+    * shrinkage that keeps rare categories from memorizing their
+    * handful of labels (k = 20 pseudo-observations). Encoded here:
+    * market segment → mean order value. One equi-join orders→customer
+    * on the 8-byte custkey (broadcast-able dimension), one aggregate
+    * per category, one 1-row global compose — at 100 TB the encoding
+    * table is |categories| rows and ships back to the feature join as
+    * a broadcast. Target sums are exact cents; the global mean and
+    * each category's shrunk mean are identical IEEE sequences in both
+    * engines. */
+  private[graft] val featureTargetEncoding = Q("feature_target_encoding",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))
+      val glob = joined.agg(sum(col("cents")).as("gs"),
+        count(lit(1)).as("gn"))
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .crossJoin(broadcast(glob))
+        .select(col("c_mktsegment"), col("n"),
+          (col("s").cast("double") / (lit(100.0) * col("n").cast("double")))
+            .as("raw_mean"),
+          ((col("s").cast("double") / 100.0 +
+            lit(20.0) * (col("gs").cast("double") /
+              (lit(100.0) * col("gn").cast("double")))) /
+            (col("n").cast("double") + lit(20.0))).as("encoded"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH j AS (SELECT c.c_mktsegment,
+        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      gt AS (SELECT CAST(SUM(cents) AS BIGINT) AS gs,
+        CAST(COUNT(*) AS BIGINT) AS gn FROM j)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(cents) AS DOUBLE) /
+          (100.0 * CAST(COUNT(*) AS DOUBLE)) AS raw_mean,
+        (CAST(SUM(cents) AS DOUBLE) / 100.0 +
+          20.0 * (CAST(gs AS DOUBLE) / (100.0 * CAST(gn AS DOUBLE)))) /
+          (CAST(COUNT(*) AS DOUBLE) + 20.0) AS encoded
+      FROM j CROSS JOIN gt
+      GROUP BY c_mktsegment, gs, gn ORDER BY c_mktsegment"""))
+
 }
