@@ -99,7 +99,7 @@ object Queries {
     QueriesRelational.priorityRevenue,
     QueriesRelational.regionalSupplierVolume,
     QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,
-    QueriesRelational.graphLabelProp,
+    QueriesRelational.graphLabelProp, QueriesRelational.graphSssp,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
     QueriesStreaming.streamAttributionDaily,

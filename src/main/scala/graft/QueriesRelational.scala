@@ -2456,4 +2456,103 @@ private[graft] object QueriesRelational {
         MIN(lab) AS min_label
       FROM sizes GROUP BY 1 ORDER BY 1"""))
 
+  /** Weighted single-source shortest paths — distributed Bellman-Ford
+    * (min-plus relaxation) over the sparse order↔part graph with
+    * l_quantity as the edge weight, seeds = the 10 smallest node ids:
+    * the weighted upgrade of [[graphBfsDepth]] (hop counting) to
+    * "cheapest route", the primitive under latency/cost propagation.
+    * Each round is ONE equi-join of the frontier against the edge
+    * list + a min-aggregate on the destination key — at 100 TB a
+    * round shuffles (id, candidate-distance) longs only, rounds are
+    * bounded by the shortest-path edge diameter, and localCheckpoint
+    * pins each round so round R's plan never re-derives rounds
+    * 1..R−1. Convergence is EXACT: stop when the (reached-count,
+    * Σ finite distances) pair — both exact BIGINTs — stops moving.
+    * Parallel edges collapse to their min weight first (one aggregate)
+    * so relaxation never wastes rounds on dominated edges.
+    *
+    * The DuckDB twin is a DIFFERENT algorithm, which is the point:
+    * weights here are 1 or 2, so each weight-2 edge expands through a
+    * unique virtual midpoint node and weighted distance becomes plain
+    * BFS hop distance on the expanded graph, solved by the recursive
+    * closure — an independent derivation that must agree node-for-node
+    * with the relaxation. Output: the distance histogram over real
+    * nodes (unreached = −1, a real row). */
+  private[graft] val graphSssp = Q("graph_sssp",
+    (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select((col("l_orderkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"),
+          col("w"))
+        .union(base.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+        .cache()
+      val inf = Long.MaxValue / 4
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val seeds = nodes.orderBy("id").limit(10)
+        .select(col("id"), lit(0L).as("d0"))
+      var dist = nodes.join(seeds, Seq("id"), "left")
+        .select(col("id"), coalesce(col("d0"), lit(inf)).as("d"))
+        .localCheckpoint(true)
+      def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(
+          sum(when(col("d") < inf, 1L).otherwise(0L)),
+          sum(when(col("d") < inf, col("d")).otherwise(0L))).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var prev = state(dist)
+      var converged = false
+      var i = 0
+      while (i < 100 && !converged) {
+        val cand = edges.join(dist.filter(col("d") < inf),
+            edges("src") === col("id"))
+          .select(col("dst").as("id"), (col("d") + col("w")).as("nd"))
+          .groupBy("id").agg(min(col("nd")).as("nd"))
+        dist = dist.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("d"), coalesce(col("nd"), lit(inf))).as("d"))
+          .localCheckpoint(true)
+        val cur = state(dist)
+        converged = cur == prev
+        prev = cur
+        i += 1
+      }
+      edges.unpersist()
+      dist.select(col("id"),
+          when(col("d") < inf, col("d")).otherwise(lit(-1L)).as("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+        .orderBy("d")
+    },
+    Some("""WITH RECURSIVE
+      base AS (SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b,
+          CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM lineitem WHERE l_quantity <= 2 GROUP BY 1, 2),
+      expanded AS (
+        SELECT a AS u, b AS v FROM base WHERE w = 1
+        UNION ALL
+        SELECT a AS u, -(a * 4000003 + b) AS v FROM base WHERE w = 2
+        UNION ALL
+        SELECT -(a * 4000003 + b) AS u, b AS v FROM base WHERE w = 2),
+      edges AS (SELECT u AS src, v AS dst FROM expanded
+        UNION SELECT v, u FROM expanded),
+      nodes AS (SELECT DISTINCT a AS id FROM base
+        UNION SELECT DISTINCT b FROM base),
+      seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+      reach(id, d) AS (
+        SELECT id, CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.d < 250),
+      dist AS (SELECT id, MIN(d) AS d FROM reach GROUP BY id),
+      full_dist AS (SELECT n.id, COALESCE(dd.d, -1) AS d
+        FROM nodes n LEFT JOIN dist dd ON n.id = dd.id)
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        MIN(id) AS min_id
+      FROM full_dist GROUP BY 1 ORDER BY 1"""))
+
 }
