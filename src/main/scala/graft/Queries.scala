@@ -71,6 +71,7 @@ object Queries {
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesText.bpeEncode,
+    QueriesText.featureHashing, QueriesText.bpeFertility,
     QueriesText.mixTemperature,
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,

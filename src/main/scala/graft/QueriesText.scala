@@ -1378,6 +1378,51 @@ private[graft] object QueriesText {
     },
     Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
+  /** The hashing trick (signed feature hashing, Weinberger et al.
+    * 2009): project each document's bag-of-words into a FIXED
+    * 64-bucket space via bucket = md5(term) mod B with a ±1 sign bit
+    * from an independent hash digit — the featurizer that needs NO
+    * vocabulary table, no fit step, and no shuffle beyond the output
+    * aggregate, which is why it's the default for 100 TB text → model
+    * pipelines (the sign makes collision noise zero-mean instead of
+    * additive). Everything is scan-side column math on exact integers:
+    * per-(doc, bucket) values are signed term-frequency sums, the
+    * md5-hex → int bridge is the established [[sampleHashSplit]]
+    * parity idiom, and the demo slice (doc_id < 50) bounds the output
+    * while the hash math is corpus-size-free. */
+  private[graft] val featureHashing = Q("feature_hashing",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val bucket = (conv(substring(md5(col("term")), 1, 4), 16, 10)
+        .cast("long") % 64).as("bucket")
+      val sign = (conv(substring(md5(col("term")), 5, 1), 16, 10)
+        .cast("long") % 2 * 2 - 1).as("sign")
+      terms.select(col("doc_id"), col("term"), bucket, sign)
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("value"),
+          count_distinct(col("term")).as("n_terms"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some(raw"""WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+          '\s+')) AS term
+        FROM documents
+        WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) != ''),
+      t2 AS (SELECT doc_id, term,
+          CAST('0x' || substring(md5(term), 1, 4) AS BIGINT) % 64
+            AS bucket,
+          (CAST('0x' || substring(md5(term), 5, 1) AS BIGINT) % 2)
+            * 2 - 1 AS sign
+        FROM terms WHERE term != '')
+      SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS value,
+        CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+      FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** BPE ENCODING — the serving half of the tokenizer: re-tokenize the
     * corpus with the merges [[bpeTrainMerges]] learned, via
     * [[graft.llmops.Bpe.encodeColumn]] (rank-ordered greedy folds,
@@ -1410,5 +1455,66 @@ private[graft] object QueriesText {
     },
     Some("""SELECT CAST(0 AS BIGINT) AS n_roundtrip_violations,
       CAST(0 AS BIGINT) AS n_trainserve_mismatches"""))
+
+  /** Tokenizer FERTILITY per source — mean BPE pieces per word under
+    * the trained merges, the metric tokenizer owners track per corpus
+    * source (a source whose fertility is high is poorly served by the
+    * vocabulary: more sequence length per word, more compute per
+    * byte). The encode side rides the trained vocabulary's final
+    * symbol arrays (already computed once per distinct token —
+    * fertility never re-encodes the corpus); the per-source word
+    * frequencies join the piece counts on the (Heaps-law-bounded)
+    * token key, then one aggregate per source. Exact integer
+    * piece/word totals; fertility is the single trailing division.
+    * Frozen sf0.01 oracle (engine-specific deterministic output — the
+    * [[bpeTrainMerges]] precedent; the semantic invariants live in
+    * [[bpeEncode]]). */
+  private[graft] val bpeFertility = Q("bpe_fertility",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, trained) = Bpe.train(docs, "text", 10)
+      val pieces = trained.select(col("tok"),
+        size(col("syms")).cast("long").as("pieces"))
+      val bySrc = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("freq"))
+      bySrc.join(broadcast(pieces), Seq("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("freq") * col("pieces")).as("pieces_total"),
+          sum(col("freq")).as("words_total"))
+        .select(col("source"), col("pieces_total"), col("words_total"),
+          (col("pieces_total").cast("double") /
+            col("words_total").cast("double")).as("fertility"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, pieces_total, words_total,
+      CAST(pieces_total AS DOUBLE) / CAST(words_total AS DOUBLE)
+        AS fertility
+      FROM (VALUES
+      ('src0', CAST(5216 AS BIGINT), CAST(1435 AS BIGINT)),
+      ('src1', CAST(5620 AS BIGINT), CAST(1540 AS BIGINT)),
+      ('src10', CAST(4677 AS BIGINT), CAST(1303 AS BIGINT)),
+      ('src11', CAST(5507 AS BIGINT), CAST(1522 AS BIGINT)),
+      ('src12', CAST(4541 AS BIGINT), CAST(1272 AS BIGINT)),
+      ('src13', CAST(5556 AS BIGINT), CAST(1553 AS BIGINT)),
+      ('src14', CAST(4737 AS BIGINT), CAST(1318 AS BIGINT)),
+      ('src15', CAST(4641 AS BIGINT), CAST(1298 AS BIGINT)),
+      ('src16', CAST(4928 AS BIGINT), CAST(1351 AS BIGINT)),
+      ('src17', CAST(4872 AS BIGINT), CAST(1373 AS BIGINT)),
+      ('src18', CAST(4977 AS BIGINT), CAST(1364 AS BIGINT)),
+      ('src19', CAST(4134 AS BIGINT), CAST(1147 AS BIGINT)),
+      ('src2', CAST(5087 AS BIGINT), CAST(1407 AS BIGINT)),
+      ('src3', CAST(5001 AS BIGINT), CAST(1384 AS BIGINT)),
+      ('src4', CAST(4643 AS BIGINT), CAST(1294 AS BIGINT)),
+      ('src5', CAST(4783 AS BIGINT), CAST(1329 AS BIGINT)),
+      ('src6', CAST(4589 AS BIGINT), CAST(1266 AS BIGINT)),
+      ('src7', CAST(5441 AS BIGINT), CAST(1507 AS BIGINT)),
+      ('src8', CAST(4147 AS BIGINT), CAST(1136 AS BIGINT)),
+      ('src9', CAST(4921 AS BIGINT), CAST(1366 AS BIGINT)))
+      AS t(source, pieces_total, words_total) ORDER BY source"""))
 
 }
