@@ -38,7 +38,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "revenue_gini", // same 10-row decile window as revenue_lorenz
     "survival_km", // risk-set + survival windows over the day-domain KM table
     "interval_concurrency", // sweep-line cumsum over the day-domain delta table
-    "seasonal_anomaly") // centered-MA window over the calendar-sized daily aggregate
+    "seasonal_anomaly", // centered-MA window over the calendar-sized daily aggregate
+    "ml_auc") // rank cumsum over the score-GROUP aggregate (value domain, not rows)
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
