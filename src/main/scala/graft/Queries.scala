@@ -119,6 +119,8 @@ object Queries {
     QueriesAnalytics.recoItemItem, QueriesAnalytics.kpiCohortLtv,
     QueriesAnalytics.forecastHolt, QueriesAnalytics.recoUserTopn,
     QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
-    QueriesAnalytics.featureTargetEncoding)
+    QueriesAnalytics.featureTargetEncoding,
+    QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
+    QueriesAnalytics.recoEvalHitrate)
 }
 

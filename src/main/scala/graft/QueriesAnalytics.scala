@@ -926,34 +926,71 @@ private[graft] object QueriesAnalytics {
     * a per-item window over the ≤ items² pair aggregate. Cosine is one
     * IEEE div-of-sqrt over exact integers, bit-identical in both
     * engines; ties break on neighbor id. */
+  /** Shared CF plumbing for the `reco_*` family: raw engagement →
+    * per-(user, item) counts. */
+  private def cfInteractions(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-user top-50 engagement cap that bounds CF pair fan-out at
+    * C(50,2) narrow rows per user regardless of skew (deterministic
+    * ties: count desc, item asc). Input: (user_id, item, cnt). */
+  private def cfCap(inter: DataFrame): DataFrame =
+    inter.withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rk") <= 50)
+      .select(col("user_id"), col("item"))
+
+  /** Symmetric co-occurrence cosine table (i, j, co, cosine) from the
+    * capped (user_id, item) list — self-join on user, count per pair,
+    * cosine = co / √(n_i·n_j) as one IEEE div-of-sqrt over exact
+    * integers. */
+  private def cfPairs(capped: DataFrame): DataFrame = {
+    val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("co"))
+    val sym = co.select(col("i"), col("j"), col("co"))
+      .union(co.select(col("j").as("i"), col("i").as("j"), col("co")))
+    sym
+      .join(ni.select(col("item").as("i"), col("n").as("ni")), Seq("i"))
+      .join(ni.select(col("item").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("cosine",
+        col("co").cast("double") /
+          sqrt((col("ni") * col("nj")).cast("double")))
+  }
+
+  /** Top-5 neighbor table (i, cand, sim) with 6dp-DECIMAL similarity —
+    * the broadcastable serving artifact. */
+  private def cfNeighbors(pairs: DataFrame): DataFrame =
+    pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("i"))
+          .orderBy(col("cosine").desc, col("j"))))
+      .filter(col("rk") <= 5)
+      .select(col("i"), col("j").as("cand"),
+        round(col("cosine"), 6).cast(DecimalType(18, 6)).as("sim"))
+
+  /** Unseen-item scores (user_id, cand, score_d) — the item-based CF
+    * serving rule: broadcast neighbor table against the capped seen
+    * list, decimal-exact score sums, anti-join removes seen items. */
+  private def cfRecScores(capped: DataFrame, nbrs: DataFrame): DataFrame =
+    capped
+      .join(broadcast(nbrs), capped("item") === nbrs("i"))
+      .groupBy(col("user_id"), col("cand"))
+      .agg(sum(col("sim")).as("score_d"))
+      .join(capped.select(col("user_id"), col("item").as("cand")),
+        Seq("user_id", "cand"), "left_anti")
+
   private[graft] val recoItemItem = Q("reco_item_item",
     (s, dir) => {
-      val inter = events(s, dir)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("item"))
-        .filter(col("item").isNotNull)
-        .groupBy(col("user_id"), col("item"))
-        .agg(count(lit(1)).as("cnt"))
-      val capped = inter
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("cnt").desc, col("item"))))
-        .filter(col("rk") <= 50)
-        .select(col("user_id"), col("item"))
-      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
-      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
-        .filter(col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-        .agg(count(lit(1)).as("co"))
-      val sym = co.select(col("i"), col("j"), col("co"))
-        .union(co.select(col("j").as("i"), col("i").as("j"), col("co")))
-      val scored = sym
-        .join(ni.select(col("item").as("i"), col("n").as("ni")), Seq("i"))
-        .join(ni.select(col("item").as("j"), col("n").as("nj")), Seq("j"))
-        .withColumn("cosine",
-          col("co").cast("double") /
-            sqrt((col("ni") * col("nj")).cast("double")))
+      val scored = cfPairs(cfCap(cfInteractions(s, dir)))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("i"))
@@ -1131,45 +1168,8 @@ private[graft] object QueriesAnalytics {
     * ties break on item id. */
   private[graft] val recoUserTopn = Q("reco_user_topn",
     (s, dir) => {
-      val inter = events(s, dir)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("item"))
-        .filter(col("item").isNotNull)
-        .groupBy(col("user_id"), col("item"))
-        .agg(count(lit(1)).as("cnt"))
-      val capped = inter
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("cnt").desc, col("item"))))
-        .filter(col("rk") <= 50)
-        .select(col("user_id"), col("item"))
-      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
-      val co = capped.as("a").join(capped.as("b"), Seq("user_id"))
-        .filter(col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-        .agg(count(lit(1)).as("co"))
-      val sym = co.select(col("i"), col("j"), col("co"))
-        .union(co.select(col("j").as("i"), col("i").as("j"), col("co")))
-      val nbrs = sym
-        .join(ni.select(col("item").as("i"), col("n").as("ni")), Seq("i"))
-        .join(ni.select(col("item").as("j"), col("n").as("nj")), Seq("j"))
-        .withColumn("cosine",
-          col("co").cast("double") /
-            sqrt((col("ni") * col("nj")).cast("double")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("i"))
-            .orderBy(col("cosine").desc, col("j"))))
-        .filter(col("rk") <= 5)
-        .select(col("i"), col("j").as("cand"),
-          round(col("cosine"), 6).cast(DecimalType(18, 6)).as("sim"))
-      val scoredAll = capped
-        .join(broadcast(nbrs), capped("item") === nbrs("i"))
-        .groupBy(col("user_id"), col("cand"))
-        .agg(sum(col("sim")).as("score_d"))
-      val unseen = scoredAll.join(
-        capped.select(col("user_id"), col("item").as("cand")),
-        Seq("user_id", "cand"), "left_anti")
+      val capped = cfCap(cfInteractions(s, dir))
+      val unseen = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
       unseen
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("user_id"))
@@ -1424,5 +1424,248 @@ private[graft] object QueriesAnalytics {
           (CAST(COUNT(*) AS DOUBLE) + 20.0) AS encoded
       FROM j CROSS JOIN gt
       GROUP BY c_mktsegment, gs, gn ORDER BY c_mktsegment"""))
+
+  /** Two-proportion z-test on funnel conversion — the significance
+    * read behind every A/B dashboard: is cohort A's signup→purchase
+    * rate different from cohort B's, or noise? Cohorts split by
+    * user_id parity (the deterministic stand-in for an assignment
+    * column). Each cohort reduces to two exact integers (signup
+    * users, converted users) via the [[QueriesRelational]] funnel
+    * construction — the whole test is two count-aggregates and a
+    * 1-row z formula, so at 100 TB the cost is the funnel scan it
+    * shares with the funnel row itself. The pooled-variance z and
+    * both rates are single identical IEEE sequences; the 1.96
+    * two-sided 5% critical value is pinned in both engines. */
+  private[graft] val funnelSignificance = Q("funnel_significance",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("user_id") % 2 === 0).as("is_a"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("is_a"))
+        .agg(min(col("ts_us")).as("first_signup"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(signup.select(col("user_id"), col("first_signup")),
+          Seq("user_id"))
+        .filter(col("ts_us") > col("first_signup"))
+        .select(col("user_id")).distinct()
+      val per = signup.join(converted.withColumn("conv", lit(1L)),
+          Seq("user_id"), "left")
+        .groupBy(col("is_a"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L)))
+          .as("x"))
+      val a = per.filter(col("is_a")).select(col("n").as("n_a"),
+        col("x").as("x_a"))
+      val b = per.filter(!col("is_a")).select(col("n").as("n_b"),
+        col("x").as("x_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("p_a",
+          col("x_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("p_b",
+          col("x_b").cast("double") / col("n_b").cast("double"))
+        .withColumn("p_pool",
+          (col("x_a") + col("x_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("den",
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double"))))
+        // p_pool ∈ {0,1} (nobody / everybody converts) degenerates the
+        // variance to 0 — define z = 0 there (no evidence of a
+        // difference), and guard the division: Spark 4 ANSI throws
+        // DIVIDE_BY_ZERO even for doubles.
+        .withColumn("z", when(col("den") > 0,
+          (col("p_a") - col("p_b")) / col("den")).otherwise(lit(0.0)))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"), col("z"),
+          (abs(col("z")) > 1.96).as("significant"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        user_id % 2 = 0 AS is_a FROM events),
+      signup AS (SELECT user_id, is_a, MIN(ts_us) AS first_signup
+        FROM ev WHERE event_type = 'signup' GROUP BY 1, 2),
+      conv AS (SELECT DISTINCT e.user_id
+        FROM ev e JOIN signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > s.first_signup),
+      per AS (SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS x
+        FROM signup s LEFT JOIN conv c ON s.user_id = c.user_id
+        GROUP BY 1),
+      ab AS (SELECT
+          (SELECT n FROM per WHERE is_a) AS n_a,
+          (SELECT x FROM per WHERE is_a) AS x_a,
+          (SELECT n FROM per WHERE NOT is_a) AS n_b,
+          (SELECT x FROM per WHERE NOT is_a) AS x_b),
+      rates AS (SELECT *,
+          CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+          CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+          CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+            AS p_pool
+        FROM ab),
+      withden AS (SELECT *,
+          sqrt(p_pool * (1.0 - p_pool) *
+            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+            AS den
+        FROM rates)
+      SELECT n_a, x_a, n_b, x_b, p_a, p_b,
+        CASE WHEN den > 0 THEN (p_a - p_b) / den ELSE 0.0 END AS z,
+        ABS(CASE WHEN den > 0 THEN (p_a - p_b) / den ELSE 0.0 END)
+          > 1.96 AS significant
+      FROM withden"""))
+
+  /** Theil–Sen robust trend — the median of all pairwise slopes of
+    * the daily 'view'-count series: the estimator that shrugs off the
+    * outlier days that wreck [[QueriesRelational.statsLinfit]]'s OLS
+    * slope (29% breakdown point vs 0%). The quadratic is over the
+    * DAY-DOMAIN aggregate, never rows: the series is calendar-bounded,
+    * so the pair table is days² narrow rows (a broadcast nested-loop
+    * of a bounded aggregate — the same allowlisted shape as the other
+    * bounded-domain demos), and the heavy pass stays the daily count
+    * aggregate. The median is an exact order statistic: row_number
+    * over the pair table (aggregated input), middle element — or the
+    * mean of the two middles, which is safe cross-engine because
+    * 2-term IEEE addition is commutative (order only matters from 3
+    * terms up). */
+  private[graft] val statsTheilsen = Q("stats_theilsen",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("y"))
+        .select(datediff(col("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"), col("y"))
+      val pairs = daily.as("a").join(broadcast(daily.as("b")),
+          col("a.x") < col("b.x"))
+        .select(((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(Window.orderBy(col("slope"))))
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+          col("rn") === expr("n_pairs div 2 + 1"))
+        .agg(max(col("n_pairs")).as("n_pairs"),
+          (sum(col("slope")) / count(lit(1))).as("theil_slope"))
+    },
+    Some("""WITH daily AS (SELECT
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+          CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      pairs AS (SELECT
+          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x),
+      ranked AS (SELECT slope,
+          ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+          COUNT(*) OVER () AS n_pairs
+        FROM pairs)
+      SELECT CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        SUM(slope) / COUNT(*) AS theil_slope
+      FROM ranked
+      WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1"""))
+
+  /** LEAVE-LAST-OUT evaluation of the recommender — the offline
+    * hit-rate check that must gate any CF deployment: per user, hold
+    * out the LAST first-interacted item, retrain the
+    * [[recoItemItem]] pipeline on the remainder, and ask whether the
+    * held-out item lands in the user's top-3 recommendations
+    * ([[recoUserTopn]]'s serving rule). Closes the build→eval loop the
+    * way [[simEvalNdcg]] does for retrieval and [[mlAuc]] for
+    * classification. Same bounded shapes as the serving path (capped
+    * fan-out, broadcast neighbor table) — the eval costs one extra
+    * first-ts aggregate over the engagement pairs. Holdout choice is
+    * deterministic (latest first-interaction, ties → larger item id);
+    * users need ≥ 2 distinct items. Output: one exact-integer row +
+    * the single hit-rate division. */
+  private[graft] val recoEvalHitrate = Q("reco_eval_hitrate",
+    (s, dir) => {
+      val firstTs = events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"),
+          unix_micros(col("ts")).as("ts_us"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"), col("item"))
+        .agg(min(col("ts_us")).as("first_ts"), count(lit(1)).as("cnt"))
+      val eligible = firstTs.withColumn("n_items",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("n_items") >= 2)
+      val marked = eligible.withColumn("held_rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("first_ts").desc, col("item").desc)))
+      val heldout = marked.filter(col("held_rk") === 1)
+        .select(col("user_id"), col("item").as("held_item"))
+      val train = marked.filter(col("held_rk") > 1)
+        .select(col("user_id"), col("item"), col("cnt"))
+      val capped = cfCap(train)
+      val recs = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("score_d").desc, col("cand"))))
+        .filter(col("rank") <= 3)
+      val hits = heldout.join(recs,
+          heldout("user_id") === recs("user_id") &&
+            heldout("held_item") === recs("cand"), "left_semi")
+      heldout.agg(count(lit(1)).as("n_users"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_users"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_users").cast("double"))
+            .as("hit_rate"))
+    },
+    Some("""WITH ft AS (SELECT user_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+          MIN(epoch_us(ts)) AS first_ts, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2),
+      eligible AS (SELECT * FROM (SELECT *,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_items FROM ft)
+        WHERE n_items >= 2),
+      marked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY first_ts DESC, item DESC) AS held_rk
+        FROM eligible),
+      heldout AS (SELECT user_id, item AS held_item FROM marked
+        WHERE held_rk = 1),
+      train AS (SELECT user_id, item, cnt FROM marked WHERE held_rk > 1),
+      capped AS (SELECT user_id, item FROM (
+        SELECT user_id, item, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, item) AS rk
+        FROM train) WHERE rk <= 50),
+      ni AS (SELECT item, COUNT(*) AS n FROM capped GROUP BY 1),
+      co AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS co
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (SELECT i, j, co FROM co
+        UNION ALL SELECT j AS i, i AS j, co FROM co),
+      nbrs AS (SELECT i, cand, sim FROM (
+        SELECT s.i, s.j AS cand,
+          CAST(ROUND(CAST(s.co AS DOUBLE) /
+            sqrt(CAST(x.n * y.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY s.i ORDER BY
+            CAST(s.co AS DOUBLE) / sqrt(CAST(x.n * y.n AS DOUBLE)) DESC,
+            s.j) AS rk
+        FROM sym s JOIN ni x ON s.i = x.item JOIN ni y ON s.j = y.item)
+        WHERE rk <= 5),
+      scored AS (SELECT c.user_id, nb.cand, SUM(nb.sim) AS score_d
+        FROM capped c JOIN nbrs nb ON c.item = nb.i
+        GROUP BY 1, 2),
+      unseen AS (SELECT sc.* FROM scored sc
+        LEFT JOIN capped cp
+          ON sc.user_id = cp.user_id AND sc.cand = cp.item
+        WHERE cp.item IS NULL),
+      recs AS (SELECT user_id, cand FROM (
+        SELECT user_id, cand, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY score_d DESC, cand) AS rank FROM unseen)
+        WHERE rank <= 3),
+      hits AS (SELECT h.user_id FROM heldout h
+        WHERE EXISTS (SELECT 1 FROM recs r
+          WHERE r.user_id = h.user_id AND r.cand = h.held_item))
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM heldout) AS n_users,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+        CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) /
+          CAST((SELECT COUNT(*) FROM heldout) AS DOUBLE) AS hit_rate"""))
 
 }

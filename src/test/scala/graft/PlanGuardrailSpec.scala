@@ -39,7 +39,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "survival_km", // risk-set + survival windows over the day-domain KM table
     "interval_concurrency", // sweep-line cumsum over the day-domain delta table
     "seasonal_anomaly", // centered-MA window over the calendar-sized daily aggregate
-    "ml_auc") // rank cumsum over the score-GROUP aggregate (value domain, not rows)
+    "ml_auc", // rank cumsum over the score-GROUP aggregate (value domain, not rows)
+    "stats_theilsen") // pair-slope rank over the day-domain aggregate (calendar-bounded)
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
