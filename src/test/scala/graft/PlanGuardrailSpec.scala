@@ -99,6 +99,32 @@ class PlanGuardrailSpec extends AnyFunSuite {
       && !readSchema.contains("text"), readSchema)
   }
 
+  test("dynamic partition pruning engages on a date-partitioned fact") {
+    // At 100 TB the date-partitioned silver fact joined to a filtered
+    // dimension must scan ONLY the partitions the dim's survivors name
+    // — Spark's DPP injects a runtime subquery into the scan's
+    // PartitionFilters. Assert the mechanism fires for our layout
+    // (partitionBy(date) writes + an equi-join on the partition key),
+    // so a layout or join-shape change that silently disables it (e.g.
+    // a cast on the partition column, a non-equi rewrite) fails here.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("od", to_date(col("o_orderdate")))
+      .write.partitionBy("od").parquet(s"$tmp/fact")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // dim: every date plus a selective flag — stored, not derived from
+    // the fact, so the filter is a genuine dim-side predicate
+    fact.select(col("od")).distinct()
+      .withColumn("flag", (dayofmonth(col("od")) <= 2).cast("int"))
+      .write.parquet(s"$tmp/dim")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("flag") === 1)
+    val j = fact.join(dim, Seq("od")).groupBy().count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in the partitioned scan:\n${plan.take(3000)}")
+  }
+
   test("runtime bloom-filter pruning engages for selective shuffle joins") {
     // At 100 TB the fact-side scan of a selective dim join should be
     // pre-filtered by a runtime bloom filter built from the dim side
