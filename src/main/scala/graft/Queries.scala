@@ -121,6 +121,7 @@ object Queries {
     QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
     QueriesAnalytics.featureTargetEncoding,
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
+    QueriesAnalytics.forecastHw,
     QueriesAnalytics.recoEvalHitrate)
 }
 

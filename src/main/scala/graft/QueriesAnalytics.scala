@@ -1311,6 +1311,81 @@ private[graft] object QueriesAnalytics {
         CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) AS mae_naive
       FROM errs"""))
 
+  /** Holt–Winters ADDITIVE forecast (α = β = γ = 0.5, weekly season
+    * m = 7) of daily order revenue — the seasonality-aware upgrade of
+    * [[forecastHolt]] that [[dowSeasonality]] motivates (revenue has a
+    * weekly cycle; a trend-only model aliases it into error). State is
+    * (level, trend, 7-slot seasonal ring): l_t = α(x_t − s_{t−7}) +
+    * (1−α)(l+b); b_t = β(l_t − l) + (1−β)b; s_t = γ(x_t − l_t) +
+    * (1−γ)s_{t−7}. Same scale posture as the other recursions — the
+    * corpus-sized work is the daily aggregate; the fold (now carrying
+    * a 7-element array through `slice`+`concat` ring updates) is
+    * calendar-bounded inside one row. Halving keeps every step
+    * IEEE-replicable; the DuckDB twin is a recursive CTE carrying a
+    * LIST column with the identical op sequence (list_reduce remains
+    * off-limits for multi-field accumulators — see [[forecastHolt]]).
+    * Forecast ŷ_h = l + h·b + s[h]: position h of the ring is the
+    * seasonal of weekday t+h−7. */
+  private[graft] val forecastHw = Q("forecast_hw",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+      val accT = "struct<l:double,b:double,s:array<double>>"
+      val folded = daily
+        .agg(array_sort(collect_list(struct(col("d"),
+          col("cents").cast("double").as("x")))).as("arr"))
+        .select(aggregate(col("arr"), lit(null).cast(accT), (acc, e) => {
+          val x = e.getField("x")
+          val sOld = element_at(acc.getField("s"), 1)
+          val ln = lit(0.5) * (x - sOld) +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          val bn = lit(0.5) * (ln - acc.getField("l")) +
+            lit(0.5) * acc.getField("b")
+          val sn = lit(0.5) * (x - ln) + lit(0.5) * sOld
+          when(acc.isNull, struct(x.as("l"), lit(0.0).as("b"),
+            typedLit(Array.fill(7)(0.0)).as("s")))
+            .otherwise(struct(ln.as("l"), bn.as("b"),
+              concat(slice(acc.getField("s"), 2, 6), array(sn)).as("s")))
+        }).as("st"))
+      folded.select(explode(sequence(lit(1L), lit(7L))).as("h"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          col("st.s").as("s"))
+        .select(col("h"), col("level"), col("trend"),
+          ((col("level") + col("h").cast("double") * col("trend") +
+            element_at(col("s"), col("h").cast("int"))) / lit(100.0))
+            .as("forecast"))
+        .orderBy("h")
+    },
+    Some("""WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1),
+      srs AS (SELECT CAST(cents AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      hw(i, l, b, s) AS (
+        SELECT i, x, CAST(0 AS DOUBLE),
+          [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0]
+        FROM srs WHERE i = 1
+        UNION ALL
+        SELECT srs.i,
+          0.5 * (srs.x - h.s[1]) + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * (srs.x - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+            + 0.5 * h.b,
+          list_concat(h.s[2:7],
+            [0.5 * (srs.x - (0.5 * (srs.x - h.s[1]) +
+              0.5 * (h.l + h.b))) + 0.5 * h.s[1]])
+        FROM hw h JOIN srs ON srs.i = h.i + 1),
+      fin AS (SELECT l, b, s FROM hw
+        WHERE i = (SELECT MAX(i) FROM srs))
+      SELECT CAST(h AS BIGINT) AS h, f.l AS level, f.b AS trend,
+        (f.l + CAST(h AS DOUBLE) * f.b + f.s[CAST(h AS INTEGER)])
+          / 100.0 AS forecast
+      FROM fin f CROSS JOIN generate_series(1, 7) AS t(h)
+      ORDER BY h"""))
+
   /** ROC-AUC by the Mann–Whitney rank statistic — the evaluation
     * primitive behind every classifier/quality-score dashboard:
     * AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), with AVERAGE
