@@ -121,7 +121,8 @@ object Queries {
     QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
     QueriesAnalytics.featureTargetEncoding,
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
-    QueriesAnalytics.forecastHw,
+    QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,
+    QueriesAnalytics.anomalyForecastResidual,
     QueriesAnalytics.recoEvalHitrate)
 }
 

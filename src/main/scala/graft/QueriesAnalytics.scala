@@ -1500,6 +1500,152 @@ private[graft] object QueriesAnalytics {
       FROM j CROSS JOIN gt
       GROUP BY c_mktsegment, gs, gn ORDER BY c_mktsegment"""))
 
+  /** Forecast-residual anomaly detection — the production alerting
+    * rule built from [[forecastHw]]: each day's ONE-STEP-AHEAD
+    * Holt–Winters fit (ŷ_t = l + b + s_ring[1], computed from the
+    * state BEFORE folding day t in) gives a residual, and a day is
+    * anomalous when |residual| exceeds 3× the median absolute
+    * residual — the robust threshold that a single spike cannot
+    * inflate (unlike 3σ, which the anomaly itself widens). This is
+    * what pages an on-call: "today is far off what the model, given
+    * every prior day, expected today to be" — seasonality-aware where
+    * [[QueriesRelational.anomalyMad]] is level-only. Fold carries the
+    * fitted series in its accumulator (the [[survivalKm]] out-array
+    * shape); residuals round to 2dp DECIMAL; the median is an exact
+    * order statistic over the day-domain table (allowlisted
+    * aggregated-input window). */
+  private[graft] val anomalyForecastResidual = Q("anomaly_forecast_residual",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+      val accT = "struct<l:double,b:double,s:array<double>," +
+        "out:array<struct<d:date,yhat:double>>>"
+      val emptyOut =
+        expr("cast(array() as array<struct<d:date,yhat:double>>)")
+      val folded = daily
+        .agg(array_sort(collect_list(struct(col("d"),
+          col("cents").cast("double").as("x")))).as("arr"))
+        .select(aggregate(col("arr"), lit(null).cast(accT), (acc, e) => {
+          val x = e.getField("x")
+          val sOld = element_at(acc.getField("s"), 1)
+          val yhat = acc.getField("l") + acc.getField("b") + sOld
+          val ln = lit(0.5) * (x - sOld) +
+            lit(0.5) * (acc.getField("l") + acc.getField("b"))
+          val bn = lit(0.5) * (ln - acc.getField("l")) +
+            lit(0.5) * acc.getField("b")
+          val sn = lit(0.5) * (x - ln) + lit(0.5) * sOld
+          when(acc.isNull, struct(x.as("l"), lit(0.0).as("b"),
+            typedLit(Array.fill(7)(0.0)).as("s"), emptyOut.as("out")))
+            .otherwise(struct(ln.as("l"), bn.as("b"),
+              concat(slice(acc.getField("s"), 2, 6), array(sn)).as("s"),
+              concat(acc.getField("out"), array(struct(
+                e.getField("d").as("d"), yhat.as("yhat")))).as("out")))
+        }).getField("out").as("out"))
+      val fitted = folded.select(explode(col("out")).as("f"))
+        .select(col("f.d").as("d"), col("f.yhat").as("yhat"))
+        .join(daily, Seq("d"))
+      val resids = fitted.select(col("d"), col("cents"), col("yhat"),
+        round((col("cents").cast("double") - col("yhat")) / 100.0, 2)
+          .cast(DecimalType(18, 2)).as("resid"))
+      val ranked = resids.withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("resid")), col("d"))))
+      val n = resids.agg(count(lit(1)).as("n_days"))
+      val mad = ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_days + 1) div 2") ||
+          col("rn") === expr("n_days div 2 + 1"))
+        .agg((sum(abs(col("resid"))).cast("double") / count(lit(1)))
+          .as("mad"))
+      resids.crossJoin(broadcast(mad))
+        .select(col("d"), col("cents").as("actual_cents"),
+          round(col("yhat") / 100.0, 2).as("fitted"),
+          col("resid").cast("double").as("resid"),
+          (abs(col("resid")).cast("double") > lit(3.0) * col("mad"))
+            .as("is_anomaly"))
+        .orderBy("d")
+    },
+    Some("""WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1),
+      srs AS (SELECT d, CAST(cents AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      hw(i, l, b, s) AS (
+        SELECT i, x, CAST(0 AS DOUBLE),
+          [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0]
+        FROM srs WHERE i = 1
+        UNION ALL
+        SELECT srs.i,
+          0.5 * (srs.x - h.s[1]) + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * (srs.x - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+            + 0.5 * h.b,
+          list_concat(h.s[2:7],
+            [0.5 * (srs.x - (0.5 * (srs.x - h.s[1]) +
+              0.5 * (h.l + h.b))) + 0.5 * h.s[1]])
+        FROM hw h JOIN srs ON srs.i = h.i + 1),
+      fitted AS (SELECT srs.d, srs.x, h.l + h.b + h.s[1] AS yhat
+        FROM hw h JOIN srs ON srs.i = h.i + 1),
+      resids AS (SELECT f.d, dd.cents, f.yhat,
+          CAST(ROUND((f.x - f.yhat) / 100.0, 2) AS DECIMAL(18,2))
+            AS resid
+        FROM fitted f JOIN daily dd ON f.d = dd.d),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(resid), d)
+          AS rn, COUNT(*) OVER () AS n_days
+        FROM resids),
+      mad AS (SELECT CAST(SUM(ABS(resid)) AS DOUBLE) / COUNT(*) AS mad
+        FROM ranked
+        WHERE rn = (n_days + 1) // 2 OR rn = n_days // 2 + 1)
+      SELECT d, cents AS actual_cents,
+        ROUND(yhat / 100.0, 2) AS fitted,
+        CAST(resid AS DOUBLE) AS resid,
+        ABS(CAST(resid AS DOUBLE)) > 3.0 * mad AS is_anomaly
+      FROM resids CROSS JOIN mad ORDER BY d"""))
+
+  /** Differentially-private release of the per-event-type counts —
+    * the Laplace mechanism (sensitivity 1, ε = 1 → scale b = 1) with
+    * DETERMINISTIC seeded noise: the uniform comes from md5 of a
+    * release-versioned cell key ("dp1:" ++ cell), inverse-CDF'd to
+    * Laplace(b) as −sign(u−½)·b·ln(1−2|u−½|). Seeded noise is the
+    * production-correct choice, not a shortcut: a re-run of the
+    * release job must publish the SAME noised values (idempotent
+    * republication — fresh RNG would leak a new independent sample
+    * per retry, silently shrinking the effective ε), and rotating the
+    * release version string is exactly a fresh draw. Everything after
+    * the 5-cell aggregate is scan-side column math; both engines walk
+    * the identical md5→uniform→ln sequence ([[sampleHashSplit]]'s
+    * parity idiom), released values round at 6dp. True counts ride
+    * along for the oracle's audit — a real release drops them. */
+  private[graft] val dpReleaseLaplace = Q("dp_release_laplace",
+    (s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val u = (conv(substring(md5(concat(lit("dp1:"),
+        col("event_type"))), 1, 8), 16, 10).cast("double") + 0.5) /
+        lit(4294967296.0)
+      counts
+        .withColumn("x", u - lit(0.5))
+        .withColumn("noise",
+          -signum(col("x")) * log(lit(1.0) - lit(2.0) * abs(col("x"))))
+        .select(col("event_type"), col("n"),
+          round(col("noise"), 6).as("noise"),
+          round(col("n").cast("double") + col("noise"), 6)
+            .as("released"))
+        .orderBy("event_type")
+    },
+    Some("""WITH counts AS (SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      seeded AS (SELECT event_type, n,
+        (CAST('0x' || substring(md5('dp1:' || event_type), 1, 8)
+          AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS x
+        FROM counts)
+      SELECT event_type, n,
+        ROUND(-sign(x) * ln(1.0 - 2.0 * abs(x)), 6) AS noise,
+        ROUND(CAST(n AS DOUBLE) +
+          (-sign(x) * ln(1.0 - 2.0 * abs(x))), 6) AS released
+      FROM seeded ORDER BY event_type"""))
+
   /** Two-proportion z-test on funnel conversion — the significance
     * read behind every A/B dashboard: is cohort A's signup→purchase
     * rate different from cohort B's, or noise? Cohorts split by

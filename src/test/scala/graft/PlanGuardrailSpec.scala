@@ -40,7 +40,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "interval_concurrency", // sweep-line cumsum over the day-domain delta table
     "seasonal_anomaly", // centered-MA window over the calendar-sized daily aggregate
     "ml_auc", // rank cumsum over the score-GROUP aggregate (value domain, not rows)
-    "stats_theilsen") // pair-slope rank over the day-domain aggregate (calendar-bounded)
+    "stats_theilsen", // pair-slope rank over the day-domain aggregate (calendar-bounded)
+    "anomaly_forecast_residual") // residual-rank median over the day-domain fit table
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
