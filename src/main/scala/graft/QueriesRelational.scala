@@ -202,6 +202,64 @@ private[graft] object QueriesRelational {
              (SELECT COUNT(*) FROM ck) AS n_click_after,
              (SELECT COUNT(*) FROM pu) AS n_purchase_after"""))
 
+  /** TIME-BOXED funnel — [[funnel3]] with the constraint every real
+    * funnel ships with: each step must land within 7 DAYS of the
+    * previous one, so a click a quarter later no longer "converts"
+    * (unbounded funnels overcount badly on long event horizons, and
+    * the overcount grows with retention). Same plan shape — the bound
+    * is one extra predicate on the already-joined first-timestamp
+    * pairs, so the cost at 100 TB is identical to the unbounded
+    * funnel: per-user min-aggregates on projected (user, ts) pairs.
+    * Emits both bounded step counts and step-conversion rates. */
+  private[graft] val funnelWindowed = Q("funnel_windowed",
+    (s, dir) => {
+      val week = 7L * 86400L * 1000000L
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("fs"))
+      val ck = ev.filter(col("event_type") === "click")
+        .join(sg, Seq("user_id"))
+        .filter(col("ts_us") > col("fs") &&
+          col("ts_us") <= col("fs") + lit(week))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(ck, Seq("user_id"))
+        .filter(col("ts_us") > col("fc") &&
+          col("ts_us") <= col("fc") + lit(week))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
+      sg.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(ck.agg(count(lit(1)).as("n_click_7d"))))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchase_7d"))))
+        .select(col("n_signup"), col("n_click_7d"), col("n_purchase_7d"),
+          (col("n_click_7d").cast("double") /
+            col("n_signup").cast("double")).as("rate_click"),
+          (col("n_purchase_7d").cast("double") /
+            col("n_click_7d").cast("double")).as("rate_purchase"))
+    },
+    Some("""WITH sg AS (SELECT user_id, MIN(epoch_us(ts)) AS fs
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      ck AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
+        FROM events e JOIN sg ON e.user_id = sg.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > sg.fs
+          AND epoch_us(e.ts) <= sg.fs + 604800000000
+        GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp
+        FROM events e JOIN ck ON e.user_id = ck.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.fc
+          AND epoch_us(e.ts) <= ck.fc + 604800000000
+        GROUP BY 1),
+      c AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sg) AS n_signup,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS n_click_7d,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n_purchase_7d)
+      SELECT n_signup, n_click_7d, n_purchase_7d,
+        CAST(n_click_7d AS DOUBLE) / CAST(n_signup AS DOUBLE)
+          AS rate_click,
+        CAST(n_purchase_7d AS DOUBLE) / CAST(n_click_7d AS DOUBLE)
+          AS rate_purchase
+      FROM c"""))
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per whole-week offset. */
   private[graft] val retention = Q("retention_cohorts",

@@ -264,6 +264,59 @@ object Sources {
     fs.delete(b, true)
   }
 
+  /** PARTITION-LAYOUT MIGRATION: rewrite a parquet directory under a
+    * new partition expression — the day→month coarsening a deployment
+    * runs when daily partitions have shrunk into the small-file zone
+    * (or month→day the other way as volume grows). The partner of
+    * [[rebucketTable]] for the OTHER physical-layout dimension:
+    * bucket count tracks join parallelism, partition grain tracks
+    * file size × pruning selectivity, and both need migrating as a
+    * table's volume moves (see SCALE.md's layout-knob paragraphs).
+    *
+    * `value` derives the new partition column from each row (e.g.
+    * `date_format(col("od"), "yyyy-MM")`); prior partition columns
+    * survive as ordinary data columns, so old predicates still work
+    * (they just prune row-groups via stats instead of directories).
+    * The rewrite is [[compact]]'s pay-once shuffle with the same
+    * staging + backup-before-delete swap (crash mid-swap leaves the
+    * data parked at `_backup`; rerunning self-heals). Row count is
+    * verified against the staging copy BEFORE the swap — a silent
+    * drop aborts with the original intact. Returns the row count. */
+  def repartitionPath(spark: SparkSession, path: String,
+                      newPartitionCol: String,
+                      value: org.apache.spark.sql.Column): Long = {
+    val tmp = path + "_repartitioning"
+    val bak = path + "_backup"
+    val p = new Path(path); val t = new Path(tmp); val b = new Path(bak)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(b) && !fs.rename(b, p))
+      throw new java.io.IOException(
+        s"repartitionPath: cannot restore $bak after interrupted swap")
+    val before = spark.read.parquet(path).count()
+    spark.read.parquet(path)
+      .withColumn(newPartitionCol, value)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(newPartitionCol).parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    if (after != before) {
+      fs.delete(t, true)
+      throw new IllegalStateException(
+        s"repartitionPath: rewrite row count $after != source $before" +
+          s" — aborted, $path untouched")
+    }
+    fs.delete(b, true)
+    if (!fs.rename(p, b))
+      throw new java.io.IOException(
+        s"repartitionPath: cannot move $path aside")
+    if (!fs.rename(t, p)) {
+      fs.rename(b, p)
+      throw new java.io.IOException(
+        s"repartitionPath: swap failed for $path")
+    }
+    fs.delete(b, true)
+    before
+  }
+
   /** Parquet write with BLOOM FILTERS on the named columns — the
     * point-lookup complement to min/max stats. Range clustering and
     * z-order prune files for columns the layout was SORTED by; a bloom

@@ -70,6 +70,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == 1)
   }
 
+  test("repartitionPath migrates day partitions to month; pruning and " +
+    "old predicates both survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_repart")
+    val df = Seq(("2024-01-01", 1), ("2024-01-15", 2), ("2024-02-03", 3),
+      ("2024-02-20", 4), ("2024-03-05", 5))
+      .toDF("date", "v")
+    Sources.writeSilverParquet(df, s"$root/fact", Some("date"))
+    val n = Sources.repartitionPath(spark, s"$root/fact", "month",
+      org.apache.spark.sql.functions.substring(col("date"), 1, 7))
+    assert(n == 5)
+    val back = spark.read.parquet(s"$root/fact")
+    assert(back.count() == 5)
+    // new layout prunes by month DIRECTORIES
+    val q = back.filter(col("month") === "2024-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters:.*month.*2024-02.*"), scan)
+    assert(q.count() == 2)
+    // the OLD partition column survived as a data column: same rows,
+    // now row-group-pruned instead of directory-pruned
+    assert(back.filter(col("date") === "2024-01-15")
+      .select("v").collect().map(_.getInt(0)).toSeq == Seq(2))
+    // staging/backup fully cleaned up
+    assert(!new java.io.File(s"$root/fact_repartitioning").exists())
+    assert(!new java.io.File(s"$root/fact_backup").exists())
+    // month dirs exist on disk
+    assert(new java.io.File(s"$root/fact/month=2024-02").isDirectory)
+  }
+
   test("upsertByPartition rewrites only the touched partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert2")
     val v1 = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("date", "v")
