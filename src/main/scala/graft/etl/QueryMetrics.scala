@@ -1,0 +1,89 @@
+package graft.etl
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Physical-execution observability: a [[QueryExecutionListener]] that
+  * captures, per completed action, the wall-clock duration plus the
+  * executed plan's row-flow metrics — scan output rows (how much was
+  * READ after pruning/filter pushdown) and result output rows (how
+  * much came OUT). The numbers [[RunReport]]'s `observe()` metrics
+  * deliberately don't cover: observe() measures the DATA (null counts,
+  * contract violations), this measures the ENGINE (did pruning
+  * actually cut the scan, did a filter stop being selective, is a
+  * query suddenly reading 100× the rows at the same output size —
+  * the regression class plan guardrails can't catch because the PLAN
+  * didn't change, the data did).
+  *
+  * Driver-side state is a bounded lock-free queue of small records —
+  * the listener adds no work to executors and no actions of its own
+  * (reading `SQLMetric.value` after completion is free). Scale note:
+  * at 100 TB nothing changes — metric values aggregate on the driver
+  * per action regardless of data size; `maxEntries` bounds memory for
+  * long-lived sessions (oldest entries drop first, like a ring
+  * buffer). */
+final class QueryMetricsListener(maxEntries: Int = 1000)
+    extends QueryExecutionListener {
+
+  /** One completed action: `funcName` is the DataFrame action that
+    * triggered execution; rows are summed over like-named metrics in
+    * the executed plan tree (post-AQE final plan). */
+  final case class Entry(funcName: String, durationMs: Long,
+                         scanRows: Long, outputRows: Long,
+                         failed: Boolean)
+
+  private val entries = new ConcurrentLinkedQueue[Entry]()
+
+  private def record(e: Entry): Unit = {
+    entries.add(e)
+    while (entries.size > maxEntries) entries.poll()
+  }
+
+  private def rowMetrics(qe: QueryExecution): (Long, Long) = {
+    // executedPlan AFTER execution: AQE has replaced stages with their
+    // final plans, so collectLeaves sees the real scans
+    val plan = qe.executedPlan
+    val scans = plan.collectLeaves().flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value).sum
+    // the root (a write/command node) usually carries no row metric —
+    // report the TOPMOST operator that does (pre-order collect)
+    val out = plan.collect {
+      case n if n.metrics.contains("numOutputRows") =>
+        n.metrics("numOutputRows").value
+    }.headOption.getOrElse(-1L)
+    (scans, out)
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit = {
+    val (scan, out) = rowMetrics(qe)
+    record(Entry(funcName, durationNs / 1000000L, scan, out,
+      failed = false))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit =
+    record(Entry(funcName, -1L, -1L, -1L, failed = true))
+
+  /** Snapshot of captured entries, oldest first. */
+  def snapshot(): Seq[Entry] = entries.asScala.toSeq
+
+  def clear(): Unit = entries.clear()
+}
+
+object QueryMetricsListener {
+  /** Register a fresh listener on the session and return it (the
+    * handle is what you snapshot/clear; deregister with
+    * `spark.listenerManager.unregister`). */
+  def attach(spark: SparkSession, maxEntries: Int = 1000)
+  : QueryMetricsListener = {
+    val l = new QueryMetricsListener(maxEntries)
+    spark.listenerManager.register(l)
+    l
+  }
+}

@@ -126,6 +126,35 @@ class PlanGuardrailSpec extends AnyFunSuite {
       s"no DPP subquery in the partitioned scan:\n${plan.take(3000)}")
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer (CBO inputs)") {
+    // At 100 TB join reorder and build-side choice come from catalog
+    // statistics (spark.sql.cbo.*). Assert the ANALYZE → optimizer
+    // pipeline works end-to-end on our table layout: row count AND
+    // column-level NDV/min/max must land in LogicalPlan.stats, or
+    // every CBO decision silently degrades to size-only heuristics.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+        .write.mode("overwrite").saveAsTable("cbo_probe")
+      spark.sql(
+        "ANALYZE TABLE cbo_probe COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table("cbo_probe")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(500)), stats)
+      assert(stats.attributeStats.nonEmpty,
+        "no column-level stats reached the optimizer")
+      val kStats = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      // NDV is HLL-estimated by ANALYZE — assert it's present and sane
+      // (±10%), which is the precision CBO consumes anyway
+      assert(kStats.exists(_.distinctCount.exists(d =>
+        d >= BigInt(450) && d <= BigInt(550))),
+        s"k NDV missing/wrong: $kStats")
+      assert(kStats.exists(_.max.contains(500L)), s"k max: $kStats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("runtime bloom-filter pruning engages for selective shuffle joins") {
     // At 100 TB the fact-side scan of a selective dim join should be
     // pre-filtered by a runtime bloom filter built from the dim side
