@@ -42,7 +42,7 @@ object Queries {
     QueriesKpi.kpiTotalPlays, QueriesKpi.kpiAvgCompletion, QueriesKpi.kpiWatchHours, QueriesKpi.kpiEngagementRate,
     QueriesKpi.kpiByChannel, QueriesKpi.kpiDailyTrend, QueriesKpi.kpiVideoPerformance, QueriesKpi.kpiTopVideos,
     QueriesKpi.kpiByCountry, QueriesKpi.kpiNewVsReturning, QueriesKpi.kpiUniqueVisitors, QueriesKpi.kpiWowGrowth,
-    QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchDistinctByGroup, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
+    QueriesKpi.kpiRetentionCurve, QueriesKpi.sketchDistinctUnion, QueriesKpi.sketchDistinctByGroup, QueriesKpi.sketchCmsCheck, QueriesKpi.sketchHeavyHitters,
     QueriesDedupSim.dedupExact, QueriesDedupSim.dedupMinhash, QueriesDedupSim.dedupSimhash, QueriesDedupSim.dedupMinhashPrecision,
     QueriesDedupSim.dedupSimhashInvariants, QueriesDedupSim.dedupMinhashFloor, QueriesDedupSim.dedupSimhashFloor,
     QueriesDedupSim.dedupMinhashCorpus,

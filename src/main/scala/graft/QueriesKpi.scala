@@ -364,4 +364,57 @@ private[graft] object QueriesKpi {
           AS exact_inter,
         CAST(0 AS BIGINT) AS violations"""))
 
+  /** Per-video audience-retention curve — the engagement heatmap that
+    * IS the reference product's signature visualization (guide p.33's
+    * per-video engagement graph): for each item, the share of views
+    * still watching at each 30-second checkpoint (0–300 s, tail
+    * capped). The scale-correct construction: each view buckets
+    * SCAN-SIDE to its last-reached checkpoint (one value-domain
+    * aggregate, output bounded by items × 11 buckets regardless of
+    * event volume), then a per-item DESCENDING cumulative window turns
+    * the histogram into the survival counts — the windows run over the
+    * bounded bucket domain, never raw views. Counts exact; share is
+    * the single trailing division. */
+  private[graft] val kpiRetentionCurve = Q("kpi_retention_curve",
+    (s, dir) => {
+      val v = events(s, dir)
+        .filter(col("event_type") === "view")
+        .select(get_json_object(col("props"), "$.k").cast("int")
+          .as("item"),
+          least(floor(col("value") / 30.0).cast("long"), lit(10L))
+            .as("bucket"))
+        .filter(col("item").isNotNull)
+      val hist = v.groupBy(col("item"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wDesc = Window.partitionBy(col("item"))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("item"))
+      hist
+        .withColumn("n_reached", sum(col("n")).over(wDesc))
+        .withColumn("n_views", sum(col("n")).over(wAll))
+        .select(col("item"), (col("bucket") * 30).as("checkpoint_sec"),
+          col("n_views"), col("n_reached"),
+          (col("n_reached").cast("double") /
+            col("n_views").cast("double")).as("share_reached"))
+        .orderBy("item", "checkpoint_sec")
+    },
+    Some("""WITH v AS (SELECT
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+          LEAST(CAST(FLOOR(value / 30.0) AS BIGINT), 10) AS bucket
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL),
+      hist AS (SELECT item, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2)
+      SELECT item, bucket * 30 AS checkpoint_sec,
+        CAST(SUM(n) OVER (PARTITION BY item) AS BIGINT) AS n_views,
+        CAST(SUM(n) OVER (PARTITION BY item ORDER BY bucket DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reached,
+        CAST(SUM(n) OVER (PARTITION BY item ORDER BY bucket DESC
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+          CAST(SUM(n) OVER (PARTITION BY item) AS DOUBLE)
+          AS share_reached
+      FROM hist ORDER BY item, checkpoint_sec"""))
+
 }
