@@ -123,6 +123,7 @@ object Queries {
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,
     QueriesAnalytics.anomalyForecastResidual,
+    QueriesAnalytics.kpiStickiness, QueriesAnalytics.abCuped,
     QueriesAnalytics.recoEvalHitrate)
 }
 

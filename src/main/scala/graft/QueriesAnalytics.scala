@@ -1646,6 +1646,205 @@ private[graft] object QueriesAnalytics {
           (-sign(x) * ln(1.0 - 2.0 * abs(x))), 6) AS released
       FROM seeded ORDER BY event_type"""))
 
+  /** DAU/MAU stickiness — the ratio product teams headline ("what
+    * share of the monthly audience shows up daily?"), proving the
+    * [[rollingActiveUsers]] scaladoc's claim that a 28-day MAU is the
+    * same plan with a ×28 constant: collapse to distinct (user, day)
+    * once, fan the SMALL pair set to the ≤28 report days it supports,
+    * semi-join to observed dates, re-distinct, count — the exchange
+    * never carries raw events. Output per day: DAU, MAU-28, and the
+    * single-division stickiness ratio. */
+  private[graft] val kpiStickiness = Q("kpi_stickiness",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val dates = ud.select(col("d").as("date")).distinct()
+      val dau = ud.groupBy(col("d").as("date"))
+        .agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(27))).as("off"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("off")).as("date"))
+        .join(broadcast(dates), Seq("date"))
+        .distinct()
+        .groupBy("date")
+        .agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("date"))
+        .select(col("date"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("date")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS date FROM ud),
+      win AS (SELECT DISTINCT dy.date, u.user_id
+        FROM days dy JOIN ud u ON u.d BETWEEN dy.date - 27 AND dy.date),
+      dau AS (SELECT d AS date, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+      mau AS (SELECT date, CAST(COUNT(*) AS BIGINT) AS mau
+        FROM win GROUP BY 1)
+      SELECT dau.date, dau.dau, mau.mau,
+        CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+      FROM dau JOIN mau USING (date) ORDER BY 1"""))
+
+  /** CUPED variance reduction (Deng et al. 2013) — the experiment-
+    * platform standard: adjust each user's experiment-period metric by
+    * their PRE-period behavior (y_adj = y − θ(x − x̄)), shrinking
+    * metric variance so the same experiment detects smaller effects.
+    * The whole analysis is CLOSED FORM over exact per-arm moments
+    * (Σx, Σy, Σxy, Σx², Σy², n as exact cents — one aggregate after
+    * the per-user rollup): θ = cov(x,y)/var(x) pooled, and
+    * var(y_adj) = var(y) − 2θ·cov + θ²·var(x), so no per-user float
+    * ever sums — the [[statsExact]] moment discipline applied to
+    * experimentation. Pre/post split at the event horizon's midpoint;
+    * arms by user parity. Output: θ, raw vs CUPED mean difference
+    * (they agree in expectation; CUPED's point estimate shifts only
+    * by pre-period imbalance), and per-arm variance reduction. */
+  private[graft] val abCuped = Q("ab_cuped",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("d"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val mid = ev.agg(date_add(min(col("d")),
+        (datediff(max(col("d")), min(col("d"))) / 2).cast("int"))
+        .as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("d") < col("mid"), col("cents"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("d") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val arms = per.groupBy(col("arm")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val a = arms.filter(col("arm") === "A").drop("arm")
+        .toDF("n_a", "sx_a", "sy_a", "sxy_a", "sxx_a", "syy_a")
+      val b = arms.filter(col("arm") === "B").drop("arm")
+        .toDF("n_b", "sx_b", "sy_b", "sxy_b", "sxx_b", "syy_b")
+      def d(c: Column) = c.cast("double")
+      a.crossJoin(broadcast(b))
+        .withColumn("nn", d(col("n_a")) + d(col("n_b")))
+        .withColumn("mx", (d(col("sx_a")) + d(col("sx_b"))) / col("nn"))
+        .withColumn("my", (d(col("sy_a")) + d(col("sy_b"))) / col("nn"))
+        .withColumn("cov",
+          (d(col("sxy_a")) + d(col("sxy_b"))) / col("nn") -
+            col("mx") * col("my"))
+        .withColumn("varx",
+          (d(col("sxx_a")) + d(col("sxx_b"))) / col("nn") -
+            col("mx") * col("mx"))
+        .withColumn("theta", col("cov") / col("varx"))
+        .withColumn("vy_a", d(col("syy_a")) / d(col("n_a")) -
+          (d(col("sy_a")) / d(col("n_a"))) * (d(col("sy_a")) / d(col("n_a"))))
+        .withColumn("vy_b", d(col("syy_b")) / d(col("n_b")) -
+          (d(col("sy_b")) / d(col("n_b"))) * (d(col("sy_b")) / d(col("n_b"))))
+        .withColumn("cov_a", d(col("sxy_a")) / d(col("n_a")) -
+          (d(col("sx_a")) / d(col("n_a"))) * (d(col("sy_a")) / d(col("n_a"))))
+        .withColumn("cov_b", d(col("sxy_b")) / d(col("n_b")) -
+          (d(col("sx_b")) / d(col("n_b"))) * (d(col("sy_b")) / d(col("n_b"))))
+        .withColumn("vx_a", d(col("sxx_a")) / d(col("n_a")) -
+          (d(col("sx_a")) / d(col("n_a"))) * (d(col("sx_a")) / d(col("n_a"))))
+        .withColumn("vx_b", d(col("sxx_b")) / d(col("n_b")) -
+          (d(col("sx_b")) / d(col("n_b"))) * (d(col("sx_b")) / d(col("n_b"))))
+        .select(col("n_a"), col("n_b"),
+          round(col("theta"), 6).as("theta"),
+          round((d(col("sy_a")) / d(col("n_a")) -
+            d(col("sy_b")) / d(col("n_b"))) / 100.0, 4)
+            .as("mean_diff_raw"),
+          round(((d(col("sy_a")) / d(col("n_a")) -
+            col("theta") * (d(col("sx_a")) / d(col("n_a")) - col("mx"))) -
+            (d(col("sy_b")) / d(col("n_b")) -
+              col("theta") * (d(col("sx_b")) / d(col("n_b")) - col("mx"))))
+            / 100.0, 4).as("mean_diff_cuped"),
+          round(lit(1.0) - (col("vy_a") - lit(2.0) * col("theta") *
+            col("cov_a") + col("theta") * col("theta") * col("vx_a")) /
+            col("vy_a"), 6).as("var_reduction_a"),
+          round(lit(1.0) - (col("vy_b") - lit(2.0) * col("theta") *
+            col("cov_b") + col("theta") * col("theta") * col("vx_b")) /
+            col("vy_b"), 6).as("var_reduction_b"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+      mid AS (SELECT MIN(d) + CAST(date_diff('day', MIN(d), MAX(d)) / 2
+        AS INTEGER) AS mid FROM ev),
+      per AS (SELECT user_id,
+          CAST(SUM(CASE WHEN d < mid THEN cents ELSE 0 END) AS BIGINT)
+            AS x,
+          CAST(SUM(CASE WHEN d >= mid THEN cents ELSE 0 END) AS BIGINT)
+            AS y,
+          CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM ev CROSS JOIN mid GROUP BY user_id),
+      arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per GROUP BY 1),
+      ab AS (SELECT
+          (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+          (SELECT sx FROM arms WHERE arm = 'A') AS sx_a,
+          (SELECT sy FROM arms WHERE arm = 'A') AS sy_a,
+          (SELECT sxy FROM arms WHERE arm = 'A') AS sxy_a,
+          (SELECT sxx FROM arms WHERE arm = 'A') AS sxx_a,
+          (SELECT syy FROM arms WHERE arm = 'A') AS syy_a,
+          (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+          (SELECT sx FROM arms WHERE arm = 'B') AS sx_b,
+          (SELECT sy FROM arms WHERE arm = 'B') AS sy_b,
+          (SELECT sxy FROM arms WHERE arm = 'B') AS sxy_b,
+          (SELECT sxx FROM arms WHERE arm = 'B') AS sxx_b,
+          (SELECT syy FROM arms WHERE arm = 'B') AS syy_b),
+      m AS (SELECT *,
+          CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn FROM ab),
+      m2 AS (SELECT *,
+          (CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE)) / nn AS mx,
+          (CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE)) / nn AS my
+        FROM m),
+      m3 AS (SELECT *,
+          (CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE)) / nn
+            - mx * my AS cov,
+          (CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE)) / nn
+            - mx * mx AS varx
+        FROM m2),
+      m4 AS (SELECT *, cov / varx AS theta,
+          CAST(syy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+            (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+            (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS vy_a,
+          CAST(syy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+            (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+            (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vy_b,
+          CAST(sxy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+            (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+            (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS cov_a,
+          CAST(sxy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+            (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+            (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS cov_b,
+          CAST(sxx_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+            (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+            (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS vx_a,
+          CAST(sxx_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+            (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+            (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vx_b
+        FROM m3)
+      SELECT n_a, n_b, ROUND(theta, 6) AS theta,
+        ROUND((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+          CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0, 4)
+          AS mean_diff_raw,
+        ROUND(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+          theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - mx)) -
+          (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+          theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - mx)))
+          / 100.0, 4) AS mean_diff_cuped,
+        ROUND(1.0 - (vy_a - 2.0 * theta * cov_a + theta * theta * vx_a)
+          / vy_a, 6) AS var_reduction_a,
+        ROUND(1.0 - (vy_b - 2.0 * theta * cov_b + theta * theta * vx_b)
+          / vy_b, 6) AS var_reduction_b
+      FROM m4"""))
+
   /** Two-proportion z-test on funnel conversion — the significance
     * read behind every A/B dashboard: is cohort A's signup→purchase
     * rate different from cohort B's, or noise? Cohorts split by
