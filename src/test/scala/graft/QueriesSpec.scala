@@ -31,4 +31,17 @@ class QueriesSpec extends AnyFunSuite {
     val qn = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
   }
+
+  test("registry names are unique (a duplicate silently shadows a row)") {
+    val names = Queries.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(",")}")
+  }
+
+  test("every registered query carries an oracle") {
+    // the correctness gate only audits rows that HAVE oracle SQL — a
+    // registry entry without one silently escapes the driver's compare
+    val missing = Queries.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"oracle-less queries: ${missing.mkString(",")}")
+  }
 }
