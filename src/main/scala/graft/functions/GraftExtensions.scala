@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC form"),
       es => NfcNormalize(es.head)))
+    // plan-policy guardrail: refuse accidental cartesian products at
+    // optimization time (see graft.plans.CartesianGuard for escapes)
+    e.injectOptimizerRule(graft.plans.CartesianGuard)
   }
 }

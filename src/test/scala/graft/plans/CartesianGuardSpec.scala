@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The library-level cartesian guardrail: refuses un-hinted
+  * condition-less joins, allows broadcast composes and the explicit
+  * opt-in, and actually fires when wired through
+  * SparkSessionExtensions (the deployment path). */
+class CartesianGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def big = (1 to 100).toDF("a")
+  private def small = (1 to 5).toDF("b")
+
+  test("rule refuses an un-hinted cartesian, allows broadcast + opt-in") {
+    // optimizedPlan: the injection point sits after hint resolution,
+    // so Join.hint is populated there (analyzed plans still carry
+    // ResolvedHint wrappers instead)
+    val guard = CartesianGuard(spark)
+    val bad = big.crossJoin(small).queryExecution.optimizedPlan
+    val e = intercept[IllegalStateException](guard(bad))
+    assert(e.getMessage.contains("CartesianProduct"))
+    // broadcast compose — the sanctioned shape — passes untouched
+    val ok = big.crossJoin(broadcast(small)).queryExecution.optimizedPlan
+    assert(guard(ok) eq ok)
+    // equi-joins never trip it
+    val ej = big.join(small, col("a") === col("b")).queryExecution.optimizedPlan
+    assert(guard(ej) eq ej)
+    // explicit opt-in
+    spark.conf.set("spark.graft.allowCartesian", "true")
+    try assert(guard(bad) eq bad)
+    finally spark.conf.unset("spark.graft.allowCartesian")
+  }
+
+  test("fires end-to-end through SparkSessionExtensions") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val l = (1 to 100).toDF("a")
+      val r = (1 to 5).toDF("b")
+      val e = intercept[Exception](l.crossJoin(r).collect())
+      assert(e.getMessage != null &&
+        e.getMessage.contains("CartesianGuard"), e.getMessage)
+      // the broadcast compose still executes fine under the guard
+      assert(l.crossJoin(broadcast(r)).count() == 500)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
