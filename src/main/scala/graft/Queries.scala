@@ -105,7 +105,7 @@ object Queries {
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
     QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
-    QueriesStreaming.streamMvRefresh,
+    QueriesStreaming.streamMvRefresh, QueriesStreaming.streamDedupCorpus,
     QueriesStreaming.streamStateInspect,
     QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
     QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,

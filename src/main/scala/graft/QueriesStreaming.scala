@@ -887,6 +887,61 @@ private[graft] object QueriesStreaming {
     * batch in any order. State store size: ZERO, at any key
     * cardinality — the trade is per-batch view I/O, priced in
     * SCALE.md. Oracle = the full batch recompute over all events. */
+  /** Streaming corpus dedup admission ([[graft.stream.CorpusAdmission]]
+    * — the streaming half of `dedup_incremental`): an initial corpus
+    * store is seeded from doc_id < 300, the remaining documents arrive
+    * as FOUR micro-batches (doc_id-range files, modification times
+    * pinned so arrival order is id order), and each batch anti-joins
+    * the store on 16-byte digests before appending its admissions
+    * exactly-once. The batch-split-invariant truth the oracle encodes:
+    * with in-order arrival, the final corpus is exactly MIN(doc_id)
+    * per digest over ALL documents — base digests keep their sub-300
+    * keeper, streamed digests keep their first (= smallest) arrival,
+    * duplicates of base docs are refused. Any dropped batch, double
+    * admission, or wrong within-batch tiebreak breaks the hash. */
+  private[graft] val streamDedupCorpus = Q("stream_dedup_corpus",
+    (s, dir) => {
+      withStreamConf(s) {
+        val root = StreamTemp.dir("graft_stream_corpus")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit(""))
+            .as("text"))
+        docs.filter(col("doc_id") < 300)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("digest"), col("doc_id"))
+          .write.parquet(s"$root/store/base")
+        val newDocs = docs.filter(col("doc_id") >= 300)
+        val b = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val step = math.max(1L, (hi - lo) / 4 + 1)
+        new java.io.File(s"$root/in").mkdirs()
+        (0 until 4).foreach { i =>
+          val (flo, fhi) = (lo + i * step, lo + (i + 1) * step)
+          val tmp = s"$root/stage_$i"
+          newDocs.filter(col("doc_id") >= flo && col("doc_id") < fhi)
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$root/in/batch_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // FileStreamSource orders by (mtime, path): pin arrival order
+          dst.setLastModified(1700000000000L + i * 60000L)
+        }
+        val stream = s.readStream.schema(newDocs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in")
+        graft.stream.CorpusAdmission.admitStream(stream,
+          s"$root/store", s"$root/ckpt")
+        graft.stream.CorpusAdmission.readCorpus(s, s"$root/store")
+          .select(col("doc_id"), col("digest"))
+          .orderBy("doc_id")
+      }
+    },
+    Some("""SELECT MIN(doc_id) AS doc_id,
+        md5(COALESCE(text, '')) AS digest
+      FROM documents GROUP BY 2 ORDER BY 1"""))
+
   private[graft] val streamMvRefresh = Q("stream_mv_refresh",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
