@@ -60,6 +60,7 @@ object Queries {
     QueriesDedupSim.embeddingInt8Check, QueriesDedupSim.embeddingCentroids, QueriesDedupSim.simKnnVote,
     QueriesDedupSim.embeddingPca, QueriesDedupSim.embeddingPcaGate,
     QueriesDedupSim.simEvalNdcg, QueriesDedupSim.mlLdaClassify,
+    QueriesDedupSim.simMatryoshkaEval,
     QueriesDedupSim.fuzzyMatchBlocked,
     QueriesText.textTokenCount, QueriesText.textQualityProfile, QueriesText.textQualityGate,
     QueriesText.textRepetitionFilter, QueriesText.textLangId,

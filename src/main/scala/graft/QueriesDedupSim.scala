@@ -2120,6 +2120,85 @@ private[graft] object QueriesDedupSim {
     },
     Some("SELECT CAST(0 AS BIGINT) AS n_violations"))
 
+  /** MATRYOSHKA truncation evaluation — "how much retrieval quality
+    * survives if we score with only the first d dimensions?": the
+    * question MRL-style embeddings (Kusupati et al. 2022) exist to
+    * answer, and the dimension-ladder twin of the precision ladder
+    * ([[simTopkInt8]] / [[simTopkPq]] shrink bits per dim; this
+    * shrinks dims). For d ∈ {8, 16, 32}: brute-force top-5 under the
+    * d-prefix vs the full-64-dim truth, recall@5 averaged over the
+    * 20-query probe set. Prefix scoring is `slice` on the SAME
+    * quantized arrays (exact integer dot products both engines);
+    * recall aggregates as ONE integer intersection sum divided once
+    * (per-query k/5 fifths are not binary-exact — summed ints are).
+    * The d-prefix index would be d/64 of the full scan cost at
+    * 100 TB; this row prices what that buys. Note the fixture
+    * embeddings are NOT Matryoshka-trained, so recall at small d is
+    * the honest (low) baseline an untrained truncation gives — the
+    * row is the measurement harness, and its oracle pins exactly
+    * that. */
+  private[graft] val simMatryoshkaEval = Q("sim_matryoshka_eval",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val scoredAll = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+      def top5(scored: DataFrame, simCol: Column): DataFrame =
+        scored.select(col("query_id"), col("vec_id"), simCol.as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      val truth = top5(scoredAll, qcos(col("qq"), col("q")))
+      val perDim = Seq(8, 16, 32).map { d =>
+        val cand = top5(scoredAll,
+          qcos(slice(col("qq"), 1, d), slice(col("q"), 1, d)))
+        cand.join(truth, Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(d).as("dims"), col("hits"))
+      }
+      val nq = qs.count()
+      perDim.reduce(_ union _)
+        .select(col("dims"), col("hits"),
+          (col("hits").cast("double") / lit(5.0 * nq)).as("mean_recall"))
+        .orderBy("dims")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+        WHERE vec_id < 20),
+      pairs AS (SELECT query_id, qq, e.vec_id, e.q
+        FROM qs, e WHERE e.vec_id != query_id),
+      truth AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY
+            list_dot_product(qq, q) /
+              (sqrt(list_dot_product(qq, qq)) *
+               sqrt(list_dot_product(q, q))) DESC, vec_id) AS rk
+        FROM pairs) WHERE rk <= 5),
+      dims AS (SELECT unnest([8, 16, 32]) AS d),
+      cand AS (SELECT d, query_id, vec_id FROM (
+        SELECT dims.d, query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY dims.d, query_id ORDER BY
+            list_dot_product(qq[1:dims.d], q[1:dims.d]) /
+              (sqrt(list_dot_product(qq[1:dims.d], qq[1:dims.d])) *
+               sqrt(list_dot_product(q[1:dims.d], q[1:dims.d]))) DESC,
+            vec_id) AS rk
+        FROM pairs CROSS JOIN dims) WHERE rk <= 5),
+      hits AS (SELECT c.d, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM cand c JOIN truth t
+          ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+        GROUP BY 1),
+      nq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qs)
+      SELECT CAST(d AS INTEGER) AS dims, hits,
+        CAST(hits AS DOUBLE) / (5.0 * n) AS mean_recall
+      FROM hits CROSS JOIN nq ORDER BY dims"""))
+
   /** Diagonal-LDA classifier trained INSIDE the engine — naive Bayes
     * with per-dimension pooled variance (the classic high-dimensional
     * baseline: Gaussian class model, shared diagonal covariance, equal

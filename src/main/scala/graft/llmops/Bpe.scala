@@ -94,6 +94,29 @@ object Bpe {
   def encodeColumn(syms: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
 
+  /** Persist a trained merge table as a parquet artifact — the
+    * tokenizer file that ships to serving (the [[graft.llmops
+    * .Similarity]] PQ-index precedent: train once per corpus version,
+    * serve everywhere; version the artifact dir with ManifestTable).
+    * Rank order is preserved via the `round` column. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.round, m.left, m.right, m.weight))
+      .toDF("round", "left", "right", "weight")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge artifact in rank order; [[encodeColumn]] over the
+    * loaded merges must reproduce the training-time encoding exactly
+    * (spec-pinned). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .orderBy("round").collect().toSeq
+      .map(r => Merge(r.getAs[Int]("round"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("weight"), -1L, -1L))
+
   /** Run `rounds` merge rounds; returns the learned merges and the
     * final vocabulary (tok, freq, syms). When `audit` is set, each
     * round also measures Σ freq·|syms| before/after so the caller can

@@ -56,6 +56,23 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("merge artifact roundtrip: loaded merges encode identically") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq("ababab ababab ababab", "cd cd", "abcd abcd").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_art").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded.map(m => (m.round, m.left, m.right, m.weight)) ==
+      merges.map(m => (m.round, m.left, m.right, m.weight)))
+    // serving with the LOADED artifact reproduces training's symbols
+    val mismatches = vocab.select(col("tok"), col("syms"),
+        Bpe.encodeColumn(Bpe.charSplit(col("tok")), loaded).as("enc"))
+      .filter(!(col("syms") === col("enc"))).count()
+    assert(mismatches == 0)
+  }
+
   test("encodeColumn replays training exactly, including OOV tokens") {
     import org.apache.spark.sql.functions.col
     val docs = Seq("ababab ababab ababab", "cd cd").toDF("text")
