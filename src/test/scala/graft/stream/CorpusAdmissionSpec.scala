@@ -41,6 +41,40 @@ class CorpusAdmissionSpec extends AnyFunSuite {
     assert(corpus(store).keySet == Set(1L, 2L, 11L, 13L, 21L))
   }
 
+  test("checkpoint resume: a restarted stream admits only the new files " +
+    "and lands on the uninterrupted result") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_adm3").toString
+    val store = s"$root/store"
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .write.parquet(s"$store/base")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    new java.io.File(s"$root/in").mkdirs()
+    def stage(i: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/in/f$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    stage(0, Seq((10L, "alpha"), (11L, "beta")))   // dup vs base + novel
+    def run(): Unit = CorpusAdmission.admitStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in"),
+      store, s"$root/ckpt")
+    run() // first life: processes f0, then the "job dies"
+    assert(corpus(store).keySet == Set(1L, 11L))
+    stage(1, Seq((20L, "beta"), (21L, "gamma")))   // arrives while down
+    run() // restart from the SAME checkpoint
+    // exactly-once across the restart: beta stays with 11, gamma joins
+    assert(corpus(store).keySet == Set(1L, 11L, 21L))
+  }
+
   test("replay after the store-write/checkpoint-commit crash converges") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_adm2").toString + "/store"
