@@ -125,6 +125,7 @@ object Queries {
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,
     QueriesAnalytics.anomalyForecastResidual,
     QueriesAnalytics.kpiStickiness, QueriesAnalytics.abCuped,
+    QueriesAnalytics.sloBurnRate,
     QueriesAnalytics.recoEvalHitrate)
 }
 

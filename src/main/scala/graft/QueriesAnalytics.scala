@@ -1646,6 +1646,63 @@ private[graft] object QueriesAnalytics {
           (-sign(x) * ln(1.0 - 2.0 * abs(x))), 6) AS released
       FROM seeded ORDER BY event_type"""))
 
+  /** SLO error-budget burn rate — the SRE alerting rule (multi-window
+    * burn, Google SRE workbook ch.5) over the event stream: daily
+    * error share, its trailing-7-day rate, and the burn multiple
+    * against the budget. The budget is SELF-CALIBRATED to the
+    * corpus-wide error rate (a fixture has no contract SLO; a
+    * deployment substitutes its target and nothing else changes), so
+    * burn > 1 means "worse than historical baseline" and the alert
+    * fires above 1.2. One day-domain aggregate carries everything;
+    * the trailing window runs over the calendar-dense daily table
+    * (aggregated-input allowlist); rates divide exact counts. */
+  private[graft] val sloBurnRate = Q("slo_burn_rate",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("err"))
+      val slo = daily.agg(
+        (sum(col("err")).cast("double") / sum(col("n")).cast("double"))
+          .as("slo_rate"))
+      val w7 = Window.orderBy(col("date")).rowsBetween(-6, 0)
+      daily
+        .withColumn("n7", sum(col("n")).over(w7))
+        .withColumn("err7", sum(col("err")).over(w7))
+        .crossJoin(broadcast(slo))
+        .select(col("date"), col("n"), col("err"),
+          (col("err").cast("double") / col("n").cast("double"))
+            .as("daily_rate"),
+          (col("err7").cast("double") / col("n7").cast("double"))
+            .as("rate_7d"),
+          ((col("err7").cast("double") / col("n7").cast("double")) /
+            col("slo_rate")).as("burn"),
+          (((col("err7").cast("double") / col("n7").cast("double")) /
+            col("slo_rate")) > 1.2).as("alert"))
+        .orderBy("date")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS date,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS err
+        FROM events GROUP BY 1),
+      slo AS (SELECT CAST(SUM(err) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+          AS slo_rate FROM daily),
+      win AS (SELECT date, n, err,
+          CAST(SUM(n) OVER f AS BIGINT) AS n7,
+          CAST(SUM(err) OVER f AS BIGINT) AS err7
+        FROM daily
+        WINDOW f AS (ORDER BY date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT date, n, err,
+        CAST(err AS DOUBLE) / CAST(n AS DOUBLE) AS daily_rate,
+        CAST(err7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS rate_7d,
+        (CAST(err7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / slo_rate AS burn,
+        (CAST(err7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / slo_rate > 1.2
+          AS alert
+      FROM win CROSS JOIN slo ORDER BY date"""))
+
   /** DAU/MAU stickiness — the ratio product teams headline ("what
     * share of the monthly audience shows up daily?"), proving the
     * [[rollingActiveUsers]] scaladoc's claim that a 28-day MAU is the

@@ -41,7 +41,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "seasonal_anomaly", // centered-MA window over the calendar-sized daily aggregate
     "ml_auc", // rank cumsum over the score-GROUP aggregate (value domain, not rows)
     "stats_theilsen", // pair-slope rank over the day-domain aggregate (calendar-bounded)
-    "anomaly_forecast_residual") // residual-rank median over the day-domain fit table
+    "anomaly_forecast_residual", // residual-rank median over the day-domain fit table
+    "slo_burn_rate") // trailing-7d window over the day-domain error aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
     Queries.all.filterNot(_.name.startsWith("stream_"))
