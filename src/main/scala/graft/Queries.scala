@@ -102,6 +102,7 @@ object Queries {
     QueriesRelational.regionalSupplierVolume,
     QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,
     QueriesRelational.graphLabelProp, QueriesRelational.graphSssp,
+    QueriesRelational.mapEventProfile,
     QueriesStreaming.streamDaily, QueriesStreaming.streamAnomaly, QueriesStreaming.streamSlidingCounts, QueriesStreaming.streamTopk, QueriesStreaming.streamSessions, QueriesStreaming.streamSessionsTws, QueriesStreaming.streamAttribution,
     QueriesStreaming.streamAttributionOuter, QueriesStreaming.streamAttributionFull,
     QueriesStreaming.streamAttributionDaily,

@@ -2514,6 +2514,43 @@ private[graft] object QueriesRelational {
         MIN(lab) AS min_label
       FROM sizes GROUP BY 1 ORDER BY 1"""))
 
+  /** MAP-typed per-user event profile — the one Spark SQL container
+    * type the registry didn't yet exercise end-to-end: each user's
+    * event counts collapse into a `map<event_type, count>` column
+    * (entries array_sort'ed BEFORE map_from_entries so the map's
+    * internal order is deterministic), and the output columns are all
+    * derived THROUGH map functions — map_keys size, element_at lookup
+    * with null-default, and an `aggregate` fold over map_values. The
+    * map is the right shape when the enum domain rides along with the
+    * row (feature stores serialize exactly this); the plan is one
+    * user-keyed aggregate and scan-side map ops. The DuckDB twin
+    * produces the same ROWS from plain conditional aggregates — the
+    * oracle checks semantics, not container internals (DuckDB 1.0's
+    * map_extract returning LIST would make a literal map mirror
+    * noisier than the semantics it checks). */
+  private[graft] val mapEventProfile = Q("map_event_profile",
+    (s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val profiled = counts.groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("n"))))).as("profile"))
+      profiled.select(col("user_id"),
+          size(map_keys(col("profile"))).as("n_event_types"),
+          coalesce(element_at(col("profile"), "purchase"), lit(0L))
+            .as("n_purchases"),
+          aggregate(map_values(col("profile")), lit(0L), _ + _)
+            .as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+        CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_event_types,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_purchases,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Weighted single-source shortest paths — distributed Bellman-Ford
     * (min-plus relaxation) over the sparse order↔part graph with
     * l_quantity as the edge weight, seeds = the 10 smallest node ids:
