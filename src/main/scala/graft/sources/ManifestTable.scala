@@ -76,6 +76,18 @@ object ManifestTable {
     * filesystem goes through [[entryPath]]. */
   private def entryPath(line: String): String = line.split('\t').head
 
+  /** Every (version, file, optional stats) entry across all committed
+    * manifests — the metadata surface `graft.sources.v2
+    * .ManifestMetaSource` serves as a DataSourceV2 table. */
+  private[sources] def allEntries(spark: SparkSession, table: String)
+  : Seq[(Long, String, Option[(String, Long, Long)])] = {
+    val t = new Path(table)
+    (1L to latestVersion(spark, table)).flatMap { v =>
+      readManifest(spark, t, v)
+        .map(l => (v, entryPath(l), entryStats(l)))
+    }
+  }
+
   private def entryStats(line: String): Option[(String, Long, Long)] =
     line.split('\t') match {
       case Array(_, c, lo, hi) => Some((c, lo.toLong, hi.toLong))
