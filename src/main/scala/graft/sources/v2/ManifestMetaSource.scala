@@ -85,15 +85,46 @@ private final case class VersionPartition(rows: Array[MetaRow])
   extends InputPartition
 
 private final class ManifestMetaScan(path: String)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
   override def build(): Scan = this
   override def readSchema(): StructType = ManifestMetaSource.Schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-manifest-meta $path"
+  override def description(): String =
+    s"graft-manifest-meta $path version∈[$lo,$hi]"
+
+  // version-bound pushdown: PRUNES whole per-version partitions at
+  // planning. Coarse-and-safe contract: every filter is ALSO returned
+  // as residual, so Spark re-applies exact semantics post-scan and a
+  // bound bug can only over-read, never wrong-read.
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.flatMap {
+      case f @ EqualTo("version", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v); Some(f)
+      case f @ GreaterThan("version", v: Long) =>
+        lo = math.max(lo, v + 1); Some(f)
+      case f @ GreaterThanOrEqual("version", v: Long) =>
+        lo = math.max(lo, v); Some(f)
+      case f @ LessThan("version", v: Long) =>
+        hi = math.min(hi, v - 1); Some(f)
+      case f @ LessThanOrEqual("version", v: Long) =>
+        hi = math.min(hi, v); Some(f)
+      case _ => None
+    }
+    filters // all residual: exactness stays Spark's job
+  }
+  override def pushedFilters(): Array[Filter] = accepted
 
   override def planInputPartitions(): Array[InputPartition] =
     ManifestTable.allEntries(SparkSession.active, path)
       .groupBy(_._1).toSeq.sortBy(_._1)
+      .filter { case (v, _) => v >= lo && v <= hi }
       .map { case (_, entries) =>
         VersionPartition(entries.map { case (v, f, st) =>
           MetaRow(v, f, st.map(_._1).orNull,

@@ -57,6 +57,23 @@ class ManifestMetaSourceSpec extends AnyFunSuite {
     assert(perVersion(0).getLong(1) < perVersion(1).getLong(1))
   }
 
+  test("version filter pushes down: whole partitions pruned at planning") {
+    val t = mkTable()
+    val meta = spark.read.format("graft-manifest-meta")
+      .option("path", t).load()
+    // unfiltered: one input partition per version
+    assert(meta.rdd.getNumPartitions == 2)
+    val only2 = meta.filter(col("version") === 2L)
+    assert(only2.rdd.getNumPartitions == 1,
+      "EqualTo(version) must prune the v1 partition at planning")
+    // semantics unchanged (all filters stay residual)
+    assert(only2.select("version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val upTo1 = meta.filter(col("version") <= 1L)
+    assert(upTo1.rdd.getNumPartitions == 1)
+    assert(upTo1.count() == meta.filter(col("version") === 1L).count())
+  }
+
   test("missing path option fails with the documented message") {
     val e = intercept[Exception](
       spark.read.format("graft-manifest-meta").load())
