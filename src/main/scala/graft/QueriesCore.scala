@@ -453,6 +453,47 @@ private[graft] object QueriesCore {
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       ORDER BY c_custkey"""))
 
+  /** The DataSourceV2 metadata connector under the correctness gate:
+    * build a two-commit manifest table (v1 with commit-time stats,
+    * v2 a plain append), read it back through
+    * `spark.read.format("graft-manifest-meta")`, and emit the
+    * per-version (file count, stats-bearing count) profile PLUS a
+    * constant-0 consistency check against the ManifestTable API
+    * itself — the connector and the library must describe the same
+    * lineage or the row goes red. File counts are deterministic
+    * (repartition pins staging parallelism); file NAMES are
+    * staging-unique, so the profile aggregates rather than lists. */
+  private[graft] val manifestMetaQ = Q("manifest_meta_source",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_meta_q")
+      val tbl = s"$root/tbl"
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING").repartition(4)
+          .select(col("c_custkey")), statsCol = Some("c_custkey"))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY").repartition(2)
+          .select(col("c_custkey")))
+      val meta = s.read.format("graft-manifest-meta")
+        .option("path", tbl).load()
+      val apiRows = graft.sources.ManifestTable
+        .allEntriesCount(s, tbl)
+      meta.groupBy(col("version"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("stats_column").isNotNull, 1L).otherwise(0L))
+            .as("n_with_stats"))
+        .withColumn("api_mismatch",
+          lit(meta.count() - apiRows))
+        .orderBy("version")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(0 AS BIGINT)))
+      AS t(version, n_files, n_with_stats, api_mismatch)
+      ORDER BY version"""))
+
   /** COMPLIANCE KEY DELETION ([[graft.sources.Sources.deleteKeys]]) —
     * the right-to-be-forgotten path without a table format — run
     * end-to-end on a partitioned copy of `customer`: delete four keys,

@@ -76,6 +76,12 @@ object ManifestTable {
     * filesystem goes through [[entryPath]]. */
   private def entryPath(line: String): String = line.split('\t').head
 
+  /** Public count of all manifest entries — the cross-check surface
+    * the `manifest_meta_source` oracle row compares the DSv2 connector
+    * against. */
+  def allEntriesCount(spark: SparkSession, table: String): Long =
+    allEntries(spark, table).size.toLong
+
   /** Every (version, file, optional stats) entry across all committed
     * manifests — the metadata surface `graft.sources.v2
     * .ManifestMetaSource` serves as a DataSourceV2 table. */
