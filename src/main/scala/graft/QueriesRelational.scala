@@ -2514,6 +2514,48 @@ private[graft] object QueriesRelational {
         MIN(lab) AS min_label
       FROM sizes GROUP BY 1 ORDER BY 1"""))
 
+  /** Sessionization via the BUILT-IN `session_window` aggregate — the
+    * same 30-minute-gap concept [[sessionBatch]] derives with
+    * lag+cumsum windows, through Spark's native session-window API
+    * (the batch face of the streaming session operator
+    * `stream_sessions` uses). A cross-METHOD equivalence row, like
+    * [[graphSssp]]: the DuckDB oracle re-derives sessions with the
+    * lag-gap construction, so the two formulations must agree on
+    * every per-user session profile. Boundary semantics pinned by the
+    * oracle: `session_window`'s range is [start, last + gap) — an
+    * event at EXACTLY last + gap starts a new session, so the lag
+    * rule is `diff >= gap`, one `=` away from [[sessionBatch]]'s
+    * documented `> gap` convention (both valid; this row pins the
+    * native operator's choice so nobody conflates them). */
+  private[graft] val sessionWindowBatch = Q("session_window_batch",
+    (s, dir) => {
+      val sw = events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      sw.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us
+        FROM events),
+      marked AS (SELECT user_id, ts_us,
+          CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (SELECT user_id,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked),
+      per AS (SELECT user_id, session_id, COUNT(*) AS n
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(MAX(n) AS BIGINT) AS max_session_events
+      FROM per GROUP BY 1 ORDER BY 1"""))
+
   /** MAP-typed per-user event profile — the one Spark SQL container
     * type the registry didn't yet exercise end-to-end: each user's
     * event counts collapse into a `map<event_type, count>` column
