@@ -35,6 +35,7 @@ object Queries {
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
     QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges,
     QueriesCore.manifestSync, QueriesCore.bucketedJoin, QueriesCore.manifestMetaQ,
+    QueriesCore.manifestEvolutionQ,
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,
     QueriesCore.mvIncrementalDaily, QueriesCore.mvIncrementalStats,
     QueriesCore.manifestCompact, QueriesCore.manifestPrune,

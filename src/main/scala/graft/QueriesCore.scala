@@ -494,6 +494,40 @@ private[graft] object QueriesCore {
       AS t(version, n_files, n_with_stats, api_mismatch)
       ORDER BY version"""))
 
+  /** SCHEMA EVOLUTION on the manifest table
+    * ([[graft.sources.ManifestTable.readEvolved]]): v1 commits
+    * two-column rows, v2 appends rows that CARRY A NEW COLUMN, and the
+    * evolved read presents the union schema with pre-widening rows
+    * null in the added column — the Delta/Iceberg add-column
+    * semantics on the manifest format (mergeSchema under the
+    * snapshot's file list). The oracle pins the whole merged content
+    * including the null-backfill; a reader that dropped the new
+    * column, or invented non-null values for old rows, goes red. */
+  private[graft] val manifestEvolutionQ = Q("manifest_schema_evolution",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_evo_q")
+      val tbl = s"$root/tbl"
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_acctbal")))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_mktsegment")))
+      graft.sources.ManifestTable.readEvolved(s, tbl)
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("c_mktsegment"), lit("<pre-evolution>"))
+            .as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN '<pre-evolution>'
+          ELSE c_mktsegment END AS segment
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ORDER BY c_custkey"""))
+
   /** COMPLIANCE KEY DELETION ([[graft.sources.Sources.deleteKeys]]) —
     * the right-to-be-forgotten path without a table format — run
     * end-to-end on a partitioned copy of `customer`: delete four keys,

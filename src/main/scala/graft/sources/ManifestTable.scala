@@ -251,6 +251,25 @@ object ManifestTable {
     spark.read.parquet(files: _*)
   }
 
+  /** Snapshot read under SCHEMA EVOLUTION: commits may carry files
+    * with different (compatible) schemas — columns added over the
+    * table's life — and the merged read presents the UNION schema,
+    * with pre-widening rows null in the new columns (the Delta/
+    * Iceberg add-column semantics, via parquet mergeSchema). Kept
+    * separate from [[read]] because footer-merging costs a scan of
+    * every file's schema — a table that never evolved shouldn't pay
+    * it on every read; a production deployment caches the merged
+    * schema in the manifest at commit time. */
+  def readEvolved(spark: SparkSession, table: String,
+                  version: Option[Long] = None): DataFrame = {
+    val t = new Path(table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    require(v > 0, s"$table has no committed version")
+    val files = readManifest(spark, t, v)
+      .map(line => new Path(t, entryPath(line)).toString)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** A stats-pruned snapshot scan: `filesKept` of `filesTotal`
     * survived the manifest-side [lo, hi] overlap test on `column`. */
   final case class PrunedScan(df: DataFrame, filesTotal: Int,
