@@ -2514,6 +2514,87 @@ private[graft] object QueriesRelational {
         MIN(lab) AS min_label
       FROM sizes GROUP BY 1 ORDER BY 1"""))
 
+  /** In-session abandonment per item — "viewed it this session, never
+    * bought it this session": the product-analytics read that joins
+    * the sessionization machinery to the per-item funnel (cart/intent
+    * abandonment is the e-commerce face; the reference's video twin
+    * is started-but-not-finished). Sessions are the lag-gap 30-minute
+    * construction over ALL of a user's events (ties broken on
+    * event_id); a view is abandoned when NO purchase of the SAME item
+    * falls LATER in the SAME session (left anti on the
+    * user/session/item key triple plus the time predicate — an
+    * equi-join with a residual range condition, never a cross
+    * product). Per-item exact counts; rate is the single trailing
+    * division. */
+  private[graft] val kpiAbandonment = Q("kpi_abandonment",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_micros(col("ts")).as("ts_us"))
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sess = ev
+        .withColumn("new_sess", when(col("ts_us") -
+          lag(col("ts_us"), 1).over(byKey) > lit(1800L * 1000000L), 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byKey.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val views = sess.filter(col("event_type") === "view" &&
+        col("item").isNotNull)
+      val purch = sess.filter(col("event_type") === "purchase" &&
+          col("item").isNotNull)
+        .select(col("user_id").as("pu"), col("session_id").as("ps"),
+          col("item").as("pi"), col("ts_us").as("pts"))
+      val abandoned = views.join(purch,
+        col("user_id") === col("pu") && col("session_id") === col("ps")
+          && col("item") === col("pi") && col("pts") > col("ts_us"),
+        "left_anti")
+      val nv = views.groupBy(col("item"))
+        .agg(count(lit(1)).as("n_views"))
+      val na = abandoned.groupBy(col("item"))
+        .agg(count(lit(1)).as("n_abandoned"))
+      nv.join(na, Seq("item"), "left")
+        .select(col("item"), col("n_views"),
+          coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+          (coalesce(col("n_abandoned"), lit(0L)).cast("double") /
+            col("n_views").cast("double")).as("abandonment_rate"))
+        .orderBy("item")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+        epoch_us(ts) AS ts_us
+        FROM events),
+      marked AS (SELECT *,
+          CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+          AS session_id
+        FROM marked),
+      views AS (SELECT * FROM sess
+        WHERE event_type = 'view' AND item IS NOT NULL),
+      purch AS (SELECT user_id AS pu, session_id AS ps, item AS pi,
+          ts_us AS pts FROM sess
+        WHERE event_type = 'purchase' AND item IS NOT NULL),
+      abandoned AS (SELECT v.* FROM views v
+        WHERE NOT EXISTS (SELECT 1 FROM purch p
+          WHERE p.pu = v.user_id AND p.ps = v.session_id
+            AND p.pi = v.item AND p.pts > v.ts_us)),
+      nv AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_views
+        FROM views GROUP BY 1),
+      na AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_abandoned
+        FROM abandoned GROUP BY 1)
+      SELECT nv.item, nv.n_views,
+        COALESCE(na.n_abandoned, 0) AS n_abandoned,
+        CAST(COALESCE(na.n_abandoned, 0) AS DOUBLE) /
+          CAST(nv.n_views AS DOUBLE) AS abandonment_rate
+      FROM nv LEFT JOIN na ON nv.item = na.item
+      ORDER BY nv.item"""))
+
   /** Sessionization via the BUILT-IN `session_window` aggregate — the
     * same 30-minute-gap concept [[sessionBatch]] derives with
     * lag+cumsum windows, through Spark's native session-window API
