@@ -127,7 +127,7 @@ object Queries {
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,
     QueriesAnalytics.anomalyForecastResidual,
     QueriesAnalytics.kpiStickiness, QueriesAnalytics.abCuped,
-    QueriesAnalytics.sloBurnRate,
+    QueriesAnalytics.sloBurnRate, QueriesAnalytics.kpiRepeatPurchase,
     QueriesAnalytics.recoEvalHitrate)
 }
 

@@ -1646,6 +1646,45 @@ private[graft] object QueriesAnalytics {
           (-sign(x) * ln(1.0 - 2.0 * abs(x))), 6) AS released
       FROM seeded ORDER BY event_type"""))
 
+  /** Repeat-purchase rate — of users whose FIRST purchase exists, the
+    * share who purchase again within 30 days: the retention KPI next
+    * to [[kpiCohortLtv]] (LTV says how much; repeat rate says how
+    * reliably the second order happens, which is what acquisition
+    * spend is underwritten against). Two per-user min-aggregates on
+    * projected (user, ts) pairs — the funnel cost shape — plus a
+    * 1-row compose; the 30-day bound rides the joined first-purchase
+    * timestamp as a scan predicate. */
+  private[graft] val kpiRepeatPurchase = Q("kpi_repeat_purchase",
+    (s, dir) => {
+      val p = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val first = p.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_us"))
+      val repeat = p.join(first, Seq("user_id"))
+        .filter(col("ts_us") > col("first_us") &&
+          col("ts_us") <= col("first_us") + lit(30L * 86400L * 1000000L))
+        .select(col("user_id")).distinct()
+      first.agg(count(lit(1)).as("n_buyers"))
+        .crossJoin(broadcast(repeat.agg(count(lit(1))
+          .as("n_repeat_30d"))))
+        .select(col("n_buyers"), col("n_repeat_30d"),
+          (col("n_repeat_30d").cast("double") /
+            col("n_buyers").cast("double")).as("repeat_rate"))
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'),
+      first AS (SELECT user_id, MIN(ts_us) AS first_us
+        FROM p GROUP BY 1),
+      rep AS (SELECT DISTINCT p.user_id
+        FROM p JOIN first f ON p.user_id = f.user_id
+        WHERE p.ts_us > f.first_us
+          AND p.ts_us <= f.first_us + 2592000000000)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM first) AS n_buyers,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM rep) AS n_repeat_30d,
+        CAST((SELECT COUNT(*) FROM rep) AS DOUBLE) /
+          CAST((SELECT COUNT(*) FROM first) AS DOUBLE) AS repeat_rate"""))
+
   /** SLO error-budget burn rate — the SRE alerting rule (multi-window
     * burn, Google SRE workbook ch.5) over the event stream: daily
     * error share, its trailing-7-day rate, and the burn multiple
