@@ -27,7 +27,52 @@ object Pipeline {
   case class Conf(rawPath: String, silverPath: String,
                   mediaIds: Seq[String], lookbackDays: Int = 7,
                   clock: Option[Column] = None,
-                  retrySleep: Long => Unit = Thread.sleep)
+                  retrySleep: Long => Unit = Thread.sleep,
+                  stageTimeout: Option[scala.concurrent.duration.FiniteDuration] = None)
+
+  /** A stage blew its per-stage budget (the reference's ADF pipeline
+    * gives each activity a 12 h timeout + fail-fast isolation,
+    * adf:10–11; this is that policy as a library concern). The run
+    * fails WITHIN the budget instead of blocking forever on a hung
+    * fetcher or wedged write. */
+  final case class StageTimedOut(stage: String,
+      budget: scala.concurrent.duration.FiniteDuration)
+    extends RuntimeException(
+      s"pipeline stage '$stage' exceeded its $budget budget; " +
+        "failing fast (per-activity timeout parity, reference adf:10-11)")
+
+  /** Run `body` under the stage budget (no budget → inline). The body
+    * runs on a daemon worker carrying a Spark job group, so on timeout
+    * the stage's RUNNING JOBS are cancelled (interruptOnCancel) and
+    * the worker interrupted — a hung fetcher (no Spark jobs) dies by
+    * interrupt, a wedged job by group cancel; either way the caller
+    * gets [[StageTimedOut]] within the budget. */
+  private def timedStage[T](spark: SparkSession, stage: String,
+      budget: Option[scala.concurrent.duration.FiniteDuration])
+      (body: => T): T = budget match {
+    case None => body
+    case Some(b) =>
+      val group = s"graft-pipeline-$stage-${System.nanoTime()}"
+      val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, T]]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val worker = new Thread(() => {
+        try {
+          // job group is thread-local — set it on the worker so every
+          // job the stage launches is cancellable as a unit
+          spark.sparkContext.setJobGroup(group, s"pipeline stage $stage",
+            interruptOnCancel = true)
+          out.set(try Right(body) catch { case e: Throwable => Left(e) })
+        } finally done.countDown()
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      if (!done.await(b.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        spark.sparkContext.cancelJobGroup(group)
+        worker.interrupt()
+        throw StageTimedOut(stage, b)
+      }
+      out.get.fold(e => throw e, identity)
+  }
 
   /** `qualityReports` are MATERIALIZED metric maps (frame name →
     * metric → value), collected via `observe()` as a side effect of the
@@ -218,12 +263,17 @@ object Pipeline {
     * (`_run_report.json` next to the silver layer) carries the run
     * timestamp, ingest status, and every frame's observed DQ metrics —
     * the machine-readable replacement for the reference's eyeball-the-
-    * notebook-output ops checklist (guide p.32). */
+    * notebook-output ops checklist (guide p.32). Each stage runs under
+    * `Conf.stageTimeout` when set ([[StageTimedOut]]); stage failure
+    * isolation matches the ADF `dependsOn Succeeded` chain — a failed
+    * or timed-out ingest never starts transform. */
   def run(spark: SparkSession, conf: Conf, fetcher: Ingest.Fetcher,
           runTs: java.time.Instant = java.time.Instant.now())
   : Result = {
-    val clean = ingest(spark, conf, fetcher, runTs)
-    val res = transform(spark, conf)
+    val clean = timedStage(spark, "ingest", conf.stageTimeout)(
+      ingest(spark, conf, fetcher, runTs))
+    val res = timedStage(spark, "transform", conf.stageTimeout)(
+      transform(spark, conf))
     graft.etl.RunReport.write(spark,
       s"${conf.silverPath}/_run_report.json", runTs.toString,
       if (clean) "success" else "ingest_dirty", res.qualityReports,

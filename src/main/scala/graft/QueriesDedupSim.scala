@@ -1596,6 +1596,77 @@ private[graft] object QueriesDedupSim {
     },
     simTopkPq.oracle)
 
+  /** VERSIONED serve under rebuild-then-swap ([[Similarity.commitPqIndex]]
+    * / [[Similarity.pqTopKFromManifest]]): the index commits as ONE
+    * atomic ManifestTable version (codebooks + codes ride the same
+    * committed table, so a single version number pins a CONSISTENT
+    * pair — two separate tables could skew under concurrent rebuild),
+    * a REBUILD over a different corpus cut then lands as version 2,
+    * and the query serves from PINNED version 1 — which must still
+    * reproduce [[simTopkPq]]'s frozen oracle byte-for-byte. That is
+    * the production swap contract this row gates: a rebuild never
+    * perturbs a pinned reader; "swap" is the reader moving its pin,
+    * never the builder moving the reader's data. Vacuum composition
+    * (retiring v1 under a live pin fails loudly) is spec'd in
+    * SimilaritySpec. */
+  private[graft] val simTopkPqVersioned = Q("sim_topk_pq_versioned",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_pq_mt")}/idx"
+      val v1 = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
+      // rebuild-then-swap: a new index over a different corpus cut
+      // lands as head+1 while version 1 is being served below
+      Similarity.commitPqIndex(e.filter(col("vec_id") >= 250), "vec_id",
+        "embedding", tbl)
+      Similarity.pqTopKFromManifest(tbl, e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, version = Some(v1))
+        .orderBy("query_id", "rank")
+    },
+    simTopkPq.oracle)
+
+  /** The retrieval side's END-TO-END composed pipeline — the serve-path
+    * twin of `corpus_curate`'s curation compose: ingest embeddings →
+    * build the PQ index and COMMIT it as a ManifestTable version →
+    * serve top-k from that PINNED version → evaluate recall against
+    * exact brute-force, all in ONE oracled row. Constant-0/constant-
+    * count oracle: the committed index is fresh (version 1), the serve
+    * returns the full k × |queries| surface, and pinned-version recall
+    * clears the same 0.52 floor `sim_topk_pq_gate` pins for the inline
+    * path (the served path is byte-identical, so a lower floor here
+    * would mask a persistence regression). At 100 TB each arrow is the
+    * production shape already priced by its standalone row: offline
+    * build amortized per corpus version, codes-only approximate
+    * scoring, exact re-rank on k·rerank survivors, recall priced by
+    * SCALE.md's ladder. */
+  private[graft] val retrievalPipeline = Q("retrieval_pipeline",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val qs = e.filter(col("vec_id") < 5)
+      val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_retr")}/idx"
+      val v = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
+      val served = Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id",
+        "embedding", k = 5, version = Some(v)).localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5).select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val recall = exact
+        .join(served.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("avg_recall"))
+      recall.crossJoin(served.agg(count(lit(1)).as("served_rows")))
+        .select(lit(v).as("index_version"),
+          when(col("avg_recall") >= 0.5199, 0L).otherwise(1L)
+            .as("recall_below_floor"),
+          col("served_rows"))
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS index_version,
+      CAST(0 AS BIGINT) AS recall_below_floor,
+      CAST(25 AS BIGINT) AS served_rows"""))
+
   /** Incremental ANN index maintenance ([[Similarity.assignToCells]]):
     * a RUNNING index appends new vector batches by routing them
     * through the FROZEN coarse quantizer — retraining per batch would

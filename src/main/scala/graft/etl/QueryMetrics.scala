@@ -44,18 +44,37 @@ final class QueryMetricsListener(maxEntries: Int = 1000)
     while (entries.size > maxEntries) entries.poll()
   }
 
+  /** Pre-order flatten that SEES THROUGH AQE's wrapper nodes.
+    * `AdaptiveSparkPlanExec` is a LeafExecNode — a plain
+    * `collect`/`collectLeaves` stops at it and reports scanRows=0 /
+    * outputRows=-1 for ANY query containing an exchange under AQE
+    * (the default). Follow `executedPlan` (the final, post-reopt
+    * plan), unwrap materialized query stages, and dereference reused
+    * exchanges so the real scans and operators are visible. The
+    * wrappers themselves are not emitted (they carry no row metrics
+    * of their own). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flatten(q.plan)
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      // a reused exchange re-reads NOTHING (it serves the original
+      // exchange's shuffle files) — traversing into it would double-
+      // count the original subtree's scan rows, so emit nothing
+      Seq.empty
+    case other => other +: other.children.flatMap(flatten)
+  }
+
   private def rowMetrics(qe: QueryExecution): (Long, Long) = {
-    // executedPlan AFTER execution: AQE has replaced stages with their
-    // final plans, so collectLeaves sees the real scans
-    val plan = qe.executedPlan
-    val scans = plan.collectLeaves().flatMap(_.metrics.get("numOutputRows"))
-      .map(_.value).sum
+    val nodes = flatten(qe.executedPlan)
+    val scans = nodes.filter(_.children.isEmpty)
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
     // the root (a write/command node) usually carries no row metric —
-    // report the TOPMOST operator that does (pre-order collect)
-    val out = plan.collect {
-      case n if n.metrics.contains("numOutputRows") =>
-        n.metrics("numOutputRows").value
-    }.headOption.getOrElse(-1L)
+    // report the TOPMOST operator that does (pre-order)
+    val out = nodes.find(_.metrics.contains("numOutputRows"))
+      .map(_.metrics("numOutputRows").value).getOrElse(-1L)
     (scans, out)
   }
 

@@ -120,37 +120,58 @@ object Dedup {
     // Iterative plans MUST truncate lineage: `labels` feeds the next
     // round twice (directly + via the edge join), so without a
     // materialization barrier the upstream pair computation re-executes
-    // O(2^rounds) times. localCheckpoint each round + cached edges is
-    // the standard distributed-CC shape; the comp-sum is a monotone
-    // convergence signal (labels only decrease), so near-clique dedup
-    // clusters stop after ~2 rounds instead of burning the cap. The
-    // sum accumulates as DECIMAL(38,0): a LongType sum over billions of
-    // 63-bit ids can wrap (ANSI mode would throw mid-job); 38 digits
-    // holds 2^63 × 10^19 rows, so the signal stays exact at any scale.
-    def compSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .cache()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+    // O(2^rounds) times. Three wall-clock disciplines keep the
+    // driver-sequenced job count minimal (each Spark job carries fixed
+    // scheduler latency, which DOMINATES this query at bench scale —
+    // the data per round is just (id, comp) longs):
+    //  1. Pairs materialize ONCE before the symmetric union — both
+    //     union branches re-execute their input, so building edges
+    //     straight off the candidate generator would run the whole
+    //     MinHash band join + Jaccard verification TWICE.
+    //  2. Labels initialize to the closed 1-hop neighborhood min — one
+    //     aggregate straight over edges, no join, no separate distinct-
+    //     nodes pass. This IS round one of min-label propagation, and
+    //     it is already FINAL for pairs, triangles, and cliques (every
+    //     member adjacent to the min) — the shapes that dominate
+    //     near-dup graphs — so the loop typically runs a single
+    //     confirming round.
+    //  3. Each round's checkpoint is LAZY; the convergence-signal
+    //     aggregate is the materializing action — one job per round,
+    //     not a checkpoint job plus a signal job.
+    // The comp-sum is a monotone convergence signal: the id set is
+    // fixed and min-labels only decrease, so an unchanged sum proves a
+    // fixed point. It accumulates as DECIMAL(38,0): a LongType sum
+    // over billions of 63-bit ids can wrap (ANSI mode would throw
+    // mid-job); 38 digits holds 2^63 × 10^19 rows, so the signal stays
+    // exact at any scale.
+    def compSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint(true)
-    var prevSum = compSum(labels)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp"))
+      .localCheckpoint(false)
+    var prevSum = compSum(labels) // materializes the lazy checkpoint
     var converged = false
-    var i = 0
+    var i = 1 // init already propagated one hop
     while (i < iterations && !converged) {
       val viaEdges = edges.join(labels,
         edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
       labels = labels.union(viaEdges)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = compSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -593,6 +593,67 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** VERSIONED index build: commit the [[buildPqIndex]] artifact as
+    * ONE atomic [[graft.sources.ManifestTable]] version and return the
+    * version number. The codebook rows ride in the same committed
+    * table as the code rows (a `kind` discriminator column), so a
+    * reader pins a CONSISTENT (codebooks, codes) pair with a single
+    * version — two separate tables could skew under concurrent
+    * rebuild (codes v2 scored against codebooks v3 silently returns
+    * garbage distances). Rebuild-then-swap is `commitOverwrite`'s
+    * contract: a new build lands as version head+1 while every reader
+    * pinned to an older version keeps serving ITS files untouched
+    * (until `vacuum` retires them — the vacuum-under-reader rules
+    * apply to the index like any other manifest table). At 100 TB the
+    * committed table IS the ~128×-compressed artifact that ships to
+    * the serving fleet; the codebook rows add m×k rows of noise. */
+  def commitPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, m: Int = 4, codebookK: Int = 16,
+                    iterations: Int = 1): Long = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
+      iterations).localCheckpoint(true)
+    val codes = assignPqCodes(
+      corpus.select(col(idCol).as("vid"),
+        posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
+      cents)
+    val centroidType = cents.schema("centroid").dataType
+    val art = cents.select(lit("codebook").as("kind"),
+        lit(null).cast("long").as("vid"), col("s"), col("code_id"),
+        col("centroid"))
+      .unionByName(codes.select(lit("code").as("kind"),
+        col("vid").cast("long").as("vid"), col("s"), col("code_id"),
+        lit(null).cast(centroidType).as("centroid")))
+    graft.sources.ManifestTable.commitOverwrite(spark, table, art)
+  }
+
+  /** SERVE top-k from a [[commitPqIndex]] version: the pinned (or
+    * latest) committed index is read back and served through the same
+    * [[pqServe]] as the inline path — byte-identical results at the
+    * same geometry. `version = None` serves the latest commit;
+    * an explicit version pins a snapshot that stays stable however
+    * many rebuilds land while it is being consumed. */
+  def pqTopKFromManifest(table: String, corpus: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         version: Option[Long] = None,
+                         rerankFactor: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val art = graft.sources.ManifestTable.read(spark, table, version)
+    val cents = art.filter(col("kind") === "codebook")
+      .select("s", "code_id", "centroid")
+    val codes = art.filter(col("kind") === "code")
+      .select("vid", "s", "code_id")
+    val geom = cents.agg(max(col("s")).as("ms"),
+      max(size(col("centroid"))).as("sub")).head()
+    pqServe(codes, cents, corpus, queries, idCol, vecCol, k,
+      m = geom.getInt(0) + 1, sub = geom.getInt(1),
+      rerankFactor = rerankFactor)
+  }
+
   /** SERVE top-k from a [[buildPqIndex]] artifact: codebooks/codes are
     * read back from `path`, never recomputed — byte-identical results
     * to the inline [[pqTopK]] at the same geometry (the registered

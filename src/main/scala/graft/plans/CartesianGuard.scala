@@ -28,6 +28,16 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def hinted(h: HintInfo): Boolean = h.strategy.isDefined
 
+  /** A side Catalyst can PROVE is at most one row (grouping-less
+    * Aggregate, LIMIT 1, single-row LocalRelation…) makes the
+    * condition-less join a bounded enrich, not a cartesian blow-up —
+    * the planner turns it into a broadcast nested-loop regardless of
+    * hints. Exempting it keeps the guard deployable over this
+    * library's own registry, where scalar-aggregate composes
+    * (`df.crossJoin(df.agg(...))`) are a standard idiom. */
+  private def provablyTiny(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= 1L)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val allow = spark.conf
       .getOption("spark.graft.allowCartesian").contains("true")
@@ -35,7 +45,8 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
       case j: Join if j.condition.isEmpty &&
         (j.joinType == Cross || j.joinType == Inner) &&
         !j.hint.leftHint.exists(hinted) &&
-        !j.hint.rightHint.exists(hinted) =>
+        !j.hint.rightHint.exists(hinted) &&
+        !provablyTiny(j.left) && !provablyTiny(j.right) =>
         throw new IllegalStateException(
           "graft.CartesianGuard: condition-less " + j.joinType +
             " join with no broadcast hint would plan a CartesianProduct" +

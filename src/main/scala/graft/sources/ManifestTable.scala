@@ -210,7 +210,16 @@ object ManifestTable {
           .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         return head + 1
       } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race
+        // ONLY an already-exists collision is a lost race worth
+        // retrying (hadoop FAEE from f.create, nio FAEE from the
+        // hard-link path). Any other IOException — permissions, quota,
+        // missing parent — is persistent: rethrow immediately instead
+        // of burning 20 re-stages and reporting a misleading
+        // "lost 20 version races".
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempts += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
       }
     }
     sys.error(s"commit to $table lost ${attempts} version races")

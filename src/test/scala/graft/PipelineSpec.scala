@@ -73,6 +73,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.contains("\"passed\":true"))
   }
 
+  test("a hung fetcher fails the run within the stage budget") {
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graft_pipe_hang").toString
+    // a fetcher that never returns — no retries burn, no Spark jobs
+    // launch; without the budget Pipeline.run would block forever
+    val hung = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] = {
+        try Thread.sleep(600000) // dies by interrupt on timeout
+        catch { case _: InterruptedException => () }
+        None
+      }
+    }
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1"), stageTimeout = Some(2.seconds))
+    val t0 = System.nanoTime()
+    val e = intercept[Pipeline.StageTimedOut] {
+      Pipeline.run(spark, conf, hung)
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(e.stage == "ingest")
+    // failed fast: well within budget + slack, nowhere near the hang
+    assert(elapsedSec < 30, s"took $elapsedSec s")
+    // fail-fast isolation (ADF dependsOn Succeeded): transform never
+    // started, so no silver layer and no run report were written
+    assert(!graft.sources.Sources.exists(spark, s"$root/silver"))
+  }
+
+  test("stage timeout: a healthy run under budget is unaffected") {
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graft_pipe_budget").toString
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1"),
+      clock = Some(to_timestamp(lit("2024-06-01 00:00:00"))),
+      stageTimeout = Some(5.minutes))
+    val res = Pipeline.run(spark, conf, fetcher)
+    assert(res.fact.count() == 1)
+    // a stage failure other than timeout still surfaces as ITSELF
+    // through the budget wrapper (not wrapped, not swallowed)
+    val conf2 = conf.copy(rawPath = s"$root/raw2",
+      silverPath = s"$root/silver2")
+    val boom = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] =
+        throw new IllegalArgumentException("fetcher bug")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, conf2, boom)
+    }
+    assert(e.getMessage == "fetcher bug")
+  }
+
   test("RunReport.render escapes strings and orders deterministically") {
     val json = graft.etl.RunReport.render("2024-06-01T00:00:00Z", "ok",
       Map("f" -> Map("b" -> 1L, "a" -> 2.5, "q\"x" -> "v\nw")))

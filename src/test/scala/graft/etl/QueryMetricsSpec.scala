@@ -43,6 +43,28 @@ class QueryMetricsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("sees through AQE: shuffle query still reports scan rows") {
+    // TestSpark runs with AQE on (the default), so any query with an
+    // exchange executes under AdaptiveSparkPlanExec — a LeafExecNode
+    // that hides the whole plan from a naive collectLeaves. The
+    // listener must unwrap it or report scanRows=0 / outputRows=-1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm_aqe")
+    (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "k")
+      .write.parquet(s"$dir/t")
+    val l = QueryMetricsListener.attach(spark)
+    try {
+      await(l, 1) {
+        spark.read.parquet(s"$dir/t")
+          .groupBy("k").agg(sum("id").as("s"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val e = l.snapshot().last
+      assert(!e.failed)
+      assert(e.scanRows == 1000, e)   // the real parquet scan is visible
+      assert(e.outputRows >= 0, e)    // some operator carries a metric
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("failures are recorded, and the ring bound holds") {
     val l = QueryMetricsListener.attach(spark, maxEntries = 3)
     try {

@@ -221,6 +221,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("versioned PQ index: rebuild-then-swap never perturbs a pinned " +
+    "reader; vacuum retires it loudly") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .dropDuplicates("vec_id")
+    val qs = e.filter(col("vec_id") < 3)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_pqv")
+      .toString + "/idx"
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val v1 = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
+    assert(v1 == 1L)
+    // serve-from-commit is byte-identical to the inline path
+    val inline = canon(Similarity.pqTopK(e, qs, "vec_id", "embedding",
+      k = 4).collect())
+    assert(canon(Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id",
+      "embedding", k = 4, version = Some(v1)).collect()) == inline)
+    // a rebuild over a different corpus cut lands as v2 while the v1
+    // pin is live — the pinned reader must not move
+    val cut = e.filter(col("vec_id") >= 100)
+    val v2 = Similarity.commitPqIndex(cut, "vec_id", "embedding", tbl)
+    assert(v2 == v1 + 1)
+    assert(canon(Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id",
+      "embedding", k = 4, version = Some(v1)).collect()) == inline)
+    // the LATEST pin serves the new index: neighbors only from the cut
+    val latest = Similarity.pqTopKFromManifest(tbl, cut, qs, "vec_id",
+      "embedding", k = 4).collect()
+    assert(latest.length == 12)
+    assert(latest.forall(_.getAs[Long]("neighbor_id") >= 100))
+    // vacuum retiring v1 under a still-held pin fails the reader with
+    // a loud missing-file error (never silently serves mixed files);
+    // the survivor version keeps serving
+    graft.sources.ManifestTable.vacuum(spark, tbl, keepVersions = 1)
+    intercept[Exception] {
+      Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id", "embedding",
+        k = 4, version = Some(v1)).collect()
+    }
+    assert(canon(Similarity.pqTopKFromManifest(tbl, cut, qs, "vec_id",
+      "embedding", k = 4).collect()) == canon(latest))
+  }
+
   test("pqTopK: k rows per query, self excluded, exact re-ranked " +
     "scores descend per query") {
     import org.apache.spark.sql.functions._

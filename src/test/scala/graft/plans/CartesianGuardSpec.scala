@@ -37,6 +37,23 @@ class CartesianGuardSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.allowCartesian")
   }
 
+  test("provably-1-row sides are exempt (scalar-aggregate compose)") {
+    val guard = CartesianGuard(spark)
+    // the registry's standard idiom: enrich every row with a corpus-
+    // wide scalar via an un-hinted crossJoin against a grouping-less
+    // aggregate — Catalyst proves maxRows == 1, so this is a bounded
+    // broadcast nested-loop, not a cartesian detonation
+    val scalar = big.agg(sum(col("a")).as("total"))
+    val ok = big.crossJoin(scalar).queryExecution.optimizedPlan
+    assert(guard(ok) eq ok)
+    // 1-row side on the LEFT too
+    val okL = scalar.crossJoin(big).queryExecution.optimizedPlan
+    assert(guard(okL) eq okL)
+    // LIMIT 1 is equally provable
+    val okLim = big.crossJoin(small.limit(1)).queryExecution.optimizedPlan
+    assert(guard(okLim) eq okLim)
+  }
+
   test("fires end-to-end through SparkSessionExtensions") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -52,6 +69,10 @@ class CartesianGuardSpec extends AnyFunSuite {
         e.getMessage.contains("CartesianGuard"), e.getMessage)
       // the broadcast compose still executes fine under the guard
       assert(l.crossJoin(broadcast(r)).count() == 500)
+      // and so does the registry's scalar-aggregate compose — the
+      // guard must not reject what the library's own queries do
+      // (un-hinted crossJoin against a grouping-less aggregate)
+      assert(l.crossJoin(l.agg(sum(col("a")).as("t"))).count() == 100)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
