@@ -990,7 +990,10 @@ private[graft] object QueriesAnalytics {
 
   private[graft] val recoItemItem = Q("reco_item_item",
     (s, dir) => {
-      val scored = cfPairs(cfCap(cfInteractions(s, dir)))
+      // capped feeds three consumers inside cfPairs (self-join sides +
+      // item counts) — materialize once, see recoUserTopn
+      val scored = cfPairs(cfCap(cfInteractions(s, dir))
+        .localCheckpoint(true))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("i"))
@@ -1168,7 +1171,13 @@ private[graft] object QueriesAnalytics {
     * ties break on item id. */
   private[graft] val recoUserTopn = Q("reco_user_topn",
     (s, dir) => {
-      val capped = cfCap(cfInteractions(s, dir))
+      // capped feeds FOUR consumers (co-occurrence self-join ×2, item
+      // counts, score join, anti-join seen set) — materialize it once
+      // or every consumer re-executes the whole events scan + JSON
+      // extraction + two shuffles (measured 64.9 s → 4.5 s at the 10×
+      // rehearsal). At 100 TB the capped seen-list is a persisted
+      // table the serving job reads, same contract.
+      val capped = cfCap(cfInteractions(s, dir)).localCheckpoint(true)
       val unseen = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
       unseen
         .withColumn("rank", row_number().over(
@@ -2107,14 +2116,18 @@ private[graft] object QueriesAnalytics {
       val eligible = firstTs.withColumn("n_items",
         count(lit(1)).over(Window.partitionBy(col("user_id"))))
         .filter(col("n_items") >= 2)
+      // marked splits into heldout + train and heldout is consumed
+      // twice more — one materialization stops the events scan +
+      // first-ts aggregate re-executing per consumer (see recoUserTopn)
       val marked = eligible.withColumn("held_rk", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("first_ts").desc, col("item").desc)))
+        .localCheckpoint(true)
       val heldout = marked.filter(col("held_rk") === 1)
         .select(col("user_id"), col("item").as("held_item"))
       val train = marked.filter(col("held_rk") > 1)
         .select(col("user_id"), col("item"), col("cnt"))
-      val capped = cfCap(train)
+      val capped = cfCap(train).localCheckpoint(true)
       val recs = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("user_id"))
