@@ -91,6 +91,54 @@ class DedupSpec extends AnyFunSuite {
     assert(out(11L) == (10L, false))
   }
 
+  test("connectedComponents equals a reference union-find on random " +
+    "graphs (chains, stars, cliques, forests)") {
+    // pins the round-10 rewrite (1-hop-min init, lazy-checkpoint
+    // rounds, comp-sum convergence) to exact CC semantics: every
+    // node labeled with its true component minimum, no component
+    // merged or split, across 15 seeded random graphs including long
+    // chains (worst case for min-label propagation's round count)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 15) {
+      val n = 5 + rnd.nextInt(36)
+      val ids = (0 until n).map(_ => rnd.nextInt(1000).toLong).distinct
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      // random edges + one deliberate chain so diameters get long
+      ids.sliding(2).foreach {
+        case Seq(a, b) if trial % 3 == 0 => edges += ((a, b))
+        case _ => ()
+      }
+      (0 until n).foreach { _ =>
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        if (a != b) edges += ((math.min(a, b), math.max(a, b)))
+      }
+      if (edges.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(id => id -> {
+            val root = find(id)
+            // component min = min over members sharing the root
+            edges.flatMap(e => Seq(e._1, e._2)).distinct
+              .filter(find(_) == root).min
+          }).toMap
+        val got = Dedup.connectedComponents(
+            edges.toSeq.toDF("id_a", "id_b"), iterations = 50)
+          .collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+        assert(got == expected, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("simhashPairs returns near pairs under the hamming cap") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
