@@ -74,42 +74,9 @@ object Bench {
       }
       (q.name, times.min, times.max)
     }
-    // 3-decimal, ROOT-locale seconds: milliseconds resolution is all
-    // the artifact needs, and short numbers keep the stdout line small
-    def d3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def minMap(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (k, mn, _) => "\"" + k + "\":" + d3(mn) }
-        .mkString("{", ",", "}")
-    // per-attempt SPREAD [min, max]: min is the comparable number (the
-    // GC/scheduler-undisturbed run); max bounds the ambient swing, so a
-    // judge can tell a plan regression (min moved) from scheduler noise
-    // (min stable, max wide) without re-running the query three times
-    def spreadMap(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (k, mn, mx) =>
-        "\"" + k + "\":[" + d3(mn) + "," + d3(mx) + "]" }
-        .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val bySlow = results.sortBy(-_._2)
-    // stdout: ONE compact JSON line that FITS the harness's bounded
-    // tail even on 256-query runs (a full per-query dict is ~8 KB and
-    // gets truncated into unparseable half-JSON). The full maps go to
-    // BENCH_full.json; stdout carries total + the slowest 30 mins +
-    // the slowest 15 spreads, which is what a round-over-round read
-    // actually uses.
-    val headline =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"value":${d3(total)},""" +
-      s""""queries":${minMap(bySlow.take(30))},""" +
-      s""""spread":${spreadMap(bySlow.take(15))},""" +
-      s""""queries_omitted":${math.max(0, results.size - 30)},""" +
-      s""""full":"BENCH_full.json"}"""
+    val headline = BenchFormat.headline(sfDir, results)
     println(headline)
-    val fullLine =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"value":${d3(total)},""" +
-      s""""queries":${minMap(results)},""" +
-      s""""spread":${spreadMap(results)}}"""
+    val fullLine = BenchFormat.fullLine(sfDir, results)
     // Targeted SPARK_GRAFT_ONLY runs (rehearsals, single-query checks)
     // must NOT clobber the full-registry artifact; they only write
     // when an explicit SPARK_GRAFT_BENCH_OUT asks for it.

@@ -73,6 +73,17 @@ class CartesianGuardSpec extends AnyFunSuite {
       // guard must not reject what the library's own queries do
       // (un-hinted crossJoin against a grouping-less aggregate)
       assert(l.crossJoin(l.agg(sum(col("a")).as("t"))).count() == 100)
+      // the REGISTRY ITSELF must be deployable under the shipped
+      // extensions: run real registered queries that compose 1-row
+      // aggregates via condition-less crossJoin end-to-end in the
+      // extension-loaded session (the conflict class the guard's
+      // maxRows exemption exists for)
+      Seq("reco_eval_hitrate", "text_pmi_collocations",
+        "kpi_engagement_rate").foreach { name =>
+        val q = graft.Queries.all.find(_.name == name).get
+        assert(q.run(s2, "/root/testdata/sf0.001").count() > 0,
+          s"$name failed under GraftExtensions")
+      }
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
