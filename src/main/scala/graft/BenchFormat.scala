@@ -20,13 +20,23 @@ private[graft] object BenchFormat {
   def d3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** JSON string escape — the sf dir is environment-controlled (a
+    * Windows path or a quote in it must not corrupt the artifact). */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def minMap(rs: Seq[(String, Double, Double)]): String =
-    rs.map { case (k, mn, _) => "\"" + k + "\":" + d3(mn) }
+    rs.map { case (k, mn, _) => jstr(k) + ":" + d3(mn) }
       .mkString("{", ",", "}")
 
   def spreadMap(rs: Seq[(String, Double, Double)]): String =
     rs.map { case (k, mn, mx) =>
-      "\"" + k + "\":[" + d3(mn) + "," + d3(mx) + "]" }
+      jstr(k) + ":[" + d3(mn) + "," + d3(mx) + "]" }
       .mkString("{", ",", "}")
 
   /** ONE compact JSON line that FITS a bounded 2000-char log tail even
@@ -40,7 +50,7 @@ private[graft] object BenchFormat {
   def headline(sfDir: String, results: Seq[(String, Double, Double)])
   : String = {
     val bySlow = results.sortBy(-_._2)
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${results.size},"value":${d3(results.map(_._2).sum)},""" +
       s""""queries":${minMap(bySlow.take(25))},""" +
       s""""spread":${spreadMap(bySlow.take(12))},""" +
@@ -52,7 +62,7 @@ private[graft] object BenchFormat {
     * [min, max] spread. */
   def fullLine(sfDir: String, results: Seq[(String, Double, Double)])
   : String =
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${results.size},"value":${d3(results.map(_._2).sum)},""" +
       s""""queries":${minMap(results)},""" +
       s""""spread":${spreadMap(results)}}"""

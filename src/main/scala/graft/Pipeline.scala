@@ -46,7 +46,39 @@ object Pipeline {
     * the stage's RUNNING JOBS are cancelled (interruptOnCancel) and
     * the worker interrupted — a hung fetcher (no Spark jobs) dies by
     * interrupt, a wedged job by group cancel; either way the caller
-    * gets [[StageTimedOut]] within the budget. */
+    * gets [[StageTimedOut]] within the budget.
+    *
+    * A single cancel is not enough: `cancelJobGroup` only kills jobs
+    * running AT THAT MOMENT, and the interrupt is one-shot — a stage
+    * that swallows `InterruptedException` (retry loops routinely do)
+    * would resume as a ZOMBIE, launch new jobs, and race the
+    * orchestrator's retry (for ingest: bronze dirs under the old
+    * stamp + a watermark commit = the double-count its docstring
+    * warns about). A reaper keeps re-cancelling the group and
+    * re-interrupting until the worker actually exits. Residual risk is
+    * documented, not hidden: pure DRIVER-side IO in a stage that
+    * swallows every interrupt can still complete a small side effect;
+    * all Spark-job work is reliably fenced. */
+  /** The COOPERATIVE abandon fence for budgeted stages: set on the
+    * worker thread by [[timedStage]] and flipped on timeout. Stages
+    * with externally visible side effects (the watermark commit, the
+    * bronze writes) consult it before committing, because neither the
+    * job-group cancel (only kills jobs running at that moment) nor the
+    * interrupt (swallowable) can stop a pure driver-side write — a
+    * zombie ingest that committed its watermark after the orchestrator
+    * already retried would skip a window forever or double-count one
+    * (see `ingest`'s docstring). */
+  private val abandonFlag =
+    new InheritableThreadLocal[java.util.concurrent.atomic.AtomicBoolean]()
+
+  /** True iff the current thread belongs to a budgeted stage whose
+    * budget has expired. Cheap (one volatile read); checked by
+    * side-effecting stage steps. */
+  private[graft] def stageAbandoned: Boolean = {
+    val f = abandonFlag.get
+    f != null && f.get
+  }
+
   private def timedStage[T](spark: SparkSession, stage: String,
       budget: Option[scala.concurrent.duration.FiniteDuration])
       (body: => T): T = budget match {
@@ -55,23 +87,48 @@ object Pipeline {
       val group = s"graft-pipeline-$stage-${System.nanoTime()}"
       val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, T]]()
       val done = new java.util.concurrent.CountDownLatch(1)
+      val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
       val worker = new Thread(() => {
-        try {
-          // job group is thread-local — set it on the worker so every
-          // job the stage launches is cancellable as a unit
-          spark.sparkContext.setJobGroup(group, s"pipeline stage $stage",
-            interruptOnCancel = true)
-          out.set(try Right(body) catch { case e: Throwable => Left(e) })
-        } finally done.countDown()
+        // everything — including setJobGroup, which throws on a
+        // stopped context — lands in `out`, so the caller never sees
+        // a masking NPE in place of the real failure
+        try out.set(
+          try {
+            abandonFlag.set(flag)
+            // job group is thread-local — set it on the worker so
+            // every job the stage launches is cancellable as a unit
+            spark.sparkContext.setJobGroup(group,
+              s"pipeline stage $stage", interruptOnCancel = true)
+            Right(body)
+          } catch { case e: Throwable => Left(e) }
+          finally abandonFlag.remove())
+        finally done.countDown()
       }, group)
       worker.setDaemon(true)
       worker.start()
       if (!done.await(b.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        spark.sparkContext.cancelJobGroup(group)
-        worker.interrupt()
+        flag.set(true) // fence: the stage must not commit side effects
+        // a single cancel/interrupt is not enough — cancelJobGroup
+        // only kills jobs running at that moment and the interrupt is
+        // one-shot (retry loops routinely swallow it); keep reaping
+        // until the worker actually exits
+        val reaper = new Thread(() => {
+          while (worker.isAlive) {
+            try spark.sparkContext.cancelJobGroup(group)
+            catch { case _: Throwable => () } // context may be stopping
+            worker.interrupt()
+            Thread.sleep(500)
+          }
+        }, s"$group-reaper")
+        reaper.setDaemon(true)
+        reaper.start()
         throw StageTimedOut(stage, b)
       }
-      out.get.fold(e => throw e, identity)
+      Option(out.get) match {
+        case Some(r) => r.fold(e => throw e, identity)
+        case None => throw new IllegalStateException(
+          s"pipeline stage '$stage' worker exited without a result")
+      }
   }
 
   /** `qualityReports` are MATERIALIZED metric maps (frame name →
@@ -112,17 +169,21 @@ object Pipeline {
     var clean = true
     val written = scala.collection.mutable.ArrayBuffer[String]()
     conf.mediaIds.foreach { id =>
-      try {
+      // abandon fence: a budgeted stage past its deadline must stop
+      // producing side effects — the caller has already thrown
+      // StageTimedOut and the orchestrator may be retrying
+      if (stageAbandoned) clean = false
+      else try {
         val media = Ingest.fetchAllPages(fetcher, id, "media",
           sleep = conf.retrySleep)
-        if (media.nonEmpty) {
+        if (media.nonEmpty && !stageAbandoned) {
           val p = s"${conf.rawPath}/media/${id}_$stamp"
           Ingest.writeBronzeJson(spark, media, p, Schemas.rawMedia)
           written += p
         }
         val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
           since = Some(since), sleep = conf.retrySleep)
-        if (visitors.nonEmpty) {
+        if (visitors.nonEmpty && !stageAbandoned) {
           val p = s"${conf.rawPath}/visitors/${id}_$stamp"
           Ingest.writeBronzeJson(spark, visitors, p, Schemas.rawVisitor)
           written += p
@@ -131,11 +192,15 @@ object Pipeline {
         case _: Ingest.RetriesExhausted => clean = false
       }
     }
-    if (clean) Ingest.commitWatermark(spark, metaPath, runTs.toString)
+    // the fence guards the COMMIT too: a zombie ingest that advanced
+    // the watermark after its orchestrator retried would permanently
+    // skip the retried window (or double-count it via two stamped dirs)
+    if (clean && !stageAbandoned)
+      Ingest.commitWatermark(spark, metaPath, runTs.toString)
     else written.foreach(deleteDir(spark, _)) // see docstring: a dirty
     // run leaves NO trace under its stamp, so held-watermark retries
     // re-fetch the window exactly once
-    clean
+    clean && !stageAbandoned
   }
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {

@@ -621,11 +621,15 @@ object Similarity {
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
       cents)
     val centroidType = cents.schema("centroid").dataType
+    // vid keeps the CALLER'S id type (string doc ids survive — a cast
+    // to long would silently null every code row and the serve path
+    // would return empty top-ks); the codebook rows' null vid adopts it
+    val vidType = codes.schema("vid").dataType
     val art = cents.select(lit("codebook").as("kind"),
-        lit(null).cast("long").as("vid"), col("s"), col("code_id"),
+        lit(null).cast(vidType).as("vid"), col("s"), col("code_id"),
         col("centroid"))
       .unionByName(codes.select(lit("code").as("kind"),
-        col("vid").cast("long").as("vid"), col("s"), col("code_id"),
+        col("vid"), col("s"), col("code_id"),
         lit(null).cast(centroidType).as("centroid")))
     graft.sources.ManifestTable.commitOverwrite(spark, table, art)
   }

@@ -211,14 +211,21 @@ object ManifestTable {
         return head + 1
       } catch {
         // ONLY an already-exists collision is a lost race worth
-        // retrying (hadoop FAEE from f.create, nio FAEE from the
-        // hard-link path). Any other IOException — permissions, quota,
-        // missing parent — is persistent: rethrow immediately instead
-        // of burning 20 re-stages and reporting a misleading
-        // "lost 20 version races".
+        // retrying: hadoop FAEE from f.create, nio FAEE from the
+        // hard-link path, and HDFS's AlreadyBeingCreatedException —
+        // thrown when the loser's create lands while the winner's
+        // manifest stream is still open (matched by class name; the
+        // hdfs-client class is not a compile-time dependency). Any
+        // other IOException — permissions, quota, missing parent — is
+        // persistent: rethrow immediately instead of burning 20
+        // re-stages and reporting a misleading "lost 20 version
+        // races".
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           attempts += 1
         case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+        case e: java.io.IOException if e.getClass.getSimpleName ==
+          "AlreadyBeingCreatedException" =>
           attempts += 1
       }
     }

@@ -58,6 +58,14 @@ class BenchFormatSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("sf dir with quotes/backslashes still yields valid JSON") {
+    val evil = """C:\data\sf"0.1""""
+    val h = mapper.readTree(BenchFormat.headline(evil, results.take(2)))
+    assert(h.get("sf").asText == evil)
+    val f = mapper.readTree(BenchFormat.fullLine(evil, results.take(2)))
+    assert(f.get("sf").asText == evil)
+  }
+
   test("small runs: headline carries everything, omitted count is 0") {
     val line = BenchFormat.headline("/x", results.take(3))
     val node = mapper.readTree(line)

@@ -101,6 +101,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!graft.sources.Sources.exists(spark, s"$root/silver"))
   }
 
+  test("a zombie stage past its budget never commits side effects") {
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graft_pipe_zombie").toString
+    // the nastiest shape: a fetcher that SWALLOWS the interrupt and
+    // then returns a perfectly valid page — without the abandon fence
+    // the resumed worker would write bronze dirs under the old stamp
+    // and commit the watermark, racing the orchestrator's retry
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val zombie = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] = {
+        if (page > 1) return None
+        try Thread.sleep(600000)
+        catch { case _: InterruptedException => () } // swallowed
+        done.set(true)
+        Some(s"""{"hashed_id":"$id","name":"Video","created":1700000000}""")
+      }
+    }
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1"), stageTimeout = Some(2.seconds))
+    intercept[Pipeline.StageTimedOut] { Pipeline.run(spark, conf, zombie) }
+    // let the reaper kill the sleep and the zombie resume + finish
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!done.get && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(done.get, "zombie fetcher never resumed — test inconclusive")
+    Thread.sleep(1500) // give the resumed worker time to (not) commit
+    // the fence held: no watermark commit, no bronze dirs
+    assert(!graft.sources.Sources.exists(spark,
+      s"$root/raw/metadata/last_run"), "zombie committed the watermark")
+    assert(!graft.sources.Sources.exists(spark, s"$root/raw/media"),
+      "zombie wrote bronze dirs")
+  }
+
   test("stage timeout: a healthy run under budget is unaffected") {
     import scala.concurrent.duration._
     val root = Files.createTempDirectory("graft_pipe_budget").toString

@@ -264,6 +264,30 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", k = 4).collect()) == canon(latest))
   }
 
+  test("versioned PQ index preserves non-numeric id types (string " +
+    "doc ids serve identically to the inline path)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .dropDuplicates("vec_id")
+      .select(concat(lit("doc_"), lpad(col("vec_id").cast("string"),
+        4, "0")).as("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < "doc_0003")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_pqs")
+      .toString + "/idx"
+    val v = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("neighbor_id"), r.getAs[Double]("cos_sim")))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val served = canon(Similarity.pqTopKFromManifest(tbl, e, qs,
+      "vec_id", "embedding", k = 3, version = Some(v)).collect())
+    // a silent long-cast would null every vid and return ZERO rows
+    assert(served.length == qs.count() * 3)
+    assert(served.forall(_._3.startsWith("doc_")))
+    assert(served == canon(Similarity.pqTopK(e, qs, "vec_id",
+      "embedding", k = 3).collect()))
+  }
+
   test("pqTopK: k rows per query, self excluded, exact re-ranked " +
     "scores descend per query") {
     import org.apache.spark.sql.functions._
