@@ -1649,10 +1649,15 @@ private[graft] object QueriesDedupSim {
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
         k = 5).select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
-      val recall = exact
-        .join(served.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // both eval sides are k × |queries| rows BY CONSTRUCTION —
+      // broadcast explicitly (a localCheckpoint's stats default to
+      // "huge", so the planner would fall back to sort-merge). The
+      // right-outer join must build its LEFT side, so the hint wraps
+      // the hits frame, not the preserved k frame.
+      val recall = broadcast(exact
+          .join(broadcast(served.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits")))
         .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
