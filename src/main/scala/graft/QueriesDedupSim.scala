@@ -1008,10 +1008,14 @@ private[graft] object QueriesDedupSim {
       val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         dim = 64, k = 5, numPlanes = 6, numTables = 8)
         .localCheckpoint(true) // feeds both the semi-join and the count
-      val recall = exact
-        .join(lsh.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // eval sides are k × |queries| BY CONSTRUCTION — broadcast
+      // explicitly (checkpoint stats default to huge → SMJ fallback);
+      // the right-outer join builds its LEFT side, so that hint wraps
+      // the hits frame
+      val recall = broadcast(exact
+          .join(broadcast(lsh.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits")))
         .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
@@ -1100,10 +1104,11 @@ private[graft] object QueriesDedupSim {
       val hi = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         dim = 64, k = 5, numPlanes = 4, numTables = 16)
         .localCheckpoint(true) // feeds both the semi-join and the count
-      val recall = exact
-        .join(hi.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // broadcast the bounded eval sides — see simLshRecallGate
+      val recall = broadcast(exact
+          .join(broadcast(hi.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits")))
         .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
@@ -1183,10 +1188,11 @@ private[graft] object QueriesDedupSim {
       val ivfpq = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
         k = 5, rerankFactor = 10)
         .localCheckpoint(true) // feeds both the semi-join and the count
-      val recall = exact
-        .join(ivfpq.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // broadcast the bounded eval sides — see simLshRecallGate
+      val recall = broadcast(exact
+          .join(broadcast(ivfpq.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits")))
         .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
@@ -1744,15 +1750,18 @@ private[graft] object QueriesDedupSim {
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
         "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val recall = exact
-        .join(pq.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      // broadcast the bounded eval sides — see simLshRecallGate
+      val recall = broadcast(exact
+          .join(broadcast(pq.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits")))
         .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
           col("k").cast("double")).as("avg_recall"))
-      val fidelity = pq
+      // the fidelity probe joins k×queries pq rows against the CORPUS
+      // vectors — broadcast the bounded pq side, never shuffle e
+      val fidelity = broadcast(pq)
         .join(e.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("cv")), Seq("neighbor_id"))
         .join(broadcast(qs.select(col("vec_id").as("query_id"),

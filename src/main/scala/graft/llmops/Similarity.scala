@@ -180,7 +180,12 @@ object Similarity {
     val queryCells = assignCells(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv")), cents,
       "query_id", "qv", nProbe)
-    val scored = queryCells.join(corpusCells, Seq("cell_id"))
+    // the probe join: queries × nProbe rows against the cell-keyed
+    // corpus — broadcast the QUERY side explicitly (it is bounded by
+    // construction, but its window-over-crossJoin lineage gives the
+    // planner no usable size estimate, so it would sort-merge and
+    // shuffle the corpus by cell_id instead)
+    val scored = broadcast(queryCells).join(corpusCells, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")

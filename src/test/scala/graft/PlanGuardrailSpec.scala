@@ -58,6 +58,18 @@ class PlanGuardrailSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval_pipeline's recall-eval joins broadcast their " +
+    "bounded sides (checkpoint stats default to huge → SMJ fallback)") {
+    val df = Queries.all.find(_.name == "retrieval_pipeline").get
+      .run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"retrieval_pipeline lost its broadcast eval joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"retrieval_pipeline's k×queries-bounded eval joins fell back " +
+        s"to sort-merge:\n$plan")
+  }
+
   test("every unpartitioned window runs over aggregated input") {
     frames.foreach { case (name, df) =>
       val wins = df.queryExecution.optimizedPlan.collect {
