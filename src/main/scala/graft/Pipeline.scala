@@ -167,40 +167,58 @@ object Pipeline {
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(runTs)
     var clean = true
+    var aborted = true // set false only when the loop exits normally
     val written = scala.collection.mutable.ArrayBuffer[String]()
-    conf.mediaIds.foreach { id =>
-      // abandon fence: a budgeted stage past its deadline must stop
-      // producing side effects — the caller has already thrown
-      // StageTimedOut and the orchestrator may be retrying
-      if (stageAbandoned) clean = false
-      else try {
-        val media = Ingest.fetchAllPages(fetcher, id, "media",
-          sleep = conf.retrySleep)
-        if (media.nonEmpty && !stageAbandoned) {
-          val p = s"${conf.rawPath}/media/${id}_$stamp"
-          Ingest.writeBronzeJson(spark, media, p, Schemas.rawMedia)
-          written += p
+    try {
+      conf.mediaIds.foreach { id =>
+        // abandon fence: a budgeted stage past its deadline must stop
+        // producing side effects — the caller has already thrown
+        // StageTimedOut and the orchestrator may be retrying
+        if (stageAbandoned) clean = false
+        else try {
+          val media = Ingest.fetchAllPages(fetcher, id, "media",
+            sleep = conf.retrySleep)
+          if (media.nonEmpty && !stageAbandoned) {
+            val p = s"${conf.rawPath}/media/${id}_$stamp"
+            Ingest.writeBronzeJson(spark, media, p, Schemas.rawMedia)
+            written += p
+          }
+          val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
+            since = Some(since), sleep = conf.retrySleep)
+          if (visitors.nonEmpty && !stageAbandoned) {
+            val p = s"${conf.rawPath}/visitors/${id}_$stamp"
+            Ingest.writeBronzeJson(spark, visitors, p, Schemas.rawVisitor)
+            written += p
+          }
+        } catch {
+          case _: Ingest.RetriesExhausted => clean = false
         }
-        val visitors = Ingest.fetchAllPages(fetcher, id, "visitors",
-          since = Some(since), sleep = conf.retrySleep)
-        if (visitors.nonEmpty && !stageAbandoned) {
-          val p = s"${conf.rawPath}/visitors/${id}_$stamp"
-          Ingest.writeBronzeJson(spark, visitors, p, Schemas.rawVisitor)
-          written += p
+      }
+      aborted = false
+    } finally {
+      // The cleanup-or-commit decision MUST run even when the loop
+      // dies on an unexpected throwable (the reaper's interrupt, a
+      // group-cancelled write's SparkException): dirs already written
+      // this run would otherwise survive under the old stamp while
+      // the watermark held, and the retry's new stamp would make
+      // transform aggregate those events twice. The fence guards the
+      // COMMIT for the same reason: a zombie ingest that advanced the
+      // watermark after its orchestrator retried would permanently
+      // skip the retried window.
+      if (!aborted && clean && !stageAbandoned)
+        Ingest.commitWatermark(spark, metaPath, runTs.toString)
+      else {
+        // best effort under active interruption: clear the interrupt
+        // flag so the (fast, local) deletes are not themselves killed
+        Thread.interrupted()
+        written.foreach { p =>
+          try deleteDir(spark, p)
+          catch { case _: Throwable => () } // leave what we must; the
+          // stamp regexps make a partial dir visible, not silent
         }
-      } catch {
-        case _: Ingest.RetriesExhausted => clean = false
       }
     }
-    // the fence guards the COMMIT too: a zombie ingest that advanced
-    // the watermark after its orchestrator retried would permanently
-    // skip the retried window (or double-count it via two stamped dirs)
-    if (clean && !stageAbandoned)
-      Ingest.commitWatermark(spark, metaPath, runTs.toString)
-    else written.foreach(deleteDir(spark, _)) // see docstring: a dirty
-    // run leaves NO trace under its stamp, so held-watermark retries
-    // re-fetch the window exactly once
-    clean && !stageAbandoned
+    !aborted && clean && !stageAbandoned
   }
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {

@@ -104,13 +104,34 @@ object Ingest {
     } catch { case _: Exception => default }
   }
 
-  /** Commit the watermark: overwrite `last_run.json` with
-    * {timestamp, status: "success"} (nb02:204-213). */
+  /** Commit the watermark: {timestamp, status: "success"}
+    * (nb02:204-213), written as ONE file via tmp-then-rename. The
+    * previous Spark `Overwrite` write deleted the old watermark and
+    * then ran a whole cancellable job before the replacement existed —
+    * a cancel/crash in between LOSES the watermark, and a lost
+    * watermark is not safe (readWatermark falls back to the lookback
+    * default, re-fetching windows whose bronze dirs from COMMITTED
+    * runs still exist → transform double-counts them). A single-file
+    * rename is atomic on HDFS and local filesystems; the only
+    * remaining gap is the delete→rename instant when replacing a
+    * previous watermark, driver-side and microseconds wide. */
   def commitWatermark(spark: SparkSession, metaPath: String,
                       timestamp: String): Unit = {
-    import spark.implicits._
-    Seq((timestamp, "success")).toDF("timestamp", "status")
-      .coalesce(1).write.mode(SaveMode.Overwrite).json(metaPath)
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(
+      (s"""{"timestamp":"$timestamp","status":"success"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // replace: delete the previous watermark (file, or the directory
+    // the legacy Spark-write layout produced), then atomic rename
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      sys.error(s"watermark rename $tmp -> $p failed")
   }
 
   /** Health check (nb01:96-123): write/read round-trip under the target

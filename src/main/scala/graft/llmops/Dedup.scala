@@ -144,11 +144,10 @@ object Dedup {
     // over billions of 63-bit ids can wrap (ANSI mode would throw
     // mid-job); 38 digits holds 2^63 × 10^19 rows, so the signal stays
     // exact at any scale.
-    def compSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      // coalesce makes the empty-frame sum 0, never null
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
-    }
     // Storage hygiene: a long-lived session running dedup repeatedly
     // must not accumulate checkpoint blocks until the ContextCleaner
     // happens to run, so the pairs checkpoint AND each superseded

@@ -169,23 +169,33 @@ object Similarity {
     * search only the query's `nProbe` nearest cells.
     * The centroid assignment is a broadcast nested-loop over numCells
     * rows; the search join is an equi-join on cell id. */
+  /** `broadcastQueries` (default true) broadcasts the probe side —
+    * right for the documented shape (a bounded query batch against a
+    * large corpus: the corpus then never shuffles by cell). A caller
+    * running a HUGE query batch (near corpus-sized) must pass false:
+    * an unconditional broadcast would collect the batch to the driver
+    * and hit Spark's 8 GB broadcast-relation limit where the
+    * sort-merge plan completes fine. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nProbe: Int = 2, kmeansIterations: Int = 1): DataFrame = {
+              nProbe: Int = 2, kmeansIterations: Int = 1,
+              broadcastQueries: Boolean = true): DataFrame = {
     val cents = trainCodebook(corpus, idCol, vecCol, numCells,
       kmeansIterations)
     val corpusCells = assignCells(corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv")), cents,
       "neighbor_id", "cv", 1)
-    val queryCells = assignCells(queries.select(
+    val queryCells0 = assignCells(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv")), cents,
       "query_id", "qv", nProbe)
     // the probe join: queries × nProbe rows against the cell-keyed
-    // corpus — broadcast the QUERY side explicitly (it is bounded by
-    // construction, but its window-over-crossJoin lineage gives the
-    // planner no usable size estimate, so it would sort-merge and
-    // shuffle the corpus by cell_id instead)
-    val scored = broadcast(queryCells).join(corpusCells, Seq("cell_id"))
+    // corpus — the hint matters because the probe side's
+    // window-over-crossJoin lineage gives the planner no usable size
+    // estimate, so it would sort-merge and shuffle the corpus by
+    // cell_id instead
+    val queryCells =
+      if (broadcastQueries) broadcast(queryCells0) else queryCells0
+    val scored = queryCells.join(corpusCells, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")

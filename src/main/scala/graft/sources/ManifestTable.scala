@@ -227,6 +227,14 @@ object ManifestTable {
         case e: java.io.IOException if e.getClass.getSimpleName ==
           "AlreadyBeingCreatedException" =>
           attempts += 1
+        // HDFS delivers that same race still WRAPPED: the DFS client's
+        // unwrapRemoteException list does not include
+        // AlreadyBeingCreatedException, so the caller sees
+        // ipc.RemoteException carrying the server-side class name
+        case e: org.apache.hadoop.ipc.RemoteException
+          if e.getClassName != null &&
+            e.getClassName.endsWith("AlreadyBeingCreatedException") =>
+          attempts += 1
       }
     }
     sys.error(s"commit to $table lost ${attempts} version races")

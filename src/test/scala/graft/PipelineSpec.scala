@@ -101,6 +101,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!graft.sources.Sources.exists(spark, s"$root/silver"))
   }
 
+  test("an unexpected mid-loop failure sweeps this run's bronze dirs") {
+    // id abc1 ingests cleanly, then id bbb2 dies on a non-retry
+    // exception (the reaper-interrupt / cancelled-write class): the
+    // exception must propagate AND abc1's dirs must not survive under
+    // this run's stamp — survivors would double-count when the retry
+    // re-fetches the held window under a new stamp
+    val root = Files.createTempDirectory("graft_pipe_abort").toString
+    val boom = new Ingest.Fetcher {
+      def fetchPage(id: String, endpoint: String, page: Int,
+                    since: Option[String]): Option[String] = {
+        if (id == "bbb2") throw new IllegalStateException("torn mid-run")
+        if (page > 1) None
+        else if (endpoint == "media")
+          Some(s"""{"hashed_id":"$id","name":"V","created":1700000000}""")
+        else
+          Some(s"""{"visitor_key":"v_$id","ip_address":"1.1.1.1","country":"DE","events":[]}""")
+      }
+    }
+    val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+      mediaIds = Seq("abc1", "bbb2"))
+    val e = intercept[IllegalStateException] {
+      Pipeline.ingest(spark, conf, boom)
+    }
+    assert(e.getMessage == "torn mid-run") // surfaced as itself
+    // watermark held AND the clean id's dirs swept
+    assert(!graft.sources.Sources.exists(spark,
+      s"$root/raw/metadata/last_run"))
+    assert(graft.sources.Sources.listDir(spark, s"$root/raw/media")
+      .isEmpty, "bronze media dirs survived the aborted run")
+    assert(graft.sources.Sources.listDir(spark, s"$root/raw/visitors")
+      .isEmpty, "bronze visitors dirs survived the aborted run")
+  }
+
   test("a zombie stage past its budget never commits side effects") {
     import scala.concurrent.duration._
     val root = Files.createTempDirectory("graft_pipe_zombie").toString
