@@ -125,14 +125,27 @@ object Bpe {
     * wrong-greedy fold or a double-merge both break it). */
   def train(docs: DataFrame, textCol: String, rounds: Int,
             audit: Boolean = false): (Seq[Merge], DataFrame) = {
-    var vocab = vocabulary(docs, textCol).localCheckpoint(true)
+    // Job-count disciplines (same as the iterative graph kernels /
+    // connectedComponents): each round's vocab checkpoint is LAZY —
+    // the next round's top-pair job is its materializing action (one
+    // job per round, not an eager-checkpoint job plus the top-pair
+    // job) — and the superseded round's blocks release one round
+    // BEHIND (the lazy child computes FROM the parent's blocks, so
+    // releasing before the child materializes would sever truncated
+    // lineage; TakeOrderedAndProject scans every partition, so the
+    // top-pair job does materialize the full checkpoint).
+    import org.apache.spark.sql.graft.CheckpointBridge
+    var vocab = vocabulary(docs, textCol).localCheckpoint(false)
+    var superseded: DataFrame = null
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val top = pairCounts(vocab)
         .orderBy(col("weight").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(1).collect() // materializes vocab's lazy checkpoint
+      if (superseded != null) { CheckpointBridge.release(superseded)
+        superseded = null }
       if (top.isEmpty) { exhausted = true }
       else {
         val (a, b, w) = (top(0).getString(0), top(0).getString(1),
@@ -140,13 +153,20 @@ object Bpe {
         def totalSyms(v: DataFrame): Long =
           v.agg(sum(col("freq") * size(col("syms")))).head.getLong(0)
         val before = if (audit) totalSyms(vocab) else -1L
+        superseded = vocab
         vocab = vocab
           .withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(true) // barrier: next round plans from here
+          .localCheckpoint(false) // barrier: next round plans from here
         val after = if (audit) totalSyms(vocab) else -1L
         merges += Merge(r, a, b, w, before, after)
       }
       r += 1
+    }
+    if (superseded != null) {
+      // the returned vocab may still be un-materialized; compute it
+      // before releasing the parent its truncated lineage hangs off
+      vocab.count()
+      CheckpointBridge.release(superseded)
     }
     (merges.result(), vocab)
   }
