@@ -114,6 +114,10 @@ object QualityModel {
       losses += row.getLong(d) / 1e6 / n
       it += 1
     }
+    // the Fit carries only driver arrays; release the training
+    // checkpoint deterministically rather than waiting on the
+    // ContextCleaner (same discipline as the iterative kernels)
+    org.apache.spark.sql.graft.CheckpointBridge.release(data)
     Fit(w, losses.result(), n)
   }
 
