@@ -31,4 +31,49 @@ class CheckpointBridgeSpec extends AnyFunSuite {
     val df = spark.range(10).toDF("id").localCheckpoint(false)
     CheckpointBridge.release(df) // nothing persisted yet — no-op
   }
+
+  // ---- loop-level hygiene: the release-one-round-behind discipline
+  // must leave executor storage BOUNDED after an iterative kernel
+  // finishes, not one superseded round state per iteration. The bound
+  // is 1: only the kernel's final (still-consumable) state may stay.
+
+  private def newlyPersisted(body: => Unit): Set[Int] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    body
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("Bpe.train leaves at most the final vocab persisted") {
+    import spark.implicits._
+    val docs = Seq("ababab ababab cdcd", "abab cdcd cdcd ef",
+      "abab ef ef gh").toDF("text")
+    val fresh = newlyPersisted {
+      val (merges, vocab) = llmops.Bpe.train(docs, "text", rounds = 6)
+      assert(merges.nonEmpty)
+      vocab.collect() // the returned state must still be consumable
+    }
+    assert(fresh.size <= 1,
+      s"expected <=1 surviving checkpoint after 6 merge rounds, " +
+        s"found ${fresh.size} (superseded round states leaked)")
+  }
+
+  test("graph_sssp leaves at most the final distance state persisted") {
+    val q = Queries.all.find(_.name == "graph_sssp").get
+    val fresh = newlyPersisted {
+      assert(q.run(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    }
+    assert(fresh.size <= 1,
+      s"expected <=1 surviving checkpoint after SSSP converges, " +
+        s"found ${fresh.size} (edges or superseded rounds leaked)")
+  }
+
+  test("graph_bfs_depth leaves at most the final frontier persisted") {
+    val q = Queries.all.find(_.name == "graph_bfs_depth").get
+    val fresh = newlyPersisted {
+      assert(q.run(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    }
+    assert(fresh.size <= 1,
+      s"expected <=1 surviving checkpoint after BFS converges, " +
+        s"found ${fresh.size} (edges or superseded rounds leaked)")
+  }
 }
