@@ -2072,15 +2072,30 @@ private[graft] object QueriesRelational {
       // edge union materializes ONCE (every round re-reads it, so it is
       // checkpointed post-union, not re-derived per round), rounds use
       // lazy checkpoints with the convergence count as the materializing
-      // action, superseded round states release deterministically
+      // action, superseded round states release deterministically.
+      // distinct() mirrors graph_sssp's min-weight collapse: hop counts
+      // are insensitive to parallel edges, but WITHOUT the dedup every
+      // round's frontier join fans out once per duplicate — measured
+      // 37 s → 21 s at the 100× rehearsal, where replicated inputs
+      // make duplicate edges the dominant term (and the oracle's edge
+      // CTE is a deduping UNION already, so this also aligns
+      // semantics). The dedup runs BEFORE the symmetric union — a/b
+      // parity (even orderkey-derived vs odd partkey-derived ids)
+      // means the reversed branch can never re-introduce a duplicate,
+      // and the distinct's shuffle input halves; the base checkpoint
+      // (released once the union materializes from it) keeps the two
+      // union branches from each re-running the scan + distinct.
       import org.apache.spark.sql.graft.CheckpointBridge
       val base = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
         .select((col("l_orderkey") * 2).as("a"),
           (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(true)
       val edges = base.select(col("a").as("src"), col("b").as("dst"))
         .union(base.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
+      CheckpointBridge.release(base) // folded into the edge checkpoint
       try {
         val nodes = edges.select(col("src").as("id")).distinct()
         val seeds = nodes.orderBy("id").limit(10)

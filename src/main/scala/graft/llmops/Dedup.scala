@@ -157,7 +157,14 @@ object Dedup {
     // cheaper than cache()+count() on the sf0.1 bench — but exposes no
     // public unpersist, hence the bridge).
     import org.apache.spark.sql.graft.CheckpointBridge
+    // distinct: labels are insensitive to parallel edges, but every
+    // round's propagation join fans out once per duplicate pair — on a
+    // multigraph input the duplicates, not the node count, become the
+    // dominant per-round term (measured: graph_bfs_depth went 37 s →
+    // bounded at the 100× rehearsal from the same collapse). One
+    // up-front shuffle over the pair set buys rounds × smaller joins.
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .distinct()
       .localCheckpoint(true)
     try {
       val edges = p
