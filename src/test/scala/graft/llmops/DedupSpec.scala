@@ -139,6 +139,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents is invariant under duplicated and " +
+    "reversed-duplicate input pairs (multigraph guard)") {
+    // pins the round-10 input distinct: labels must not depend on
+    // pair multiplicity or orientation, so a multigraph caller gets
+    // the same answer as a deduped one (and the per-round join never
+    // fans out per duplicate)
+    val clean = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L))
+    val multi = clean ++ clean ++ clean.map(_.swap) ++ Seq((2L, 1L))
+    def labels(ps: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(ps.toDF("id_a", "id_b"), iterations = 50)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(labels(multi) == labels(clean))
+    assert(labels(clean) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+        10L -> 10L, 11L -> 10L))
+  }
+
   test("simhashPairs returns near pairs under the hamming cap") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
