@@ -755,37 +755,42 @@ private[graft] object QueriesAnalytics {
     * thresholds ⌊e⁻¹·2³²⌋… into w ∈ {0,1,2,3} (tail lumped at 3) — so
     * both engines produce the SAME resample universe and the CI
     * hash-matches exactly; rand()-based bootstrap can never be
-    * replayed or verified. Plan shape: the ×B fan-out is a scan-side
-    * `explode(sequence)`, the only shuffle carries B×(Σwx, Σw)
-    * integer partials (map-side combined), replica means are one
-    * division each, and the CI is an exact interpolated percentile
-    * over the B-row replica table — at 100 TB the cost is B linear
-    * scans' worth of map work and a B-row reduce, no resampled copy
-    * of the data ever exists. */
+    * replayed or verified. Plan shape: NO row fan-out at all — one
+    * no-key typed aggregation
+    * ([[graft.functions.PoissonBootstrapSumsAggregator]]) derives
+    * each row's B-lane weights in its JVM hot loop (same md5 scheme,
+    * bit-identical u32s) and accumulates the B (Σwx, Σw) integer
+    * partials per partition; the only exchange carries
+    * `partitions × 2 × B` longs. Replica means are one division each
+    * over the B-row lane table, and the CI is an exact interpolated
+    * percentile over it. This replaced an `explode(sequence(0, B-1))`
+    * formulation whose ×B in-flight row inflation was the engine's
+    * one measured superlinear-in-practice cost at the 100× rehearsal
+    * (and a `transform(…md5…)` variant that was no faster because
+    * higher-order functions are CodegenFallback) — the weights, the
+    * resample universe, and the frozen CI oracle are unchanged; only
+    * the plan did. At 100 TB the cost is B linear scans' worth of
+    * digest work and a 2·B-long reduce; no resampled copy of the
+    * data ever exists. */
   private[graft] val statsBootstrapCi = Q("stats_bootstrap_ci",
     (s, dir) => {
+      import s.implicits._
       val b = 200
       val x = events(s, dir)
         .filter(col("event_type") === "purchase" &&
           col("value").isNotNull)
         .select(col("event_id"),
           expr("cast(round(value * 100) as bigint)").as("c"))
-      val u32 = conv(substring(md5(concat(lit("b:"),
-        col("rep").cast("string"), lit(":"),
-        col("event_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long")
-      val w = when(u32 < 1580030168L, 0L)
-        .when(u32 < 3160060337L, 1L)
-        .when(u32 < 3950075421L, 2L)
-        .otherwise(3L)
       val reps = x
-        .select(col("event_id"), col("c"),
-          explode(sequence(lit(0), lit(b - 1))).as("rep"))
-        .select(col("rep"), col("c"), w.as("w"))
-        .groupBy("rep")
-        .agg(sum(col("w") * col("c")).as("swx"), sum(col("w")).as("sw"))
-        .select((col("swx").cast("double") /
-          (col("sw").cast("double") * 100.0)).as("m"))
+        .select(col("c"), col("event_id").cast("string"))
+        .as[(Long, String)]
+        .select(graft.functions.PoissonBootstrapSumsAggregator(b)
+          .toColumn.name("s"))
+        // typed select flattens the tuple output to top-level _1/_2
+        .select(explode(expr(
+          """zip_with(_1, _2,
+            |  (swx, sw) -> cast(swx as double) /
+            |    (cast(sw as double) * 100.0))""".stripMargin)).as("m"))
       val base = x.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
       reps.agg(
           expr("percentile(m, 0.025)").as("lo"),
@@ -990,18 +995,24 @@ private[graft] object QueriesAnalytics {
 
   private[graft] val recoItemItem = Q("reco_item_item",
     (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
       // capped feeds three consumers inside cfPairs (self-join sides +
-      // item counts) — materialize once, see recoUserTopn
-      val scored = cfPairs(cfCap(cfInteractions(s, dir))
-        .localCheckpoint(true))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("i"))
-            .orderBy(col("cosine").desc, col("j"))).cast("bigint"))
-        .filter(col("rank") <= 5)
-        .select(col("i").as("item"), col("rank"),
-          col("j").as("neighbor"), col("co"), col("cosine"))
-        .orderBy("item", "rank")
+      // item counts) — materialize once, see recoUserTopn. The final
+      // eager checkpoint (items×5 rows, bounded) lets the capped
+      // intermediate release deterministically instead of lingering
+      // in executor storage until the ContextCleaner runs.
+      val capped = cfCap(cfInteractions(s, dir)).localCheckpoint(true)
+      try {
+        cfPairs(capped)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("i"))
+              .orderBy(col("cosine").desc, col("j"))).cast("bigint"))
+          .filter(col("rank") <= 5)
+          .select(col("i").as("item"), col("rank"),
+            col("j").as("neighbor"), col("co"), col("cosine"))
+          .orderBy("item", "rank")
+          .localCheckpoint(true)
+      } finally CheckpointBridge.release(capped)
     },
     Some("""WITH inter AS (
         SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
@@ -1176,17 +1187,22 @@ private[graft] object QueriesAnalytics {
       // or every consumer re-executes the whole events scan + JSON
       // extraction + two shuffles (measured 64.9 s → 4.5 s at the 10×
       // rehearsal). At 100 TB the capped seen-list is a persisted
-      // table the serving job reads, same contract.
+      // table the serving job reads, same contract. Final eager
+      // checkpoint (users×3 rows — the serving table you'd write
+      // anyway) → capped releases deterministically, not at GC time.
+      import org.apache.spark.sql.graft.CheckpointBridge
       val capped = cfCap(cfInteractions(s, dir)).localCheckpoint(true)
-      val unseen = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
-      unseen
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("score_d").desc, col("cand"))).cast("bigint"))
-        .filter(col("rank") <= 3)
-        .select(col("user_id"), col("rank"), col("cand").as("item"),
-          col("score_d").cast("double").as("score"))
-        .orderBy("user_id", "rank")
+      try {
+        cfRecScores(capped, cfNeighbors(cfPairs(capped)))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("score_d").desc, col("cand"))).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("user_id"), col("rank"), col("cand").as("item"),
+            col("score_d").cast("double").as("score"))
+          .orderBy("user_id", "rank")
+          .localCheckpoint(true)
+      } finally CheckpointBridge.release(capped)
     },
     Some("""WITH inter AS (
         SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
@@ -2119,28 +2135,39 @@ private[graft] object QueriesAnalytics {
       // marked splits into heldout + train and heldout is consumed
       // twice more — one materialization stops the events scan +
       // first-ts aggregate re-executing per consumer (see recoUserTopn)
+      import org.apache.spark.sql.graft.CheckpointBridge
       val marked = eligible.withColumn("held_rk", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("first_ts").desc, col("item").desc)))
         .localCheckpoint(true)
-      val heldout = marked.filter(col("held_rk") === 1)
-        .select(col("user_id"), col("item").as("held_item"))
-      val train = marked.filter(col("held_rk") > 1)
-        .select(col("user_id"), col("item"), col("cnt"))
-      val capped = cfCap(train).localCheckpoint(true)
-      val recs = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("score_d").desc, col("cand"))))
-        .filter(col("rank") <= 3)
-      val hits = heldout.join(recs,
-          heldout("user_id") === recs("user_id") &&
-            heldout("held_item") === recs("cand"), "left_semi")
-      heldout.agg(count(lit(1)).as("n_users"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(col("n_users"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_users").cast("double"))
-            .as("hit_rate"))
+      try {
+        val heldout = marked.filter(col("held_rk") === 1)
+          .select(col("user_id"), col("item").as("held_item"))
+        val train = marked.filter(col("held_rk") > 1)
+          .select(col("user_id"), col("item"), col("cnt"))
+        val capped = cfCap(train).localCheckpoint(true)
+        try {
+          val recs = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("score_d").desc, col("cand"))))
+            .filter(col("rank") <= 3)
+          // heldout and recs share the marked/capped checkpoint
+          // lineage — alias both sides so the equi-join resolves
+          // through plain qualified names, not Spark's ambiguous-
+          // self-join dataset-id machinery (which logs "trivially
+          // true equals predicate" and has historically tightened).
+          val hits = heldout.as("h").join(recs.as("r"),
+              col("h.user_id") === col("r.user_id") &&
+                col("h.held_item") === col("r.cand"), "left_semi")
+          heldout.agg(count(lit(1)).as("n_users"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+            .select(col("n_users"), col("n_hits"),
+              (col("n_hits").cast("double") /
+                col("n_users").cast("double")).as("hit_rate"))
+            .localCheckpoint(true) // 1 row; lets both releases fire
+        } finally CheckpointBridge.release(capped)
+      } finally CheckpointBridge.release(marked)
     },
     Some("""WITH ft AS (SELECT user_id,
           CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
