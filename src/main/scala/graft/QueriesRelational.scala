@@ -2703,13 +2703,21 @@ private[graft] object QueriesRelational {
     * l_quantity as the edge weight, seeds = the 10 smallest node ids:
     * the weighted upgrade of [[graphBfsDepth]] (hop counting) to
     * "cheapest route", the primitive under latency/cost propagation.
-    * Each round is ONE equi-join of the frontier against the edge
-    * list + a min-aggregate on the destination key — at 100 TB a
-    * round shuffles (id, candidate-distance) longs only, rounds are
-    * bounded by the shortest-path edge diameter, and localCheckpoint
-    * pins each round so round R's plan never re-derives rounds
-    * 1..R−1. Convergence is EXACT: stop when the (reached-count,
-    * Σ finite distances) pair — both exact BIGINTs — stops moving.
+    * Loop state is the REACHED set only — (id, d) for nodes a path
+    * has touched — never a dense distance vector: seeded traversal
+    * reaches a component, not the graph, so carrying every node's
+    * `inf` through every round shuffles the whole node table per
+    * round for no information (measured: the dense form moved ~30k
+    * rows/round to update 55). Each round is one equi-join of the
+    * edge list against the reached set + a min-aggregate over
+    * (reached ∪ candidates) — shuffles carry O(|reached|) longs; the
+    * edge side is hash-partitioned by src ONCE at build and the
+    * checkpoint preserves that partitioning across rounds, while AQE
+    * sees the reached side's true (small) size at runtime and
+    * broadcasts it, so the per-round edge relation is never
+    * re-exchanged. Rounds are bounded by the shortest-path edge
+    * diameter. Convergence is EXACT: stop when the (reached-count,
+    * Σ distances) pair — both exact BIGINTs — stops moving.
     * Parallel edges collapse to their min weight first (one aggregate)
     * so relaxation never wastes rounds on dominated edges.
     *
@@ -2734,57 +2742,88 @@ private[graft] object QueriesRelational {
       // round, not two), and superseded round states release
       // deterministically.
       import org.apache.spark.sql.graft.CheckpointBridge
-      val base = t(s, dir, "lineitem")
+      // ONE scan, ONE materialization: symmetrize scan-side (explode
+      // emits both directions of each lineitem edge — a/b parity
+      // keeps the directions disjoint) and collapse parallel edges in
+      // the same aggregate. The earlier two-checkpoint build (base
+      // agg, then union) paid a second materialization for nothing.
+      // The trailing repartition hash-partitions by src ONCE:
+      // localCheckpoint preserves the physical partitioning through
+      // its LogicalRDD, so no round ever re-exchanges the
+      // (data-sized) edge relation.
+      val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
-        .select((col("l_orderkey") * 2).as("a"),
-          (col("l_partkey") * 2 + 1).as("b"),
+        .select(explode(array(
+          struct((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+          struct((col("l_partkey") * 2 + 1).as("src"),
+            (col("l_orderkey") * 2).as("dst")))).as("e"),
           col("l_quantity").cast("long").as("w"))
-        .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(min(col("w")).as("w"))
+        .repartition(col("src"))
         .localCheckpoint(true)
-      val edges = base.select(col("a").as("src"), col("b").as("dst"),
-          col("w"))
-        .union(base.select(col("b").as("src"), col("a").as("dst"),
-          col("w")))
-        .localCheckpoint(true)
-      CheckpointBridge.release(base) // folded into the edge checkpoint
       try {
-        val inf = Long.MaxValue / 4
-        val nodes = edges.select(col("src").as("id")).distinct()
-        val seeds = nodes.orderBy("id").limit(10)
-          .select(col("id"), lit(0L).as("d0"))
-        var dist = nodes.join(seeds, Seq("id"), "left")
-          .select(col("id"), coalesce(col("d0"), lit(inf)).as("d"))
+        // reached = (id, d) for touched nodes ONLY (see scaladoc);
+        // seeds are the 10 smallest node ids at distance 0
+        var reached = edges.select(col("src").as("id")).distinct()
+          .orderBy("id").limit(10)
+          .select(col("id"), lit(0L).as("d"))
           .localCheckpoint(false)
         def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-          val r = df.agg(
-            sum(when(col("d") < inf, 1L).otherwise(0L)),
-            sum(when(col("d") < inf, col("d")).otherwise(0L))).head
+          val r = df.agg(count(lit(1)), sum(col("d"))).head
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
-        var prev = state(dist) // materializes the lazy checkpoint
+        var prev = state(reached) // materializes the lazy checkpoint
+        // Rounds run in BLOCKS of K lazy-checkpoint rounds with ONE
+        // materializing action per block (the LPA/PageRank ladder
+        // shape): each round's logical plan is truncated by its lazy
+        // checkpoint, and the block-boundary convergence aggregate
+        // computes the whole K-round RDD chain in a single job. The
+        // block check stays EXACT: reached-count is monotone
+        // non-decreasing and, at fixed membership, Σd is monotone
+        // non-increasing, so an unchanged (count, Σd) pair across a
+        // block means no relaxation fired anywhere inside it.
+        val blockK = 2
         var converged = false
         var i = 0
         while (i < 100 && !converged) {
-          val cand = edges.join(dist.filter(col("d") < inf),
-              edges("src") === col("id"))
-            .select(col("dst").as("id"), (col("d") + col("w")).as("nd"))
-            .groupBy("id").agg(min(col("nd")).as("nd"))
-          val next = dist.join(cand, Seq("id"), "left")
-            .select(col("id"),
-              least(col("d"), coalesce(col("nd"), lit(inf))).as("d"))
-            .localCheckpoint(false)
-          val cur = state(next)
-          CheckpointBridge.release(dist) // superseded round state
-          dist = next
+          val superseded = scala.collection.mutable.ArrayBuffer(reached)
+          var j = 0
+          while (j < blockK) {
+            val cand = edges.join(reached, edges("src") === col("id"))
+              .select(col("dst").as("id"),
+                (col("d") + col("w")).as("d"))
+            reached = reached.union(cand)
+              .groupBy("id").agg(min(col("d")).as("d"))
+              .localCheckpoint(false)
+            superseded += reached
+            j += 1
+            i += 1
+          }
+          val cur = state(reached) // one job per K rounds
+          superseded.dropRight(1) // keep the live boundary state
+            .foreach(CheckpointBridge.release)
           converged = cur == prev
           prev = cur
-          i += 1
         }
-        dist.select(col("id"),
-            when(col("d") < inf, col("d")).otherwise(lit(-1L)).as("d"))
-          .groupBy(col("d"))
+        // histogram over reached distances + ONE unreached row (d=-1),
+        // derived by an anti-join at the end — the only time the full
+        // node set is touched after the seed selection. Eagerly
+        // checkpointed (≤ distance-domain rows) so the finally can
+        // release the edge + round checkpoints the plan consumed.
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val unreached = nodes
+          .join(reached.select(col("id")), Seq("id"), "left_anti")
           .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+          .select(lit(-1L).as("d"), col("n_nodes"), col("min_id"))
+          .filter(col("n_nodes") > 0)
+        try reached.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+          .unionByName(unreached)
           .orderBy("d")
+          .localCheckpoint(true)
+        finally CheckpointBridge.release(reached)
       } finally CheckpointBridge.release(edges)
     },
     Some("""WITH RECURSIVE
