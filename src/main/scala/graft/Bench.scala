@@ -41,6 +41,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's ~20 reviewed global windows (all over bounded
+    // aggregates — Qdsl.boundedWindow sites) each log "No Partition
+    // Defined" per attempt, hundreds of identical benign lines that
+    // bury any REAL new warning in the official tail. Scale discipline
+    // for global windows is enforced STATICALLY (PlanGuardrailSpec
+    // rejects any unallowlisted empty- or constant-key window over raw
+    // rows), so the runtime line carries no remaining signal here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup: JIT + codegen + parquet footer/file-listing caches, so
     // per-query timings measure the queries, not first-touch JVM costs.
     try {

@@ -40,4 +40,28 @@ private[graft] object Qdsl {
   /** Exact, order-independent sum of a 2-decimal double measure. */
   private[graft] def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Window over a KNOWN-BOUNDED relation (a value domain, calendar
+    * grain, or LIMIT — never raw rows). The constant partition key is
+    * an INTENT MARKER, not an execution change: Spark 4's
+    * `EliminateWindowPartitions` strips foldable keys in the
+    * optimizer (verified — the optimized plan's partitionSpec is
+    * empty), so execution is identical to an unpartitioned window and
+    * the runtime "No Partition Defined" warning still fires; `Bench`
+    * filters that logger instead. The real guard is STATIC:
+    * PlanGuardrailSpec detects global windows whether their keys are
+    * empty or foldable, requires each to sit on its allowlist AND
+    * over aggregated input, and a negative test pins that this helper
+    * cannot hide a raw-row window. */
+  private[graft] def boundedWindow(order: Column*)
+  : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(order: _*)
+
+  /** Unordered whole-relation frame over a KNOWN-BOUNDED relation —
+    * the `Window.partitionBy()` analogue of [[boundedWindow]], same
+    * constant-key contract. */
+  private[graft] def boundedAll
+  : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
 }

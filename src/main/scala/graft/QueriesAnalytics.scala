@@ -284,9 +284,9 @@ private[graft] object QueriesAnalytics {
       val dec = graft.etl.Ranking.ntileByValue(per, "band", "o_custkey", 10)
         .groupBy(col("ntile").as("decile"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("dec_cents"))
-      val cumW = Window.orderBy(col("decile"))
+      val cumW = boundedWindow(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val allW = Window.partitionBy() // over the 10-row aggregate
+      val allW = boundedAll // over the 10-row aggregate
       dec.select(col("decile"), col("n"),
           (col("dec_cents").cast("double") / 100.0).as("revenue"),
           (sum(col("dec_cents")).over(cumW).cast("double") /
@@ -327,7 +327,7 @@ private[graft] object QueriesAnalytics {
       val dec = graft.etl.Ranking.ntileByValue(per, "band", "o_custkey", 10)
         .groupBy(col("ntile").as("decile"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("x"))
-      val cumW = Window.orderBy(col("decile"))
+      val cumW = boundedWindow(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       dec.select(col("n"), col("x"),
           sum(col("x")).over(cumW).as("cum"))
@@ -582,9 +582,9 @@ private[graft] object QueriesAnalytics {
       val tbl = durs.groupBy("t")
         .agg(sum(col("event")).as("d"),
           sum(lit(1L) - col("event")).as("c"))
-      val prevW = Window.orderBy(col("t"))
+      val prevW = boundedWindow(col("t"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val allW = Window.partitionBy() // over the day-domain aggregate
+      val allW = boundedAll // over the day-domain aggregate
       val nRisk = (sum(col("d") + col("c")).over(allW) -
         coalesce(sum(col("d") + col("c")).over(prevW), lit(0L)))
       val rows = tbl.withColumn("n_risk", nRisk)
@@ -697,7 +697,7 @@ private[graft] object QueriesAnalytics {
           struct(date_add(col("endd"), 1).as("d"),
             lit(-1L).as("delta")))).as("e"))
         .groupBy(col("e.d").as("d")).agg(sum(col("e.delta")).as("delta"))
-      val cumW = Window.orderBy(col("d"))
+      val cumW = boundedWindow(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       deltas.select(col("d"), sum(col("delta")).over(cumW).as("open"))
         .orderBy("d")
@@ -852,7 +852,7 @@ private[graft] object QueriesAnalytics {
       val daily = events(s, dir)
         .groupBy(to_date(col("ts")).as("date"))
         .agg(count(lit(1)).as("n"))
-      val wMa = Window.orderBy("date").rowsBetween(-3, 3)
+      val wMa = boundedWindow(col("date")).rowsBetween(-3, 3)
       val interior = daily
         .select(col("date"), col("n"),
           sum(col("n")).over(wMa).as("s1"),
@@ -1437,7 +1437,7 @@ private[graft] object QueriesAnalytics {
           when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
       val groups = scored.groupBy(col("score"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-      val wcum = Window.orderBy(col("score"))
+      val wcum = boundedWindow(col("score"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ranked = groups
         .withColumn("cum", sum(col("n")).over(wcum))
@@ -1575,7 +1575,7 @@ private[graft] object QueriesAnalytics {
         round((col("cents").cast("double") - col("yhat")) / 100.0, 2)
           .cast(DecimalType(18, 2)).as("resid"))
       val ranked = resids.withColumn("rn", row_number().over(
-        Window.orderBy(abs(col("resid")), col("d"))))
+        boundedWindow(abs(col("resid")), col("d"))))
       val n = resids.agg(count(lit(1)).as("n_days"))
       val mad = ranked.crossJoin(broadcast(n))
         .filter(col("rn") === expr("(n_days + 1) div 2") ||
@@ -1730,7 +1730,7 @@ private[graft] object QueriesAnalytics {
       val slo = daily.agg(
         (sum(col("err")).cast("double") / sum(col("n")).cast("double"))
           .as("slo_rate"))
-      val w7 = Window.orderBy(col("date")).rowsBetween(-6, 0)
+      val w7 = boundedWindow(col("date")).rowsBetween(-6, 0)
       daily
         .withColumn("n7", sum(col("n")).over(w7))
         .withColumn("err7", sum(col("err")).over(w7))
@@ -2082,7 +2082,7 @@ private[graft] object QueriesAnalytics {
         .select(((col("b.y") - col("a.y")).cast("double") /
           (col("b.x") - col("a.x")).cast("double")).as("slope"))
       val ranked = pairs
-        .withColumn("rn", row_number().over(Window.orderBy(col("slope"))))
+        .withColumn("rn", row_number().over(boundedWindow(col("slope"))))
       val n = pairs.agg(count(lit(1)).as("n_pairs"))
       ranked.crossJoin(broadcast(n))
         .filter(col("rn") === expr("(n_pairs + 1) div 2") ||

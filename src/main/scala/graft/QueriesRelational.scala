@@ -717,7 +717,7 @@ private[graft] object QueriesRelational {
         .groupBy(to_date(col("ts")).as("date"))
         .agg(sum(coalesce(col("value"), lit(0.0))
           .cast(DecimalType(18, 2))).as("t_dec"))
-      val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+      val w = boundedWindow(col("date")).rowsBetween(-6, 0)
       daily.select(
         col("date"),
         col("t_dec").cast("double").as("daily_total"),
@@ -774,7 +774,7 @@ private[graft] object QueriesRelational {
         .groupBy("ntile")
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
-      val w = Window.orderBy(col("ntile"))
+      val w = boundedWindow(col("ntile"))
       val stats = per.withColumn("prev_mx", lag(col("mx"), 1).over(w))
       val total = cust.agg(count(lit(1)).as("total"))
       stats.agg(
@@ -2000,7 +2000,7 @@ private[graft] object QueriesRelational {
         .groupBy(col("c_mktsegment").as("seg"),
           col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"))
-      val whole = Window.partitionBy()
+      val whole = boundedAll
       val withMargins = cells
         .withColumn("r", sum(col("n")).over(
           Window.partitionBy(col("seg"))))
@@ -2373,7 +2373,7 @@ private[graft] object QueriesRelational {
         .groupBy(col("qv"), col("dv"))
         .agg(count(lit(1)).as("cnt"))
       def ranks(key: String, rk: String) = {
-        val w = Window.orderBy(col(key))
+        val w = boundedWindow(col(key))
           .rowsBetween(Window.unboundedPreceding, -1)
         cells.groupBy(col(key)).agg(sum(col("cnt")).as("m"))
           .withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))

@@ -965,7 +965,7 @@ private[graft] object QueriesText {
       val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
       val total = freq.agg(sum(col("tf")).as("total"))
       val top = freq.orderBy(col("tf").desc, col("term")).limit(200)
-      val w = Window.orderBy(col("tf").desc, col("term"))
+      val w = boundedWindow(col("tf").desc, col("term"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.crossJoin(broadcast(total))
         .select(col("term"), col("tf"),

@@ -4,9 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Qdsl
+
 /** Distributed exact ranking without a global sort.
   *
-  * `Window.orderBy(...).ntile(n)` funnels the ENTIRE relation through a
+  * `Qdsl.boundedWindow(...).ntile(n)` funnels the ENTIRE relation through a
   * single task (one global sort partition) — correct at test scale, a
   * guaranteed OOM/stall at 100 TB. The equivalent here reconstructs each
   * row's exact global rank from two scale-safe pieces:
@@ -46,9 +48,9 @@ object Ranking {
     * holds on nullable columns too. */
   def ntileByValue(df: DataFrame, orderCol: String, tieBreak: String,
                    n: Int): DataFrame = {
-    val cdfW = Window.orderBy(col(orderCol).asc_nulls_first)
+    val cdfW = Qdsl.boundedWindow(col(orderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val allW = Window.partitionBy() // whole relation — but the AGGREGATED one
+    val allW = Qdsl.boundedAll // whole relation — but the AGGREGATED one
     val cdf = df.groupBy(orderCol).agg(count(lit(1)).as("cnt"))
       .select(col(orderCol).as("__ord"),
         (sum(col("cnt")).over(cdfW) - col("cnt")).as("below"),

@@ -70,22 +70,52 @@ class PlanGuardrailSpec extends AnyFunSuite {
         s"to sort-merge:\n$plan")
   }
 
-  test("every unpartitioned window runs over aggregated input") {
+  /** A window is GLOBAL (single-task at scale) when its partition spec
+    * is empty OR every key is foldable — the registry's reviewed
+    * bounded windows use `Qdsl.boundedWindow`'s constant key, which
+    * silences the runtime WindowExec warning but must stay subject to
+    * exactly the same static discipline. */
+  private def globalWindows(df: DataFrame): Seq[LWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable)
+      => w
+    }
+
+  test("every global (empty- or constant-key) window runs over " +
+    "aggregated input on an allowlisted query") {
     frames.foreach { case (name, df) =>
-      val wins = df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
+      val wins = globalWindows(df)
       if (wins.nonEmpty) {
         assert(globalWindowOk(name),
-          s"$name grew an unpartitioned window — a single-task global " +
+          s"$name grew a global window — a single-task global " +
             s"sort at scale")
         wins.foreach { w =>
           assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-            s"$name: unpartitioned window over NON-aggregated input — " +
+            s"$name: global window over NON-aggregated input — " +
               s"its size tracks row count, not a bounded domain")
         }
       }
     }
+  }
+
+  test("negative: a constant-key window over raw rows IS detected " +
+    "as global (the boundedWindow helper cannot hide one)") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(
+        Qdsl.boundedWindow(col("id")))) // raw rows, no aggregate below
+    val wins = globalWindows(raw)
+    assert(wins.nonEmpty, "constant-key window escaped detection")
+    assert(wins.forall(
+      _.child.collectFirst { case a: Aggregate => a }.isEmpty),
+      "raw-row window misread as aggregated")
+    // and a genuinely partitioned window is NOT flagged
+    val part = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id") % 7).orderBy(col("id"))))
+    assert(globalWindows(part).isEmpty)
   }
 
   test("star-join KPIs broadcast their dimension sides") {
