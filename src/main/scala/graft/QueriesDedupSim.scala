@@ -1617,16 +1617,31 @@ private[graft] object QueriesDedupSim {
     * SimilaritySpec. */
   private[graft] val simTopkPqVersioned = Q("sim_topk_pq_versioned",
     (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      // the deduped corpus feeds ~8 driver-sequenced actions (two
+      // builds, the dim probes, the serve's corpus + query sides) —
+      // materialize once instead of re-scanning + re-shuffling per
+      // action
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
-      val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_pq_mt")}/idx"
-      val v1 = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
-      // rebuild-then-swap: a new index over a different corpus cut
-      // lands as head+1 while version 1 is being served below
-      Similarity.commitPqIndex(e.filter(col("vec_id") >= 250), "vec_id",
-        "embedding", tbl)
-      Similarity.pqTopKFromManifest(tbl, e, e.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 5, version = Some(v1))
-        .orderBy("query_id", "rank")
+        .localCheckpoint(true)
+      try {
+        val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_pq_mt")}/idx"
+        val v1 = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
+        // rebuild-then-swap: a new index over a different corpus cut
+        // lands as head+1 while version 1 is being served below. The
+        // row gates PIN/SWAP MECHANICS, not a second model — so v2
+        // commits an init-only codebook over a ~10-vector cut (its
+        // content is never read here; the serve below pins v1): a
+        // second full Lloyd pass bought no extra coverage.
+        Similarity.commitPqIndex(
+          e.filter(col("vec_id") >= 250 && col("vec_id") < 260),
+          "vec_id", "embedding", tbl, iterations = 0)
+        Similarity.pqTopKFromManifest(tbl, e,
+          e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, version = Some(v1))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true) // k×|queries| rows; frees the corpus
+      } finally CheckpointBridge.release(e)
     },
     simTopkPq.oracle)
 

@@ -351,13 +351,28 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        m: Int, codebookK: Int,
                        iterations: Int = 1): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    trainPqCodebooksImpl(corpus, idCol, vecCol, m, codebookK,
+      iterations, dim)
+  }
+
+  /** [[trainPqCodebooks]] with the dimension probe hoisted — callers
+    * that already ran the probe ([[buildPqIndex]]/[[commitPqIndex]]
+    * need `dim` for their own code-assignment pass) skip a duplicate
+    * corpus job. */
+  private def trainPqCodebooksImpl(corpus: DataFrame, idCol: String,
+                                   vecCol: String, m: Int,
+                                   codebookK: Int, iterations: Int,
+                                   dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val subrows = corpus.select(col(idCol).as("vid"),
       posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv")))
+    // materialized once: each Lloyd round consumes the centroid table
+    // twice (the assignment broadcast and the carry-forward collect),
+    // and the init is a corpus TakeOrdered that should not re-run
     var cents: DataFrame = corpus.orderBy(col(idCol)).limit(codebookK)
       .select(col(idCol), posexplode(subvectors(col(vecCol), m, sub))
         .as(Seq("s", "centroid")))
@@ -365,6 +380,8 @@ object Similarity {
         row_number().over(Window.partitionBy(col("s"))
           .orderBy(col(idCol))) - 1)
       .select(col("s"), col("code_id"), col("centroid"))
+      .localCheckpoint(true)
+    val init = cents
     for (_ <- 1 to iterations) {
       // NOT carrySubv: timing is indistinguishable at this scale (both
       // within the ±1 s scheduler noise of this many-small-stage
@@ -391,6 +408,10 @@ object Similarity {
         (key._1, key._2, updated.getOrElse(key, prev(key)))
       }.toDF("s", "code_id", "centroid")
     }
+    // the init checkpoint is superseded by the driver-local model the
+    // moment one Lloyd round ran; with iterations = 0 it IS the model
+    if (iterations >= 1)
+      org.apache.spark.sql.graft.CheckpointBridge.release(init)
     cents
   }
 
@@ -534,8 +555,8 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
-      iterations).localCheckpoint(true)
+    val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
+      codebookK, iterations, dim).localCheckpoint(true)
     val codes = assignPqCodes(
       corpus.select(col(idCol).as("vid"),
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
@@ -598,8 +619,8 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
-      iterations).localCheckpoint(true)
+    val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
+      codebookK, iterations, dim).localCheckpoint(true)
     cents.write.mode("overwrite").parquet(s"$path/codebooks")
     assignPqCodes(
       corpus.select(col(idCol).as("vid"),
@@ -629,8 +650,8 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val cents = trainPqCodebooks(corpus, idCol, vecCol, m, codebookK,
-      iterations).localCheckpoint(true)
+    val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
+      codebookK, iterations, dim).localCheckpoint(true)
     val codes = assignPqCodes(
       corpus.select(col(idCol).as("vid"),
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
