@@ -84,11 +84,33 @@ object Bench {
       }
       (q.name, times.min, times.max)
     }
+    // pipeline_e2e: entry point A (ingest → silver → gold) over a
+    // canned deterministic fetcher and a throwaway temp root — a
+    // WALL-CLOCK orchestration row (no oracle; the semantics are
+    // PipelineSpec's), so a regression in the run's job count or an
+    // accidental extra action in the observe path shows up in the
+    // artifact like any query regression would.
+    val pipelineRow =
+      if (only.forall(_.contains("pipeline_e2e"))) {
+        val times = (1 to repeats).map { _ =>
+          System.gc()
+          Thread.sleep(100)
+          val t0 = System.nanoTime()
+          try runPipelineE2e(spark)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] pipeline_e2e failed: " +
+              e.getMessage)
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        Seq(("pipeline_e2e", times.min, times.max))
+      } else Nil
+    val allResults = results ++ pipelineRow
     // fullLine FIRST: the headline checksums the exact bytes the full
     // artifact gets (newline included), so a judge can verify the
     // committed BENCH_full.json against the driver's stdout.
-    val fullLine = BenchFormat.fullLine(sfDir, results) + "\n"
-    val headline = BenchFormat.headline(sfDir, results,
+    val fullLine = BenchFormat.fullLine(sfDir, allResults) + "\n"
+    val headline = BenchFormat.headline(sfDir, allResults,
       BenchFormat.sha256Hex(fullLine))
     println(headline)
     // Targeted SPARK_GRAFT_ONLY runs (rehearsals, single-query checks)
@@ -105,5 +127,48 @@ object Bench {
       }
     }
     spark.stop()
+  }
+
+  /** One deterministic entry-point-A run: 8 media ids × 3 visitor
+    * pages × 8 events through a canned in-memory fetcher into a
+    * throwaway root (deleted after) — fixed input, fixed clock, fixed
+    * run stamp, so the row's wall-clock tracks ORCHESTRATION cost
+    * (bronze write count, transform glob, observe pass, report write)
+    * and nothing else. */
+  private def runPipelineE2e(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_pipe")
+    try {
+      val fetcher = new graft.ingest.Ingest.Fetcher {
+        def fetchPage(id: String, endpoint: String, page: Int,
+                      since: Option[String]): Option[String] =
+          if (endpoint == "media") {
+            if (page > 1) None
+            else Some(s"""{"hashed_id":"$id","name":"Video $id on YouTube","created":1700000000}""")
+          } else if (page > 3) None
+          else {
+            val events = (0 until 8).map(k =>
+              s"""{"type":"${if (k % 2 == 0) "play" else "end"}",""" +
+                s""""time":${1700000000 + page * 1000 + k},""" +
+                s""""duration_watched":"${k + 1}",""" +
+                s""""percent_watched":"${10 * (k + 1)}"}""")
+              .mkString("[", ",", "]")
+            Some(s"""{"visitor_key":"vis_${id}_$page","ip_address":"9.9.9.9","country":"DE","events":$events}""")
+          }
+      }
+      val conf = Pipeline.Conf(s"$root/raw", s"$root/silver",
+        mediaIds = (1 to 8).map(i => f"vid$i%03d"),
+        clock = Some(to_timestamp(lit("2024-06-01 00:00:00"))))
+      val res = Pipeline.run(spark, conf, fetcher,
+        java.time.Instant.parse("2024-06-01T00:00:00Z"))
+      // run() materializes silver + the observe metrics; the gold cast
+      // is returned lazy — force it so the row covers the full DAG
+      res.goldFact.write.format("noop").mode("overwrite").save()
+    } finally {
+      import java.nio.file.{Files => JFiles}
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+    }
   }
 }
