@@ -79,6 +79,22 @@ object Pipeline {
     f != null && f.get
   }
 
+  /** The worker signals "I am in my finally-block cleanup now": the
+    * reaper stops INTERRUPTING once this flips (it keeps cancelling
+    * the job group — cleanup launches no jobs), because an interrupt
+    * landing mid-sweep would kill a `deleteDir` and leave a fully
+    * written bronze dir under the old stamp with the watermark held —
+    * the exact double-count the sweep exists to prevent. */
+  private val cleanupFlag =
+    new InheritableThreadLocal[java.util.concurrent.atomic.AtomicBoolean]()
+
+  /** Called by a stage's cleanup path (worker thread) just before it
+    * starts sweeping; no-op outside a budgeted stage. */
+  private[graft] def enterStageCleanup(): Unit = {
+    val f = cleanupFlag.get
+    if (f != null) f.set(true)
+  }
+
   private def timedStage[T](spark: SparkSession, stage: String,
       budget: Option[scala.concurrent.duration.FiniteDuration])
       (body: => T): T = budget match {
@@ -88,6 +104,7 @@ object Pipeline {
       val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, T]]()
       val done = new java.util.concurrent.CountDownLatch(1)
       val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val inCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
       val worker = new Thread(() => {
         // everything — including setJobGroup, which throws on a
         // stopped context — lands in `out`, so the caller never sees
@@ -95,13 +112,14 @@ object Pipeline {
         try out.set(
           try {
             abandonFlag.set(flag)
+            cleanupFlag.set(inCleanup)
             // job group is thread-local — set it on the worker so
             // every job the stage launches is cancellable as a unit
             spark.sparkContext.setJobGroup(group,
               s"pipeline stage $stage", interruptOnCancel = true)
             Right(body)
           } catch { case e: Throwable => Left(e) }
-          finally abandonFlag.remove())
+          finally { abandonFlag.remove(); cleanupFlag.remove() })
         finally done.countDown()
       }, group)
       worker.setDaemon(true)
@@ -116,7 +134,12 @@ object Pipeline {
           while (worker.isAlive) {
             try spark.sparkContext.cancelJobGroup(group)
             catch { case _: Throwable => () } // context may be stopping
-            worker.interrupt()
+            // stop interrupting once the worker signals it entered its
+            // finally-block cleanup: one more interrupt there kills a
+            // deleteDir mid-sweep and leaves the double-count dir the
+            // sweep exists to remove (cleanup launches no Spark jobs,
+            // so the group cancel above stays harmless)
+            if (!inCleanup.get) worker.interrupt()
             Thread.sleep(500)
           }
         }, s"$group-reaper")
@@ -208,13 +231,21 @@ object Pipeline {
       if (!aborted && clean && !stageAbandoned)
         Ingest.commitWatermark(spark, metaPath, runTs.toString)
       else {
-        // best effort under active interruption: clear the interrupt
-        // flag so the (fast, local) deletes are not themselves killed
-        Thread.interrupted()
+        // tell the reaper to stop interrupting — from here on an
+        // interrupt can only kill the sweep it is trying to protect
+        Pipeline.enterStageCleanup()
         written.foreach { p =>
-          try deleteDir(spark, p)
-          catch { case _: Throwable => () } // leave what we must; the
-          // stamp regexps make a partial dir visible, not silent
+          // clear-and-retry per path: at most one reaper interrupt can
+          // still be in flight from before the cleanup signal flipped,
+          // and it must not take a deleteDir down with it
+          var attempts = 0
+          var deleted = false
+          while (!deleted && attempts < 3) {
+            Thread.interrupted() // drain any pending interrupt
+            try { deleteDir(spark, p); deleted = true }
+            catch { case _: Throwable => attempts += 1 }
+          } // leave what we must after 3 tries; the stamp regexps make
+            // a partial dir visible, not silent
         }
       }
     }

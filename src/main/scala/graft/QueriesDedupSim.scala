@@ -917,7 +917,7 @@ private[graft] object QueriesDedupSim {
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 5)
+        "embedding", k = 5, broadcastQueries = true) // 5-query batch
         .orderBy("query_id", "rank")
     },
     Some("""SELECT * FROM (VALUES
@@ -1020,7 +1020,8 @@ private[graft] object QueriesDedupSim {
           Seq("query_id"), "right")
         .agg(avg(coalesce(col("hits"), lit(0L)).cast("double") /
           col("k").cast("double")).as("avg_recall"))
-      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5)
+      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5,
+        broadcastQueries = true) // 5-query batch
       recall
         .crossJoin(lsh.agg(count(lit(1)).as("lsh_rows")))
         .crossJoin(ivf.agg(count(lit(1)).as("ivf_rows")))
@@ -1363,7 +1364,8 @@ private[graft] object QueriesDedupSim {
         Similarity.lshTopK(e, qs, "vec_id", "embedding", dim = 64, k = 5,
           numPlanes = 6, numTables = 8), "lsh_misscored")
         .crossJoin(violations(
-          Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5,
+            broadcastQueries = true), // 5-query batch
           "ivf_misscored"))
     },
     Some("""SELECT CAST(0 AS BIGINT) AS lsh_misscored,

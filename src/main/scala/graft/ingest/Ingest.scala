@@ -112,26 +112,49 @@ object Ingest {
     * watermark is not safe (readWatermark falls back to the lookback
     * default, re-fetching windows whose bronze dirs from COMMITTED
     * runs still exist → transform double-counts them). A single-file
-    * rename is atomic on HDFS and local filesystems; the only
-    * remaining gap is the delete→rename instant when replacing a
-    * previous watermark, driver-side and microseconds wide. */
+    * rename is atomic on HDFS and local filesystems. Replacing a
+    * PREVIOUS watermark uses `FileContext.rename(…, Rename.OVERWRITE)`
+    * — a single in-place replace on HDFS/local, so there is no
+    * delete→rename instant in which a crash loses the committed
+    * watermark (the unsafe direction: readWatermark's lookback
+    * fallback would re-fetch windows whose committed bronze dirs
+    * still exist and double-count them). Filesystems with no
+    * `AbstractFileSystem` binding fall back to delete-then-rename,
+    * the old microseconds-wide window; the one-time migration off the
+    * legacy Spark-write DIRECTORY layout also must delete first (no
+    * file-over-directory rename exists anywhere). */
   def commitWatermark(spark: SparkSession, metaPath: String,
                       timestamp: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(metaPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    val conf = spark.sessionState.newHadoopConf()
+    val rawP = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = rawP.getFileSystem(conf)
+    val p = fs.makeQualified(rawP)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp${System.nanoTime()}"))
     fs.mkdirs(p.getParent)
     val out = fs.create(tmp, /* overwrite = */ true)
     try out.write(
       (s"""{"timestamp":"$timestamp","status":"success"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // replace: delete the previous watermark (file, or the directory
-    // the legacy Spark-write layout produced), then atomic rename
-    if (fs.exists(p)) fs.delete(p, true)
-    if (!fs.rename(tmp, p))
-      sys.error(s"watermark rename $tmp -> $p failed")
+    val legacyDir = try fs.getFileStatus(p).isDirectory catch {
+      case _: java.io.FileNotFoundException => false
+    }
+    if (legacyDir) fs.delete(p, true)
+    val renamedAtomically =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          false // no AbstractFileSystem for this scheme → legacy path
+      }
+    if (!renamedAtomically) {
+      if (fs.exists(p)) fs.delete(p, true)
+      if (!fs.rename(tmp, p))
+        sys.error(s"watermark rename $tmp -> $p failed")
+    }
   }
 
   /** Health check (nb01:96-123): write/read round-trip under the target

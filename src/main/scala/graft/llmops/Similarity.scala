@@ -169,17 +169,19 @@ object Similarity {
     * search only the query's `nProbe` nearest cells.
     * The centroid assignment is a broadcast nested-loop over numCells
     * rows; the search join is an equi-join on cell id. */
-  /** `broadcastQueries` (default true) broadcasts the probe side —
+  /** `broadcastQueries` is OPT-IN for the library API: the hint is
     * right for the documented shape (a bounded query batch against a
-    * large corpus: the corpus then never shuffles by cell). A caller
-    * running a HUGE query batch (near corpus-sized) must pass false:
-    * an unconditional broadcast would collect the batch to the driver
-    * and hit Spark's 8 GB broadcast-relation limit where the
-    * sort-merge plan completes fine. */
+    * large corpus — the corpus then never shuffles by cell; the
+    * registry's 5-query rows all pass true), but a default-on
+    * broadcast would change behavior under every existing caller's
+    * feet: a near-corpus-sized probe batch that completes fine via
+    * sort-merge would instead collect to the driver and can fail at
+    * Spark's 8 GB broadcast-relation limit or OOM. The caller knows
+    * its batch size; the library must not guess it. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
               nProbe: Int = 2, kmeansIterations: Int = 1,
-              broadcastQueries: Boolean = true): DataFrame = {
+              broadcastQueries: Boolean = false): DataFrame = {
     val cents = trainCodebook(corpus, idCol, vecCol, numCells,
       kmeansIterations)
     val corpusCells = assignCells(corpus.select(
@@ -189,9 +191,9 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("qv")), cents,
       "query_id", "qv", nProbe)
     // the probe join: queries × nProbe rows against the cell-keyed
-    // corpus — the hint matters because the probe side's
-    // window-over-crossJoin lineage gives the planner no usable size
-    // estimate, so it would sort-merge and shuffle the corpus by
+    // corpus — the hint matters for bounded batches because the probe
+    // side's window-over-crossJoin lineage gives the planner no usable
+    // size estimate, so it would sort-merge and shuffle the corpus by
     // cell_id instead
     val queryCells =
       if (broadcastQueries) broadcast(queryCells0) else queryCells0

@@ -211,34 +211,42 @@ object ManifestTable {
         return head + 1
       } catch {
         // ONLY an already-exists collision is a lost race worth
-        // retrying: hadoop FAEE from f.create, nio FAEE from the
-        // hard-link path, and HDFS's AlreadyBeingCreatedException —
-        // thrown when the loser's create lands while the winner's
-        // manifest stream is still open (matched by class name; the
-        // hdfs-client class is not a compile-time dependency). Any
-        // other IOException — permissions, quota, missing parent — is
-        // persistent: rethrow immediately instead of burning 20
-        // re-stages and reporting a misleading "lost 20 version
-        // races".
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempts += 1
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempts += 1
-        case e: java.io.IOException if e.getClass.getSimpleName ==
-          "AlreadyBeingCreatedException" =>
-          attempts += 1
-        // HDFS delivers that same race still WRAPPED: the DFS client's
-        // unwrapRemoteException list does not include
-        // AlreadyBeingCreatedException, so the caller sees
-        // ipc.RemoteException carrying the server-side class name
-        case e: org.apache.hadoop.ipc.RemoteException
-          if e.getClassName != null &&
-            e.getClassName.endsWith("AlreadyBeingCreatedException") =>
+        // retrying (see [[isCreateRace]]). Any other IOException —
+        // permissions, quota, missing parent — is persistent: rethrow
+        // immediately instead of burning 20 re-stages and reporting a
+        // misleading "lost 20 version races".
+        case e: java.io.IOException if isCreateRace(e) =>
           attempts += 1
       }
     }
     sys.error(s"commit to $table lost ${attempts} version races")
   }
+
+  /** True iff `e` is a lost CREATE race on the manifest file: hadoop
+    * or nio FileAlreadyExists from the exclusive create/hard-link
+    * paths, or HDFS's AlreadyBeingCreatedException — thrown when the
+    * loser's create lands while the winner's manifest stream is still
+    * open. The hdfs-client class is not a compile-time dependency, so
+    * it is matched by NAME — as a full-class-name suffix over the
+    * exception's whole class hierarchy (a subclass delivery must
+    * classify the same), and on the server-side class name HDFS's
+    * `ipc.RemoteException` carries when the race arrives still
+    * wrapped (the DFS client's unwrapRemoteException list does not
+    * include it). ManifestTableSpec pins this classification so an
+    * HDFS client upgrade that changes the wrapping fails a test, not
+    * a production commit. */
+  private[sources] def isCreateRace(e: java.io.IOException): Boolean =
+    e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case re: org.apache.hadoop.ipc.RemoteException =>
+        re.getClassName != null &&
+          re.getClassName.endsWith("AlreadyBeingCreatedException")
+      case other =>
+        Iterator.iterate[Class[_]](other.getClass)(_.getSuperclass)
+          .takeWhile(_ != null)
+          .exists(_.getName.endsWith("AlreadyBeingCreatedException"))
+    }
 
   /** Atomic append: stages `df`'s files, commits head+1 = head's
     * files + the new ones. Rebases automatically on concurrent

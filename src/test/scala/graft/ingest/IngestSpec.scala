@@ -94,6 +94,28 @@ class IngestSpec extends AnyFunSuite {
     assert(absent == "2024-06-01T00:00:00Z")
     Ingest.commitWatermark(spark, dir, "2024-06-07T12:00:00Z")
     assert(Ingest.readWatermark(spark, dir, 7, now) == "2024-06-07T12:00:00Z")
+    // re-commit REPLACES in place (the FileContext OVERWRITE rename
+    // path — no delete→rename window) and no tmp litter stays behind
+    Ingest.commitWatermark(spark, dir, "2024-06-08T00:00:00Z")
+    assert(Ingest.readWatermark(spark, dir, 7, now) == "2024-06-08T00:00:00Z")
+    // (.crc checksum sidecars are the local ChecksumFs's, not litter)
+    val parent = new java.io.File(dir).getParentFile
+    val leftover = parent.listFiles().map(_.getName)
+      .filterNot(n => n == "last_run" || n.endsWith(".crc"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+  }
+
+  test("watermark commit replaces the legacy Spark-write directory layout") {
+    val dir = Files.createTempDirectory("graft_wm2").toString + "/last_run"
+    // legacy layout: a DIRECTORY of json part files
+    import spark.implicits._
+    Seq(("2024-06-01T00:00:00Z", "success")).toDF("timestamp", "status")
+      .write.json(dir)
+    val now = java.time.Instant.parse("2024-06-08T00:00:00Z")
+    assert(Ingest.readWatermark(spark, dir, 7, now) == "2024-06-01T00:00:00Z")
+    Ingest.commitWatermark(spark, dir, "2024-06-05T00:00:00Z")
+    assert(Ingest.readWatermark(spark, dir, 7, now) == "2024-06-05T00:00:00Z")
+    assert(new java.io.File(dir).isFile) // migrated to the single-file layout
   }
 
   test("bronze JSON write honors the explicit schema (sparse docs → nulls)") {

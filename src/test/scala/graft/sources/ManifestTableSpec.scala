@@ -249,4 +249,32 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(pr5.df.filter($"k".between(10, 20)).count() == 11)
     assert(ManifestTable.read(spark, t).count() == 300)
   }
+
+  test("create-race classification: retry only genuine already-exists " +
+    "collisions, however delivered") {
+    import graft.sources.ManifestTable.isCreateRace
+    // the three documented deliveries
+    assert(isCreateRace(
+      new org.apache.hadoop.fs.FileAlreadyExistsException("m")))
+    assert(isCreateRace(
+      new java.nio.file.FileAlreadyExistsException("/p")))
+    assert(isCreateRace(new org.apache.hadoop.ipc.RemoteException(
+      "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException",
+      "already being created")))
+    // name-matched direct delivery + a SUBCLASS of it (an hdfs client
+    // upgrade subclassing the race exception must classify the same)
+    assert(isCreateRace(new AlreadyBeingCreatedException))
+    assert(isCreateRace(new SubclassedRace))
+    // NOT races: persistent failures must rethrow, not burn retries
+    assert(!isCreateRace(new java.io.IOException("quota exceeded")))
+    assert(!isCreateRace(
+      new org.apache.hadoop.security.AccessControlException("denied")))
+    assert(!isCreateRace(new org.apache.hadoop.ipc.RemoteException(
+      "org.apache.hadoop.security.AccessControlException", "denied")))
+  }
 }
+
+/** Mimics org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException
+  * (not a compile-time dependency) for the name-suffix classification. */
+private class AlreadyBeingCreatedException extends java.io.IOException
+private class SubclassedRace extends AlreadyBeingCreatedException
