@@ -2068,66 +2068,82 @@ private[graft] object QueriesRelational {
     * DuckDB twin is the exact recursive closure. */
   private[graft] val graphBfsDepth = Q("graph_bfs_depth",
     (s, dir) => {
-      // same job-count disciplines as graph_sssp (q.v.): the symmetric
-      // edge union materializes ONCE (every round re-reads it, so it is
-      // checkpointed post-union, not re-derived per round), rounds use
-      // lazy checkpoints with the convergence count as the materializing
-      // action, superseded round states release deterministically.
-      // distinct() mirrors graph_sssp's min-weight collapse: hop counts
-      // are insensitive to parallel edges, but WITHOUT the dedup every
-      // round's frontier join fans out once per duplicate — measured
-      // 37 s → 21 s at the 100× rehearsal, where replicated inputs
-      // make duplicate edges the dominant term (and the oracle's edge
-      // CTE is a deduping UNION already, so this also aligns
-      // semantics). The dedup runs BEFORE the symmetric union — a/b
-      // parity (even orderkey-derived vs odd partkey-derived ids)
-      // means the reversed branch can never re-introduce a duplicate,
-      // and the distinct's shuffle input halves; the base checkpoint
-      // (released once the union materializes from it) keeps the two
-      // union branches from each re-running the scan + distinct.
+      // The parallel-edge dedup stays load-bearing (the round-10
+      // lesson: without it every round's frontier join fans out once
+      // per duplicate — 37 s → 21 s at the 100× rehearsal, where
+      // replicated inputs make duplicate edges the dominant term; the
+      // oracle's edge CTE is a deduping UNION already, so it also
+      // aligns semantics). Round 11 folded it into the single-scan
+      // edge build below and moved the loop to reached-set state —
+      // see the in-body comments.
       import org.apache.spark.sql.graft.CheckpointBridge
-      val base = t(s, dir, "lineitem")
+      // ONE scan, ONE materialization (the graph_sssp round-11 build):
+      // symmetrize scan-side, dedup in the same shuffle, partition by
+      // src once so the checkpoint's preserved partitioning serves
+      // every round exchange-free.
+      val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
-        .select((col("l_orderkey") * 2).as("a"),
-          (col("l_partkey") * 2 + 1).as("b"))
+        .select(explode(array(
+          struct((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+          struct((col("l_partkey") * 2 + 1).as("src"),
+            (col("l_orderkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
+        .repartition(col("src"))
         .localCheckpoint(true)
-      val edges = base.select(col("a").as("src"), col("b").as("dst"))
-        .union(base.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
-      CheckpointBridge.release(base) // folded into the edge checkpoint
       try {
-        val nodes = edges.select(col("src").as("id")).distinct()
-        val seeds = nodes.orderBy("id").limit(10)
+        // Δ-frontier loop state, exactly graph_sssp's round-11 shape
+        // (q.v. for the blocked-convergence argument): the REACHED set
+        // (id, hops) is the only loop state — never a dense per-node
+        // vector — and rounds run in blocks of K lazy checkpoints with
+        // the exact (count, Σhops) aggregate as the one action per
+        // block. (A frontier-only variant with a union-tree visited
+        // set was measured and rejected: by round r the anti-join
+        // re-scanned r cached frames, quadratic stage growth that
+        // benched 4.0–4.2 s vs this shape's ~3 s.)
+        var reached = edges.select(col("src").as("id")).distinct()
+          .orderBy("id").limit(10)
           .select(col("id"), lit(0L).as("hops"))
-        var dist = nodes.join(seeds.select(col("id"), col("hops")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("hops"), lit(-1L)).as("hops"))
           .localCheckpoint(false)
-        var reached = dist.filter(col("hops") >= 0).count()
+        def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), sum(col("hops"))).head
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        var prev = state(reached)
+        val blockK = 2
         var converged = false
         var i = 0
         while (i < 50 && !converged) {
-          val next = edges.join(
-              dist.filter(col("hops") >= 0), edges("src") === col("id"))
-            .select(col("dst").as("id"), (col("hops") + 1).as("h"))
-          val nd = dist.join(
-              next.groupBy("id").agg(min(col("h")).as("h")),
-              Seq("id"), "left")
-            .select(col("id"),
-              when(col("hops") >= 0, col("hops"))
-                .otherwise(coalesce(col("h"), lit(-1L))).as("hops"))
-            .localCheckpoint(false)
-          val r = nd.filter(col("hops") >= 0).count()
-          CheckpointBridge.release(dist) // superseded round state
-          dist = nd
-          converged = r == reached
-          reached = r
-          i += 1
+          val superseded = scala.collection.mutable.ArrayBuffer(reached)
+          var j = 0
+          while (j < blockK) {
+            val cand = edges.join(reached, edges("src") === col("id"))
+              .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
+            reached = reached.union(cand)
+              .groupBy("id").agg(min(col("hops")).as("hops"))
+              .localCheckpoint(false)
+            superseded += reached
+            j += 1
+            i += 1
+          }
+          val cur = state(reached) // one job per K rounds
+          superseded.dropRight(1).foreach(CheckpointBridge.release)
+          converged = cur == prev
+          prev = cur
         }
-        dist.groupBy(col("hops"))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val unreached = nodes
+          .join(reached.select(col("id")), Seq("id"), "left_anti")
           .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+          .select(lit(-1L).as("hops"), col("n_nodes"), col("min_id"))
+          .filter(col("n_nodes") > 0)
+        try reached.groupBy(col("hops"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+          .unionByName(unreached)
           .orderBy("hops")
+          .localCheckpoint(true)
+        finally CheckpointBridge.release(reached)
       } finally CheckpointBridge.release(edges)
     },
     Some("""WITH RECURSIVE
