@@ -372,17 +372,20 @@ object Similarity {
     val sub = dim / m
     val subrows = corpus.select(col(idCol).as("vid"),
       posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv")))
-    // materialized once: each Lloyd round consumes the centroid table
-    // twice (the assignment broadcast and the carry-forward collect),
-    // and the init is a corpus TakeOrdered that should not re-run
-    var cents: DataFrame = corpus.orderBy(col(idCol)).limit(codebookK)
+    // materialized once WHEN a Lloyd round will consume it twice (the
+    // assignment broadcast and the carry-forward collect) — the init
+    // is a corpus TakeOrdered that should not re-run; with zero
+    // iterations it has a single consumer and the checkpoint would
+    // only be a leak
+    val init0: DataFrame = corpus.orderBy(col(idCol)).limit(codebookK)
       .select(col(idCol), posexplode(subvectors(col(vecCol), m, sub))
         .as(Seq("s", "centroid")))
       .withColumn("code_id",
         row_number().over(Window.partitionBy(col("s"))
           .orderBy(col(idCol))) - 1)
       .select(col("s"), col("code_id"), col("centroid"))
-      .localCheckpoint(true)
+    var cents: DataFrame =
+      if (iterations >= 1) init0.localCheckpoint(true) else init0
     val init = cents
     for (_ <- 1 to iterations) {
       // NOT carrySubv: timing is indistinguishable at this scale (both
@@ -623,12 +626,16 @@ object Similarity {
     val sub = dim / m
     val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
       codebookK, iterations, dim).localCheckpoint(true)
-    cents.write.mode("overwrite").parquet(s"$path/codebooks")
-    assignPqCodes(
-      corpus.select(col(idCol).as("vid"),
-        posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
-      cents)
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // the serve path reads the artifact back from disk, so the build's
+    // model checkpoint releases as soon as both writes land
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/codebooks")
+      assignPqCodes(
+        corpus.select(col(idCol).as("vid"),
+          posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
+        cents)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    } finally org.apache.spark.sql.graft.CheckpointBridge.release(cents)
   }
 
   /** VERSIONED index build: commit the [[buildPqIndex]] artifact as
@@ -669,7 +676,10 @@ object Similarity {
       .unionByName(codes.select(lit("code").as("kind"),
         col("vid"), col("s"), col("code_id"),
         lit(null).cast(centroidType).as("centroid")))
-    graft.sources.ManifestTable.commitOverwrite(spark, table, art)
+    // readers serve from the COMMITTED files, so the build's model
+    // checkpoint releases the moment the commit lands
+    try graft.sources.ManifestTable.commitOverwrite(spark, table, art)
+    finally org.apache.spark.sql.graft.CheckpointBridge.release(cents)
   }
 
   /** SERVE top-k from a [[commitPqIndex]] version: the pinned (or

@@ -76,4 +76,22 @@ class CheckpointBridgeSpec extends AnyFunSuite {
       s"expected <=1 surviving checkpoint after BFS converges, " +
         s"found ${fresh.size} (edges or superseded rounds leaked)")
   }
+
+  // Round 11 extended the release-one-behind discipline beyond the
+  // iterative kernels: queries that checkpoint shared intermediates
+  // (reco's capped seen-list, the versioned PQ build's corpus + model
+  // state) now end with one eager RESULT checkpoint and release
+  // everything else. The bound stays 1 for all of them.
+  Seq("reco_item_item", "reco_user_topn", "reco_eval_hitrate",
+    "sim_topk_pq_versioned").foreach { name =>
+    test(s"$name leaves at most its final result checkpoint persisted") {
+      val q = Queries.all.find(_.name == name).get
+      val fresh = newlyPersisted {
+        assert(q.run(spark, "/root/testdata/sf0.001").collect() != null)
+      }
+      assert(fresh.size <= 1,
+        s"expected <=1 surviving checkpoint after $name, " +
+          s"found ${fresh.size} (shared intermediates leaked)")
+    }
+  }
 }
