@@ -2078,9 +2078,10 @@ private[graft] object QueriesRelational {
       // see the in-body comments.
       import org.apache.spark.sql.graft.CheckpointBridge
       // ONE scan, ONE materialization (the graph_sssp round-11 build):
-      // symmetrize scan-side, dedup in the same shuffle, partition by
-      // src once so the checkpoint's preserved partitioning serves
-      // every round exchange-free.
+      // symmetrize scan-side, dedup in the same shuffle; the bounded
+      // reached side broadcasts each round, so the edge checkpoint is
+      // read in place — see graph_sssp's plan-audit note for why a
+      // src pre-repartition was dropped.
       val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
         .select(explode(array(
@@ -2090,7 +2091,6 @@ private[graft] object QueriesRelational {
             (col("l_orderkey") * 2).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .repartition(col("src"))
         .localCheckpoint(true)
       try {
         // Δ-frontier loop state, exactly graph_sssp's round-11 shape
@@ -2727,11 +2727,10 @@ private[graft] object QueriesRelational {
     * rows/round to update 55). Each round is one equi-join of the
     * edge list against the reached set + a min-aggregate over
     * (reached ∪ candidates) — shuffles carry O(|reached|) longs; the
-    * edge side is hash-partitioned by src ONCE at build and the
-    * checkpoint preserves that partitioning across rounds, while AQE
-    * sees the reached side's true (small) size at runtime and
-    * broadcasts it, so the per-round edge relation is never
-    * re-exchanged. Rounds are bounded by the shortest-path edge
+    * bounded reached side broadcasts (plan-audited), so the edge
+    * checkpoint's cached blocks are read in place and the per-round
+    * edge relation is never re-exchanged. Rounds are bounded by the
+    * shortest-path edge
     * diameter. Convergence is EXACT: stop when the (reached-count,
     * Σ distances) pair — both exact BIGINTs — stops moving.
     * Parallel edges collapse to their min weight first (one aggregate)
@@ -2763,10 +2762,16 @@ private[graft] object QueriesRelational {
       // keeps the directions disjoint) and collapse parallel edges in
       // the same aggregate. The earlier two-checkpoint build (base
       // agg, then union) paid a second materialization for nothing.
-      // The trailing repartition hash-partitions by src ONCE:
-      // localCheckpoint preserves the physical partitioning through
-      // its LogicalRDD, so no round ever re-exchanges the
-      // (data-sized) edge relation.
+      // Round exchanges, plan-audited: the reached side is bounded →
+      // the per-round join BROADCASTS it and the edge checkpoint's
+      // cached blocks are read in place, zero edge movement. (A
+      // pre-repartition by src was measured and dropped: under AQE
+      // the checkpoint's partitioning does NOT satisfy a later SMJ's
+      // requirement — coalescing changes the partition count — so it
+      // bought nothing and cost a build exchange. If a frontier ever
+      // outgrows broadcast, the SMJ re-exchanges edges per round;
+      // pinning exchange reuse then means bucketing the edge table,
+      // not an in-plan repartition.)
       val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
         .select(explode(array(
@@ -2777,7 +2782,6 @@ private[graft] object QueriesRelational {
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(min(col("w")).as("w"))
-        .repartition(col("src"))
         .localCheckpoint(true)
       try {
         // reached = (id, d) for touched nodes ONLY (see scaladoc);
