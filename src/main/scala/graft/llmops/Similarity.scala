@@ -491,8 +491,8 @@ object Similarity {
         zip_with(col("cv"), col("centroid"),
           (x, c) => x.cast("double") - c).as("rv"))
       .localCheckpoint(true) // two consumers: codebook train + encode
-    val pqCents = trainPqCodebooks(resid, "vid", "rv", m, codebookK,
-      iterations).localCheckpoint(true)
+    val pqCents = trainPqCodebooksImpl(resid, "vid", "rv", m,
+      codebookK, iterations, dim).localCheckpoint(true)
     val codes = assignPqCodes(
       resid.select(col("vid"),
         posexplode(subvectors(col("rv"), m, sub)).as(Seq("s", "subv"))),
