@@ -946,6 +946,162 @@ private[graft] object QueriesText {
         ROUND(CAST(SUM(js_t) AS DOUBLE) +
           0.5 * ln(2.0) * (1.0 - CAST(SUM(q_t) AS DOUBLE)), 6) AS js
       FROM contrib GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-source two-sample Kolmogorov–Smirnov drift over the document
+    * token-length distribution — each source's ECDF against the
+    * rest-of-corpus ECDF, the classic shape-drift test that TV/JS
+    * ([[corpusDrift]]) can't see (those compare unigram MASS; KS
+    * catches a source whose documents got systematically longer even
+    * when its vocabulary mix is unchanged). Everything is exact
+    * integers until one final division: lengths aggregate to
+    * (source, len) counts, the rest-of-corpus count at each length is
+    * corpus − source (closed form — no self-join of the doc set), the
+    * two ECDFs accumulate under a window PARTITIONED BY source (never
+    * global), and the sup-distance is max |cum_s·n_rest − cum_rest·n_s|
+    * kept as a BIGINT cross-product so no float comparison decides the
+    * max. The (source × distinct-length) domain that fills ECDF steps
+    * the source never emits is aggregated × enum-bounded — at 100 TB
+    * it is sources × max-doc-length rows, not data-sized; the corpus
+    * length histogram broadcasts. */
+  private[graft] val corpusKsDrift = Q("corpus_ks_drift",
+    (s, dir) => {
+      val lens = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          size(split(trim(lower(col("text"))), "\\s+"))
+            .cast("long").as("l"))
+      val byLen = lens.groupBy(col("source"), col("l"))
+        .agg(count(lit(1)).as("c_sl"))
+      // corpus histogram and per-source totals fall out of byLen —
+      // one shuffle of (source, len) pairs, never a token re-scan
+      val corpus = byLen.groupBy(col("l")).agg(sum(col("c_sl")).as("c_l"))
+      val srcs = byLen.groupBy(col("source")).agg(sum(col("c_sl")).as("n_s"))
+      val tot = corpus.agg(sum(col("c_l")).as("n"))
+      val filled = srcs.crossJoin(broadcast(corpus))
+        .join(byLen, Seq("source", "l"), "left")
+        .select(col("source"), col("n_s"), col("l"), col("c_l"),
+          coalesce(col("c_sl"), lit(0L)).as("c_sl"))
+      val w = Window.partitionBy(col("source")).orderBy(col("l"))
+      val cums = filled.select(col("source"), col("n_s"),
+        sum(col("c_sl")).over(w).as("cum_s"),
+        sum(col("c_l") - col("c_sl")).over(w).as("cum_r"))
+      cums.crossJoin(broadcast(tot)) // 1-row compose
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(max(abs(col("cum_s") * (col("n") - col("n_s")) -
+          col("cum_r") * col("n_s"))).as("num"))
+        .select(col("source"), col("n_s").as("n_src"),
+          round(col("num").cast("double") /
+            (col("n_s").cast("double") *
+              (col("n") - col("n_s")).cast("double")), 9).as("ks_d"))
+        .orderBy("source")
+    },
+    Some(raw"""WITH lens AS (
+        SELECT source,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT) AS l
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      by_len AS (
+        SELECT source, l, CAST(COUNT(*) AS BIGINT) AS c_sl
+        FROM lens GROUP BY 1, 2),
+      corpus AS (
+        SELECT l, CAST(SUM(c_sl) AS BIGINT) AS c_l FROM by_len
+        GROUP BY 1),
+      srcs AS (
+        SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s FROM by_len
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_l) AS BIGINT) AS n FROM corpus),
+      filled AS (
+        SELECT d.source, d.n_s, d.l, d.c_l,
+          COALESCE(b.c_sl, 0) AS c_sl
+        FROM (SELECT source, n_s, l, c_l FROM srcs CROSS JOIN corpus) d
+        LEFT JOIN by_len b ON d.source = b.source AND d.l = b.l),
+      cums AS (
+        SELECT source, n_s,
+          SUM(c_sl) OVER (PARTITION BY source ORDER BY l) AS cum_s,
+          SUM(c_l - c_sl) OVER (PARTITION BY source ORDER BY l) AS cum_r
+        FROM filled),
+      num AS (
+        SELECT c.source, c.n_s, ANY_VALUE(t.n) AS n,
+          MAX(ABS(c.cum_s * (t.n - c.n_s) - c.cum_r * c.n_s)) AS num
+        FROM cums c CROSS JOIN tot t GROUP BY 1, 2)
+      SELECT source, n_s AS n_src,
+        ROUND(CAST(num AS DOUBLE) /
+          (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)), 9) AS ks_d
+      FROM num ORDER BY 1"""))
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram distribution is —
+    * per-token log p_target(bucket)/p_raw(bucket) under add-1-smoothed
+    * LMs over a FIXED 256-bucket hash space — and keep the top 50.
+    * The target slice here is the English documents (selecting for a
+    * language from a mixed crawl, the paper's own motivating use).
+    * Buckets come from md5's first 16 bits (the registry's portable
+    * hash — both engines agree bit-for-bit), so the two LMs are 256
+    * exact integer counts each: ONE aggregate over the token stream
+    * produces both (c_raw, c_target) per bucket via a conditional sum,
+    * the 256-row log-ratio LUT broadcasts, the per-doc score is a
+    * map-side LUT join + one groupBy(doc_id) with per-token
+    * contributions rounded to 6dp and summed as DECIMAL
+    * (shuffle-order-independent), and the top-50 is orderBy+limit —
+    * TakeOrderedAndProject, never a global sort. At 100 TB: two passes
+    * over tokens, one doc-keyed shuffle, model state 256 rows. */
+  private[graft] val corpusDsirSelect = Q("corpus_dsir_select",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val t2 = toks.select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long")
+          % 256).as("b"))
+      val cnt = t2.groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val tots = cnt.agg(sum(col("c_r")).as("n_r"),
+        sum(col("c_t")).as("n_t"))
+      val lut = cnt.crossJoin(broadcast(tots)) // 1-row compose
+        .select(col("b"),
+          round(log((col("c_t") + lit(1L)).cast("double") *
+            (col("n_r") + lit(256L)).cast("double") /
+            ((col("c_r") + lit(1L)).cast("double") *
+              (col("n_t") + lit(256L)).cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("lr"))
+      t2.join(broadcast(lut), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr")).cast("double").as("w"))
+        .orderBy(col("w").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some(raw"""WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      t2 AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substring(md5(term), 1, 4) AS BIGINT) % 256 AS b
+        FROM toks WHERE term != ''),
+      cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c_t
+        FROM t2 GROUP BY 1),
+      tots AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+        CAST(SUM(c_t) AS BIGINT) AS n_t FROM cnt),
+      lut AS (
+        SELECT b,
+          CAST(ROUND(ln(CAST(c_t + 1 AS DOUBLE) *
+            CAST(n_r + 256 AS DOUBLE) /
+            (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS lr
+        FROM cnt CROSS JOIN tots)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(lr) AS DOUBLE) AS w
+      FROM t2 JOIN lut USING (b)
+      GROUP BY 1 ORDER BY w DESC, doc_id LIMIT 50"""))
+
   /** Vocabulary-coverage builder — the BPE-prep diagnostic: the top-200
     * corpus tokens by frequency (count-desc, token-asc ties) with each
     * token's running cumulative share of ALL corpus tokens. The top-k
