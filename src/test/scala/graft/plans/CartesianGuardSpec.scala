@@ -78,8 +78,10 @@ class CartesianGuardSpec extends AnyFunSuite {
       // aggregates via condition-less crossJoin end-to-end in the
       // extension-loaded session (the conflict class the guard's
       // maxRows exemption exists for)
+      // corpus_ks_drift adds the HINTED MULTI-ROW crossJoin class
+      // (sources × length-histogram fill domain)
       Seq("reco_eval_hitrate", "text_pmi_collocations",
-        "kpi_engagement_rate").foreach { name =>
+        "kpi_engagement_rate", "corpus_ks_drift").foreach { name =>
         val q = graft.Queries.all.find(_.name == name).get
         assert(q.run(s2, "/root/testdata/sf0.001").count() > 0,
           s"$name failed under GraftExtensions")
