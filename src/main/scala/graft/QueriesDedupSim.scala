@@ -2103,6 +2103,133 @@ private[graft] object QueriesDedupSim {
       SELECT query_id, rank, id AS neighbor_id, score FROM sel5
       ORDER BY query_id, rank"""))
 
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse a DENSE ranker (exact quantized-cosine
+    * top-10, the [[simTopkBrute]] scorer) with a SPARSE ranker
+    * (token-set Jaccard top-10 — the [[dedupNgramJaccard]] set
+    * arithmetic reused as a more-like-this lexical scorer) into one
+    * list per query: rrf(d) = Σ_r 1/(60 + rank_r(d)), missing-in-a-
+    * ranker contributes 0. This is the standard dense+sparse blend of
+    * every production RAG stack — RRF needs only RANKS, so the two
+    * scorers' incomparable score scales never meet. The id domains
+    * align by construction here (embeddings.vec_id ==
+    * documents.doc_id); queries are docs 0–4 retrieving against both
+    * modalities of the whole corpus.
+    *
+    * 100 TB shape: BOTH rankers produce their per-query top-10 with
+    * [[graft.functions.TopKAggregator]] — map-side partial top-k, so
+    * the only data-sized work is the two broadcast-probe scans and
+    * each shuffle carries ≤ k rows per (query, partition), never a
+    * scored corpus row. Everything after the rankers is bounded:
+    * the fusion join holds ≤ 20 rows per query whatever the corpus,
+    * and the final window partitions on query_id over that bounded
+    * set. The fused score is 1/(60+r) sums over INTEGER ranks — both
+    * engines fold the identical double expression, and exact-double
+    * ties (e.g. dense-rank-1 vs sparse-rank-1, both 1/61) break on
+    * neighbor_id, so the output hash-matches with no frozen values. */
+  private[graft] val retrievalRrf = Q("retrieval_rrf",
+    (s, dir) => {
+      import s.implicits._
+      def topk(scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+               rankAs: String) =
+        scored.groupByKey(_._1)
+          .mapValues(r => (r._3, r._2))
+          .agg(graft.functions.TopKAggregator(10).toColumn.name("topk"))
+          .toDF("query_id", "topk")
+          .select(col("query_id"),
+            posexplode(col("topk")).as(Seq("pos", "pair")))
+          .select(col("query_id"),
+            (col("pos") + 1).cast("long").as(rankAs),
+            col("pair._2").as("neighbor_id"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      // query-side id dedup (identity on the real corpus): a retrieval
+      // batch is FIXED as the corpus grows, so a rehearsal layout that
+      // replicates ids must not also replicate the probes — without
+      // this the scored pair space grows quadratically, an artifact
+      // no production query batch has. Bounded: 5 ids survive.
+      val dq = e.filter(col("vec_id") < 5).dropDuplicates("vec_id")
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val dense = topk(e.crossJoin(broadcast(dq))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          qcos(col("qq"), col("q")).as("cs"))
+        .as[(Long, Long, Double)], "rank_dense")
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          array_distinct(split(trim(lower(col("text"))), "\\s+"))
+            .as("toks"))
+      val sq = docs.filter(col("doc_id") < 5).dropDuplicates("doc_id")
+        .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+      val sparse = topk(docs.crossJoin(broadcast(sq))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          (size(array_intersect(col("qtoks"), col("toks")))
+            .cast("double") /
+            size(array_union(col("qtoks"), col("toks")))
+              .cast("double")).as("cs"))
+        .as[(Long, Long, Double)], "rank_sparse")
+      val fused = dense
+        .join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"), col("rank_dense"),
+          col("rank_sparse"),
+          (coalesce(lit(1.0) /
+              (lit(60.0) + col("rank_dense").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) /
+              (lit(60.0) + col("rank_sparse").cast("double")), lit(0.0)))
+            .as("rrf_score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_score").desc, col("neighbor_id"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("rank_dense"), col("rank_sparse"), col("rrf_score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(raw"""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x ->
+          CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      dq AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+      dense AS (SELECT query_id, neighbor_id, rd FROM (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+            list_dot_product(qq, e.q) /
+              (sqrt(list_dot_product(qq, qq)) *
+               sqrt(list_dot_product(e.q, e.q))) DESC,
+            e.vec_id) AS rd
+        FROM dq, e WHERE e.vec_id != query_id)
+        WHERE rd <= 10),
+      s AS (SELECT doc_id,
+        list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      sq AS (SELECT doc_id AS query_id, toks AS qtoks FROM s
+        WHERE doc_id < 5),
+      sparse AS (SELECT query_id, neighbor_id, rs FROM (
+        SELECT query_id, s.doc_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+            CAST(len(list_intersect(qtoks, s.toks)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(qtoks, s.toks)))
+                AS DOUBLE) DESC,
+            s.doc_id) AS rs
+        FROM sq, s WHERE s.doc_id != query_id)
+        WHERE rs <= 10),
+      fused AS (SELECT
+          COALESCE(d.query_id, sp.query_id) AS query_id,
+          COALESCE(d.neighbor_id, sp.neighbor_id) AS neighbor_id,
+          d.rd AS rank_dense, sp.rs AS rank_sparse,
+          COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(sp.rs AS DOUBLE)), 0.0) AS rrf_score
+        FROM dense d FULL OUTER JOIN sparse sp
+          ON d.query_id = sp.query_id AND d.neighbor_id = sp.neighbor_id)
+      SELECT query_id, rank, neighbor_id, rank_dense, rank_sparse,
+        rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** TOP PRINCIPAL COMPONENT over the embedding corpus
     * ([[graft.llmops.Pca]]): the d×d second-moment matrix is the only
     * cluster-crossing state (exact BIGINT sums over the repo-standard
