@@ -76,7 +76,7 @@ object Queries {
     QueriesText.featureHashing, QueriesText.bpeFertility,
     QueriesText.mixTemperature,
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
-    QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simTopkPqVersioned, QueriesDedupSim.retrievalPipeline, QueriesDedupSim.retrievalRrf, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.dedupContainment,
+    QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simTopkPqVersioned, QueriesDedupSim.retrievalPipeline, QueriesDedupSim.retrievalRrf, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.corpusClusterSample, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.corpusKsDrift, QueriesText.corpusDsirSelect, QueriesText.textVocabulary,
     QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames,
     QueriesRelational.sessionBatch, QueriesRelational.sessionWindowBatch, QueriesRelational.kpiAbandonment, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.funnelWindowed, QueriesRelational.retention, QueriesRelational.textTfidf,

@@ -1749,6 +1749,78 @@ private[graft] object QueriesDedupSim {
       (CAST(15 AS BIGINT), CAST(19 AS BIGINT), CAST(5 AS BIGINT)))
       AS t(cell_id, n_corpus, n_batch) ORDER BY cell_id"""))
 
+  /** D4-STYLE CLUSTER-BALANCED DIVERSIFICATION (Tirumala et al. 2023,
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after near-dup removal the corpus is still
+    * DENSITY-skewed in embedding space — a few semantic clusters hold
+    * most of the mass — so D4 rebalances by sampling each k-means
+    * cluster down toward a common budget. Cells come from the shared
+    * coarse codebook ([[Similarity.trainCodebook]], the
+    * `sim_index_incremental`/`dedup_semantic` quantizer); the draw is
+    * the `stratified_sample` discipline: keep a member iff
+    * `bucket(md5("cs:" + id)) · n_cell < cap · 4096` with
+    * bucket = first 3 md5 hex digits — per-cell EXPECTED cap, decided
+    * scan-side by an all-integer compare after one 16-row count
+    * aggregate broadcasts back. No per-cell rank window: an exact-cap
+    * top-N would sort every corpus row through 16 skewed partitions,
+    * and D4's goal is mass rebalancing, not a ranked cut. Output is
+    * the 16-row per-cell audit (members, kept, kept-id checksum).
+    * 100 TB shape: the only corpus-sized exchanges are the cell
+    * assignment (inherent) and two 16-key aggregates; the codebook and
+    * the per-cell rates are bounded broadcast state. Codebook floats
+    * are engine-specific, so the oracle is the frozen deterministic
+    * sf0.01 run (the `sim_index_incremental` precedent). */
+  private[graft] val corpusClusterSample = Q("corpus_cluster_sample",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding",
+        16, 1)
+      // two consumers (the 16-row count and the draw) — one eager
+      // materialization stops the corpus-sized assignment shuffle
+      // re-executing per branch; at scale this table is the written
+      // cell-assignment artifact anyway. Released once the bounded
+      // result is itself materialized (the reco_eval_hitrate pattern).
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val assigned = Similarity.assignToCells(e, cents, "vec_id",
+        "embedding").localCheckpoint(true)
+      try {
+        val counts = assigned.groupBy("cell_id")
+          .agg(count(lit(1)).as("n_cell"))
+        val cap = 20L
+        assigned.join(broadcast(counts), Seq("cell_id"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("cs:"),
+              col("id").cast("string"))), 1, 3), 16, 10).cast("long"))
+          .withColumn("kept",
+            col("bucket") * col("n_cell") < lit(cap * 4096L))
+          .groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n_in_cell"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("id")).otherwise(0L))
+              .as("kept_id_sum"))
+          .orderBy("cell_id")
+          .localCheckpoint(true) // 16 rows; lets the release fire
+      } finally CheckpointBridge.release(assigned)
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(33 AS BIGINT), CAST(16 AS BIGINT), CAST(3879 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(30 AS BIGINT), CAST(23 AS BIGINT), CAST(5631 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(31 AS BIGINT), CAST(22 AS BIGINT), CAST(4622 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(36 AS BIGINT), CAST(22 AS BIGINT), CAST(6508 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(29 AS BIGINT), CAST(20 AS BIGINT), CAST(5459 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(34 AS BIGINT), CAST(21 AS BIGINT), CAST(5069 AS BIGINT)),
+      (CAST(6 AS BIGINT), CAST(34 AS BIGINT), CAST(18 AS BIGINT), CAST(4002 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(32 AS BIGINT), CAST(20 AS BIGINT), CAST(4845 AS BIGINT)),
+      (CAST(8 AS BIGINT), CAST(37 AS BIGINT), CAST(17 AS BIGINT), CAST(4068 AS BIGINT)),
+      (CAST(9 AS BIGINT), CAST(18 AS BIGINT), CAST(18 AS BIGINT), CAST(4780 AS BIGINT)),
+      (CAST(10 AS BIGINT), CAST(35 AS BIGINT), CAST(22 AS BIGINT), CAST(6024 AS BIGINT)),
+      (CAST(11 AS BIGINT), CAST(26 AS BIGINT), CAST(25 AS BIGINT), CAST(6071 AS BIGINT)),
+      (CAST(12 AS BIGINT), CAST(31 AS BIGINT), CAST(19 AS BIGINT), CAST(5189 AS BIGINT)),
+      (CAST(13 AS BIGINT), CAST(37 AS BIGINT), CAST(21 AS BIGINT), CAST(5476 AS BIGINT)),
+      (CAST(14 AS BIGINT), CAST(26 AS BIGINT), CAST(23 AS BIGINT), CAST(4326 AS BIGINT)),
+      (CAST(15 AS BIGINT), CAST(31 AS BIGINT), CAST(20 AS BIGINT), CAST(4800 AS BIGINT)))
+      AS t(cell_id, n_in_cell, n_kept, kept_id_sum) ORDER BY cell_id"""))
+
   /** Constant-0 gate for [[simTopkPq]]: (a) mean recall vs the exact
     * brute-force top-5 stays at/above its measured 0.52 (floor 0.5199
     * absorbs float-sum ulp — the convention `sim_lsh_recall_gate`
