@@ -68,7 +68,7 @@ object Queries {
     QueriesText.textFingerprint, QueriesText.textRollingFp, QueriesText.textUnigramLogprob,
     QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
-    QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusCurate, QueriesText.textDecontaminate,
+    QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusEpochShard, QueriesText.corpusCurate, QueriesText.textDecontaminate,
     QueriesText.corpusDomainCap, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,

@@ -363,6 +363,58 @@ private[graft] object QueriesText {
         AS BIGINT) < 6554 THEN 'test' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id"""))
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-data ordering step
+    * every pretraining run needs: a salted-hash permutation
+    * (`md5("ep1:" + doc_id)`) assigns each doc a pseudo-random sort
+    * key, the key's first 12 bits route it to one of `nShards` hash
+    * shards, and the shard sorts LOCALLY by key — so the epoch order
+    * is (a) statistically shuffled, (b) a pure function of
+    * (epoch salt, doc_id): fully replayable for resumable training
+    * and identical in any engine, unlike an RNG shuffle, and (c)
+    * different per epoch by changing the salt. Spark-first scale
+    * shape: this is the terasort decomposition — ONE hash exchange
+    * plus a per-shard local sort, never a global orderBy; production
+    * sizes nShards so a shard fits a task (the 8 here is the demo
+    * grain), and the per-shard `position` a resumable reader seeks on
+    * comes from the shard-partitioned window over exactly that
+    * task-sized shard. Token counts ride along so downstream packing
+    * never re-tokenizes. */
+  private[graft] val corpusEpochShard = Q("corpus_epoch_shard",
+    (s, dir) => {
+      val nShards = 8L
+      val keyed = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+"))
+            .cast("long").as("n_tokens"),
+          md5(concat(lit("ep1:"), col("doc_id").cast("string")))
+            .as("k"))
+        .withColumn("shard",
+          conv(substring(col("k"), 1, 3), 16, 10).cast("long")
+            % nShards)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("position", row_number().over(w).cast("long"))
+        .select(col("shard"), col("position"), col("doc_id"),
+          col("n_tokens"))
+        .orderBy("shard", "position")
+    },
+    Some(raw"""WITH d AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS BIGINT) AS n_tokens,
+          md5('ep1:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      sh AS (SELECT doc_id, n_tokens, k,
+        CAST('0x' || substring(k, 1, 3) AS BIGINT) % 8 AS shard
+      FROM d)
+      SELECT shard, position, doc_id, n_tokens FROM (
+        SELECT shard, doc_id, n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS position
+        FROM sh)
+      ORDER BY shard, position"""))
+
   /** Sequence packing for training: docs are packed per source in
     * doc_id order into ~2048-token bins — pack_id = exclusive prefix
     * token count div budget (a doc may straddle its bin boundary; the
