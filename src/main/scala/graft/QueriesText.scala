@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llmops.{Bpe, Multimodal, QualityModel, TextAnalysis}
+import graft.llmops.{Bpe, Dedup, Multimodal, QualityModel, TextAnalysis}
 import graft.Qdsl._
 
 /** Registry part 4 — text analysis, corpus curation, and multimodal
@@ -779,6 +779,47 @@ private[graft] object QueriesText {
       CAST(GREATEST(CAST(FLOOR(octet_length(encode(COALESCE(text, ''))) / 64.0)
         AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY blob_id"""))
+
+  /** IMAGE NEAR-DUP DEDUP over the binary modality — the LAION-shape
+    * pipeline: corpus → real PNG payloads → REAL `javax.imageio`
+    * decode → 64-bit average perceptual hash of the decoded raster
+    * ([[graft.llmops.Multimodal.aHash64]]) → pigeonhole Hamming join
+    * at radius 3 ([[graft.llmops.Dedup.hammingPairs]] — the simhash
+    * chunk machinery reused on image signatures, complete at this
+    * radius). Pixels never shuffle: the only exchange carries (id,
+    * 8-byte hash, 16-bit chunk) rows, so a billion-image dedup moves
+    * signatures, not images. Near-identical documents render to
+    * near-identical rasters and land within the radius (measured:
+    * known text near-dups sit at Hamming 1–5 vs 19–31 for random
+    * pairs); aHash is alignment-sensitive by nature, so early-insert
+    * shifted variants are the documented misses — the same trade the
+    * production pHash stacks accept before an embedding rerank. The
+    * hash is a deterministic pure function of the pixels (all-integer
+    * pooling), so the sf0.01 pair set is frozen as the oracle (the
+    * dedup_simhash precedent). */
+  private[graft] val multimodalPhashDedup = Q("multimodal_phash_dedup",
+    (s, dir) => {
+      // identity on the real corpus (unique image ids); a rehearsal
+      // layout that replicates files id-and-all would otherwise hash
+      // every copy identically and square the pair space through the
+      // Hamming-0 buckets (the dedup_ngram_jaccard guard)
+      val blobs = Multimodal.bytesToPngBlobs(s,
+        Multimodal.asBlobs(
+          t(s, dir, "documents").dropDuplicates("doc_id"),
+          "doc_id", "text", "source"))
+      Dedup.hammingPairs(Multimodal.aHash64(s, blobs),
+          "blob_id", "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(2 AS INTEGER)),
+      (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(1 AS INTEGER)),
+      (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)))
+      AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"""))
 
   /** Stratified deterministic sampling — per-stratum rates from a tiny
     * broadcast config table, membership from the doc's own md5 bucket

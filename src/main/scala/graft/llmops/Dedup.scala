@@ -225,6 +225,23 @@ object Dedup {
     * buckets toward all-pairs — keep maxHamming small or pre-partition
     * the corpus. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      "id", "sh", maxHamming)
+
+  /** Generic pigeonhole Hamming join over ANY 64-bit signature column
+    * (the [[simhashPairs]] machinery, factored out so perceptual image
+    * hashes and other 64-bit fingerprints reuse it): signatures are
+    * split into `maxHamming + 1` near-even bit chunks — two signatures
+    * within the radius MUST agree on at least one chunk (pigeonhole),
+    * so the candidate space is the chunk-value equi-join, never
+    * all-pairs — then candidates verify with an exact `bit_count(xor)`.
+    * At 100 TB the exchange carries (id, sig, chunk) rows keyed by
+    * 16-bit-ish chunk values; radius drives chunk count and therefore
+    * bucket density — the completeness/cost trade documented on
+    * `dedup_simhash`. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
@@ -239,7 +256,7 @@ object Dedup {
         else shiftright(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))
       struct(lit(c).as("chunk_id"), key.as("chunk_key"))
     }
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = sigs.select(col(idCol).as("id"), col(sigCol).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sh"), col("ck.chunk_id"), col("ck.chunk_key"))

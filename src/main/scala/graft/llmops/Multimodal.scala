@@ -161,6 +161,112 @@ object Multimodal {
     }.toDF()
   }
 
+  /** 64-bit AVERAGE perceptual hash (aHash) of a decoded image: the
+    * raster average-pools into an 8×8 grid (ragged edge blocks fold
+    * into the border cells) and bit (i,j) is set iff the block's mean
+    * luma exceeds the global mean — compared CROSS-MULTIPLIED
+    * (`blockSum·n > totalSum·blockCount`), all-integer, so the hash is
+    * a pure function of the pixels with no float threshold to drift.
+    * Two images that LOOK alike (crops aside) pool to similar grids,
+    * so near-duplicate payloads land within a small Hamming radius —
+    * the signature the LAION-style image-dedup path buckets on. */
+  private[llmops] def aHashFromImage(
+      img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    val row = new Array[Int](w)
+    // single-band rasters pool their RAW samples: getRGB would route a
+    // TYPE_BYTE_GRAY image through the linear-gray → sRGB color-model
+    // conversion (gamma), silently decoupling the hash from the stored
+    // bytes (and from [[aHashFromBytes]]); raw samples are byte-exact
+    // and independent of the JDK's color-management tables. Multi-band
+    // images take the ITU-R 601 integer luma of getRGB.
+    val singleBand = img.getRaster.getNumBands == 1
+    var y = 0
+    while (y < h) {
+      if (singleBand) img.getRaster.getSamples(0, y, w, 1, 0, row)
+      else img.getRGB(0, y, w, 1, row, 0, w)
+      val bi = math.min(y / bh, 7)
+      var x = 0
+      while (x < w) {
+        val v =
+          if (singleBand) row(x)
+          else {
+            val rgb = row(x)
+            (((rgb >> 16) & 0xFF) * 299 +
+              ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          }
+        val cell = bi * 8 + math.min(x / bw, 7)
+        sums(cell) += v; cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val tot = sums.sum
+    var bits = 0L; var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * n > tot * cnts(c)) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash stage: decode each payload with the REAL JDK
+    * codec and emit its 64-bit [[aHashFromImage]]. Unrecognized
+    * payloads hash their raw bytes through the same pooling at a fixed
+    * 16-byte row width (deterministic, total — and for the lossless
+    * grayscale PNGs [[bytesToPngBlobs]] builds, byte pooling and
+    * decoded-raster pooling agree exactly, so the fallback never forks
+    * the result). Same mapPartitions shape as [[decode]]. */
+  def aHash64(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.payload))
+          catch { case _: Throwable => null }
+        val sig =
+          if (img != null) aHashFromImage(img)
+          else aHashFromBytes(b.payload, 16)
+        (b.blob_id, sig)
+      }
+    }.toDF("blob_id", "ahash")
+  }
+
+  /** Byte-domain twin of [[aHashFromImage]] for payloads no codec
+    * reads: bytes fold into `width`-wide rows (zero-padded tail, the
+    * [[bytesToPngBlobs]] layout) and pool identically. */
+  private[llmops] def aHashFromBytes(payload: Array[Byte],
+                                     width: Int): Long = {
+    val h = math.max(1, (payload.length + width - 1) / width)
+    val bw = (width + 7) / 8; val bh = (h + 7) / 8
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val bi = math.min(y / bh, 7)
+      var x = 0
+      while (x < width) {
+        val idx = y * width + x
+        val v = if (idx < payload.length) payload(idx) & 0xFF else 0
+        val cell = bi * 8 + math.min(x / bw, 7)
+        sums(cell) += v; cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * h
+    val tot = sums.sum
+    var bits = 0L; var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * n > tot * cnts(c)) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
   /** Frame sampling: every `stride`-th 16-byte slice of the payload as a
     * fake "frame" — array-typed output, one row per blob, frames
     * exploded downstream only if needed (keeps the shuffle narrow). */

@@ -153,4 +153,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(1L).nonEmpty)
     assert(f(2L).length == 1) // degenerate empty payload → single frame
   }
+
+  // --- perceptual hash --------------------------------------------------
+
+  test("aHash: PNG encode → real decode pools the exact stored bytes") {
+    // the decoded-raster hash must equal the byte-domain twin for the
+    // lossless grayscale PNGs bytesToPngBlobs builds — this is the pin
+    // that catches a color-model detour (getRGB on TYPE_BYTE_GRAY
+    // gamma-converts linear gray to sRGB and silently decouples the
+    // hash from the payload; raw single-band samples do not)
+    val payloads = Seq(
+      (1L, "hello world, this is a binary payload stand-in"),
+      (2L, "the quick brown fox jumps over the lazy dog " * 4),
+      (3L, "aAbBcC 123 éüß unicode tail"))
+    val b = payloads.map { case (id, s) =>
+      Multimodal.Blob(id, "txt", s.getBytes("UTF-8"))
+    }.toDS().toDF()
+    val hashed = Multimodal.aHash64(spark,
+      Multimodal.bytesToPngBlobs(spark, b)).collect()
+      .map(r => r.getAs[Long]("blob_id") -> r.getAs[Long]("ahash")).toMap
+    payloads.foreach { case (id, s) =>
+      assert(hashed(id) ==
+        Multimodal.aHashFromBytes(s.getBytes("UTF-8"), 16),
+        s"blob $id: decoded-raster hash must equal byte-domain hash")
+    }
+  }
+
+  test("aHash: identical payloads collide, structured difference separates") {
+    val base = "x" * 120 + "y" * 120
+    val shifted = "y" * 120 + "x" * 120 // same bytes, opposite layout
+    val b = Seq(
+      Multimodal.Blob(1L, "t", base.getBytes("UTF-8")),
+      Multimodal.Blob(2L, "t", base.getBytes("UTF-8")),
+      Multimodal.Blob(3L, "t", shifted.getBytes("UTF-8")))
+      .toDS().toDF()
+    val h = Multimodal.aHash64(spark,
+      Multimodal.bytesToPngBlobs(spark, b)).collect()
+      .map(r => r.getAs[Long]("blob_id") -> r.getAs[Long]("ahash")).toMap
+    assert(h(1L) == h(2L), "identical payloads must collide")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8,
+      "layout-opposite payloads must be far apart")
+  }
+
+  test("hammingPairs on image hashes equals the brute-force pair set") {
+    val rnd = new scala.util.Random(11)
+    val sigs = (0L until 40L).map { i =>
+      // clustered signatures: base patterns + ≤2 flipped bits
+      val base = Array(0x0F0F0F0F0F0F0F0FL, 0x00FF00FF00FF00FFL,
+        0x3333333333333333L)(i.toInt % 3)
+      val flips = (0 until rnd.nextInt(3))
+        .map(_ => 1L << rnd.nextInt(64)).foldLeft(0L)(_ | _)
+      (i, base ^ flips)
+    }
+    val df = sigs.toDF("blob_id", "ahash")
+    val got = Dedup.hammingPairs(df, "blob_id", "ahash", maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+      .toSet
+    val exp = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == exp, "pigeonhole join must be complete at radius 3")
+  }
 }
