@@ -624,6 +624,108 @@ private[graft] object QueriesText {
           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS quality_rank
       FROM documents) WHERE quality_rank <= 15 ORDER BY doc_id"""))
 
+  /** Canonical-URL dedup — the CCNet/RefinedWeb first-pass curation
+    * rule: collapse crawl records that are the SAME resource behind
+    * different link decorations (tracking params, param order,
+    * fragments, default port, host case, trailing slash) BEFORE any
+    * content hashing, because the key is metadata-only and never
+    * touches page bytes. The documents table carries no crawl-URL
+    * column, so the query derives a deterministic messy URL per doc —
+    * the derivation is mirrored VERBATIM in the oracle; the operator
+    * under test is [[TextAnalysis.canonicalizeUrl]], whose every
+    * normalization (strip `#frag`, drop `utm_*` wherever it sits in
+    * the query, SORT surviving params so `?z=1&a=0` ≡ `?a=0&z=1`,
+    * drop `:443`, trailing slash, case) the derivation exercises.
+    * Plan shape is exact-dedup's: canonicalization is a scan-side
+    * narrow map (higher-order filter/sort on the split query — no
+    * UDF), and the two-stage re-aggregation counts raw variants
+    * without a distinct Expand — the exchange carries
+    * (canonical, raw) key rows once, never page content. At 100 TB
+    * this is the cheapest dedup pass in the stack: one shuffle of
+    * short strings, run before the content-hash families. */
+  private[graft] val corpusUrlCanonical = Q("corpus_url_canonical",
+    (s, dir) => {
+      val d = col("doc_id")
+      val host0 = concat(lit("media"), (d % 5).cast("string"),
+        lit(".example.com"))
+      val raw = concat(
+        lit("https://"),
+        when(d % 3 === 0, upper(host0)).otherwise(host0),
+        when(d % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/v/"), (d % 10).cast("string"),
+        when(d % 5 === 0, lit("/")).otherwise(lit("")),
+        when(d % 3 === 1, concat(lit("?p="), (d % 2).cast("string")))
+          .when(d % 3 === 2, concat(lit("?z=1&a="), (d % 2).cast("string")))
+          .otherwise(lit("")),
+        when(d % 2 === 0, concat(
+          when(d % 3 === 0, lit("?")).otherwise(lit("&")),
+          lit("utm_source=feed&utm_campaign=c"), (d % 3).cast("string")))
+          .otherwise(lit("")),
+        when(d % 6 === 0, concat(lit("#sec"), (d % 4).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(d, raw.as("raw_url"))
+        .withColumn("canonical_url",
+          TextAnalysis.canonicalizeUrl(col("raw_url")))
+        .groupBy(col("canonical_url"), col("raw_url"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .groupBy(col("canonical_url"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_raw_variants"),
+          min(col("min_doc")).as("survivor_doc_id"))
+        .select(col("canonical_url"), col("n_docs"),
+          col("n_raw_variants"), col("survivor_doc_id"),
+          regexp_extract(col("canonical_url"), "^https://([^/?]+)", 1)
+            .as("domain"))
+        .orderBy("canonical_url")
+    },
+    Some(raw"""WITH raw AS (SELECT doc_id,
+        'https://' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN upper('media' || CAST(doc_id % 5 AS VARCHAR) || '.example.com')
+          ELSE 'media' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' END ||
+        CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        '/v/' || CAST(doc_id % 10 AS VARCHAR) ||
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 3 = 1 THEN '?p=' || CAST(doc_id % 2 AS VARCHAR)
+             WHEN doc_id % 3 = 2 THEN '?z=1&a=' || CAST(doc_id % 2 AS VARCHAR)
+             ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0 THEN
+          (CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '&' END) ||
+          'utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+          ELSE '' END ||
+        CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+          ELSE '' END AS raw_url
+      FROM documents),
+      c1 AS (SELECT doc_id, raw_url,
+        regexp_replace(raw_url, '#.*$$', '') AS nf FROM raw),
+      c2 AS (SELECT doc_id, raw_url,
+        regexp_replace(regexp_replace(
+          replace(split_part(nf, '?', 1), ':443/', '/'),
+          ':443$$', ''), '/$$', '') AS base,
+        CASE WHEN strpos(nf, '?') > 0 THEN split_part(nf, '?', 2)
+          ELSE '' END AS q
+        FROM c1),
+      c3 AS (SELECT doc_id, raw_url, base,
+        -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+        -- array_join gives ''): coalesce or the no-param rows vanish
+        COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[a-z_]+|fbclid|gclid)=')
+            AND p <> '')), '&'), '') AS sq
+        FROM c2),
+      c4 AS (SELECT doc_id, raw_url,
+        lower(base || CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
+          AS canonical_url FROM c3),
+      pre AS (SELECT canonical_url, raw_url,
+        COUNT(*) AS n, MIN(doc_id) AS min_doc
+        FROM c4 GROUP BY 1, 2)
+      SELECT canonical_url,
+        CAST(SUM(n) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_raw_variants,
+        MIN(min_doc) AS survivor_doc_id,
+        regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS domain
+      FROM pre GROUP BY 1 ORDER BY canonical_url"""))
+
   /** Cross-document repeated-span mining — the exact-substring flavor
     * of train-set dedup (public result: verbatim spans repeated across
     * documents are memorization fuel; Lee et al. 2021,

@@ -165,6 +165,46 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Query-string parameters a URL canonicalizer must drop: tracking
+    * decorations that vary per click but never change the fetched
+    * resource (the CCNet/RefinedWeb crawl-curation rule — one page,
+    * many tracked links). Anchored at the param start so a genuine
+    * content param whose VALUE contains "utm_" survives. */
+  val TrackingParamPattern = "^(utm_[a-z_]+|fbclid|gclid)="
+
+  /** Canonical form of a crawl URL, the key for URL-level dedup
+    * (CCNet / RefinedWeb keep one document per canonical URL before
+    * any content hashing — it is the cheapest dedup pass because it
+    * never touches page bytes). Normalizations applied:
+    *   - fragment stripped (`#…` is client-side only);
+    *   - query split on `&`, tracking params ([[TrackingParamPattern]])
+    *     and empty segments dropped, survivors SORTED and rejoined —
+    *     param order never changes the resource, so `?a=1&z=2` and
+    *     `?z=2&a=1` must collide;
+    *   - default-port `:443` dropped (before a path or at end);
+    *   - trailing path slash dropped;
+    *   - lowercased. (Production splits host-only lowercasing from
+    *     the path; this corpus constructs paths/params lowercase, so
+    *     whole-string lower() is exact here and keeps the expression
+    *     a one-pass narrow map in both engines.)
+    * Pure built-in expression — higher-order `filter`/`array_sort` on
+    * the split query — so at 100 TB canonicalization rides the scan:
+    * no shuffle, no UDF, codegen-friendly. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base0  = substring_index(noFrag, "?", 1)
+    val query  = when(instr(noFrag, "?") > 0,
+      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => !p.rlike(TrackingParamPattern) && p =!= "")
+    val sortedQ = array_join(array_sort(kept), "&")
+    val base = regexp_replace(
+      regexp_replace(replace(base0, lit(":443/"), lit("/")), ":443$", ""),
+      "/$", "")
+    lower(concat(base,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+
   /** 32-bit rolling (polynomial) fingerprint over whitespace tokens —
     * Karp-Rabin style, base 1000003 over the token hash stream, reduced
     * mod 2^32 each step so the arithmetic never overflows a long (ANSI

@@ -97,6 +97,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("canonicalizeUrl: each normalization, pinned") {
+    def canon(u: String): String =
+      one(TextAnalysis.canonicalizeUrl(lit(u)), 1L).asInstanceOf[String]
+    // fragment, default port, trailing slash, host case
+    assert(canon("https://WWW.Example.com:443/A/b/#sec2")
+      == "https://www.example.com/a/b")
+    // tracking-only query vanishes entirely (no dangling '?')
+    assert(canon("https://h.io/p?utm_source=x&utm_campaign=y")
+      == "https://h.io/p")
+    // tracking dropped wherever it sits; content params survive
+    assert(canon("https://h.io/p?a=1&utm_source=x&b=2")
+      == "https://h.io/p?a=1&b=2")
+    // tracking FIRST then content — the param-split design handles
+    // the case a pure-regex strip leaves malformed ("p&b=2")
+    assert(canon("https://h.io/p?utm_source=x&b=2")
+      == "https://h.io/p?b=2")
+    // param ORDER never splits a group: sorted canonical form
+    assert(canon("https://h.io/p?z=9&a=1") == canon("https://h.io/p?a=1&z=9"))
+    assert(canon("https://h.io/p?z=9&a=1") == "https://h.io/p?a=1&z=9")
+    // a content param whose VALUE mentions utm_ is NOT tracking
+    assert(canon("https://h.io/p?q=utm_source") == "https://h.io/p?q=utm_source")
+    // slash-before-query normalizes like trailing slash
+    assert(canon("https://h.io/p/?a=1") == canon("https://h.io/p?a=1"))
+    // :443 at end-of-URL (no path) also stripped
+    assert(canon("https://h.io:443") == "https://h.io")
+    // fbclid/gclid click ids are tracking too
+    assert(canon("https://h.io/p?fbclid=abc&gclid=def&a=1")
+      == "https://h.io/p?a=1")
+  }
+
   test("rollingFingerprint: deterministic, order-sensitive, 32-bit") {
     val a = one(TextAnalysis.rollingFingerprint(lit("a b c")), 1L)
     val b = one(TextAnalysis.rollingFingerprint(lit("c b a")), 1L)
