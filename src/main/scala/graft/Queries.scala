@@ -89,6 +89,7 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
+    QueriesRelational.graphHits,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,

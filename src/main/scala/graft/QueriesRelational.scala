@@ -1039,6 +1039,102 @@ private[graft] object QueriesRelational {
       WHERE iter = 5
       ORDER BY rank_micro DESC, node"""))
 
+  /** HITS hubs/authorities over the SAME nation-level trade graph as
+    * [[graphPagerank]] ([[graft.etl.Graph.hits]]): customer nations
+    * are hubs (they point), supplier nations authorities (they are
+    * pointed at), 4 rounds of integer-quantized power iteration with
+    * max-normalization each half-step. The degree-normalized
+    * contributions keep every raw score ≤ n_nodes × 1e6, so the ×1e6
+    * normalization multiply stays inside BIGINT at any edge weight —
+    * the recurrence an unnormalized HITS would overflow on a 100 TB
+    * edge aggregate. The oracle replays the identical recurrence as a
+    * DuckDB recursive CTE (both half-steps chained inside one
+    * recursion step), hash-matching the full 25-row hub+auth vector —
+    * float HITS would drift per summation order. Per-round plan: two
+    * (join + map-side-combined groupBy) half-steps over the
+    * edge-aggregate checkpoint plus two 1-row max aggregates
+    * broadcast back onto the node-sized vector; superseded round
+    * checkpoints released deterministically after the materializing
+    * action. */
+  private[graft] val graphHits = Q("graph_hits",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation").select("n_nationkey")
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val scores = graft.etl.Graph.hits(edges, nodes, iterations = 4,
+        onCheckpoint = superseded += _)
+      try scores
+        .join(t(s, dir, "nation"), col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("hub_micro"),
+          col("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("node"))
+        .localCheckpoint(true)
+      finally superseded.foreach(CheckpointBridge.release)
+    },
+    Some("""WITH RECURSIVE
+      edges AS (
+        SELECT c_nationkey AS src, s_nationkey AS dst,
+          CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+      inw AS (SELECT dst, SUM(w) AS inw FROM edges GROUP BY 1),
+      nodes AS (SELECT n_nationkey AS node FROM nation),
+      hits(iter, node, hub_micro, auth_micro) AS (
+        SELECT 0, node, CAST(1000000 AS BIGINT), CAST(0 AS BIGINT)
+        FROM nodes
+        UNION ALL
+        SELECT * FROM (
+          WITH prev AS (SELECT * FROM hits WHERE iter < 4),
+          araw AS (
+            SELECT n.node, p.iter,
+              COALESCE(SUM((p2.hub_micro * e.w) // o.outw), 0) AS raw
+            FROM nodes n
+            CROSS JOIN (SELECT DISTINCT iter FROM prev) p
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN outw o ON o.src = e.src
+            LEFT JOIN prev p2 ON p2.node = e.src
+            GROUP BY 1, 2),
+          anorm AS (
+            SELECT node, iter,
+              CAST(raw * 1000000 // GREATEST(MAX(raw) OVER (), 1)
+                AS BIGINT) AS auth_micro
+            FROM araw),
+          hraw AS (
+            SELECT n.node, a.iter,
+              COALESCE(SUM((a2.auth_micro * e.w) // i.inw), 0) AS raw
+            FROM nodes n
+            CROSS JOIN (SELECT DISTINCT iter FROM anorm) a
+            LEFT JOIN edges e ON e.src = n.node
+            LEFT JOIN inw i ON i.dst = e.dst
+            LEFT JOIN anorm a2 ON a2.node = e.dst
+            GROUP BY 1, 2),
+          hnorm AS (
+            SELECT node, iter,
+              CAST(raw * 1000000 // GREATEST(MAX(raw) OVER (), 1)
+                AS BIGINT) AS hub_micro
+            FROM hraw)
+          SELECT h.iter + 1, h.node, h.hub_micro, a.auth_micro
+          FROM hnorm h JOIN anorm a USING (node, iter)))
+      SELECT node, n_name, hub_micro, auth_micro
+      FROM hits JOIN nation ON node = n_nationkey
+      WHERE iter = 4
+      ORDER BY auth_micro DESC, node"""))
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */

@@ -68,6 +68,96 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over an
+    * integer-weighted directed edge list, fixed `iterations` rounds,
+    * max-normalized each half-step.
+    *
+    * Semantics (all BIGINT, scores in micro-units, hub_0 = 1_000_000):
+    *   araw(d)  = Σ_{s→d} (hub(s)  * w(s,d)) div outw(s)
+    *   auth(d)  = araw(d) * 1_000_000 div max_d araw
+    *   hraw(s)  = Σ_{s→d} (auth(d) * w(s,d)) div inw(d)
+    *   hub(s)   = hraw(s) * 1_000_000 div max_s hraw
+    * The degree-normalized contributions replace the classic
+    * unnormalized sums for the same reason [[weightedPageRank]] uses
+    * them: they bound every raw score by n_nodes × 1e6 BEFORE the
+    * ×1e6 normalization multiply, so the arithmetic stays inside
+    * BIGINT up to ~9e6 nodes however heavy the edge weights are (the
+    * unnormalized recurrence overflows once Σw × 1e12 passes 2^63).
+    * Max-normalization (not L2) keeps the recurrence integer-exact,
+    * so a fixed-round run hash-matches a recursive-CTE oracle.
+    *
+    * Scale shape = [[weightedPageRank]]'s: the degree tables are
+    * folded into the edge checkpoint once; each half-step is one
+    * equi-join of a node-sized score vector against edges plus a
+    * map-side-combined groupBy, and the max is a 1-row aggregate
+    * broadcast back onto the node-sized vector (a partial-agg tree —
+    * NEVER a single-partition window, which would serialize a
+    * billion-node vector through one task). No per-round action: the
+    * whole ladder is lazy localCheckpoints materialized by the
+    * caller's one action.
+    *
+    * @param edges (src, dst, w) BIGINT edge weights, pre-aggregated
+    *              (parallel edges collapsed by the caller)
+    * @param nodes single-column frame of every node id
+    * @param onCheckpoint called with every intermediate checkpoint
+    *              INCLUDING the returned hubs/auths frames — after
+    *              materializing the result, release them all via
+    *              [[org.apache.spark.sql.graft.CheckpointBridge]]
+    * @return (node, hub_micro, auth_micro) one row per node
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iterations: Int = 4,
+           onCheckpoint: DataFrame => Unit = _ => ()): DataFrame = {
+    val nodeCol = nodes.columns.head
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val inw = edges.groupBy("dst").agg(sum("w").as("inw"))
+    val e = edges.join(outw, "src").join(inw, "dst")
+      .select(col("src"), col("dst"), col("w"), col("outw"), col("inw"))
+      .localCheckpoint(eager = false)
+    onCheckpoint(e)
+    val nodesOnly = nodes.select(col(nodeCol).as("node"))
+    var hubs = nodesOnly.select(col("node"),
+      lit(1000000L).as("hub_micro"))
+    var auths = nodesOnly.select(col("node"), lit(0L).as("auth_micro"))
+    for (_ <- 1 to iterations) {
+      // hub → authority half-step
+      val araw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("(hub_micro * w) div outw").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("raw"))
+      // Checkpointed because it feeds BOTH the 1-row max aggregate and
+      // the normalized projection — the lazy checkpoint makes the one
+      // materializing job compute the join once, not per branch.
+      val arawAll = nodesOnly
+        .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(eager = false)
+      onCheckpoint(arawAll)
+      val amax = arawAll.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      auths = arawAll.crossJoin(broadcast(amax))
+        .select(col("node"),
+          expr("raw * 1000000 div mx").as("auth_micro"))
+        .localCheckpoint(eager = false)
+      onCheckpoint(auths)
+      // authority → hub half-step
+      val hraw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"),
+          expr("(auth_micro * w) div inw").as("contrib"))
+        .groupBy("src").agg(sum("contrib").as("raw"))
+      val hrawAll = nodesOnly
+        .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(eager = false)
+      onCheckpoint(hrawAll)
+      val hmax = hrawAll.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      hubs = hrawAll.crossJoin(broadcast(hmax))
+        .select(col("node"),
+          expr("raw * 1000000 div mx").as("hub_micro"))
+        .localCheckpoint(eager = false)
+      onCheckpoint(hubs)
+    }
+    hubs.join(auths, "node")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made DETERMINISTIC: every round each node adopts the
     * MODE of its distinct neighbors' labels with ties broken by the

@@ -37,6 +37,46 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  private def hits(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                   iters: Int): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: star graph reaches its fixed point; isolated node scores zero") {
+    // 1,2,3 → 4: the sources are the only hubs (max-normalized to 1e6
+    // each by symmetry), 4 the only authority; the isolated node 5
+    // receives and emits nothing. Round 2 reproduces round 1's vector
+    // exactly, so 4 iterations land on the same integers as 1.
+    val r = hits(Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)),
+      Seq(1L, 2L, 3L, 4L, 5L), 4)
+    assert(r(1L) == ((1000000L, 0L)) && r(2L) == ((1000000L, 0L)) &&
+      r(3L) == ((1000000L, 0L)))
+    assert(r(4L) == ((0L, 1000000L)))
+    assert(r(5L) == ((0L, 0L)))
+  }
+
+  test("hits: one round matches the hand-run integer recurrence") {
+    // 1→3 (w=3), 2→3 (w=1), 1→4 (w=1); outw(1)=4, inw(3)=4.
+    //   araw(3) = (1e6*3) div 4 + (1e6*1) div 1 = 1_750_000 (max)
+    //   araw(4) = (1e6*1) div 4 = 250_000
+    //   auth(4) = 250_000 * 1e6 div 1_750_000 = 142_857
+    //   hraw(1) = (1e6*3) div 4 + (142_857*1) div 1 = 892_857 (max)
+    //   hraw(2) = (1e6*1) div 4 = 250_000
+    //   hub(2)  = 250_000 * 1e6 div 892_857 = 280_000
+    val r = hits(Seq((1L, 3L, 3L), (2L, 3L, 1L), (1L, 4L, 1L)),
+      Seq(1L, 2L, 3L, 4L), 1)
+    assert(r(1L) == ((1000000L, 0L)))
+    assert(r(2L) == ((280000L, 0L)))
+    assert(r(3L) == ((0L, 1000000L)))
+    assert(r(4L) == ((0L, 142857L)))
+  }
+
+  test("hits: zero iterations returns the init vector") {
+    val r = hits(Seq((1L, 2L, 1L)), Seq(1L, 2L), 0)
+    assert(r == Map(1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L))))
+  }
+
   test("labelPropagation separates two cliques joined by a bridge") {
     import spark.implicits._
     // K4 on {1,2,3,4} + K4 on {11,12,13,14} + bridge 4—11: each clique
