@@ -89,7 +89,7 @@ object Queries {
     QueriesRelational.customerDeciles, QueriesRelational.decilesApproxCheck, QueriesRelational.scd2Customer, QueriesRelational.windowRanks,
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
-    QueriesRelational.graphHits,
+    QueriesRelational.graphHits, QueriesRelational.graphKcore,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,

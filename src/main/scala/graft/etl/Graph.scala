@@ -158,6 +158,76 @@ object Graph {
     hubs.join(auths, "node")
   }
 
+  /** k-core DECOMPOSITION (per-node coreness) via the distributed
+    * h-index iteration (Montresor, De Pellegrini & Miorandi 2011,
+    * "Distributed k-Core Decomposition"):
+    *   c_0(v)     = deg(v)            (distinct neighbors)
+    *   c_{t+1}(v) = H({c_t(u) : u ∈ N(v)})
+    * where H is the h-index — the largest h such that at least h
+    * neighbors currently score ≥ h. The sequence is monotone
+    * non-increasing and converges to the exact coreness; a FIXED
+    * round budget is the contract here (the [[labelPropagation]]
+    * discipline) so a run hash-matches an oracle replaying the same
+    * budget — callers pick `iterations` ≥ the graph's convergence
+    * round (small: it tracks the effective diameter, not n).
+    *
+    * All-integer (degrees and h-indexes are exact BIGINTs), so the
+    * recurrence is bit-identical across engines with no quantization
+    * step at all.
+    *
+    * Scale shape: one distinct-collapse of the symmetrized edge list
+    * up front (the only data-sized shuffle), then per round one
+    * equi-join of the node-sized score vector against edges plus a
+    * per-node window (row_number over the neighbor scores, descending)
+    * reduced by max(least(score, rank)) — every exchange is keyed by
+    * node id and carries (node, score) pairs. The window partition is
+    * one node's neighborhood, so a pathological celebrity hub (degree
+    * ~1e8) serializes through one task; the mitigation at that scale
+    * is the count-histogram form of H (groupBy (node, score) then a
+    * cumulative count over each node's ≤ maxdeg distinct scores),
+    * which this graph's max degree doesn't warrant. No per-round
+    * action: lazy localCheckpoints materialized by the caller's one
+    * action, released via `onCheckpoint`.
+    *
+    * @param edges (src, dst) directed pairs; symmetrized, self-loops
+    *              dropped and parallel edges collapsed here
+    * @param onCheckpoint called with every intermediate checkpoint
+    *              INCLUDING the returned frame — release after the
+    *              materializing action
+    * @return (node, core) one row per non-isolated node
+    */
+  def coreness(edges: DataFrame, iterations: Int,
+               onCheckpoint: DataFrame => Unit = _ => ()): DataFrame = {
+    val fwd = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val und = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    onCheckpoint(und)
+    var c = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    onCheckpoint(c)
+    for (_ <- 1 to iterations) {
+      val nb = und.join(c.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("c").as("cv"))
+      // Tie order among equal neighbor scores is irrelevant: the
+      // multiset {least(cv_i, rank_i)} under a descending sort is
+      // invariant to it, so no explicit tiebreak column is needed for
+      // determinism.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cv").desc)
+      c = nb.withColumn("rn", row_number().over(w))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("cv"), col("rn"))).as("c"))
+        .localCheckpoint(eager = false)
+      onCheckpoint(c)
+    }
+    c
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made DETERMINISTIC: every round each node adopts the
     * MODE of its distinct neighbors' labels with ties broken by the

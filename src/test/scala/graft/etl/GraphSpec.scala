@@ -77,6 +77,37 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L))))
   }
 
+  private def cores(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.coreness(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("coreness: triangle hanging off a path splits 2-core from 1-core") {
+    // Path 1–2–3–4 into triangle 4–5–6: the triangle is the 2-core,
+    // every path node peels at k=1. Hand-run of the h-index rounds:
+    // degrees (1,2,2,3,2,2) → round 1 (1,1,2,2,2,2) → round 2
+    // (1,1,1,2,2,2) → stable.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+    assert(cores(es, 3) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+
+  test("coreness: a star is all 1-core however high the hub degree") {
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(cores(es, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("coreness: self-loops and parallel/reverse duplicates are collapsed") {
+    // (1,2) three ways plus a self-loop must count ONE distinct
+    // neighbor each side: both nodes are degree-1, coreness 1.
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L))
+    assert(cores(es, 2) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("coreness: zero iterations returns distinct-neighbor degrees") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(cores(es, 0) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
   test("labelPropagation separates two cliques joined by a bridge") {
     import spark.implicits._
     // K4 on {1,2,3,4} + K4 on {11,12,13,14} + bridge 4—11: each clique
