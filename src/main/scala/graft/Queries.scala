@@ -69,7 +69,7 @@ object Queries {
     QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusEpochShard, QueriesText.corpusCurate, QueriesText.textDecontaminate,
-    QueriesText.corpusDomainCap, QueriesText.corpusUrlCanonical, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
+    QueriesText.corpusDomainCap, QueriesText.corpusUrlCanonical, QueriesText.prefBradleyTerry, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesText.bpeEncode,

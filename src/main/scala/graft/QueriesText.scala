@@ -726,6 +726,85 @@ private[graft] object QueriesText {
         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS domain
       FROM pre GROUP BY 1 ORDER BY canonical_url"""))
 
+  /** Bradley–Terry strength fit over pairwise preference outcomes
+    * ([[graft.llmops.Preference.bradleyTerry]]) — the RLHF
+    * preference-data shape: raters decide head-to-head comparisons,
+    * the pipeline fits a per-entity strength that predicts win odds
+    * (π_a/(π_a+π_b)). Here the comparison stream is derived
+    * deterministically from the corpus — consecutive doc_ids in the
+    * same lang across different sources "compete", the longer text
+    * wins (ties to the lower id) — and the fitted entities are the
+    * 20 sources. The data-sized job is the one groupBy collapsing
+    * comparisons to the ordered-pair win matrix (≤ sources² rows, the
+    * sufficient statistic); 4 MM rounds run on the driver over that
+    * bounded aggregate (the k-means/PQ-codebook contract). The
+    * recurrence is integer-quantized with a max-normalized gauge and
+    * a 0.001 floor (overflow headroom documented on the kernel), so
+    * the oracle replays it exactly as a DuckDB recursive CTE over the
+    * same pair matrix. */
+  private[graft] val prefBradleyTerry = Q("pref_bradley_terry",
+    (s, dir) => {
+      val d1 = t(s, dir, "documents").as("d1")
+      val d2 = t(s, dir, "documents").as("d2")
+      val outcomes = d1.join(d2,
+          col("d2.doc_id") === col("d1.doc_id") + 1 &&
+            col("d2.lang") === col("d1.lang") &&
+            col("d2.source") =!= col("d1.source"))
+        .select(
+          when(col("d2.n_chars") > col("d1.n_chars"), col("d2.source"))
+            .otherwise(col("d1.source")).as("winner"),
+          when(col("d2.n_chars") > col("d1.n_chars"), col("d1.source"))
+            .otherwise(col("d2.source")).as("loser"))
+      graft.llmops.Preference.bradleyTerry(outcomes, iterations = 4)
+        .select(col("entity"), col("wins"), col("matches"),
+          col("skill_micro"))
+        .orderBy(col("skill_micro").desc, col("entity"))
+    },
+    Some("""WITH RECURSIVE
+      m AS (
+        SELECT CASE WHEN d2.n_chars > d1.n_chars THEN d2.source
+            ELSE d1.source END AS winner,
+          CASE WHEN d2.n_chars > d1.n_chars THEN d1.source
+            ELSE d2.source END AS loser
+        FROM documents d1
+        JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+          AND d2.lang = d1.lang AND d2.source <> d1.source),
+      dc AS (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY 1, 2),
+      wins AS (SELECT winner AS e, SUM(n) AS w FROM dc GROUP BY 1),
+      pc AS (SELECT a, b, SUM(n) AS n FROM (
+          SELECT winner AS a, loser AS b, n FROM dc
+          UNION ALL
+          SELECT loser, winner, n FROM dc) GROUP BY 1, 2),
+      ents AS (SELECT DISTINCT a AS e FROM pc),
+      bt(iter, e, pi) AS (
+        SELECT 0, e, CAST(1000000 AS BIGINT) FROM ents
+        UNION ALL
+        SELECT * FROM (
+          WITH prev AS (SELECT * FROM bt WHERE iter < 4),
+          denom AS (
+            SELECT pa.e, pa.iter,
+              SUM((pc.n * 1000000000000) // GREATEST(pa.pi + pb.pi, 1))
+                AS d
+            FROM pc
+            JOIN prev pa ON pa.e = pc.a
+            JOIN prev pb ON pb.e = pc.b AND pb.iter = pa.iter
+            GROUP BY 1, 2),
+          raw AS (
+            SELECT d.e, d.iter,
+              (COALESCE(w.w, 0) * 1000000000000) // GREATEST(d.d, 1) AS r
+            FROM denom d LEFT JOIN wins w ON w.e = d.e)
+          SELECT iter + 1, e,
+            GREATEST(r * 1000000 //
+              GREATEST(MAX(r) OVER (PARTITION BY iter), 1), 1000) AS pi
+          FROM raw))
+      SELECT b.e AS entity, CAST(COALESCE(w.w, 0) AS BIGINT) AS wins,
+        CAST((SELECT SUM(n) FROM pc WHERE a = b.e) AS BIGINT) AS matches,
+        b.pi AS skill_micro
+      FROM bt b LEFT JOIN wins w ON w.e = b.e
+      WHERE iter = 4
+      ORDER BY skill_micro DESC, entity"""))
+
   /** Cross-document repeated-span mining — the exact-substring flavor
     * of train-set dedup (public result: verbatim spans repeated across
     * documents are memorization fuel; Lee et al. 2021,
