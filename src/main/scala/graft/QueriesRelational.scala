@@ -2135,6 +2135,86 @@ private[graft] object QueriesRelational {
             (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
       FROM a, b"""))
 
+  /** Mann–Whitney U (Wilcoxon rank-sum, tie-corrected, normal
+    * approximation) over the same two spend populations as
+    * [[statsTtest]] — the nonparametric sibling for when spend is
+    * too skewed for Welch. NO global row sort: ranks come from the
+    * cents VALUE HISTOGRAM (one groupBy, domain ≤ 49 003 distinct
+    * cents — the [[statsSpearman]]/ml_auc justification), where the
+    * midrank of a tie group is cum + (t+1)/2; carrying DOUBLED ranks
+    * (2·cum + t + 1) keeps the rank-sum an exact BIGINT, and the tie
+    * correction Σ(t³−t) is exact alongside it. Every double then
+    * emerges from the same five exact longs in both engines with the
+    * operation tree written identically, so U, σ and z hash-match
+    * bit-for-bit — the [[statsTtest]] discipline. Overflow headroom:
+    * Σ a·(2cum+t+1) ≈ n₁·2N ≤ 2·10¹⁸ at N ≈ 10⁹ rows; past that the
+    * hi/lo BIGINT split `stats_exact` uses applies, and t³ asks the
+    * same once one tie group passes 2·10⁶ rows. */
+  private[graft] val statsMannWhitney = Q("stats_mannwhitney",
+    (s, dir) => {
+      val m = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+      val hist = m.groupBy("c").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a"),
+        count(lit(1)).as("t"))
+      val wc = boundedWindow(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = hist.select(col("a"), col("t"),
+        coalesce(sum(col("t")).over(wc), lit(0L)).as("cum"))
+      val agg = r.agg(
+        sum(col("a") * (lit(2L) * col("cum") + col("t") + lit(1L)))
+          .as("s2"),
+        sum(col("a")).as("n1"),
+        sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+      val n1d = col("n1").cast("double")
+      val n2d = (col("n") - col("n1")).cast("double")
+      val nd = col("n").cast("double")
+      agg.select(
+          col("n1"), (col("n") - col("n1")).as("n2"),
+          (col("s2").cast("double") / lit(2.0) -
+            n1d * (n1d + lit(1.0)) / lit(2.0)).as("u_stat"),
+          (n1d * n2d / lit(2.0)).as("mu_u"),
+          (n1d * n2d / lit(12.0) * ((nd + lit(1.0)) -
+            col("tie").cast("double") / (nd * (nd - lit(1.0)))))
+            .as("sigma2_u"))
+        .select(col("n1"), col("n2"), col("u_stat"), col("mu_u"),
+          ((col("u_stat") - col("mu_u")) / sqrt(col("sigma2_u")))
+            .as("z_score"))
+    },
+    Some("""WITH m AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('click', 'view')),
+      hist AS (SELECT c,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS a,
+          CAST(COUNT(*) AS BIGINT) AS t
+        FROM m GROUP BY c),
+      r AS (SELECT a, t,
+          COALESCE(SUM(t) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM hist),
+      agg AS (SELECT
+          CAST(SUM(a * (2 * cum + t + 1)) AS BIGINT) AS s2,
+          CAST(SUM(a) AS BIGINT) AS n1,
+          CAST(SUM(t) AS BIGINT) AS n,
+          CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM r),
+      stat AS (SELECT n1, n - n1 AS n2,
+          CAST(s2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) *
+            (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u_stat,
+          CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0 AS mu_u,
+          CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+            ((CAST(n AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+            AS sigma2_u
+        FROM agg)
+      SELECT n1, n2, u_stat, mu_u,
+        (u_stat - mu_u) / sqrt(sigma2_u) AS z_score
+      FROM stat"""))
+
   /** Chi-square test of independence over the customer-segment ×
     * order-status contingency table — "does order status depend on
     * segment?". Per-cell terms use the all-integer identity

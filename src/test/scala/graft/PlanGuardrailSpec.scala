@@ -42,6 +42,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "ml_auc", // rank cumsum over the score-GROUP aggregate (value domain, not rows)
     "stats_theilsen", // pair-slope rank over the day-domain aggregate (calendar-bounded)
     "anomaly_forecast_residual", // residual-rank median over the day-domain fit table
+    "stats_mannwhitney", // rank cumsum over the cents value-domain histogram
     "slo_burn_rate") // trailing-7d window over the day-domain error aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
