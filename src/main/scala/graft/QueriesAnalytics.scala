@@ -1477,6 +1477,69 @@ private[graft] object QueriesAnalytics {
           / 2.0) / (CAST(p AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
       FROM agg"""))
 
+  /** Calibration reliability table + expected calibration error (ECE)
+    * — the companion evaluation to [[mlAuc]]: AUC says the scorer
+    * RANKS well, calibration says its probabilities MEAN what they
+    * say. Same scorer and label (token count predicting the
+    * long-document label), probability p̂ = min(tokens, 400)/400,
+    * ten equal-width bins. Determinism is all-integer until the last
+    * step: per bin the engine carries n, Σy and Σmin(tokens,400) as
+    * exact BIGINTs, so confidence = Σsc/(400n), accuracy = Σy/n and
+    * the gap (Σy·400 − Σsc)/(400n) are each ONE division over exact
+    * longs — and ECE collapses to Σ|Σy·400 − Σsc| over bins (an exact
+    * BIGINT sum, order-independent) divided once by 400N, sidestepping
+    * the float-summation-order trap a naive Σ nᵦ·|gapᵦ| would hit.
+    * Scale: one groupBy to 10 rows, a 1-row broadcast compose — the
+    * scan is the whole cost at 100 TB. */
+  private[graft] val mlCalibration = Q("ml_calibration",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(
+          least(size(split(trim(col("text")), "\\s+")).cast("bigint"),
+            lit(400L)).as("sc"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+      val bins = scored
+        .select(expr("least((sc * 10) div 400, 9)").as("bin"),
+          col("sc"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("sc")).as("sp"))
+      val tot = bins.agg(
+        sum(abs(col("sy") * lit(400L) - col("sp"))).as("gnum"),
+        sum(col("n")).as("ntot"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          (col("sp").cast("double") /
+            (lit(400.0) * col("n").cast("double"))).as("confidence"),
+          (col("sy").cast("double") / col("n").cast("double"))
+            .as("accuracy"),
+          ((col("sy") * lit(400L) - col("sp")).cast("double") /
+            (lit(400.0) * col("n").cast("double"))).as("gap"),
+          (col("gnum").cast("double") /
+            (lit(400.0) * col("ntot").cast("double"))).as("ece"))
+        .orderBy("bin")
+    },
+    Some(raw"""WITH scored AS (
+        SELECT LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+            AS BIGINT), 400) AS sc,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      bins AS (SELECT LEAST((sc * 10) // 400, 9) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(sc) AS BIGINT) AS sp
+        FROM scored GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ABS(sy * 400 - sp)) AS BIGINT) AS gnum,
+          CAST(SUM(n) AS BIGINT) AS ntot FROM bins)
+      SELECT bin, n,
+        CAST(sp AS DOUBLE) / (400.0 * CAST(n AS DOUBLE)) AS confidence,
+        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+        CAST(sy * 400 - sp AS DOUBLE) / (400.0 * CAST(n AS DOUBLE))
+          AS gap,
+        CAST(gnum AS DOUBLE) / (400.0 * CAST(ntot AS DOUBLE)) AS ece
+      FROM bins CROSS JOIN tot
+      ORDER BY bin"""))
+
   /** Smoothed target encoding — the feature-engineering workhorse for
     * high-cardinality categoricals: replace each category with
     * (Σ target + k·global_mean) / (n + k), the empirical-Bayes
