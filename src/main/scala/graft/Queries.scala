@@ -78,7 +78,7 @@ object Queries {
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simTopkPqVersioned, QueriesDedupSim.retrievalPipeline, QueriesDedupSim.retrievalRrf, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.corpusClusterSample, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.corpusKsDrift, QueriesText.corpusDsirSelect, QueriesText.textVocabulary,
-    QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames, QueriesText.multimodalPhashDedup,
+    QueriesText.multimodalMeta, QueriesText.multimodalDecode, QueriesText.multimodalFrames, QueriesText.multimodalPhashDedup, QueriesText.multimodalQualityGate,
     QueriesRelational.sessionBatch, QueriesRelational.sessionWindowBatch, QueriesRelational.kpiAbandonment, QueriesRelational.sessionPaths, QueriesRelational.funnelLatency, QueriesRelational.timeseriesInterpolate, QueriesRelational.funnel, QueriesRelational.funnel3, QueriesRelational.funnelWindowed, QueriesRelational.retention, QueriesRelational.textTfidf,
     QueriesRelational.skewSaltedJoin, QueriesRelational.skewReport, QueriesRelational.zorderKeyCheck, QueriesRelational.valueHistogram,
     QueriesRelational.setOps, QueriesRelational.semiAnti, QueriesRelational.fullOuterJoin, QueriesRelational.pivotFlagStatus, QueriesRelational.unpivotMeasures,

@@ -1002,6 +1002,76 @@ private[graft] object QueriesText {
       (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)))
       AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"""))
 
+  /** IMAGE QUALITY GATE over the binary modality — the LAION-shape
+    * curation pass that runs BEFORE dedup/embedding: per image a
+    * resolution floor (≥ 256 px), an aspect-ratio cap (h ≤ 2w), and a
+    * scorer threshold (aes ≥ 0.16 — between deciles 4 and 5 of this
+    * corpus's score distribution, so the gate genuinely splits),
+    * reported per source as gate-failure counts and survivors. Decode is REAL (`javax.imageio` on true PNG payloads
+    * via [[graft.llmops.Multimodal.decode]] — width/height/8-bin luma
+    * histogram, codec init once per partition); the "aesthetic" score
+    * is the documented STUB for the model scorer the container can't
+    * ship: 1 − Σ|lumaShare_b − ⅛|/1.75, a deterministic pure function
+    * of the REAL decoded histogram (flat luma ⇒ 1, single-bin ⇒ 0),
+    * with the left-to-right 8-element fold order fixed so the float is
+    * bit-stable at any partitioning. Swapping in a real CLIP-aesthetic
+    * head changes ONE expression; the plumbing under test — binary
+    * columns, per-partition decode, gate composition, per-source
+    * rollup — is the production shape. Pixels never shuffle: the
+    * exchange carries (source, 3 ints, 1 double) per image. Score
+    * values depend on the PNG raster, which DuckDB can't replay, so
+    * the sf0.01 rollup is frozen as the oracle (the
+    * multimodal_phash_dedup precedent). */
+  private[graft] val multimodalQualityGate = Q("multimodal_quality_gate",
+    (s, dir) => {
+      val blobs = Multimodal.bytesToPngBlobs(s,
+        Multimodal.asBlobs(
+          t(s, dir, "documents").dropDuplicates("doc_id"),
+          "doc_id", "text", "source"))
+      val keep = col("width") * col("height") >= 256 &&
+        col("height") <= col("width") * 2 && col("aes") >= 0.16
+      Multimodal.decode(s, blobs).toDF()
+        .select(col("blob_id"), col("width"), col("height"),
+          (lit(1.0) - expr("""aggregate(features, cast(0.0 as double),
+            (acc, f) -> acc + abs(cast(f as double) - 0.125))""") / 1.75)
+            .as("aes"))
+        .join(t(s, dir, "documents")
+            .select(col("doc_id").as("blob_id"), col("source")),
+          "blob_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("width") * col("height") < 256, 1L)
+            .otherwise(0L)).as("n_lowres"),
+          sum(when(col("height") > col("width") * 2, 1L)
+            .otherwise(0L)).as("n_stretch"),
+          sum(when(col("aes") < 0.16, 1L).otherwise(0L)).as("n_lowaes"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("""SELECT * FROM (VALUES
+      ('src0', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(9 AS BIGINT)),
+      ('src1', CAST(25 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT), CAST(10 AS BIGINT)),
+      ('src10', CAST(25 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT), CAST(6 AS BIGINT)),
+      ('src11', CAST(25 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(13 AS BIGINT), CAST(8 AS BIGINT)),
+      ('src12', CAST(25 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT)),
+      ('src13', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(12 AS BIGINT)),
+      ('src14', CAST(25 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT), CAST(9 AS BIGINT)),
+      ('src15', CAST(25 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT)),
+      ('src16', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(9 AS BIGINT)),
+      ('src17', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
+      ('src18', CAST(25 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(11 AS BIGINT)),
+      ('src19', CAST(25 AS BIGINT), CAST(13 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(10 AS BIGINT)),
+      ('src2', CAST(25 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(11 AS BIGINT)),
+      ('src3', CAST(25 AS BIGINT), CAST(9 AS BIGINT), CAST(2 AS BIGINT), CAST(11 AS BIGINT), CAST(6 AS BIGINT)),
+      ('src4', CAST(25 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(10 AS BIGINT)),
+      ('src5', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(11 AS BIGINT)),
+      ('src6', CAST(25 AS BIGINT), CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(8 AS BIGINT)),
+      ('src7', CAST(25 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), CAST(11 AS BIGINT)),
+      ('src8', CAST(25 AS BIGINT), CAST(14 AS BIGINT), CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT)),
+      ('src9', CAST(25 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(9 AS BIGINT)))
+      AS t(source, n_images, n_lowres, n_stretch, n_lowaes, n_kept)
+      ORDER BY source"""))
+
   /** Stratified deterministic sampling — per-stratum rates from a tiny
     * broadcast config table, membership from the doc's own md5 bucket
     * (the sample_hash_split mechanism, generalized to per-group
