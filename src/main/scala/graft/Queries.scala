@@ -97,7 +97,7 @@ object Queries {
     QueriesRelational.ewmaValue, QueriesRelational.changepointCusum,
     QueriesRelational.journeyClassify, QueriesDedupSim.simTopkHamming,
     QueriesRelational.graphComponents, QueriesRelational.statsTtest,
-    QueriesRelational.statsMannWhitney,
+    QueriesRelational.statsMannWhitney, QueriesRelational.statsKappa,
     QueriesKpi.sketchHllIntersect,
     QueriesRelational.statsChi2, QueriesRelational.graphBfsDepth,
     QueriesRelational.attributionPosition, QueriesDedupSim.simMmrRerank,

@@ -2215,6 +2215,68 @@ private[graft] object QueriesRelational {
         (u_stat - mu_u) / sqrt(sigma2_u) AS z_score
       FROM stat"""))
 
+  /** Cohen's kappa — inter-annotator agreement, the rater-ops
+    * primitive behind preference-data quality ([[pref_bradley_terry]]'s
+    * upstream question: do the raters even agree?). The two "raters"
+    * here are deterministic quality judgments of the same documents —
+    * A: char count ≥ 300 (the [[QueriesAnalytics.mlAuc]] label), B:
+    * whitespace token count ≥ 60 — so the 2×2 agreement table is
+    * reproducible. One aggregate reduces the corpus to four exact
+    * BIGINT cells; observed and chance agreement and κ =
+    * (p_o − p_e)/(1 − p_e) are identical double trees over those
+    * four longs in both engines, so the row hash-matches with no
+    * tolerance. At 100 TB the table is the scan's partial-agg output
+    * — four longs per partition. */
+  private[graft] val statsKappa = Q("stats_kappa",
+    (s, dir) => {
+      val judged = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("ra"),
+          when(size(split(trim(col("text")), "\\s+")) >= 60, 1L)
+            .otherwise(0L).as("rb"))
+      val cells = judged.agg(
+        count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n01"))
+      val nd = col("n").cast("double")
+      val po = (col("n11") + (col("n") - col("n11") - col("n10") -
+        col("n01"))).cast("double") / nd
+      val pe = (col("n11") + col("n10")).cast("double") / nd *
+        ((col("n11") + col("n01")).cast("double") / nd) +
+        ((col("n") - col("n11") - col("n10")).cast("double") / nd) *
+          ((col("n") - col("n11") - col("n01")).cast("double") / nd)
+      cells.select(col("n"), col("n11"), col("n10"), col("n01"),
+          po.as("p_observed"), pe.as("p_chance"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"),
+          col("p_observed"), col("p_chance"),
+          ((col("p_observed") - col("p_chance")) /
+            (lit(1.0) - col("p_chance"))).as("kappa"))
+    },
+    Some(raw"""WITH judged AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+          CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 60
+            THEN 1 ELSE 0 END AS rb
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(ra * rb) AS BIGINT) AS n11,
+          CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+          CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01
+        FROM judged),
+      probs AS (SELECT n, n11, n10, n01,
+          CAST(n11 + (n - n11 - n10 - n01) AS DOUBLE) /
+            CAST(n AS DOUBLE) AS p_observed,
+          CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) *
+            (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+          CAST(n - n11 - n10 AS DOUBLE) / CAST(n AS DOUBLE) *
+            (CAST(n - n11 - n01 AS DOUBLE) / CAST(n AS DOUBLE))
+            AS p_chance
+        FROM cells)
+      SELECT n, n11, n10, n01, p_observed, p_chance,
+        (p_observed - p_chance) / (1.0 - p_chance) AS kappa
+      FROM probs"""))
+
   /** Chi-square test of independence over the customer-segment ×
     * order-status contingency table — "does order status depend on
     * segment?". Per-cell terms use the all-integer identity
