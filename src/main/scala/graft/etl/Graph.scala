@@ -177,17 +177,24 @@ object Graph {
     *
     * Scale shape: one distinct-collapse of the symmetrized edge list
     * up front (the only data-sized shuffle), then per round one
-    * equi-join of the node-sized score vector against edges plus a
-    * per-node window (row_number over the neighbor scores, descending)
-    * reduced by max(least(score, rank)) — every exchange is keyed by
-    * node id and carries (node, score) pairs. The window partition is
-    * one node's neighborhood, so a pathological celebrity hub (degree
-    * ~1e8) serializes through one task; the mitigation at that scale
-    * is the count-histogram form of H (groupBy (node, score) then a
-    * cumulative count over each node's ≤ maxdeg distinct scores),
-    * which this graph's max degree doesn't warrant. No per-round
-    * action: lazy localCheckpoints materialized by the caller's one
-    * action, released via `onCheckpoint`.
+    * equi-join of the node-sized score vector against edges followed
+    * by the COUNT-HISTOGRAM form of H: a map-side-combined groupBy
+    * (node, score) collapses the neighbor multiset to per-node
+    * distinct-score counts BEFORE anything sorts, then a per-node
+    * window over that histogram (descending score, cumulative count =
+    * "# neighbors scoring ≥ v") reduces by max(least(score, cum)).
+    * Scores are h-indexes bounded by degree and contract
+    * monotonically, so the histogram is small relative to the
+    * neighbor list (here ~30 distinct values over 5000-neighbor
+    * suppliers) and a celebrity hub's window partition is its
+    * DISTINCT-SCORE count, not its degree. Measured trade at sf0.1:
+    * ~6% slower than a raw row_number window (5.7 → 6.1 s — the
+    * histogram groupBy adds an exchange) bought for hub immunity and
+    * histogram-sized shuffles; a typed map-buffer Aggregator was also
+    * measured (7.5 s) and rejected — the object-hash path loses
+    * whole-stage codegen. No per-round action: lazy localCheckpoints
+    * materialized by the caller's one action, released via
+    * `onCheckpoint`.
     *
     * @param edges (src, dst) directed pairs; symmetrized, self-loops
     *              dropped and parallel edges collapsed here
@@ -211,17 +218,20 @@ object Graph {
       .localCheckpoint(eager = false)
     onCheckpoint(c)
     for (_ <- 1 to iterations) {
-      val nb = und.join(c.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src"), col("c").as("cv"))
-      // Tie order among equal neighbor scores is irrelevant: the
-      // multiset {least(cv_i, rank_i)} under a descending sort is
-      // invariant to it, so no explicit tiebreak column is needed for
-      // determinism.
+      val hist = und.join(c.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("c").as("cv"))
+        .agg(count(lit(1)).as("k"))
+      // cum over DISTINCT (src, cv) rows: the descending-score order
+      // is total within a node, so the running count is deterministic
+      // and equals "# neighbors scoring ≥ cv".
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("cv").desc)
-      c = nb.withColumn("rn", row_number().over(w))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      c = hist.withColumn("cum", sum(col("k")).over(w))
         .groupBy(col("src").as("node"))
-        .agg(max(least(col("cv"), col("rn"))).as("c"))
+        .agg(max(least(col("cv"), col("cum"))).as("c"))
         .localCheckpoint(eager = false)
       onCheckpoint(c)
     }
