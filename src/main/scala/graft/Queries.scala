@@ -100,7 +100,7 @@ object Queries {
     QueriesRelational.statsMannWhitney, QueriesRelational.statsKappa,
     QueriesKpi.sketchHllIntersect,
     QueriesRelational.statsChi2, QueriesRelational.graphBfsDepth,
-    QueriesRelational.attributionPosition, QueriesDedupSim.simMmrRerank,
+    QueriesRelational.attributionPosition, QueriesRelational.attributionMarkov, QueriesDedupSim.simMmrRerank,
     QueriesRelational.priorityRevenue,
     QueriesRelational.regionalSupplierVolume,
     QueriesRelational.statsSpearman, QueriesRelational.graphLinkPredict,

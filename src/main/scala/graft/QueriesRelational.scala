@@ -2540,6 +2540,135 @@ private[graft] object QueriesRelational {
         CAST(SUM(credit) AS DOUBLE) / 1e6 AS credit
       FROM credited GROUP BY 1 ORDER BY 1"""))
 
+  /** DATA-DRIVEN multi-touch attribution — the Markov removal-effect
+    * model ([[graft.etl.Attribution.removalEffects]], Anderl et al.
+    * 2014), the principled alternative to [[attributionPosition]]'s
+    * fixed 40/20/40 heuristic: channels are states of an absorbing
+    * chain, credit is how much start-state conversion probability
+    * drops when the channel is knocked out (edges into it redirected
+    * to null, its outgoing edges removed). Journeys truncate at each
+    * user's FIRST purchase (prior-purchase running count = 0), states
+    * order by (ts, event_id) — a total order, so the transition
+    * matrix is reproducible. The data-sized work is two user-
+    * partitioned windows + one (src, dst) count aggregate; what the
+    * driver fits on is the (channels+2)² transition matrix (the
+    * bounded-model-state contract), 12 integer value-iteration rounds
+    * per variant. The oracle replays the identical recurrence as a
+    * recursive CTE keyed by (variant, state). */
+  private[graft] val attributionMarkov = Q("attribution_markov",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val kept = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prior_p", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter(col("prior_p") === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", lit("conv"))
+            .otherwise(col("event_type")).as("state"))
+      val seq = kept.select(col("state"),
+        row_number().over(w).as("rn"),
+        lead(col("state"), 1).over(w).as("nxt"))
+      val pairs = seq.filter(col("state") =!= "conv")
+        .select(col("state").as("src"),
+          coalesce(col("nxt"), lit("null")).as("dst"))
+        .unionAll(seq.filter(col("rn") === 1)
+          .select(lit("start").as("src"), col("state").as("dst")))
+      val trans = pairs.groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)]
+        .collect() // bounded: (channels + 2)^2 enum-domain rows
+        .toSeq
+      graft.etl.Attribution.removalEffects(trans, iterations = 12)
+        .toDF("channel", "v_base", "v_removed", "re_micro",
+          "share_micro")
+        .orderBy("channel")
+    },
+    Some("""WITH RECURSIVE
+      ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS prior_p
+        FROM events),
+      kept AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN event_type = 'purchase' THEN 'conv'
+            ELSE event_type END AS state
+        FROM ev WHERE prior_p = 0),
+      seq AS (
+        SELECT user_id, state,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn,
+          LEAD(state) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nxt
+        FROM kept),
+      pairs AS (
+        SELECT state AS src, COALESCE(nxt, 'null') AS dst FROM seq
+        WHERE state <> 'conv'
+        UNION ALL
+        SELECT 'start', state FROM seq WHERE rn = 1),
+      trans AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2),
+      channels AS (SELECT DISTINCT src AS c FROM trans
+        WHERE src <> 'start'),
+      variants AS (SELECT 'none' AS variant
+        UNION ALL SELECT c FROM channels),
+      vtrans AS (
+        SELECT variant, src,
+          CASE WHEN dst = variant THEN 'null' ELSE dst END AS dst,
+          CAST(SUM(n) AS BIGINT) AS n
+        FROM variants JOIN trans ON src <> variant
+        GROUP BY 1, 2, 3),
+      vstates AS (
+        SELECT DISTINCT variant, s FROM (
+          SELECT variant, src AS s FROM vtrans
+          UNION ALL SELECT variant, dst FROM vtrans
+          UNION ALL SELECT variant, 'conv' FROM variants
+          UNION ALL SELECT variant, 'null' FROM variants)),
+      nout AS (SELECT variant, src, CAST(SUM(n) AS BIGINT) AS nout
+        FROM vtrans GROUP BY 1, 2),
+      mc(iter, variant, s, v) AS (
+        SELECT 0, variant, s, CASE WHEN s = 'conv'
+          THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        FROM vstates
+        UNION ALL
+        SELECT * FROM (
+          WITH prev AS (SELECT * FROM mc WHERE iter < 12),
+          stepped AS (
+            SELECT p.iter, p.variant, p.s,
+              CASE WHEN p.s IN ('conv', 'null') THEN p.v
+                ELSE COALESCE(
+                  COALESCE((
+                    SELECT CAST(SUM(t.n * p2.v) AS BIGINT)
+                    FROM vtrans t JOIN prev p2
+                      ON p2.variant = t.variant AND p2.s = t.dst
+                        AND p2.iter = p.iter
+                    WHERE t.variant = p.variant AND t.src = p.s), 0)
+                  // (SELECT GREATEST(o.nout, 1) FROM nout o
+                     WHERE o.variant = p.variant AND o.src = p.s),
+                  0)
+              END AS v
+            FROM prev p)
+          SELECT iter + 1, variant, s, v FROM stepped)),
+      fin AS (SELECT variant, v FROM mc WHERE iter = 12 AND s = 'start'),
+      base AS (SELECT v AS vb FROM fin WHERE variant = 'none'),
+      rem AS (SELECT variant AS channel, v AS v_removed FROM fin
+        WHERE variant <> 'none'),
+      tot AS (SELECT CAST(SUM(GREATEST(vb - v_removed, 0)) AS BIGINT)
+        AS sre FROM rem CROSS JOIN base)
+      SELECT channel, vb AS v_base, v_removed,
+        (vb - v_removed) * 1000000 // GREATEST(vb, 1) AS re_micro,
+        (vb - v_removed) * 1000000 // GREATEST(sre, 1) AS share_micro
+      FROM rem CROSS JOIN base CROSS JOIN tot
+      ORDER BY channel"""))
+
   /** Deep 3-table join chain (the TPC-H Q3 "shipping priority" shape):
     * segment-filtered customers x date-bounded orders x post-cutoff
     * lineitems, revenue per order, top 10. Revenue quantizes BOTH
