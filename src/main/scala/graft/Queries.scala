@@ -74,7 +74,7 @@ object Queries {
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesText.bpeEncode,
     QueriesText.featureHashing, QueriesText.bpeFertility,
-    QueriesText.mixTemperature,
+    QueriesText.mixTemperature, QueriesText.mixTokenBudget,
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simTopkPqVersioned, QueriesDedupSim.retrievalPipeline, QueriesDedupSim.retrievalRrf, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.corpusClusterSample, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.corpusKsDrift, QueriesText.corpusDsirSelect, QueriesText.textVocabulary,
@@ -129,7 +129,7 @@ object Queries {
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,
     QueriesAnalytics.anomalyForecastResidual,
-    QueriesAnalytics.kpiStickiness, QueriesAnalytics.abCuped,
+    QueriesAnalytics.kpiStickiness, QueriesAnalytics.abCuped, QueriesAnalytics.abDid,
     QueriesAnalytics.sloBurnRate, QueriesAnalytics.kpiRepeatPurchase,
     QueriesAnalytics.recoEvalHitrate)
 }

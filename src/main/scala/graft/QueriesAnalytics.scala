@@ -2029,6 +2029,94 @@ private[graft] object QueriesAnalytics {
           / vy_b, 6) AS var_reduction_b
       FROM m4"""))
 
+  /** Difference-in-differences — the quasi-experimental sibling of
+    * [[abCuped]] for when assignment isn't randomized: the treatment
+    * effect is (B_post − B_pre) − (A_post − A_pre), netting out both
+    * the arms' level difference and the common time trend. Same
+    * conventions as CUPED (pre/post split at the horizon midpoint,
+    * arms by user parity); ONE conditional aggregate reduces the scan
+    * to eight exact BIGINTs (n and Σcents per arm×period cell — no
+    * per-user rollup is needed because DiD is a difference of cell
+    * means), and every double is one division or subtraction over
+    * those longs with the operation tree written identically in both
+    * engines. */
+  private[graft] val abDid = Q("ab_did",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("d"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val mid = ev.agg(date_add(min(col("d")),
+        (datediff(max(col("d")), min(col("d"))) / 2).cast("int"))
+        .as("mid"))
+      def cell(arm: Int, post: Boolean) = {
+        val inArm = col("user_id") % 2 === arm
+        val inPeriod = if (post) col("d") >= col("mid")
+          else col("d") < col("mid")
+        inArm && inPeriod
+      }
+      val agg = ev.crossJoin(broadcast(mid)).agg(
+        sum(when(cell(0, post = false), 1L).otherwise(0L)).as("n_a_pre"),
+        sum(when(cell(0, post = false), col("cents")).otherwise(0L))
+          .as("s_a_pre"),
+        sum(when(cell(0, post = true), 1L).otherwise(0L)).as("n_a_post"),
+        sum(when(cell(0, post = true), col("cents")).otherwise(0L))
+          .as("s_a_post"),
+        sum(when(cell(1, post = false), 1L).otherwise(0L)).as("n_b_pre"),
+        sum(when(cell(1, post = false), col("cents")).otherwise(0L))
+          .as("s_b_pre"),
+        sum(when(cell(1, post = true), 1L).otherwise(0L)).as("n_b_post"),
+        sum(when(cell(1, post = true), col("cents")).otherwise(0L))
+          .as("s_b_post"))
+      def m(sc: String, nc: String) =
+        col(sc).cast("double") / (col(nc).cast("double") * 100.0)
+      agg.select(
+        col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+        m("s_a_pre", "n_a_pre").as("mean_a_pre"),
+        m("s_a_post", "n_a_post").as("mean_a_post"),
+        m("s_b_pre", "n_b_pre").as("mean_b_pre"),
+        m("s_b_post", "n_b_post").as("mean_b_post"),
+        ((m("s_b_post", "n_b_post") - m("s_b_pre", "n_b_pre")) -
+          (m("s_a_post", "n_a_post") - m("s_a_pre", "n_a_pre")))
+          .as("did"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+      mid AS (SELECT MIN(d) + CAST(date_diff('day', MIN(d), MAX(d)) / 2
+        AS INTEGER) AS mid FROM ev),
+      agg AS (SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND d < mid THEN 1
+            ELSE 0 END) AS BIGINT) AS n_a_pre,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND d < mid THEN cents
+            ELSE 0 END) AS BIGINT) AS s_a_pre,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND d >= mid THEN 1
+            ELSE 0 END) AS BIGINT) AS n_a_post,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND d >= mid THEN cents
+            ELSE 0 END) AS BIGINT) AS s_a_post,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 AND d < mid THEN 1
+            ELSE 0 END) AS BIGINT) AS n_b_pre,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 AND d < mid THEN cents
+            ELSE 0 END) AS BIGINT) AS s_b_pre,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 AND d >= mid THEN 1
+            ELSE 0 END) AS BIGINT) AS n_b_post,
+          CAST(SUM(CASE WHEN user_id % 2 = 1 AND d >= mid THEN cents
+            ELSE 0 END) AS BIGINT) AS s_b_post
+        FROM ev CROSS JOIN mid)
+      SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        CAST(s_a_pre AS DOUBLE) / (CAST(n_a_pre AS DOUBLE) * 100.0)
+          AS mean_a_pre,
+        CAST(s_a_post AS DOUBLE) / (CAST(n_a_post AS DOUBLE) * 100.0)
+          AS mean_a_post,
+        CAST(s_b_pre AS DOUBLE) / (CAST(n_b_pre AS DOUBLE) * 100.0)
+          AS mean_b_pre,
+        CAST(s_b_post AS DOUBLE) / (CAST(n_b_post AS DOUBLE) * 100.0)
+          AS mean_b_post,
+        (CAST(s_b_post AS DOUBLE) / (CAST(n_b_post AS DOUBLE) * 100.0)
+          - CAST(s_b_pre AS DOUBLE) / (CAST(n_b_pre AS DOUBLE) * 100.0))
+        - (CAST(s_a_post AS DOUBLE) / (CAST(n_a_post AS DOUBLE) * 100.0)
+          - CAST(s_a_pre AS DOUBLE) / (CAST(n_a_pre AS DOUBLE) * 100.0))
+          AS did
+      FROM agg"""))
+
   /** Two-proportion z-test on funnel conversion — the significance
     * read behind every A/B dashboard: is cohort A's signup→purchase
     * rate different from cohort B's, or noise? Cohorts split by

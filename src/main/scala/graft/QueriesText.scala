@@ -1114,6 +1114,61 @@ private[graft] object QueriesText {
       JOIN r USING (stratum)
       WHERE bucket * 1000 < permille * 4096
       ORDER BY doc_id"""))
+  /** Token-budget mix planning — the data-mix table every large
+    * pretraining run publishes (weights × budget → per-stratum token
+    * targets and repeat factors): given a 2M-token budget and
+    * per-stratum mixture weights from a broadcast config table (the
+    * [[stratifiedSample]] convention — rates are data, not code), one
+    * token-count aggregate per stratum yields target tokens, the
+    * repeat factor in milli-epochs (target·1000 div available — >1000
+    * means the stratum must repeat, the up-sampling signal mix
+    * designers watch), and the oversample flag. All-integer, one
+    * scan + one 4-row aggregate + a broadcast config join at any
+    * corpus size. */
+  private[graft] val mixTokenBudget = Q("mix_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      val weights = Seq((0, 100), (1, 250), (2, 500), (3, 150))
+        .toDF("stratum", "permille")
+      val budget = 2000000L
+      val stratum = pmod(
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(4))
+      t(s, dir, "documents")
+        .select(stratum.as("stratum"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        .join(broadcast(weights), "stratum")
+        .select(col("stratum"), col("n_docs"), col("tokens"),
+          col("permille").cast("long").as("permille"),
+          expr(s"$budget * permille div 1000").as("target_tokens"),
+          expr(s"($budget * permille div 1000) * 1000 div tokens")
+            .as("epochs_milli"),
+          (expr(s"($budget * permille div 1000) * 1000 div tokens") >
+            1000L).as("oversampled"))
+        .orderBy("stratum")
+    },
+    Some(raw"""WITH w(stratum, permille) AS (
+        VALUES (0, 100), (1, 250), (2, 500), (3, 150)),
+      d AS (SELECT
+          CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4
+            AS stratum,
+          CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+            AS BIGINT) AS toks
+        FROM documents),
+      agg AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS tokens
+        FROM d GROUP BY 1)
+      SELECT stratum, n_docs, tokens,
+        CAST(permille AS BIGINT) AS permille,
+        2000000 * permille // 1000 AS target_tokens,
+        (2000000 * permille // 1000) * 1000 // tokens AS epochs_milli,
+        (2000000 * permille // 1000) * 1000 // tokens > 1000
+          AS oversampled
+      FROM agg JOIN w USING (stratum)
+      ORDER BY stratum"""))
+
   /** BM25 relevance scoring against a broadcast query-term table —
     * the retrieval-quality op (Robertson/Okapi BM25, k1=1.2, b=0.75)
     * that ranks every document for a query without an inverted index.
