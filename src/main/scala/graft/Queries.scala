@@ -90,6 +90,7 @@ object Queries {
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
+    QueriesRelational.graphPpr, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,

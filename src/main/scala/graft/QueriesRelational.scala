@@ -1195,6 +1195,79 @@ private[graft] object QueriesRelational {
       FROM kc WHERE iter = 6
       ORDER BY side, id"""))
 
+  /** Personalized PageRank ([[graft.etl.Graph.personalizedPageRank]])
+    * over the nation trade graph, teleporting only to EUROPE's
+    * nations — "rank every trading partner from Europe's point of
+    * view", the graph-recommendation primitive [[graphPagerank]]'s
+    * global walk can't answer. Same integer recurrence with a
+    * seed-gated teleport term; unreachable nodes hold an EXACT zero
+    * (an integer invariant — no float epsilon). The oracle replays
+    * the recurrence with the same seed CASE in the recursive CTE. */
+  private[graft] val graphPpr = Q("graph_ppr",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation").select("n_nationkey")
+      val seeds = t(s, dir, "nation")
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"))
+      graft.etl.Graph.personalizedPageRank(edges, nodes, seeds,
+          iterations = 5)
+        .join(t(s, dir, "nation"),
+          col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node"))
+    },
+    Some("""WITH RECURSIVE
+      edges AS (
+        SELECT c_nationkey AS src, s_nationkey AS dst,
+          CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+      seeds AS (SELECT n_nationkey AS node FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      ranks(iter, node, rank_micro) AS (
+        SELECT 0, n_nationkey,
+          CAST(CASE WHEN n_nationkey IN (SELECT node FROM seeds)
+            THEN 150000 ELSE 0 END AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT * FROM (
+          SELECT COALESCE(c.iter, MAX(c.iter) OVER ()) + 1 AS iter,
+            n.n_nationkey AS node,
+            CAST(CASE WHEN n.n_nationkey IN (SELECT node FROM seeds)
+              THEN 150000 ELSE 0 END
+              + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT)
+              AS rank_micro
+          FROM nation n LEFT JOIN (
+            SELECT e.dst AS dst, r.iter AS iter,
+              SUM((r.rank_micro * e.w) // o.outw) AS inflow
+            FROM ranks r
+            JOIN outw o ON o.src = r.node
+            JOIN edges e ON e.src = r.node
+            WHERE r.iter < 5
+            GROUP BY 1, 2) c ON c.dst = n.n_nationkey)
+        WHERE iter IS NOT NULL)
+      SELECT node, n_name, rank_micro
+      FROM ranks JOIN nation ON node = n_nationkey
+      WHERE iter = 5
+      ORDER BY rank_micro DESC, node"""))
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and
     * produce bit-identical doubles (verified empirically). */
@@ -2214,6 +2287,57 @@ private[graft] object QueriesRelational {
       SELECT n1, n2, u_stat, mu_u,
         (u_stat - mu_u) / sqrt(sigma2_u) AS z_score
       FROM stat"""))
+
+  /** WEIGHTED median + quartiles — "the median order quantity, where
+    * each row counts by its revenue": the warehouse staple plain
+    * percentile can't answer (a 1-unit order and a 50-unit order are
+    * not the same evidence). Exact and scale-safe by the same
+    * value-histogram trick as [[statsMannWhitney]]: quantity is a
+    * BOUNDED domain (1..50), so one map-side-combined aggregate
+    * yields per-quantity revenue-cent weights, a 50-row cumulative
+    * window finds the crossing points, and the quantile conditions
+    * are CROSS-MULTIPLIED integers (4·cum ≥ k·total — no /2 or /4
+    * fraction ever materializes, so there is no rounding to disagree
+    * on). One row out; everything after the scan is a 50-row plan. */
+  private[graft] val statsWeightedMedian = Q("stats_weighted_median",
+    (s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          expr("cast(round(l_extendedprice * 100) as bigint)")
+            .as("cents"))
+        .groupBy("q").agg(sum(col("cents")).as("w"))
+      val wc = boundedWindow(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("q"), col("w"),
+        sum(col("w")).over(wc).as("cum"))
+      val tot = cum.agg(sum(col("w")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("q"), col("cum"), col("total"))
+        .agg(
+          min(when(col("cum") * 4 >= col("total"), col("q")))
+            .as("wq25"),
+          min(when(col("cum") * 2 >= col("total"), col("q")))
+            .as("wmedian"),
+          min(when(col("cum") * 4 >= col("total") * 3, col("q")))
+            .as("wq75"),
+          max(col("total")).as("total_cents"))
+    },
+    Some("""WITH hist AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS w
+        FROM lineitem GROUP BY 1),
+      cum AS (SELECT q, w,
+          CAST(SUM(w) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum
+        FROM hist),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM cum)
+      SELECT
+        MIN(CASE WHEN cum * 4 >= total THEN q END) AS wq25,
+        MIN(CASE WHEN cum * 2 >= total THEN q END) AS wmedian,
+        MIN(CASE WHEN cum * 4 >= total * 3 THEN q END) AS wq75,
+        MAX(total) AS total_cents
+      FROM cum CROSS JOIN tot"""))
 
   /** Cohen's kappa — inter-annotator agreement, the rater-ops
     * primitive behind preference-data quality ([[pref_bradley_terry]]'s

@@ -43,6 +43,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "stats_theilsen", // pair-slope rank over the day-domain aggregate (calendar-bounded)
     "anomaly_forecast_residual", // residual-rank median over the day-domain fit table
     "stats_mannwhitney", // rank cumsum over the cents value-domain histogram
+    "stats_weighted_median", // weight cumsum over the 50-value quantity domain
     "slo_burn_rate") // trailing-7d window over the day-domain error aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =

@@ -37,6 +37,32 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  private def ppr(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                  seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        nodes.toDF("node"), seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ppr: mass flows only from the seed; unreachable nodes stay at exact 0") {
+    // seed 1 → 2; node 3 unreachable from the seed (3 → 1 edge points
+    // the wrong way). rank(1) holds the teleport floor (no inflow),
+    // rank(2) = 85% of it, rank(3) = 0 exactly.
+    val r = ppr(Seq((1L, 2L, 1L), (3L, 1L, 1L)), Seq(1L, 2L, 3L),
+      Seq(1L), 5)
+    assert(r(1L) == 150000L)
+    assert(r(2L) == 127500L)
+    assert(r(3L) == 0L)
+  }
+
+  test("ppr: two seeds accumulate along the chain") {
+    // seeds 1 and 2, chain 1→2→3. rank(1)=150000;
+    // rank(2)=150000+127500=277500 at the fixed point;
+    // rank(3)=85%·277500 = 235875.
+    val r = ppr(Seq((1L, 2L, 1L), (2L, 3L, 1L)), Seq(1L, 2L, 3L),
+      Seq(1L, 2L), 6)
+    assert(r == Map(1L -> 150000L, 2L -> 277500L, 3L -> 235875L))
+  }
+
   private def hits(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
                    iters: Int): Map[Long, (Long, Long)] =
     Graph.hits(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters)
