@@ -75,6 +75,7 @@ object Queries {
     QueriesText.bpeTrainMerges, QueriesText.bpeTrainGate, QueriesText.bpeEncode,
     QueriesText.featureHashing, QueriesText.bpeFertility,
     QueriesText.mixTemperature, QueriesText.mixTokenBudget,
+    QueriesText.contrastiveNegatives,
     QueriesText.textPmiCollocations, QueriesText.vocabOovRate,
     QueriesText.qualityClassifier, QueriesText.qualityClassifierGate, QueriesDedupSim.dedupNeardupIncremental, QueriesDedupSim.embeddingDrift, QueriesDedupSim.simTopkPq, QueriesDedupSim.simTopkPqGate, QueriesDedupSim.simTopkPqServed, QueriesDedupSim.simTopkPqVersioned, QueriesDedupSim.retrievalPipeline, QueriesDedupSim.retrievalRrf, QueriesDedupSim.simIndexIncremental, QueriesDedupSim.corpusClusterSample, QueriesDedupSim.dedupContainment,
     QueriesText.textBm25, QueriesText.corpusDrift, QueriesText.corpusKsDrift, QueriesText.corpusDsirSelect, QueriesText.textVocabulary,

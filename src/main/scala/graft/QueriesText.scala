@@ -1114,6 +1114,60 @@ private[graft] object QueriesText {
       JOIN r USING (stratum)
       WHERE bucket * 1000 < permille * 4096
       ORDER BY doc_id"""))
+  /** DETERMINISTIC negative sampling for contrastive training — the
+    * embedding-model data op (in-batch negatives' offline twin): per
+    * anchor doc, k=3 negatives drawn by salted hash, with the
+    * same-source / same-lang flags hard-negative mining filters on.
+    * The draw is the integer trick neg = (id + 1 + h mod (n−1)) mod n
+    * over the DENSE id space — never equal to the anchor by
+    * construction (offset ∈ [1, n−1]), no rejection loop, and a pure
+    * function of (salt, k, id): replayable, growth-stable per id,
+    * engine-portable md5 arithmetic (the sample_hash_split
+    * discipline). Corpora without dense ids materialize one
+    * zipWithIndex mapping first — data-sized but one-off. Plan: one
+    * 1-row count broadcast, a k=3 scan-side fan-out, and ONE equi-join
+    * back to the corpus on neg_id to fetch the negative's metadata —
+    * at 100 TB the join is id-keyed and the anchor text never
+    * shuffles. */
+  private[graft] val contrastiveNegatives = Q("contrastive_negatives",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val anchors = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"), col("lang"), col("n"),
+          explode(expr("sequence(1, 3)")).as("neg_rank"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("neg:"), col("neg_rank"),
+            lit(":"), col("doc_id"))), 1, 8), 16, 10).cast("long"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("neg_rank"),
+          pmod(col("doc_id") + 1 + pmod(col("h"), col("n") - 1),
+            col("n")).as("neg_id"))
+      anchors.join(docs
+          .select(col("doc_id").as("neg_id"),
+            col("source").as("neg_source"), col("lang").as("neg_lang")),
+          "neg_id")
+        .select(col("doc_id"), col("neg_rank"), col("neg_id"),
+          (col("source") === col("neg_source")).as("same_source"),
+          (col("lang") === col("neg_lang")).as("same_lang"))
+        .orderBy("doc_id", "neg_rank")
+    },
+    Some("""WITH docs AS (SELECT doc_id, source, lang FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+      anchors AS (
+        SELECT d.doc_id, d.source, d.lang, g.k AS neg_rank,
+          (d.doc_id + 1 + (CAST('0x' || substring(md5('neg:' ||
+            CAST(g.k AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)),
+            1, 8) AS BIGINT) % (n.n - 1))) % n.n AS neg_id
+        FROM docs d CROSS JOIN n
+        CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) g)
+      SELECT a.doc_id, a.neg_rank, a.neg_id,
+        a.source = d2.source AS same_source,
+        a.lang = d2.lang AS same_lang
+      FROM anchors a JOIN docs d2 ON d2.doc_id = a.neg_id
+      ORDER BY a.doc_id, a.neg_rank"""))
+
   /** Token-budget mix planning — the data-mix table every large
     * pretraining run publishes (weights × budget → per-stratum token
     * targets and repeat factors): given a 2M-token budget and
