@@ -126,7 +126,7 @@ object Queries {
     QueriesAnalytics.recoItemItem, QueriesAnalytics.kpiCohortLtv,
     QueriesAnalytics.forecastHolt, QueriesAnalytics.recoUserTopn,
     QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
-    QueriesAnalytics.mlCalibration,
+    QueriesAnalytics.mlCalibration, QueriesAnalytics.mlIsotonicCalibration,
     QueriesAnalytics.featureTargetEncoding,
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,

@@ -1540,6 +1540,71 @@ private[graft] object QueriesAnalytics {
       FROM bins CROSS JOIN tot
       ORDER BY bin"""))
 
+  /** ISOTONIC calibration fit ([[graft.llmops.Isotonic.pava]],
+    * Zadrozny & Elkan 2002) — [[mlCalibration]] measures
+    * miscalibration, this FITS the monotone correction: the
+    * non-decreasing step function closest in L2 to the per-score
+    * positive rates. One aggregate reduces the corpus to score groups
+    * (bounded by the capped token-count domain, ≤ 401 rows at any
+    * corpus size); PAVA runs on the driver over that table with
+    * EXACT cross-multiplied merge decisions, and each fitted value is
+    * one division of pool-integer sums. The oracle needs no
+    * sequential loop: by the minimax characterization
+    * f(i) = max_{j≤i} min_{k≥i} avg(y_j..y_k), a pure-SQL triple join
+    * over the bounded group table lands on the identical doubles
+    * (winning (j,k) = pool boundaries, so the division sees the same
+    * integers). */
+  private[graft] val mlIsotonicCalibration = Q("ml_isotonic_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val groups = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(
+          least(size(split(trim(col("text")), "\\s+")).cast("bigint"),
+            lit(400L)).as("score"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .as[(Long, Long, Long)]
+        .collect() // bounded: one row per distinct capped token count
+        .sortBy(_._1)
+      val fitted = graft.llmops.Isotonic.pava(
+        groups.map(g => (g._2, g._3)).toSeq)
+      groups.toSeq.zip(fitted)
+        .map { case ((score, n, sy), f) =>
+          (score, n, sy, sy.toDouble / n.toDouble, f)
+        }
+        .toDF("score", "n", "n_pos", "raw_rate", "fitted_rate")
+        .orderBy("score")
+    },
+    Some(raw"""WITH scored AS (
+        SELECT LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+            AS BIGINT), 400) AS score,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      groups AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS sy
+        FROM scored GROUP BY 1),
+      cum AS (SELECT score, n, sy,
+          ROW_NUMBER() OVER (ORDER BY score) AS i,
+          SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cn,
+          SUM(sy) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cs
+        FROM groups),
+      pairs AS (
+        SELECT j.i AS j, k.i AS k,
+          CAST(k.cs - (j.cs - j.sy) AS DOUBLE) /
+            CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+        FROM cum j JOIN cum k ON k.i >= j.i),
+      m1 AS (SELECT p.j, c.i, MIN(p.a) AS mn
+        FROM cum c JOIN pairs p ON p.j <= c.i AND p.k >= c.i
+        GROUP BY 1, 2),
+      fit AS (SELECT i, MAX(mn) AS fitted FROM m1 GROUP BY 1)
+      SELECT c.score, c.n, c.sy AS n_pos,
+        CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_rate,
+        f.fitted AS fitted_rate
+      FROM cum c JOIN fit f ON f.i = c.i
+      ORDER BY c.score"""))
+
   /** Smoothed target encoding — the feature-engineering workhorse for
     * high-cardinality categoricals: replace each category with
     * (Σ target + k·global_mean) / (n + k), the empirical-Bayes
