@@ -127,6 +127,7 @@ object Queries {
     QueriesAnalytics.forecastHolt, QueriesAnalytics.recoUserTopn,
     QueriesAnalytics.forecastBacktest, QueriesAnalytics.mlAuc,
     QueriesAnalytics.mlCalibration, QueriesAnalytics.mlIsotonicCalibration,
+    QueriesAnalytics.mlConformalQuantile,
     QueriesAnalytics.featureTargetEncoding,
     QueriesAnalytics.funnelSignificance, QueriesAnalytics.statsTheilsen,
     QueriesAnalytics.forecastHw, QueriesAnalytics.dpReleaseLaplace,

@@ -1605,6 +1605,77 @@ private[graft] object QueriesAnalytics {
       FROM cum c JOIN fit f ON f.i = c.i
       ORDER BY c.score"""))
 
+  /** SPLIT CONFORMAL upper bound (Vovk's distribution-free coverage,
+    * the Angelopoulos & Bates recipe): from a calibration half (even
+    * event ids) take the ⌈(n+1)(1−α)⌉-th smallest purchase value as
+    * the 90% upper prediction bound — the finite-sample correction
+    * (n+1, not n) is what makes coverage ≥ 90% a THEOREM, not an
+    * asymptotic hope — then validate empirical coverage on the
+    * held-out odd half. Everything is exact integers: the order
+    * statistic comes from the bounded cents value histogram (the
+    * [[statsMannWhitney]] trick — no global row sort), the rank
+    * k = ⌈9(n+1)/10⌉ is ceil-division in integer arithmetic, and
+    * coverage is one division of two exact counts. At 100 TB: two
+    * scan-side conditional aggregates and a ≤ 49k-row histogram
+    * cumsum. */
+  private[graft] val mlConformalQuantile = Q("ml_conformal_quantile",
+    (s, dir) => {
+      val p = events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          (col("event_id") % 2 === 0).as("is_cal"))
+      val hist = p.filter(col("is_cal"))
+        .groupBy("cents").agg(count(lit(1)).as("m"))
+      val wc = boundedWindow(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("cents"),
+        sum(col("m")).over(wc).as("cum"))
+      val nCal = cum.agg(max(col("cum")).as("n_cal"))
+      val q = cum.crossJoin(broadcast(nCal))
+        .filter(col("cum") * 10 >= (col("n_cal") + 1) * 9)
+        .agg(min(col("cents")).as("q_cents"), max(col("n_cal"))
+          .as("n_cal"))
+      val test = p.filter(!col("is_cal"))
+      test.crossJoin(broadcast(q))
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(expr("(9 * (n_cal + 1) + 9) div 10")).as("k"),
+          max(col("q_cents")).as("q_cents"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("cents") <= col("q_cents"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("n_cal"), col("k"), col("q_cents"), col("n_test"),
+          col("n_covered"),
+          (col("n_covered").cast("double") /
+            col("n_test").cast("double")).as("coverage"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+          event_id % 2 = 0 AS is_cal
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+      hist AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS m
+        FROM p WHERE is_cal GROUP BY 1),
+      cum AS (SELECT cents,
+          CAST(SUM(m) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum
+        FROM hist),
+      ncal AS (SELECT MAX(cum) AS n_cal FROM cum),
+      q AS (SELECT MIN(cents) AS q_cents, MAX(n_cal) AS n_cal
+        FROM cum CROSS JOIN ncal
+        WHERE cum * 10 >= (n_cal + 1) * 9)
+      SELECT MAX(n_cal) AS n_cal,
+        MAX((9 * (n_cal + 1) + 9) // 10) AS k,
+        MAX(q_cents) AS q_cents,
+        CAST(COUNT(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN cents <= q_cents THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_covered,
+        CAST(SUM(CASE WHEN cents <= q_cents THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+      FROM p CROSS JOIN q
+      WHERE NOT is_cal"""))
+
   /** Smoothed target encoding — the feature-engineering workhorse for
     * high-cardinality categoricals: replace each category with
     * (Σ target + k·global_mean) / (n + k), the empirical-Bayes

@@ -44,6 +44,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "anomaly_forecast_residual", // residual-rank median over the day-domain fit table
     "stats_mannwhitney", // rank cumsum over the cents value-domain histogram
     "stats_weighted_median", // weight cumsum over the 50-value quantity domain
+    "ml_conformal_quantile", // order-stat cumsum over the cents value-domain histogram
     "slo_burn_rate") // trailing-7d window over the day-domain error aggregate
 
   private lazy val frames: Seq[(String, DataFrame)] =
