@@ -113,6 +113,7 @@ object Queries {
     QueriesStreaming.streamAttributionDaily,
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamMvRefresh, QueriesStreaming.streamDedupCorpus,
+    QueriesStreaming.streamManifestCdc,
     QueriesStreaming.streamStateInspect,
     QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
     QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,

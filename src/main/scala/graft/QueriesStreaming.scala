@@ -975,4 +975,56 @@ private[graft] object QueriesStreaming {
         AS avg_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** MANIFEST CHANGE FEED as a streaming source — the engine's own
+    * DataSourceV2 `MicroBatchStream`
+    * ([[graft.sources.v2.ManifestCdcSource]], format
+    * `graft-manifest-cdc`): the manifest version IS the stream
+    * offset, each micro-batch emits the files ADDED at the new
+    * versions with their commit-time footer stats. The fixture
+    * commits the documents corpus as three doc_id-range versions
+    * (coalesce(1) each, statsCol = doc_id), drains the feed with
+    * AvailableNow, and reports per version the file count and the
+    * committed stats range — which the oracle derives INDEPENDENTLY
+    * from the documents table with the same range buckets, so the
+    * connector's offset tracking, add-diffing, and stats plumbing are
+    * all cross-engine-checked, not just spec-asserted
+    * (`ManifestCdcSourceSpec` covers restart/startingVersion/
+    * overwrite semantics the oracle can't see). */
+  private[graft] val streamManifestCdc = Q("stream_manifest_cdc",
+    (s, dir) => {
+      withStreamConf(s) {
+        val root = StreamTemp.dir("graft_stream_cdc")
+        val table = s"$root/t"
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        Seq((0L, 200L), (200L, 400L), (400L, Long.MaxValue))
+          .foreach { case (lo, hi) =>
+            graft.sources.ManifestTable.commitAppend(s, table,
+              docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+                .coalesce(1),
+              statsCol = Some("doc_id"))
+          }
+        val q = s.readStream.format("graft-manifest-cdc")
+          .option("path", table).load()
+          .writeStream.format("memory").queryName("manifest_cdc_feed")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("manifest_cdc_feed")
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n_files"),
+            min(col("stats_min")).as("min_id"),
+            max(col("stats_max")).as("max_id"))
+          .orderBy("version")
+      }
+    },
+    Some("""WITH buckets AS (
+        SELECT CASE WHEN doc_id < 200 THEN 1
+                    WHEN doc_id < 400 THEN 2
+                    ELSE 3 END AS version, doc_id
+        FROM documents)
+      SELECT version, CAST(1 AS BIGINT) AS n_files,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM buckets GROUP BY 1 ORDER BY 1"""))
+
 }

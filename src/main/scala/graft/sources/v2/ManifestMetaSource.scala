@@ -84,6 +84,27 @@ private final case class MetaRow(version: Long, file: String,
 private final case class VersionPartition(rows: Array[MetaRow])
   extends InputPartition
 
+/** Shared reader for [[VersionPartition]]s — the batch scan and the
+  * CDC micro-batch stream emit the same row shape. */
+private object MetaRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[VersionPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        InternalRow(r.version, UTF8String.fromString(r.file),
+          if (r.hasStats) UTF8String.fromString(r.statsCol) else null,
+          if (r.hasStats) r.min else null,
+          if (r.hasStats) r.max else null)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
 private final class ManifestMetaScan(path: String)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -134,22 +155,5 @@ private final class ManifestMetaScan(path: String)
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition)
-      : PartitionReader[InternalRow] = {
-        val rows = p.asInstanceOf[VersionPartition].rows
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val r = rows(i)
-            InternalRow(r.version, UTF8String.fromString(r.file),
-              if (r.hasStats) UTF8String.fromString(r.statsCol) else null,
-              if (r.hasStats) r.min else null,
-              if (r.hasStats) r.max else null)
-          }
-          override def close(): Unit = ()
-        }
-      }
-    }
+    MetaRowReaderFactory
 }
