@@ -167,8 +167,10 @@ object Bench {
     } finally {
       import java.nio.file.{Files => JFiles}
       import scala.jdk.CollectionConverters._
-      JFiles.walk(root).iterator().asScala.toSeq.reverse
+      val walk = JFiles.walk(root) // must-close: leaks a dir handle per repeat
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => JFiles.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

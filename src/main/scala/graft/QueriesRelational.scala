@@ -1137,7 +1137,8 @@ private[graft] object QueriesRelational {
 
   /** k-core decomposition ([[graft.etl.Graph.coreness]]) of the
     * supplier–part bipartite graph: suppliers and parts are nodes
-    * (parts offset by 1e6 to disjoint the key spaces), each distinct
+    * (parity-encoded 2k / 2k+1 to disjoint the key spaces at any
+    * scale — a fixed offset collides once keys outgrow it), each distinct
     * (supplier, part) lineitem pairing an undirected edge; 6 rounds
     * of the distributed h-index iteration — converged at round 3
     * (sf0.01) / round 5 (sf0.1), and the fixed budget makes the run
@@ -1151,18 +1152,20 @@ private[graft] object QueriesRelational {
   private[graft] val graphKcore = Q("graph_kcore",
     (s, dir) => {
       import org.apache.spark.sql.graft.CheckpointBridge
+      // parity encoding disjoints the two key spaces at ANY scale
+      // (suppliers even, parts odd) — a fixed offset collides once
+      // s_suppkey outgrows it, the graph_bfs_depth/graph_sssp lesson
       val edges = t(s, dir, "lineitem").select(
-        col("l_suppkey").cast("long").as("src"),
-        (lit(1000000L) + col("l_partkey")).as("dst"))
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
       val superseded =
         scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       val c = graft.etl.Graph.coreness(edges, iterations = 6,
         onCheckpoint = superseded += _)
       try c.select(
-          when(col("node") >= 1000000L, lit("part"))
+          when(col("node") % 2 === 1, lit("part"))
             .otherwise(lit("supplier")).as("side"),
-          when(col("node") >= 1000000L, col("node") - 1000000L)
-            .otherwise(col("node")).as("id"),
+          expr("node div 2").as("id"), // integer div: exact at any id
           col("c").as("core"))
         .orderBy(col("side"), col("id"))
         .localCheckpoint(true)
@@ -1170,11 +1173,11 @@ private[graft] object QueriesRelational {
     },
     Some("""WITH RECURSIVE
       und AS (SELECT DISTINCT src, dst FROM (
-          SELECT CAST(l_suppkey AS BIGINT) AS src,
-            1000000 + CAST(l_partkey AS BIGINT) AS dst FROM lineitem
+          SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+            CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem
           UNION ALL
-          SELECT 1000000 + CAST(l_partkey AS BIGINT),
-            CAST(l_suppkey AS BIGINT) FROM lineitem) u
+          SELECT CAST(l_partkey AS BIGINT) * 2 + 1,
+            CAST(l_suppkey AS BIGINT) * 2 FROM lineitem) u
         WHERE src <> dst),
       kc(iter, node, c) AS (
         SELECT 0, src, CAST(COUNT(*) AS BIGINT) FROM und GROUP BY 1, 2
@@ -1189,8 +1192,8 @@ private[graft] object QueriesRelational {
           SELECT iter + 1, node, CAST(MAX(LEAST(cv, rn)) AS BIGINT)
           FROM nb GROUP BY 1, 2))
       SELECT
-        CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS side,
-        CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END AS id,
+        CASE WHEN node % 2 = 1 THEN 'part' ELSE 'supplier' END AS side,
+        node // 2 AS id,
         c AS core
       FROM kc WHERE iter = 6
       ORDER BY side, id"""))
@@ -1221,12 +1224,18 @@ private[graft] object QueriesRelational {
           col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "EUROPE")
         .select(col("n_nationkey"))
-      graft.etl.Graph.personalizedPageRank(edges, nodes, seeds,
-          iterations = 5)
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val ranks = graft.etl.Graph.personalizedPageRank(edges, nodes,
+        seeds, iterations = 5, onCheckpoint = superseded += _)
+      try ranks
         .join(t(s, dir, "nation"),
           col("node") === col("n_nationkey"))
         .select(col("node"), col("n_name"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
+        .localCheckpoint(true)
+      finally superseded.foreach(CheckpointBridge.release)
     },
     Some("""WITH RECURSIVE
       edges AS (

@@ -699,13 +699,33 @@ private[graft] object QueriesText {
       FROM documents),
       c1 AS (SELECT doc_id, raw_url,
         regexp_replace(raw_url, '#.*$$', '') AS nf FROM raw),
-      c2 AS (SELECT doc_id, raw_url,
-        regexp_replace(regexp_replace(
-          replace(split_part(nf, '?', 1), ':443/', '/'),
-          ':443$$', ''), '/$$', '') AS base,
-        CASE WHEN strpos(nf, '?') > 0 THEN split_part(nf, '?', 2)
+      c1b AS (SELECT doc_id, raw_url,
+        split_part(nf, '?', 1) AS base0,
+        -- query = everything after the FIRST '?' ('?' is legal inside
+        -- a query string)
+        CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1)
           ELSE '' END AS q
         FROM c1),
+      c1c AS (SELECT doc_id, raw_url, base0, q,
+        substr(base0, 9) AS after_scheme FROM c1b),
+      c1d AS (SELECT doc_id, raw_url, base0, q,
+        CASE WHEN strpos(after_scheme, '/') > 0
+          THEN substr(after_scheme, 1, strpos(after_scheme, '/') - 1)
+          ELSE after_scheme END AS auth,
+        CASE WHEN strpos(after_scheme, '/') > 0
+          THEN substr(after_scheme, strpos(after_scheme, '/'))
+          ELSE '' END AS pth
+        FROM c1c),
+      c2 AS (SELECT doc_id, raw_url,
+        -- :443 strips only as https' default port, only in the
+        -- authority (http://h:443 and path ':443/' segments are kept)
+        regexp_replace(
+          CASE WHEN starts_with(base0, 'https://')
+            THEN 'https://' || regexp_replace(auth, ':443$$', '') || pth
+            ELSE base0 END,
+          '/$$', '') AS base,
+        q
+        FROM c1d),
       c3 AS (SELECT doc_id, raw_url, base,
         -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
         -- array_join gives ''): coalesce or the no-param rows vanish
@@ -1036,7 +1056,10 @@ private[graft] object QueriesText {
             (acc, f) -> acc + abs(cast(f as double) - 0.125))""") / 1.75)
             .as("aes"))
         .join(t(s, dir, "documents")
-            .select(col("doc_id").as("blob_id"), col("source")),
+            .select(col("doc_id").as("blob_id"), col("source"))
+            // same id-dedup guard as the blob side: a replicated-id
+            // rehearsal layout must not fan the metadata join out
+            .dropDuplicates("blob_id"),
           "blob_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_images"),
@@ -1196,10 +1219,13 @@ private[graft] object QueriesText {
         .select(col("stratum"), col("n_docs"), col("tokens"),
           col("permille").cast("long").as("permille"),
           expr(s"$budget * permille div 1000").as("target_tokens"),
-          expr(s"($budget * permille div 1000) * 1000 div tokens")
-            .as("epochs_milli"),
-          (expr(s"($budget * permille div 1000) * 1000 div tokens") >
-            1000L).as("oversampled"))
+          // greatest(.,1): an all-blank stratum (0 tokens) must yield
+          // a defined (huge) repeat factor, not a div-by-zero that the
+          // two engines disagree on (Spark NULL vs DuckDB error)
+          expr(s"($budget * permille div 1000) * 1000" +
+            " div greatest(tokens, 1L)").as("epochs_milli"),
+          (expr(s"($budget * permille div 1000) * 1000" +
+            " div greatest(tokens, 1L)") > 1000L).as("oversampled"))
         .orderBy("stratum")
     },
     Some(raw"""WITH w(stratum, permille) AS (
@@ -1217,8 +1243,9 @@ private[graft] object QueriesText {
       SELECT stratum, n_docs, tokens,
         CAST(permille AS BIGINT) AS permille,
         2000000 * permille // 1000 AS target_tokens,
-        (2000000 * permille // 1000) * 1000 // tokens AS epochs_milli,
-        (2000000 * permille // 1000) * 1000 // tokens > 1000
+        (2000000 * permille // 1000) * 1000 // GREATEST(tokens, 1)
+          AS epochs_milli,
+        (2000000 * permille // 1000) * 1000 // GREATEST(tokens, 1) > 1000
           AS oversampled
       FROM agg JOIN w USING (stratum)
       ORDER BY stratum"""))

@@ -87,15 +87,20 @@ object Graph {
     * into the node vector once (one broadcast-able join), then each
     * round is one edge equi-join + map-side-combined groupBy.
     *
-    * @param seeds single-column frame of seed node ids */
+    * @param seeds single-column frame of seed node ids
+    * @param onCheckpoint called with every intermediate checkpoint
+    *              INCLUDING the returned frame — release after the
+    *              materializing action (the [[hits]] contract) */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
-                           seeds: DataFrame, iterations: Int = 5)
+                           seeds: DataFrame, iterations: Int = 5,
+                           onCheckpoint: DataFrame => Unit = _ => ())
   : DataFrame = {
     val nodeCol = nodes.columns.head
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .localCheckpoint(eager = false)
+    onCheckpoint(e)
     val seedSet = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("is_seed", lit(1L))
     val nodesSeeded = nodes.select(col(nodeCol).as("node"))
@@ -103,6 +108,7 @@ object Graph {
       .select(col("node"), coalesce(col("is_seed"), lit(0L))
         .as("is_seed"))
       .localCheckpoint(eager = false)
+    onCheckpoint(nodesSeeded)
     var ranks = nodesSeeded.select(col("node"),
       (col("is_seed") * lit(150000L)).as("rank_micro"))
     for (_ <- 1 to iterations) {
@@ -119,6 +125,7 @@ object Graph {
             expr("85 * coalesce(inflow, 0L) div 100").cast("long"))
             .as("rank_micro"))
         .localCheckpoint(eager = false)
+      onCheckpoint(ranks)
     }
     ranks
   }

@@ -66,6 +66,9 @@ object Preference {
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
     val entities: Seq[String] =
       pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted.toSeq
+    if (entities.isEmpty) // no decided comparisons: empty fit, not a crash
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("entity", "wins", "matches", "skill_micro")
     val opponents: Map[String, Seq[String]] = nPair.keys.toSeq
       .groupBy(_._1).map { case (a, ks) => a -> ks.map(_._2).sorted }
     var pi: Map[String, Long] = entities.map(_ -> 1000000L).toMap

@@ -387,7 +387,7 @@ object Similarity {
     var cents: DataFrame =
       if (iterations >= 1) init0.localCheckpoint(true) else init0
     val init = cents
-    for (_ <- 1 to iterations) {
+    try for (_ <- 1 to iterations) {
       // NOT carrySubv: timing is indistinguishable at this scale (both
       // within the ±1 s scheduler noise of this many-small-stage
       // query), and min over a struct with an array member copies the
@@ -414,8 +414,10 @@ object Similarity {
       }.toDF("s", "code_id", "centroid")
     }
     // the init checkpoint is superseded by the driver-local model the
-    // moment one Lloyd round ran; with iterations = 0 it IS the model
-    if (iterations >= 1)
+    // moment one Lloyd round ran; with iterations = 0 it IS the model.
+    // finally: a failed round (executor loss, cancelled job group)
+    // must not leak the checkpoint for the session lifetime.
+    finally if (iterations >= 1)
       org.apache.spark.sql.graft.CheckpointBridge.release(init)
     cents
   }

@@ -193,14 +193,28 @@ object TextAnalysis {
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base0  = substring_index(noFrag, "?", 1)
+    // the query is everything after the FIRST '?': '?' is legal inside
+    // a query string (?redirect=/x?y=1), so a last-'?' split would
+    // silently drop interior params
     val query  = when(instr(noFrag, "?") > 0,
-      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+      noFrag.substr(instr(noFrag, "?") + 1, length(noFrag)))
+      .otherwise(lit(""))
     val kept = filter(split(query, "&"),
       p => !p.rlike(TrackingParamPattern) && p =!= "")
     val sortedQ = array_join(array_sort(kept), "&")
-    val base = regexp_replace(
-      regexp_replace(replace(base0, lit(":443/"), lit("/")), ":443$", ""),
-      "/$", "")
+    // :443 is only a DEFAULT (strippable) port for https, and only in
+    // the authority — http://h:443 is a genuinely different endpoint
+    // and a path segment ':443/' is content, so both are preserved
+    val after = base0.substr(lit(9), length(base0)) // past "https://"
+    val slash = instr(after, "/")
+    val auth  = when(slash > 0, after.substr(lit(1), slash - 1))
+      .otherwise(after)
+    val path  = when(slash > 0, after.substr(slash, length(after)))
+      .otherwise(lit(""))
+    val base1 = when(base0.startsWith("https://"),
+      concat(lit("https://"), regexp_replace(auth, ":443$", ""), path))
+      .otherwise(base0)
+    val base = regexp_replace(base1, "/$", "")
     lower(concat(base,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
   }

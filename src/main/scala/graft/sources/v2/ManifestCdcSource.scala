@@ -97,11 +97,11 @@ private final class ManifestCdcStream(path: String, startingVersion: Long)
   override def initialOffset(): Offset = VersionOffset(startingVersion)
 
   override def latestOffset(): Offset = {
-    // latestVersion throws before the first commit; an empty table is
-    // simply "nothing past the start" so the stream idles, not dies.
-    val head =
-      try ManifestTable.latestVersion(SparkSession.active, path)
-      catch { case _: Exception => startingVersion }
+    // latestVersion returns 0 for a not-yet-committed table, so an
+    // empty table idles naturally; real IO failures (permissions,
+    // corrupt listing) PROPAGATE — swallowing them would freeze the
+    // feed silently, the worst failure mode a source can have.
+    val head = ManifestTable.latestVersion(SparkSession.active, path)
     VersionOffset(math.max(head, startingVersion))
   }
 

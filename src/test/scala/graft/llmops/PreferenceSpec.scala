@@ -45,6 +45,10 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r("b") == ((0L, 1L, 1000000L)))
   }
 
+  test("no decided comparisons yields an empty fit, not a crash") {
+    assert(fit(Nil).isEmpty)
+  }
+
   test("transitive dominance orders strengths monotonically") {
     // a > b > c by wins; fitted skills must order the same way.
     val r = fit(Seq(

@@ -125,6 +125,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     // fbclid/gclid click ids are tracking too
     assert(canon("https://h.io/p?fbclid=abc&gclid=def&a=1")
       == "https://h.io/p?a=1")
+    // '?' is legal INSIDE a query string: the query is everything
+    // after the FIRST '?', so interior params survive intact
+    assert(canon("https://h.io/p?redirect=/x?y=1")
+      == "https://h.io/p?redirect=/x?y=1")
+    // :443 is NOT http's default port — a different endpoint, kept
+    assert(canon("http://h.io:443/x") == "http://h.io:443/x")
+    // ':443/' inside a PATH segment is content, not a port
+    assert(canon("https://h.io/a:443/b") == "https://h.io/a:443/b")
   }
 
   test("rollingFingerprint: deterministic, order-sensitive, 32-bit") {
