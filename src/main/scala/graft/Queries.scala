@@ -54,7 +54,7 @@ object Queries {
     QueriesDedupSim.decontaminateSemantic,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
-    QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
+    QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simRangeSearch, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,
     QueriesDedupSim.simTopkLshHi, QueriesDedupSim.simTopkLshHiGate,
     QueriesDedupSim.simTopkIvfPq, QueriesDedupSim.simTopkIvfPqGate,
@@ -91,7 +91,7 @@ object Queries {
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
-    QueriesRelational.graphPpr, QueriesRelational.statsWeightedMedian,
+    QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,
     QueriesRelational.eventTransitions, QueriesRelational.eventCooccurrence,

@@ -786,6 +786,48 @@ private[graft] object QueriesDedupSim {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** RANGE (radius) search — all neighbors with cosine ≥ τ, the
+    * retrieval mode top-k can't express (near-dup candidate pulls and
+    * dedup admission want EVERY match above a similarity bar, however
+    * many or few: one probe here legitimately matches 14, another 6).
+    * τ = 0.25 sits in this corpus's discriminative band (max true sim
+    * ≈ 0.40). Exact scan baseline: broadcast probes × corpus scan,
+    * threshold applied BEFORE any exchange — the only shuffle is the
+    * contract orderBy on matched rows. The integer-quantized cosine
+    * makes the τ comparison bit-identical cross-engine (a float
+    * pipeline would flip rows at the boundary); the LSH band machinery
+    * (`sim_topk_lsh`/`dedup_embedding_lsh`) is the documented scale
+    * path when the corpus outgrows full scans — this row pins the
+    * exact semantics those candidates must reproduce. */
+  private[graft] val simRangeSearch = Q("sim_range_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", qcos(col("qq"), col("q")))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5)
+      SELECT query_id, e.vec_id AS neighbor_id,
+        list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) *
+           sqrt(list_dot_product(e.q, e.q))) AS cos_sim
+      FROM qs, e
+      WHERE e.vec_id != query_id
+        AND list_dot_product(qq, e.q) /
+          (sqrt(list_dot_product(qq, qq)) *
+           sqrt(list_dot_product(e.q, e.q))) >= 0.25
+      ORDER BY query_id, neighbor_id"""))
+
   /** Map-side partial top-k via a typed Aggregator — identical output
     * to sim_topk_bruteforce (same oracle), but the shuffle moves at
     * most k rows per (query, partition) instead of every scored row:

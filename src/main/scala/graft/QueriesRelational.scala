@@ -1198,6 +1198,73 @@ private[graft] object QueriesRelational {
       FROM kc WHERE iter = 6
       ORDER BY side, id"""))
 
+  /** Degree ASSORTATIVITY (Newman 2002) of the supplier–part graph —
+    * do high-degree nodes attach to high-degree nodes? (Bipartite
+    * procurement graphs are typically DISassortative: prolific
+    * suppliers serve long-tail parts.) Pearson correlation of endpoint
+    * degrees over the symmetrized edge list: degrees come from one
+    * count aggregate, two id-keyed joins attach them to each edge
+    * end, and ONE aggregate reduces everything to six exact BIGINT
+    * moments (n, Σx, Σy, Σxy, Σx², Σy² — products ≤ deg², sums safe to
+    * ~10⁹ edges before the hi/lo split [[statsExact]] uses applies).
+    * The r formula casts each moment to double BEFORE any
+    * cross-moment multiply — identical IEEE trees in both engines, no
+    * BIGINT n·Σxy overflow at any scale. */
+  private[graft] val graphAssortativity = Q("graph_assortativity",
+    (s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      val und = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = und.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val m = und
+        .join(deg.select(col("node").as("src"), col("d").as("dx")),
+          "src")
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")),
+          "dst")
+        .agg(count(lit(1)).as("n"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+      def d(c: Column) = c.cast("double")
+      m.select(col("n").as("n_edges"),
+        (d(col("sx")) / d(col("n"))).as("mean_deg"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("assortativity"))
+    },
+    Some("""WITH fwd AS (
+        SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+          CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem),
+      und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd)),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY 1),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dx.d) AS BIGINT) AS sx,
+          CAST(SUM(dy.d) AS BIGINT) AS sy,
+          CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+          CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx,
+          CAST(SUM(dy.d * dy.d) AS BIGINT) AS syy
+        FROM und u
+        JOIN deg dx ON dx.node = u.src
+        JOIN deg dy ON dy.node = u.dst)
+      SELECT n AS n_edges,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_deg,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+      FROM m"""))
+
   /** Personalized PageRank ([[graft.etl.Graph.personalizedPageRank]])
     * over the nation trade graph, teleporting only to EUROPE's
     * nations — "rank every trading partner from Europe's point of
