@@ -803,7 +803,11 @@ private[graft] object QueriesDedupSim {
     (s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      val qs = e.filter(col("vec_id") < 5)
+      // probe-side id dedup: the query batch is FIXED as the corpus
+      // grows (the retrieval_rrf lesson — a file-replicating rehearsal
+      // layout that also duplicates probe ids would square the scored
+      // pair space, a quadratic artifact no production range search has)
+      val qs = e.filter(col("vec_id") < 5).dropDuplicates("vec_id")
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
       e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("query_id"))
