@@ -69,20 +69,31 @@ object Bench {
     val results = Queries.all
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
-      val times = (1 to repeats).map { _ =>
+      // A thrown attempt contributes NO wall-clock: folding a partial
+      // run's time into min/max would let a failure masquerade as a
+      // speedup (min) or noise (max). It is counted on the row's
+      // `errs` field instead — the artifact schema makes failure
+      // visible, never averaged (round-11 verdict item 1).
+      val attempts = (1 to repeats).map { _ =>
         // settle: drain garbage from the PREVIOUS query/attempt so its
         // collection cost cannot land inside this timing window
         System.gc()
         Thread.sleep(100)
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite")
-          .save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite")
+              .save()
+            true
+          } catch { case e: Throwable =>
+            // full toString (class + message): a bare getMessage hid
+            // the exception CLASS and cost a root-cause session
+            System.err.println(s"[bench] ${q.name} attempt failed: $e")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      (q.name, times.min, times.max)
+      BenchFormat.Row(q.name, attempts.flatten, attempts.count(_.isEmpty))
     }
     // pipeline_e2e: entry point A (ingest → silver → gold) over a
     // canned deterministic fetcher and a throwaway temp root — a
@@ -92,18 +103,20 @@ object Bench {
     // artifact like any query regression would.
     val pipelineRow =
       if (only.forall(_.contains("pipeline_e2e"))) {
-        val times = (1 to repeats).map { _ =>
+        val attempts = (1 to repeats).map { _ =>
           System.gc()
           Thread.sleep(100)
           val t0 = System.nanoTime()
-          try runPipelineE2e(spark)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] pipeline_e2e failed: " +
-              e.getMessage)
-          }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { runPipelineE2e(spark); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] pipeline_e2e attempt failed: $e")
+              false
+            }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
-        Seq(("pipeline_e2e", times.min, times.max))
+        Seq(BenchFormat.Row("pipeline_e2e", attempts.flatten,
+          attempts.count(_.isEmpty)))
       } else Nil
     val allResults = results ++ pipelineRow
     // fullLine FIRST: the headline checksums the exact bytes the full

@@ -5,15 +5,33 @@ package graft
   * headline must stay parseable inside a bounded (2000-char) log
   * tail at full-registry size, and both lines must be
   * locale-independent JSON (a comma-decimal default locale must not
-  * produce `0,123`). Input everywhere: (query, min, max) of the
-  * per-attempt seconds.
+  * produce `0,123`). Input everywhere: a [[BenchFormat.Row]] per
+  * query — the per-attempt seconds of the SUCCESSFUL attempts plus a
+  * failed-attempt count.
   *
   * Why min AND max: min is the comparable number (the GC/scheduler-
   * undisturbed attempt — see BASELINE.md's adjudication protocol);
   * max bounds the ambient swing, so a plan regression (min moved) is
   * distinguishable from scheduler noise (min stable, max wide)
-  * straight from the artifact. */
+  * straight from the artifact.
+  *
+  * Why err is part of the SCHEMA: a thrown attempt used to fold its
+  * wall-clock into min/max silently, so a row could carry the timing
+  * of a run that did less than the full query (the round-11 audit
+  * flagged `pipeline_e2e` as weak on exactly this possibility). Now a
+  * thrown attempt contributes NO time; its count lands in an `errs`
+  * map in both artifacts, and a query whose every attempt failed is
+  * excluded from `queries`/`spread`/total entirely — a poisoned row
+  * is visible, never averaged away. */
 private[graft] object BenchFormat {
+
+  /** One query's bench outcome: `times` are seconds of the attempts
+    * that completed; `errs` counts the attempts that threw. */
+  final case class Row(name: String, times: Seq[Double], errs: Int) {
+    def ok: Boolean = times.nonEmpty
+    def min: Double = times.min
+    def max: Double = times.max
+  }
 
   /** 3-decimal ROOT-locale seconds: millisecond resolution is all the
     * artifact needs, and short numbers keep the headline small. */
@@ -30,13 +48,19 @@ private[graft] object BenchFormat {
       case c => c.toString
     } + "\""
 
-  def minMap(rs: Seq[(String, Double, Double)]): String =
-    rs.map { case (k, mn, _) => jstr(k) + ":" + d3(mn) }
+  def minMap(rs: Seq[Row]): String =
+    rs.map(r => jstr(r.name) + ":" + d3(r.min))
       .mkString("{", ",", "}")
 
-  def spreadMap(rs: Seq[(String, Double, Double)]): String =
-    rs.map { case (k, mn, mx) =>
-      jstr(k) + ":[" + d3(mn) + "," + d3(mx) + "]" }
+  def spreadMap(rs: Seq[Row]): String =
+    rs.map(r => jstr(r.name) + ":[" + d3(r.min) + "," + d3(r.max) + "]")
+      .mkString("{", ",", "}")
+
+  /** Failed-attempt counts, only for rows that had any — empty `{}`
+    * on a clean run, so the artifact says "zero errors" explicitly. */
+  def errMap(rs: Seq[Row]): String =
+    rs.filter(_.errs > 0)
+      .map(r => jstr(r.name) + ":" + r.errs)
       .mkString("{", ",", "}")
 
   /** SHA-256 of the EXACT BYTES written to BENCH_full.json (UTF-8,
@@ -53,28 +77,42 @@ private[graft] object BenchFormat {
   /** ONE compact JSON line that FITS a bounded 2000-char log tail even
     * on full-registry runs (a full per-query dict is ~8 KB and gets
     * truncated into unparseable half-JSON). Carries total + the
-    * slowest 25 mins + the slowest 12 spreads — what a
-    * round-over-round read actually uses; the full maps live in
+    * slowest 25 mins + the slowest 12 spreads + the err summary —
+    * what a round-over-round read actually uses; the full maps live in
     * BENCH_full.json, checksummed here via `full_sha256`. The 25/12
     * budget holds 2000 chars even with every name at the registry's
-    * worst-case length (BenchFormatSpec pins it). */
-  def headline(sfDir: String, results: Seq[(String, Double, Double)],
+    * worst-case length (BenchFormatSpec pins it).
+    *
+    * `err_attempts` is the TOTAL failed-attempt count across all rows
+    * (0 on a clean run); per-row counts live in the full artifact's
+    * `errs` map. A row with zero successful attempts is excluded from
+    * `queries`/`spread`/`value` and counted in `failed_queries`. */
+  def headline(sfDir: String, results: Seq[Row],
                fullSha256: String): String = {
-    val bySlow = results.sortBy(-_._2)
+    val good = results.filter(_.ok)
+    val bySlow = good.sortBy(-_.min)
     s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${results.size},"value":${d3(results.map(_._2).sum)},""" +
+      s""""n_queries":${good.size},"value":${d3(good.map(_.min).sum)},""" +
       s""""queries":${minMap(bySlow.take(25))},""" +
       s""""spread":${spreadMap(bySlow.take(12))},""" +
-      s""""queries_omitted":${math.max(0, results.size - 25)},""" +
+      s""""queries_omitted":${math.max(0, good.size - 25)},""" +
+      s""""err_attempts":${results.map(_.errs).sum},""" +
+      s""""failed_queries":${results.count(!_.ok)},""" +
       s""""full":"BENCH_full.json","full_sha256":"$fullSha256"}"""
   }
 
-  /** The complete artifact line: every query's min plus every query's
-    * [min, max] spread. */
-  def fullLine(sfDir: String, results: Seq[(String, Double, Double)])
-  : String =
+  /** The complete artifact line: every completed query's min plus its
+    * [min, max] spread, plus per-row failed-attempt counts (`errs`)
+    * and the names of rows with no completed attempt at all
+    * (`failed_queries` — their timing is poison, not data). */
+  def fullLine(sfDir: String, results: Seq[Row]): String = {
+    val good = results.filter(_.ok)
     s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${results.size},"value":${d3(results.map(_._2).sum)},""" +
-      s""""queries":${minMap(results)},""" +
-      s""""spread":${spreadMap(results)}}"""
+      s""""n_queries":${good.size},"value":${d3(good.map(_.min).sum)},""" +
+      s""""queries":${minMap(good)},""" +
+      s""""spread":${spreadMap(good)},""" +
+      s""""errs":${errMap(results)},""" +
+      s""""failed_queries":${results.filter(!_.ok).map(r => jstr(r.name))
+        .mkString("[", ",", "]")}}"""
+  }
 }

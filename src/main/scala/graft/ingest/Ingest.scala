@@ -89,7 +89,17 @@ object Ingest {
   // --- Incremental watermark (nb02:190-213) ---------------------------
 
   /** Read the last successful run timestamp; absent/malformed → default
-    * lookback (reference default 7 days). Returns ISO-8601 string. */
+    * lookback (reference default 7 days). Returns ISO-8601 string.
+    *
+    * The absent case is checked with a driver-side `fs.exists` BEFORE
+    * the Spark read: every first run of a pipeline hits it, and letting
+    * `spark.read.json` throw PATH_NOT_FOUND for an EXPECTED state made
+    * two loggers dump full driver stacks into stderr per run
+    * (FileStreamSink's metadata probe at WARN, and the analysis
+    * exception re-thrown inside ExecutionListenerBus listeners that
+    * touch the failed execution) — noise that buried real errors in
+    * bench/ops tails and was misread as a failed pipeline attempt in
+    * the round-11 artifact audit. */
   def readWatermark(spark: SparkSession, metaPath: String,
                     lookbackDays: Int = 7,
                     now: java.time.Instant = java.time.Instant.now())
@@ -97,10 +107,15 @@ object Ingest {
     val default = now.minus(java.time.Duration.ofDays(lookbackDays))
       .toString
     try {
-      val rows = spark.read.schema(Schemas.lastRun).json(metaPath)
-        .select("timestamp").collect()
-      rows.headOption.flatMap(r => Option(r.getString(0)))
-        .getOrElse(default)
+      val p = new org.apache.hadoop.fs.Path(metaPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) default
+      else {
+        val rows = spark.read.schema(Schemas.lastRun).json(metaPath)
+          .select("timestamp").collect()
+        rows.headOption.flatMap(r => Option(r.getString(0)))
+          .getOrElse(default)
+      }
     } catch { case _: Exception => default }
   }
 

@@ -23,11 +23,26 @@ object Sources {
     * reference's implicit union. */
   def readBronzeJson(spark: SparkSession, glob: String,
                      schema: StructType, multiline: Boolean = true)
-  : DataFrame =
-    spark.read
-      .schema(schema)
-      .option("multiLine", multiline)
-      .json(glob)
+  : DataFrame = {
+    // Expand the glob driver-side and hand Spark the CONCRETE matched
+    // dirs. Functionally identical (Spark expands the same glob against
+    // the same FileSystem internally), but it stops
+    // `FileStreamSink.hasMetadata`'s single-path probe from calling
+    // getFileStatus on the literal glob string — which does not exist
+    // as a file and made every bronze read log a benign WARN carrying
+    // a FULL driver stack trace to stderr (the round-11 bench tail's
+    // "escaped exception" was exactly this log line). One extra
+    // globStatus RPC per read, driver-side, independent of data size.
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .map(_.getPath.toString).sorted
+    val reader = spark.read.schema(schema).option("multiLine", multiline)
+    // no match → keep Spark's own PATH_NOT_FOUND failure (an empty
+    // bronze layer is an error, as in the reference; nb03 would fail
+    // its read too)
+    if (matched.isEmpty) reader.json(glob) else reader.json(matched: _*)
+  }
 
   /** Diagnostic mode: schema inference like the reference. Never on the
     * hot path. */
