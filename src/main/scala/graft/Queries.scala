@@ -91,6 +91,7 @@ object Queries {
     QueriesRelational.dailySpine, QueriesRelational.corrScalarSubquery, QueriesRelational.lateralTopn,
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
+    QueriesRelational.graphEdgesArtifact, QueriesRelational.graphKcoreServe, QueriesRelational.graphKcoreGate,
     QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,

@@ -1198,6 +1198,159 @@ private[graft] object QueriesRelational {
       FROM kc WHERE iter = 6
       ORDER BY side, id"""))
 
+  /** The GRAPH EDGE ARTIFACT build/serve flow — the graph family's
+    * instance of the PQ-index versioned build/serve split
+    * ([[graft.etl.Graph.commitEdges]]). Motivation is SCALE.md's 100×
+    * rehearsals: every undirected kernel's dominating cost is the
+    * SAME fact→edge-list distinct-collapse (hits 35.96 s, ppr
+    * 16.87 s at 100× — almost entirely edge aggregation), so a 100 TB
+    * engine commits the collapsed graph once per corpus version and
+    * serves every kernel from the pinned snapshot. The row exercises
+    * the full protocol: build v1 (range-clustered by src, footer
+    * stats in the manifest), land a REBUILD over a different corpus
+    * cut as v2, then read PINNED v1 and reduce it to exact degree
+    * statistics — which hash-match DuckDB recomputing them from the
+    * fact directly. A swap that disturbed pinned readers, a collapse
+    * that kept a self-loop or a parallel edge, or a clustered rewrite
+    * that dropped rows would all move the numbers. */
+  private[graft] val graphEdgesArtifact = Q("graph_edges_artifact",
+    (s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      val tbl =
+        s"${QueriesStreaming.StreamTemp.dir("graft_edges_mt")}/edges"
+      val v1 = graft.etl.Graph.commitEdges(s, tbl, fwd)
+      // rebuild-then-swap: a different corpus cut lands as head+1;
+      // the pinned v1 read below must not move (the
+      // sim_topk_pq_versioned contract, applied to the graph)
+      val v2 = graft.etl.Graph.commitEdges(s, tbl,
+        fwd.filter(col("src") % 4 === 0))
+      require(v2 == v1 + 1, s"edge rebuild did not advance: $v1 -> $v2")
+      val deg = graft.etl.Graph.edgesFromManifest(s, tbl, Some(v1))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+        sum("d").as("n_directed_edges"),
+        max("d").as("max_degree"), min("d").as("min_degree"))
+    },
+    Some("""WITH fwd AS (
+        SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+          CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem),
+      und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd) u
+        WHERE src <> dst),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(d) AS BIGINT) AS n_directed_edges,
+        CAST(MAX(d) AS BIGINT) AS max_degree,
+        CAST(MIN(d) AS BIGINT) AS min_degree
+      FROM deg"""))
+
+  /** k-core SERVED from the committed edge artifact: build+commit the
+    * symmetrized graph ([[graphEdgesArtifact]]'s flow), then run the
+    * h-index kernel over the PINNED snapshot via
+    * [[graft.etl.Graph.corenessOfUndirected]] — no distinct-collapse
+    * in the kernel's plan at all; every round joins a node-sized
+    * score vector against the artifact's src-clustered files. Same
+    * frozen oracle as `graph_kcore`: served coreness must be
+    * bit-identical to built coreness, which is exactly the guarantee
+    * that lets a 100 TB deployment amortize ONE edge build across the
+    * whole kernel family without re-verifying each one. */
+  private[graft] val graphKcoreServe = Q("graph_kcore_serve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      val tbl =
+        s"${QueriesStreaming.StreamTemp.dir("graft_kcore_mt")}/edges"
+      val v1 = graft.etl.Graph.commitEdges(s, tbl, edges)
+      val und = graft.etl.Graph.edgesFromManifest(s, tbl, Some(v1))
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val c = graft.etl.Graph.corenessOfUndirected(und, iterations = 6,
+        onCheckpoint = superseded += _)
+      try c.select(
+          when(col("node") % 2 === 1, lit("part"))
+            .otherwise(lit("supplier")).as("side"),
+          expr("node div 2").as("id"),
+          col("c").as("core"))
+        .orderBy(col("side"), col("id"))
+        .localCheckpoint(true)
+      finally superseded.foreach(CheckpointBridge.release)
+    },
+    graphKcore.oracle)
+
+  /** The k-core CONVERGENCE CERTIFICATE — upgrades `graph_kcore` from
+    * budget-matched to certified-exact. The fixed 6-round contract
+    * hash-matches an oracle replaying the SAME budget, so an
+    * unconverged run would still be "green" on both engines; this
+    * gate replays ONE extra h-index round over the final scores and
+    * counts changed nodes. The sequence is monotone non-increasing
+    * with fixed point = exact coreness (Montresor et al. 2011), so
+    * `c_7 == c_6` CERTIFIES the budget sufficed — and the row
+    * hard-fails (require) if any node is still contracting, turning
+    * data drift that outgrows the budget into a red row instead of a
+    * silently-approximate green one. The oracle recomputes the same
+    * certificate cross-engine: DuckDB replays 7 rounds and counts the
+    * iter-6 → iter-7 diff. */
+  private[graft] val graphKcoreGate = Q("graph_kcore_gate",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val und = graft.etl.Graph.symmetrize(edges)
+        .localCheckpoint(eager = false)
+      superseded += und
+      val c6 = graft.etl.Graph.corenessOfUndirected(und, iterations = 6,
+        onCheckpoint = superseded += _)
+      val changed =
+        try graft.etl.Graph.hIndexRound(und, c6)
+          .withColumnRenamed("c", "c7")
+          .join(c6.withColumnRenamed("c", "c6"), "node")
+          .filter(col("c6") =!= col("c7")).count()
+        finally superseded.foreach(CheckpointBridge.release)
+      require(changed == 0,
+        s"kcore budget 6 NOT converged: $changed nodes still " +
+          "contracting — raise the iteration budget")
+      import s.implicits._
+      Seq((6L, changed, changed == 0L))
+        .toDF("budget_rounds", "changed_nodes", "certified")
+    },
+    Some("""WITH RECURSIVE
+      und AS (SELECT DISTINCT src, dst FROM (
+          SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+            CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem
+          UNION ALL
+          SELECT CAST(l_partkey AS BIGINT) * 2 + 1,
+            CAST(l_suppkey AS BIGINT) * 2 FROM lineitem) u
+        WHERE src <> dst),
+      kc(iter, node, c) AS (
+        SELECT 0, src, CAST(COUNT(*) AS BIGINT) FROM und GROUP BY 1, 2
+        UNION ALL
+        SELECT * FROM (
+          WITH prev AS (SELECT * FROM kc WHERE iter < 7),
+          nb AS (
+            SELECT u.src AS node, p.iter, p.c AS cv,
+              ROW_NUMBER() OVER (PARTITION BY u.src, p.iter
+                ORDER BY p.c DESC) AS rn
+            FROM und u JOIN prev p ON p.node = u.dst)
+          SELECT iter + 1, node, CAST(MAX(LEAST(cv, rn)) AS BIGINT)
+          FROM nb GROUP BY 1, 2)),
+      diff AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS changed
+        FROM kc a JOIN kc b ON a.node = b.node
+        WHERE a.iter = 6 AND b.iter = 7 AND a.c <> b.c)
+      SELECT CAST(6 AS BIGINT) AS budget_rounds,
+        changed AS changed_nodes,
+        changed = 0 AS certified
+      FROM diff"""))
+
   /** Degree ASSORTATIVITY (Newman 2002) of the supplier–part graph —
     * do high-degree nodes attach to high-degree nodes? (Bipartite
     * procurement graphs are typically DISassortative: prolific

@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The graph family's build/serve split ([[Graph.commitEdges]] /
+  * [[Graph.edgesFromManifest]]) and the k-core convergence certificate
+  * ([[Graph.hIndexRound]] fixed-point check) — the spec twins of the
+  * oracled `graph_edges_artifact` / `graph_kcore_serve` /
+  * `graph_kcore_gate` registry rows. */
+class GraphArtifactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tempTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString +
+      "/edges"
+
+  test("symmetrize: both directions, self-loops out, parallel collapsed") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val und = Graph.symmetrize(edges).as[(Long, Long)].collect().toSet
+    assert(und == Set((1L, 2L), (2L, 1L), (2L, 4L), (4L, 2L)))
+  }
+
+  test("commitEdges/edgesFromManifest: pinned v1 undisturbed by rebuild") {
+    val tbl = tempTable("edges_mt")
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val v1 = Graph.commitEdges(spark, tbl, e1, targetFiles = 2)
+    val v2 = Graph.commitEdges(spark, tbl,
+      e1.filter(col("src") =!= 1L), targetFiles = 2)
+    assert(v2 == v1 + 1)
+    // pinned v1 read serves the ORIGINAL symmetrized set
+    val pinned = Graph.edgesFromManifest(spark, tbl, Some(v1))
+      .as[(Long, Long)].collect().toSet
+    assert(pinned == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)))
+    // latest (unpinned) serves the rebuild
+    val latest = Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toSet
+    assert(latest == Set((2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)))
+  }
+
+  test("coreness served from the artifact == coreness built in-plan") {
+    // two triangles joined by a bridge + a pendant: known 2-core/1-core
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 7L)).toDF("src", "dst")
+    val tbl = tempTable("kcore_mt")
+    val v = Graph.commitEdges(spark, tbl, edges)
+    val served = Graph
+      .corenessOfUndirected(Graph.edgesFromManifest(spark, tbl, Some(v)),
+        iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val built = Graph.coreness(edges, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(served == built)
+    assert(served == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L))
+  }
+
+  test("hIndexRound certificate: converged scores are a fixed point, " +
+    "unconverged scores are caught") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val und = Graph.symmetrize(edges)
+    val c = Graph.corenessOfUndirected(und, iterations = 6)
+    val replay = Graph.hIndexRound(und, c).withColumnRenamed("c", "c2")
+      .join(c, "node")
+    assert(replay.filter(col("c") =!= col("c2")).count() == 0,
+      "converged coreness must be a fixed point of one more round")
+    // degree (iteration 0) on this graph is NOT yet coreness: the
+    // certificate replay must flag at least one contracting node
+    val c0 = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"))
+    val replay0 = Graph.hIndexRound(und, c0).withColumnRenamed("c", "c2")
+      .join(c0, "node")
+    assert(replay0.filter(col("c") =!= col("c2")).count() > 0,
+      "an unconverged score vector must fail the certificate")
+  }
+}
