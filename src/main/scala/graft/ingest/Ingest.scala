@@ -24,6 +24,75 @@ object Ingest {
                   since: Option[String] = None): Option[String]
   }
 
+  /** S1 PRODUCTION fetcher: [[Fetcher]] over `java.net.http.HttpClient`
+    * (JDK built-in — no extra dependency), mirroring the reference's
+    * `requests.get` loop (nb02:105–168):
+    *
+    *   - `media` endpoint → `GET {base}/{id}.json` — the single-doc
+    *     media-stats call (nb02:128–139): page 1 returns the doc, any
+    *     later page is end-of-pages (the reference never paginates it).
+    *   - any other endpoint → `GET {base}/{id}/{endpoint}.json?page=N&
+    *     per_page=100[&since=…]` (nb02:141–168, since=nb02:247).
+    *   - 200 with an empty JSON array body → None (the reference's
+    *     `if not visitors: break`); any other 200 body passes through
+    *     verbatim (a top-level array is fine — `writeBronzeJson`'s
+    *     `spark.read.json` explodes it into rows).
+    *   - 429 → [[RateLimited]]: the RETRY POLICY stays in [[withRetry]]
+    *     (same (2^attempt)*5 s schedule as nb02:112–116), so this class
+    *     never sleeps and the backoff stays injectable for tests.
+    *   - 404 and other 4xx → [[NotFound]] (permanent; nb02:117–119).
+    *   - 5xx and transport `IOException` → [[RateLimited]] (transient,
+    *     retried with backoff). DELIBERATE deviation from the reference,
+    *     which swallows these as a silent `break` (nb02:120–126) — that
+    *     turns "server briefly down" into "no more data" and lets the
+    *     watermark commit past pages never seen. Here exhaustion throws
+    *     [[RetriesExhausted]] and [[graft.Pipeline.ingest]] holds the
+    *     watermark.
+    *
+    * Driver-side by design, like the reference: volume is bounded
+    * (≤100 pages × 100 rows per media id); the heavy path is the files. */
+  final class HttpFetcher(baseUrl: String, apiToken: String,
+                          perPage: Int = 100,
+                          timeout: java.time.Duration =
+                            java.time.Duration.ofSeconds(30),
+                          client: java.net.http.HttpClient =
+                            java.net.http.HttpClient.newHttpClient())
+      extends Fetcher {
+    import java.net.http.{HttpRequest, HttpResponse}
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    def fetchPage(mediaId: String, endpoint: String, page: Int,
+                  since: Option[String] = None): Option[String] = {
+      val uri =
+        if (endpoint == "media") {
+          if (page > 1) return None // single-doc endpoint: one "page"
+          s"$baseUrl/${enc(mediaId)}.json"
+        } else
+          s"$baseUrl/${enc(mediaId)}/${enc(endpoint)}.json" +
+            s"?page=$page&per_page=$perPage" +
+            since.map(s => s"&since=${enc(s)}").getOrElse("")
+      val req = HttpRequest.newBuilder(java.net.URI.create(uri))
+        .timeout(timeout)
+        .header("Authorization", s"Bearer $apiToken")
+        .GET().build()
+      val resp =
+        try client.send(req, HttpResponse.BodyHandlers.ofString())
+        catch { case _: java.io.IOException => throw new RateLimited }
+      resp.statusCode() match {
+        case 200 =>
+          val body = resp.body()
+          if (body == null || body.trim.isEmpty ||
+            body.trim.replaceAll("\\s", "") == "[]") None
+          else Some(body)
+        case 429 => throw new RateLimited
+        case s if s >= 500 => throw new RateLimited
+        case _ => throw new NotFound
+      }
+    }
+  }
+
   /** Retry/backoff policy of nb02:105-126: up to `maxRetries` attempts,
     * rate-limit (Retryable) → exponential backoff (2^attempt)*baseDelayMs,
     * not-found → give up immediately (None — the normal end-of-pages
