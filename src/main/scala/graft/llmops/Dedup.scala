@@ -294,17 +294,45 @@ object Dedup {
                             fpCol: Column, fpAlias: String,
                             expectedItems: Long,
                             fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
     val spark = batch.sparkSession
-    val bloom = corpusFps.stat.bloomFilter(fpColCorpus,
-      expectedItems.max(1L), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val maybeSeen = udf((fp: String) =>
-      fp != null && bloomBc.value.mightContainString(fp))
+    // Spark's own runtime-filter machinery, driven by hand: the bloom
+    // is built as a DISTRIBUTED aggregate (partial blooms merged at the
+    // exchange — the driver receives one binary, it never streams the
+    // corpus keys the way `stat.bloomFilter`'s driver-side treeAggregate
+    // result did), and the probe is the codegen'd
+    // `BloomFilterMightContain` expression over xxhash64 — no Scala udf
+    // in the hot path, the batch scan stays inside WholeStageCodegen.
+    // Bits sized for the target fpp (n·ln p / ln²2), clamped to the
+    // session's runtime-filter creation cap — a 100 TB deployment
+    // raises spark.sql.optimizer.runtime.bloomFilter.maxNumBits along
+    // with expectedItems (10⁹ keys at 3% fpp ≈ 0.9 GB of bits, shipped
+    // once per executor with the task binary, exactly as before).
+    val n = expectedItems.max(1L)
+    val wantBits = math.ceil(
+      -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "67108864").toLong
+    val numBits = math.max(64L, math.min(wantBits, maxBits))
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expr(xxhash64(col(fpColCorpus))),
+      Literal(n), Literal(numBits)).toAggregateExpression())
+    val blob = corpusFps.agg(bloomAgg.as("bloom"))
+      .head.getAs[Array[Byte]](0)
     val firstIn = batch
       .select(col(idCol), fpCol.as(fpAlias))
       .groupBy(fpAlias).agg(min(col(idCol)).as(idCol))
-    val definitelyNew = firstIn.filter(!maybeSeen(col(fpAlias)))
-    val maybe = firstIn.filter(maybeSeen(col(fpAlias)))
+    // empty corpus → null bloom → every batch fingerprint is new and
+    // the exact anti-join has nothing to prune against
+    if (blob == null) return firstIn.select(idCol, fpAlias)
+    val maybeSeen = ColumnBridge.column(new BloomFilterMightContain(
+      Literal(blob, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expr(xxhash64(col(fpAlias)))))
+    val definitelyNew = firstIn.filter(!maybeSeen)
+    val maybe = firstIn.filter(maybeSeen)
       .join(corpusFps.select(col(fpColCorpus).as(fpAlias)).distinct(),
         Seq(fpAlias), "left_anti")
     definitelyNew.unionByName(maybe).select(idCol, fpAlias)
