@@ -15,7 +15,180 @@ import org.apache.spark.sql.functions._
   * min-of-3 with GC settling (the [[Bench]] discipline). Usage:
   * `scripts/run_class.sh graft.Microbench [rows] [dims]`. */
 object Microbench {
+
+  /** Hub-heavy pin of the k-core h-index HISTOGRAM-vs-WINDOW trade
+    * (`graft.Microbench kcore [hubDegree] [distinctScores] [bgRows]`).
+    * The in-code ~6% price in [[graft.etl.Graph.coreness]] was measured
+    * at sf0.1 (~30 distinct scores over ≤5000-neighbor nodes); this
+    * mode re-measures ONE contraction round on a synthetic fixture
+    * with a celebrity hub of configurable degree so the crossover —
+    * where the raw `row_number` window's degree-sized single-partition
+    * sort loses to the histogram's (node, score) pre-collapse — is
+    * pinned against data-shape drift instead of asserted. Scores are
+    * drawn from a bounded distinct set, as in a real contraction state
+    * (h-indexes contract toward few values). */
+  private def kcoreMode(spark: SparkSession, hubDegree: Long,
+                        distinctScores: Int, bgRows: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // hub: node 0 with `hubDegree` neighbors; background: nodes with
+    // degree 20 (bgRows/20 nodes), ids offset past the hub's neighbors
+    val hub = spark.range(hubDegree).select(lit(0L).as("src"),
+      (col("id") + 1).as("dst"))
+    val bg = spark.range(bgRows).select(
+      (col("id") % (bgRows / 20) + hubDegree + 1).as("src"),
+      (col("id") + hubDegree + 1).as("dst"))
+    val und = hub.unionAll(bg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = und.select(col("dst").as("node"))
+      .distinct()
+      .select(col("node"), (col("node") % distinctScores + 1).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count(); c.count()
+    def time(label: String, round: () => org.apache.spark.sql.DataFrame)
+    : Unit = {
+      val t = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime()
+        round().agg(sum(col("c"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$label%-12s $t%.3f s  (hub=$hubDegree%d, " +
+        f"scores=$distinctScores%d, bg=$bgRows%d)")
+    }
+    time("histogram", () => graft.etl.Graph.hIndexRound(und, c))
+    // the rejected alternative: row_number over the RAW neighbor list —
+    // the window partition is the node's DEGREE, so the hub's rows sort
+    // in one task
+    time("window", () => {
+      val w = Window.partitionBy("src")
+        .orderBy(col("c").desc, col("dst"))
+      und.join(c.withColumnRenamed("node", "dst"), "dst")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("c"), col("rn"))).as("c"))
+    })
+  }
+
+  /** BUILD/SERVE decoupling rehearsal for the graph edge artifact
+    * (`graft.Microbench kcore_serve <sfDir>`): times the edge-artifact
+    * BUILD (symmetrize→distinct→range-cluster→commit, fact-sized) and
+    * the 6-round k-core SERVE from the pinned snapshot (node/edge-
+    * sized) separately, min-of-3 each. Across the 1×/10×/100×
+    * file-replicating layouts the build grows with the fact while the
+    * serve holds flat — the artifact is the collapsed graph, so kernel
+    * cost is decoupled from fact size, which is the entire argument
+    * for committing the graph once per corpus version at 100 TB. */
+  private def kcoreServeMode(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.graft.CheckpointBridge
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+    def time(label: String, run: () => Unit): Unit = {
+      val t = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$label%-12s $t%.3f s  ($sfDir%s)")
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kcore_serve").toString
+    var i = 0
+    time("build", () => {
+      i += 1
+      graft.etl.Graph.commitEdges(spark, s"$root/edges_$i", edges)
+    })
+    val tbl = s"$root/edges_serve"
+    val v = graft.etl.Graph.commitEdges(spark, tbl, edges)
+    time("serve", () => {
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val c = graft.etl.Graph.corenessOfUndirected(
+        graft.etl.Graph.edgesFromManifest(spark, tbl, Some(v)),
+        iterations = 6, onCheckpoint = superseded += _)
+      try c.agg(sum(col("c"))).collect()
+      finally superseded.foreach(CheckpointBridge.release)
+    })
+  }
+
+  /** `graft.Microbench contrastive <sfDir>` — the contrastive-negatives
+    * DENSE-ID rehearsal (SCALE.md round-11 third-wave caveat): the
+    * file-replicating layout duplicates doc_ids, so the draw's
+    * `mod n` arithmetic (n counts copies) lands mostly outside the id
+    * domain and the 100× tier measured plan shape only. This mode runs
+    * the SAME draw twice — raw ids verbatim, then after
+    * [[graft.llmops.Preference.densifyIds]]'s one-off zipWithIndex —
+    * and prints, per variant, the min-of-3 wall plus the JOIN HIT
+    * RATE (distinct draws that matched a negative / draws issued).
+    * Dense must read 1.000 at every tier: that is the measured proof
+    * the contract (not just the plan) survives 100×. */
+  private def contrastiveMode(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"))
+    def draw(ds: org.apache.spark.sql.DataFrame, idCol: String): Long = {
+      val n = ds.agg(count(lit(1)).as("n"))
+      val anchors = ds.crossJoin(broadcast(n))
+        .select(col(idCol).as("aid"),
+          explode(expr("sequence(1, 3)")).as("neg_rank"), col("n"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("neg:"), col("neg_rank"),
+            lit(":"), col("aid"))), 1, 8), 16, 10).cast("long"))
+        .select(col("aid"), col("neg_rank"),
+          pmod(col("aid") + 1 + pmod(col("h"), col("n") - 1),
+            col("n")).as("neg_id"))
+      anchors.join(ds.select(col(idCol).as("neg_id")), "neg_id")
+        .select(col("aid"), col("neg_rank")).distinct().count()
+    }
+    def run(label: String, ds: org.apache.spark.sql.DataFrame,
+            idCol: String): Unit = {
+      val draws = ds.count() * 3
+      var hits = 0L
+      val t = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime()
+        hits = draw(ds, idCol)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$label%-12s $t%.3f s  hit_rate=${hits.toDouble / draws}%.3f" +
+        f"  (draws=$draws%d, $sfDir%s)")
+    }
+    run("raw_ids", docs, "doc_id")
+    val dense = graft.llmops.Preference.densifyIds(docs, "did")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dense.count() // the one-off mapping job, outside the timed draws
+    run("densified", dense, "did")
+    dense.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("contrastive")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      contrastiveMode(spark, args(1))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("kcore_serve")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      kcoreServeMode(spark, args(1))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("kcore")) {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      kcoreMode(spark,
+        hubDegree = args.lift(1).map(_.toLong).getOrElse(2L * 1000 * 1000),
+        distinctScores = args.lift(2).map(_.toInt).getOrElse(30),
+        bgRows = args.lift(3).map(_.toLong).getOrElse(2L * 1000 * 1000))
+      spark.stop(); return
+    }
     val rows = args.lift(0).map(_.toLong).getOrElse(2L * 1000 * 1000)
     val dims = args.lift(1).map(_.toInt).getOrElse(256)
     val spark = SparkSession.builder().master("local[8]")

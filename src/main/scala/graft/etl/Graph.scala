@@ -254,7 +254,17 @@ object Graph {
     * histogram groupBy adds an exchange) bought for hub immunity and
     * histogram-sized shuffles; a typed map-buffer Aggregator was also
     * measured (7.5 s) and rejected — the object-hash path loses
-    * whole-stage codegen. No per-round action: lazy localCheckpoints
+    * whole-stage codegen. The crossover is PINNED, not asserted
+    * (`graft.Microbench kcore`, hub-heavy fixture, 30 distinct
+    * scores, 2M background rows, local[8]): the window's edge holds
+    * only up to hub degree ~3×10⁵ (≤20% there), the histogram wins
+    * from 5×10⁵ up and the gap grows with the hub — 1.6× at 10⁶,
+    * 5.6× at 8×10⁶ (2.4 s vs 13.5 s), because the window sorts a
+    * celebrity's whole neighbor list in ONE task while the
+    * histogram's per-node state stays distinct-score-sized. Any graph
+    * that can contain a top-degree node past ~10⁵ — every social or
+    * web-shaped corpus at 100 TB — is on the histogram's side of the
+    * line. No per-round action: lazy localCheckpoints
     * materialized by the caller's one action, released via
     * `onCheckpoint`.
     *

@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** One-off DENSE-ID materialization for operators whose draw
+    * arithmetic needs ids in [0, n) — the documented pre-step for
+    * [[graft.QueriesText]]'s `contrastive_negatives` on corpora whose
+    * ids are sparse or duplicated (merged shards, replicated
+    * rehearsal layouts, UUID-keyed corpora). RDD `zipWithIndex`, the
+    * scale-correct construction: one bounded extra job collecting
+    * per-partition COUNTS (longs, not rows) to offset each partition's
+    * local indexes — never a global window (a single-partition
+    * row_number is the classic driver-shaped scale-killer the
+    * CartesianGuard family rejects). Deterministic for a fixed file
+    * layout; the mapping is data-sized but write-once per corpus
+    * version (the [[graft.sources.ManifestTable]] pattern — commit it
+    * next to the corpus and every draw reuses it). */
+  def densifyIds(df: DataFrame, denseCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        denseCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Bradley–Terry strength fit (Hunter 2004's MM iteration) over
     * decided pairwise outcomes, INTEGER-QUANTIZED so a fixed-round
     * run is bit-identical across engines and hash-matches a

@@ -56,4 +56,18 @@ class PreferenceSpec extends AnyFunSuite {
       ("b", "c"), ("b", "c"), ("b", "a"), ("c", "b")))
     assert(r("a")._3 > r("b")._3 && r("b")._3 > r("c")._3)
   }
+
+  test("densifyIds: ids land dense in [0, n), columns preserved") {
+    // duplicated + sparse source ids — the merged-shard / replicated-
+    // rehearsal shape the dense-id draw contract breaks on
+    val df = Seq((900L, "a"), (900L, "b"), (7L, "c"), (7L, "d"), (42L, "e"))
+      .toDF("doc_id", "payload")
+    val dense = Preference.densifyIds(df, "did")
+    assert(dense.columns.toSeq == Seq("doc_id", "payload", "did"))
+    val dids = dense.select("did").collect().map(_.getLong(0)).sorted
+    assert(dids.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // every original row survives with its payload intact
+    assert(dense.select("payload").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b", "c", "d", "e"))
+  }
 }
