@@ -159,7 +159,105 @@ object Microbench {
     dense.unpersist()
   }
 
+  /** `graft.Microbench stream_attr <sfDir>` — profile of the
+    * `stream_attribution_daily` chained-stateful replay (the confirmed
+    * round-11 min movement). Runs the row's operator chain straight
+    * off the source events parquet (no sentinel staging — the
+    * flush-at-end rows don't move the wall-clock profile) in three
+    * cuts: the full 4-stateful chain (dedup×2 → join → windowed agg),
+    * the chain without the dedup stages, and the join alone; then
+    * prints the full chain's per-phase durationMs from the streaming
+    * progress so "where does the time go" is measured (addBatch vs
+    * state commit vs planning), not guessed. */
+  private def streamAttrMode(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource wants a directory: stage the source file(s) once
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sattr_in")
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    files.filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+      case (f, i) => java.nio.file.Files.copy(f.toPath,
+        inDir.resolve(f"part-$i%03d.parquet"))
+    }
+    def stream() = {
+      val raw = spark.readStream.schema(schema)
+        .parquet(inDir.toString)
+      graft.Qdsl.normalizeTs(raw)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+    }
+    def branches(dedup: Boolean): (DataFrame, DataFrame) = {
+      val st = stream()
+      val p0 = st.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_event_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 day")
+      val s0 = st.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"),
+          col("event_id").as("signup_event_id"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 day")
+      if (dedup)
+        (p0.dropDuplicatesWithinWatermark("purchase_event_id"),
+          s0.dropDuplicatesWithinWatermark("signup_event_id"))
+      else (p0, s0)
+    }
+    def joined(dedup: Boolean): DataFrame = {
+      val (p, sg) = branches(dedup)
+      p.join(sg, expr("""p_user = s_user AND p_ts >= s_ts AND
+        p_ts < s_ts + interval 7 days"""))
+    }
+    def agg(j: DataFrame): DataFrame = j
+      .groupBy(window(col("p_ts"), "1 day"))
+      .agg(count(when(col("p_user") >= 0, 1)).as("n_attributed"))
+    def run(label: String, df: () => DataFrame,
+            dumpProgress: Boolean = false): Unit = {
+      var progress: Array[org.apache.spark.sql.streaming
+        .StreamingQueryProgress] = Array.empty
+      val t = (1 to 3).map { _ =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sattr").toString
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime()
+        val q = df().writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        progress = q.recentProgress
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$label%-16s $t%.3f s  ($sfDir%s)")
+      if (dumpProgress) {
+        val phases = scala.collection.mutable
+          .LinkedHashMap[String, Long]().withDefaultValue(0L)
+        progress.foreach { p =>
+          p.durationMs.forEach((k, v) => phases(k) += v.longValue())
+        }
+        println(s"  micro-batches=${progress.length}")
+        phases.foreach { case (k, v) => println(f"  $k%-24s $v%5d ms") }
+      }
+    }
+    run("full_chain", () => agg(joined(dedup = true)), dumpProgress = true)
+    run("no_dedup", () => agg(joined(dedup = false)))
+    run("join_only", () => joined(dedup = true))
+    run("join_only_raw", () => joined(dedup = false))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stream_attr")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      streamAttrMode(spark, args(1))
+      spark.stop(); return
+    }
     if (args.headOption.contains("contrastive")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
       val spark = SparkSession.builder().master(s"local[$cpus]")
