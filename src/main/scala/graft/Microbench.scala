@@ -248,7 +248,62 @@ object Microbench {
     run("join_only_raw", () => joined(dedup = false))
   }
 
+  /** `graft.Microbench hits_serve <sfDir>` — the [[kcoreServeMode]]
+    * twin for the WEIGHTED artifact: BUILD = the 3-join fact→trade-
+    * graph aggregation + commit (the cost SCALE.md's 100× rehearsals
+    * show dominating hits at 35.96 s and ppr at 16.87 s), SERVE = the
+    * 4-round HITS kernel from the pinned snapshot. The flat serve line
+    * across tiers is the amortization argument for
+    * [[graft.etl.Graph.commitWeightedEdges]]. */
+  private def hitsServeMode(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.graft.CheckpointBridge
+    def tbl(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    def trade() = tbl("lineitem")
+      .join(tbl("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl("customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"),
+        col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = tbl("nation").select("n_nationkey")
+    def time(label: String, run: () => Unit): Unit = {
+      val t = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$label%-12s $t%.3f s  ($sfDir%s)")
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hits_serve").toString
+    var i = 0
+    time("build", () => {
+      i += 1
+      graft.etl.Graph.commitWeightedEdges(spark, s"$root/e_$i", trade())
+    })
+    val tblServe = s"$root/e_serve"
+    val v = graft.etl.Graph.commitWeightedEdges(spark, tblServe, trade())
+    time("serve", () => {
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val scores = graft.etl.Graph.hits(
+        graft.sources.ManifestTable.read(spark, tblServe, Some(v)),
+        nodes, iterations = 4, onCheckpoint = superseded += _)
+      try scores.agg(sum(col("hub_micro")), sum(col("auth_micro")))
+        .collect()
+      finally superseded.foreach(CheckpointBridge.release)
+    })
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hits_serve")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      hitsServeMode(spark, args(1))
+      spark.stop(); return
+    }
     if (args.headOption.contains("stream_attr")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
       val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -69,6 +69,7 @@ object Queries {
     QueriesText.textBigramLogprob,
     QueriesText.textLangConfusion, QueriesText.textNfcNormalize, QueriesText.textPiiScrub, QueriesText.sampleHashSplit,
     QueriesText.mixSources, QueriesText.docPack, QueriesText.corpusEpochShard, QueriesText.corpusCurate, QueriesText.textDecontaminate,
+    QueriesText.shardRendezvous, QueriesText.shardRendezvousGate, QueriesText.corpusOverlapMatrix,
     QueriesText.corpusDomainCap, QueriesText.corpusUrlCanonical, QueriesText.prefBradleyTerry, QueriesText.dedupRepeatedSpans, QueriesText.kanonAudit, QueriesText.curriculumMix,
     QueriesText.chunkDocuments, QueriesText.stratifiedSample,
     QueriesText.sampleWeighted, QueriesText.bpePairCounts,
@@ -92,6 +93,7 @@ object Queries {
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
     QueriesRelational.graphEdgesArtifact, QueriesRelational.graphKcoreServe, QueriesRelational.graphKcoreGate,
+    QueriesRelational.graphHitsServe, QueriesRelational.graphPprServe,
     QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,

@@ -2511,4 +2511,5 @@ private[graft] object QueriesAnalytics {
         CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) /
           CAST((SELECT COUNT(*) FROM heldout) AS DOUBLE) AS hit_rate"""))
 
+
 }

@@ -1351,6 +1351,53 @@ private[graft] object QueriesRelational {
         changed = 0 AS certified
       FROM diff"""))
 
+  /** The nation-level trade graph (customer nation → supplier nation,
+    * weight = lineitem count) that [[graphHits]] and [[graphPpr]] both
+    * aggregate from the fact — factored out because the WEIGHTED edge
+    * artifact's whole point is that ONE build serves the whole kernel
+    * family. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"),
+        col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** HITS served from the committed WEIGHTED edge artifact
+    * ([[graft.etl.Graph.commitWeightedEdges]]): the fact-sized
+    * trade-graph aggregation — the dominating cost of every weighted
+    * kernel run at 100× (SCALE.md: hits 35.96 s, ppr 16.87 s) — is
+    * paid once into a versioned snapshot; the 4-round kernel then
+    * joins node-sized score vectors against the artifact's
+    * src-clustered files. Frozen oracle = `graph_hits`: served scores
+    * must be bit-identical to built scores, the guarantee that lets
+    * one build amortize across the family. */
+  private[graft] val graphHitsServe = Q("graph_hits_serve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val tbl =
+        s"${QueriesStreaming.StreamTemp.dir("graft_hits_mt")}/edges"
+      val v = graft.etl.Graph.commitWeightedEdges(s, tbl,
+        tradeEdges(s, dir))
+      val edges = graft.sources.ManifestTable.read(s, tbl, Some(v))
+      val nodes = t(s, dir, "nation").select("n_nationkey")
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val scores = graft.etl.Graph.hits(edges, nodes, iterations = 4,
+        onCheckpoint = superseded += _)
+      try scores
+        .join(t(s, dir, "nation"), col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("hub_micro"),
+          col("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("node"))
+        .localCheckpoint(true)
+      finally superseded.foreach(CheckpointBridge.release)
+    },
+    graphHits.oracle)
+
   /** Degree ASSORTATIVITY (Newman 2002) of the supplier–part graph —
     * do high-degree nodes attach to high-degree nodes? (Bipartite
     * procurement graphs are typically DISassortative: prolific
@@ -1496,6 +1543,40 @@ private[graft] object QueriesRelational {
       FROM ranks JOIN nation ON node = n_nationkey
       WHERE iter = 5
       ORDER BY rank_micro DESC, node"""))
+
+  /** Personalized PageRank served from the SAME weighted edge
+    * artifact shape as [[graphHitsServe]] — the second kernel of the
+    * family, pinned to its own committed snapshot and hash-matched
+    * against `graph_ppr`'s frozen oracle. Together the two rows prove
+    * the amortization contract: different kernels (and different
+    * seed sets — the serve path re-runs PPR per audience without
+    * touching the fact) read one committed graph. */
+  private[graft] val graphPprServe = Q("graph_ppr_serve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      val tbl =
+        s"${QueriesStreaming.StreamTemp.dir("graft_ppr_mt")}/edges"
+      val v = graft.etl.Graph.commitWeightedEdges(s, tbl,
+        tradeEdges(s, dir))
+      val edges = graft.sources.ManifestTable.read(s, tbl, Some(v))
+      val nodes = t(s, dir, "nation").select("n_nationkey")
+      val seeds = t(s, dir, "nation")
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"))
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val ranks = graft.etl.Graph.personalizedPageRank(edges, nodes,
+        seeds, iterations = 5, onCheckpoint = superseded += _)
+      try ranks
+        .join(t(s, dir, "nation"), col("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node"))
+        .localCheckpoint(true)
+      finally superseded.foreach(CheckpointBridge.release)
+    },
+    graphPpr.oracle)
 
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition and

@@ -415,6 +415,112 @@ private[graft] object QueriesText {
         FROM sh)
       ORDER BY shard, position"""))
 
+  /** RENDEZVOUS (highest-random-weight) sharding (Thaler & Ravishankar
+    * 1998) — the resharding-stable assignment [[corpusEpochShard]]'s
+    * mod-hash is NOT: under `shard = h(doc) mod N`, growing N → N+1
+    * reassigns ~N/(N+1) of every shard (a full corpus reshuffle at
+    * 100 TB); under HRW each doc hashes once PER CANDIDATE shard and
+    * lands on the argmax, so adding a shard only captures the docs
+    * whose new weight beats their old max — exactly 1/(N+1) in
+    * expectation, and provably nothing else moves (weights of the
+    * surviving shards are untouched). Engine shape: a scan-side
+    * `transform(sequence(...))` builds the N weights per row and
+    * `array_position(array_max)` picks the winner — no shuffle, no
+    * join, no state; the orderBy is the determinism contract only.
+    * The md5-hex weights compare lexicographically the same in both
+    * engines, and ties (impossible in practice) break toward the
+    * smallest shard index on both sides. */
+  private def hrwWeights(n: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      sh => substring(md5(concat(lit("hrw:"), sh.cast("string"),
+        lit(":"), col("doc_id").cast("string"))), 1, 8))
+
+  private def hrwShard(n: Int): org.apache.spark.sql.Column =
+    (array_position(hrwWeights(n), array_max(hrwWeights(n))) - 1)
+      .cast("long")
+
+  private[graft] val shardRendezvous = Q("shard_rendezvous",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), hrwShard(8).as("shard"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, shard FROM (
+        SELECT d.doc_id, CAST(g.sh AS BIGINT) AS shard,
+          ROW_NUMBER() OVER (PARTITION BY d.doc_id
+            ORDER BY substring(md5('hrw:' || CAST(g.sh AS VARCHAR) ||
+              ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) DESC, g.sh)
+            AS rn
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sh) g) t
+      WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** The HRW MINIMAL-MOVEMENT gate — the property the algorithm is
+    * bought for, verified cross-engine: growing the fleet 8 → 9
+    * shards, (a) every doc that moves moves TO the new shard
+    * (`moved_elsewhere` must be exactly 0 — the surviving shards'
+    * weights are untouched, so an argmax can only flip to the
+    * newcomer; any other movement means the hash domains got mixed
+    * up), and (b) the movement volume is ~1/9 of the corpus (integer
+    * band check, both engines compute it identically). Contrast row:
+    * the same 8 → 9 growth under [[corpusEpochShard]]-style mod-hash
+    * moves ~8/9 of all docs — `mod_moved` rides along so the table
+    * shows WHY the engine shards this way. */
+  private[graft] val shardRendezvousGate = Q("shard_rendezvous_gate",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        hrwShard(8).as("s8"), hrwShard(9).as("s9"),
+        (conv(substring(md5(concat(lit("ep1:"),
+          col("doc_id").cast("string"))), 1, 3), 16, 10)
+          .cast("long") % 8).as("m8"),
+        (conv(substring(md5(concat(lit("ep1:"),
+          col("doc_id").cast("string"))), 1, 3), 16, 10)
+          .cast("long") % 9).as("m9"))
+      d.agg(count(lit(1)).as("n_docs"),
+          count(when(col("s8") =!= col("s9") && col("s9") === 8, 1))
+            .as("moved_to_new"),
+          count(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1))
+            .as("moved_elsewhere"),
+          count(when(col("m8") =!= col("m9"), 1)).as("mod_moved"))
+        .select(col("n_docs"), col("moved_to_new"),
+          col("moved_elsewhere"), col("mod_moved"),
+          // all-integer band check (div, not /): both engines compare
+          // the same integers, no float rounding at odd counts
+          expr("moved_to_new * 9 >= n_docs div 2 AND " +
+            "moved_to_new * 9 <= n_docs * 2").as("movement_in_band"))
+    },
+    Some("""WITH w AS (
+        SELECT d.doc_id, g.sh,
+          substring(md5('hrw:' || CAST(g.sh AS VARCHAR) || ':' ||
+            CAST(d.doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS sh) g),
+      a8 AS (SELECT doc_id, CAST(sh AS BIGINT) AS s8 FROM (
+        SELECT doc_id, sh, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY h DESC, sh) AS rn FROM w WHERE sh < 8) t
+        WHERE rn = 1),
+      a9 AS (SELECT doc_id, CAST(sh AS BIGINT) AS s9 FROM (
+        SELECT doc_id, sh, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY h DESC, sh) AS rn FROM w) t
+        WHERE rn = 1),
+      m AS (SELECT doc_id,
+        CAST('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)),
+          1, 3) AS BIGINT) % 8 AS m8,
+        CAST('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)),
+          1, 3) AS BIGINT) % 9 AS m9
+        FROM documents),
+      j AS (SELECT a8.doc_id, s8, s9, m8, m9
+        FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+        JOIN m ON m.doc_id = a8.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) FILTER (WHERE s8 <> s9 AND s9 = 8) AS BIGINT)
+          AS moved_to_new,
+        CAST(COUNT(*) FILTER (WHERE s8 <> s9 AND s9 <> 8) AS BIGINT)
+          AS moved_elsewhere,
+        CAST(COUNT(*) FILTER (WHERE m8 <> m9) AS BIGINT) AS mod_moved,
+        (COUNT(*) FILTER (WHERE s8 <> s9 AND s9 = 8) * 9 >= COUNT(*) // 2
+          AND COUNT(*) FILTER (WHERE s8 <> s9 AND s9 = 8) * 9 <= COUNT(*) * 2)
+          AS movement_in_band
+      FROM j"""))
+
   /** Sequence packing for training: docs are packed per source in
     * doc_id order into ~2048-token bins — pack_id = exclusive prefix
     * token count div budget (a doc may straddle its bin boundary; the
@@ -553,6 +659,78 @@ private[graft] object QueriesText {
         WHERE NOT is_test)
       SELECT DISTINCT doc_id FROM tr JOIN tg USING (gh)
       ORDER BY doc_id"""))
+
+  /** SOURCE-PAIR OVERLAP MATRIX — the curation diagnostic behind
+    * "which of my feeds are mirrors of each other": distinct 5-gram
+    * containment for every source pair, the corpus-level twin of
+    * [[textDecontaminate]]'s train/test screen. Shape: grams collapse
+    * to DISTINCT (source, gram-hash) pairs first (the only data-sized
+    * shuffle, 8-byte keys), the pair join then fans each gram out by
+    * at most (#sources sharing it)² — bounded by the SOURCE count
+    * squared, never by corpus size, because the distinct collapse
+    * already ate the volume. Output is the sources² matrix
+    * (driver-safe by the same bound). `overlap_permille` =
+    * shared·1000 div min(total) — all-integer containment, so a
+    * mirrored feed reads ~1000 regardless of which side is bigger.
+    * At 100 TB this is the scheduled audit that catches a re-crawled
+    * mirror BEFORE near-dup spends minhash on it: n-gram containment
+    * at source grain costs one distinct + one bounded join. */
+  private[graft] val corpusOverlapMatrix = Q("corpus_overlap_matrix",
+    (s, dir) => {
+      val k = 5
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val grams = graft.functions.ColOps.bound(
+        split(trim(lower(col("text"))), "\\s+")) { toks =>
+        when(size(toks) < k, array(array_join(toks, " ")))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(toks) - k),
+            i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      }
+      val sg = docs.select(col("source"), explode(grams).as("gram"))
+        .select(col("source"), xxhash64(col("gram")).as("gh"))
+        .distinct()
+      val tot = sg.groupBy("source").agg(count(lit(1)).as("total"))
+      sg.as("a")
+        .join(sg.as("b"), col("a.gh") === col("b.gh") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .join(tot.select(col("source").as("source_a"),
+          col("total").as("total_a")), "source_a")
+        .join(tot.select(col("source").as("source_b"),
+          col("total").as("total_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared_grams"),
+          col("total_a"), col("total_b"),
+          expr("shared_grams * 1000 div least(total_a, total_b)")
+            .as("overlap_permille"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(raw"""WITH d AS (SELECT source, lower(trim(text)) AS txt
+        FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+      toks AS (SELECT source, regexp_split_to_array(txt, '\s+') AS t
+        FROM d),
+      grams AS (SELECT source,
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(t) - 5 + 2),
+          i -> array_to_string(t[i:i+4], ' '))) END AS gs
+        FROM toks),
+      sg AS (SELECT DISTINCT source, md5(unnest(gs)) AS gh FROM grams),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+        FROM sg GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.shared_grams,
+        ta.total AS total_a, tb.total AS total_b,
+        p.shared_grams * 1000 // LEAST(ta.total, tb.total)
+          AS overlap_permille
+      FROM pairs p
+      JOIN tot ta ON ta.source = p.source_a
+      JOIN tot tb ON tb.source = p.source_b
+      ORDER BY source_a, source_b"""))
 
   /** The composed curation pipeline end-to-end
     * ([[graft.llmops.CorpusPipeline.curate]]): NFC normalize → quality

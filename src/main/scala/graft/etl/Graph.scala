@@ -382,6 +382,29 @@ object Graph {
                         version: Option[Long] = None): DataFrame =
     graft.sources.ManifestTable.read(spark, table, version)
 
+  /** BUILD/COMMIT the WEIGHTED DIRECTED edge artifact — the
+    * [[commitEdges]] twin for the kernels that walk a weighted graph
+    * ([[hits]], [[weightedPageRank]], [[personalizedPageRank]]): the
+    * caller's pre-aggregated (src, dst, w) edge list — typically the
+    * output of the fact-sized groupBy that SCALE.md's 100× rehearsals
+    * show dominating every kernel run (hits 35.96 s, ppr 16.87 s:
+    * almost entirely this aggregation) — committed once per corpus
+    * version, range-clustered by src with footer stats, so EVERY
+    * downstream kernel (and every kernel RE-run: new seed sets, new
+    * iteration budgets, new damping) serves from the pinned snapshot
+    * and pays node-sized joins only. One build amortizes across the
+    * whole kernel family — hits and ppr read the SAME artifact. */
+  def commitWeightedEdges(spark: org.apache.spark.sql.SparkSession,
+                          table: String, edges: DataFrame,
+                          targetFiles: Int = 8): Long =
+    graft.sources.ManifestTable.commitOverwrite(spark, table,
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"),
+          col("w").cast("long").as("w"))
+        .repartitionByRange(targetFiles, col("src"))
+        .sortWithinPartitions("src"),
+      statsCol = Some("src"))
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made DETERMINISTIC: every round each node adopts the
     * MODE of its distinct neighbors' labels with ties broken by the

@@ -60,6 +60,23 @@ class GraphArtifactSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 2L, 7L -> 1L))
   }
 
+  test("commitWeightedEdges: typed (src,dst,w), pinned across rebuild") {
+    val tbl = tempTable("wedges_mt")
+    val e1 = Seq((1, 2, 5), (1, 3, 2), (2, 3, 1)).toDF("src", "dst", "w")
+    val v1 = Graph.commitWeightedEdges(spark, tbl, e1, targetFiles = 2)
+    val v2 = Graph.commitWeightedEdges(spark, tbl,
+      e1.filter(col("w") > 1), targetFiles = 2)
+    assert(v2 == v1 + 1)
+    val pinned = graft.sources.ManifestTable.read(spark, tbl, Some(v1))
+    assert(pinned.schema.fields.map(f => (f.name, f.dataType.typeName))
+      .toSeq == Seq(("src", "long"), ("dst", "long"), ("w", "long")))
+    assert(pinned.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 5L), (1L, 3L, 2L), (2L, 3L, 1L)))
+    assert(graft.sources.ManifestTable.read(spark, tbl)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 5L), (1L, 3L, 2L)))
+  }
+
   test("hIndexRound certificate: converged scores are a fixed point, " +
     "unconverged scores are caught") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
