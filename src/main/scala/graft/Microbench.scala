@@ -67,6 +67,25 @@ object Microbench {
         .groupBy(col("src").as("node"))
         .agg(max(least(col("c"), col("rn"))).as("c"))
     })
+    // single-exchange candidate: per-node histogram collected into a
+    // bounded array (≤ distinct scores) and folded with aggregate() —
+    // trades the histogram's second exchange + window sort for an
+    // interpreted HOF over ~30 elements
+    time("hof", () => {
+      val hist = und.join(c.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("c").as("cv"))
+        .agg(count(lit(1)).as("k"))
+      hist.groupBy(col("src").as("node"))
+        .agg(reverse(array_sort(collect_list(struct(col("cv"),
+          col("k"))))).as("h"))
+        .select(col("node"), expr(
+          """aggregate(h, named_struct('cum', 0L, 'best', 0L),
+               (acc, e) -> named_struct(
+                 'cum', acc.cum + e.k,
+                 'best', greatest(acc.best,
+                   least(e.cv, acc.cum + e.k))),
+               acc -> acc.best)""").as("c"))
+    })
   }
 
   /** BUILD/SERVE decoupling rehearsal for the graph edge artifact
@@ -294,7 +313,43 @@ object Microbench {
     })
   }
 
+  /** `graft.Microbench kcore_conv <sfDir>` — per-round changed-node
+    * counts of the supplier–part k-core at the registry's budget, to
+    * locate the fixed point (an early-exit past it is equality-
+    * preserving: the h-index sequence is monotone to its fixed point,
+    * so a converged round leaves scores bit-identical). */
+  private def kcoreConvMode(spark: SparkSession, sfDir: String): Unit = {
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+    val und = graft.etl.Graph.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var c = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    for (i <- 1 to 6) {
+      val t0 = System.nanoTime()
+      val next = graft.etl.Graph.hIndexRound(und, c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.withColumnRenamed("c", "c2").join(c, "node")
+        .filter(col("c") =!= col("c2")).count()
+      println(f"round $i%d changed=$changed%d " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      c.unpersist(); c = next
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("kcore_conv")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      kcoreConvMode(spark, args(1))
+      spark.stop(); return
+    }
     if (args.headOption.contains("hits_serve")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
       val spark = SparkSession.builder().master(s"local[$cpus]")
