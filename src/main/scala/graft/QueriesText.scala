@@ -687,11 +687,16 @@ private[graft] object QueriesText {
             sequence(lit(0), size(toks) - k),
             i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
       }
+      // the distinct collapse is the ONLY data-sized work — checkpoint
+      // it so the pair join's two sides and the totals read the
+      // materialized collapse instead of re-shuffling the corpus 3×
+      import org.apache.spark.sql.graft.CheckpointBridge
       val sg = docs.select(col("source"), explode(grams).as("gram"))
         .select(col("source"), xxhash64(col("gram")).as("gh"))
         .distinct()
+        .localCheckpoint(false)
       val tot = sg.groupBy("source").agg(count(lit(1)).as("total"))
-      sg.as("a")
+      try sg.as("a")
         .join(sg.as("b"), col("a.gh") === col("b.gh") &&
           col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"),
@@ -706,6 +711,8 @@ private[graft] object QueriesText {
           expr("shared_grams * 1000 div least(total_a, total_b)")
             .as("overlap_permille"))
         .orderBy("source_a", "source_b")
+        .localCheckpoint(true)
+      finally CheckpointBridge.release(sg)
     },
     Some(raw"""WITH d AS (SELECT source, lower(trim(text)) AS txt
         FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
