@@ -430,12 +430,12 @@ private[graft] object QueriesText {
     * The md5-hex weights compare lexicographically the same in both
     * engines, and ties (impossible in practice) break toward the
     * smallest shard index on both sides. */
-  private def hrwWeights(n: Int): org.apache.spark.sql.Column =
+  private[graft] def hrwWeights(n: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(n - 1)),
       sh => substring(md5(concat(lit("hrw:"), sh.cast("string"),
         lit(":"), col("doc_id").cast("string"))), 1, 8))
 
-  private def hrwShard(n: Int): org.apache.spark.sql.Column =
+  private[graft] def hrwShard(n: Int): org.apache.spark.sql.Column =
     (array_position(hrwWeights(n), array_max(hrwWeights(n))) - 1)
       .cast("long")
 
