@@ -93,7 +93,7 @@ object Queries {
     QueriesRelational.recursiveCteSpine, QueriesRelational.graphPagerank,
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
     QueriesRelational.graphEdgesArtifact, QueriesRelational.graphKcoreServe, QueriesRelational.graphKcoreGate,
-    QueriesRelational.graphHitsServe, QueriesRelational.graphPprServe,
+    QueriesRelational.graphHitsServe, QueriesRelational.graphPprServe, QueriesRelational.graphEdgesIncremental,
     QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,

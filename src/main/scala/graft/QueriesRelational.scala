@@ -1351,6 +1351,60 @@ private[graft] object QueriesRelational {
         changed = 0 AS certified
       FROM diff"""))
 
+  /** INCREMENTAL edge-artifact maintenance
+    * ([[graft.etl.Graph.appendEdges]]): the committed graph is kept
+    * current by anti-joining a growth batch's symmetrized edges
+    * against the artifact and appending ONLY the new ones — never
+    * rebuilding the collapse. The row splits the fact into a base cut
+    * (v1 build) and a growth batch chosen to OVERLAP it (every base
+    * edge from a supplier also in the batch re-arrives and must be
+    * absorbed, not duplicated), appends as v2, and reduces the LATEST
+    * snapshot to exact degree statistics plus a duplicate-edge count —
+    * which hash-match DuckDB computing the same stats from the FULL
+    * fact directly, plus a literal 0. An anti-join that missed (dups)
+    * or over-pruned (missing edges) moves the numbers; the version
+    * arithmetic pins that the increment landed as an append, not a
+    * rewrite. */
+  private[graft] val graphEdgesIncremental = Q("graph_edges_incremental",
+    (s, dir) => {
+      val fwd = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      val tbl =
+        s"${QueriesStreaming.StreamTemp.dir("graft_edges_inc")}/edges"
+      // base: suppliers 0..2 mod 4; growth batch: suppliers 1..3 mod 4
+      // — the mod-1..2 overlap re-delivers base edges inside the batch
+      val v1 = graft.etl.Graph.commitEdges(s, tbl,
+        fwd.filter(col("src") % 8 =!= 6)) // src is 2*suppkey: mod-4 on suppkey
+      val v2 = graft.etl.Graph.appendEdges(s, tbl,
+        fwd.filter(col("src") % 8 =!= 0))
+      require(v2 == v1 + 1, s"increment did not append: $v1 -> $v2")
+      val latest = graft.etl.Graph.edgesFromManifest(s, tbl)
+      val deg = latest.groupBy("src").agg(count(lit(1)).as("d"))
+      val dups = latest.groupBy("src", "dst")
+        .agg(count(lit(1)).as("k")).filter(col("k") > 1)
+        .agg(count(lit(1)).as("dup_edges"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          sum("d").as("n_directed_edges"),
+          max("d").as("max_degree"), min("d").as("min_degree"))
+        .crossJoin(broadcast(dups))
+    },
+    Some("""WITH fwd AS (
+        SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+          CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem),
+      und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd) u
+        WHERE src <> dst),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(d) AS BIGINT) AS n_directed_edges,
+        CAST(MAX(d) AS BIGINT) AS max_degree,
+        CAST(MIN(d) AS BIGINT) AS min_degree,
+        CAST(0 AS BIGINT) AS dup_edges
+      FROM deg"""))
+
   /** The nation-level trade graph (customer nation → supplier nation,
     * weight = lineitem count) that [[graphHits]] and [[graphPpr]] both
     * aggregate from the fact — factored out because the WEIGHTED edge

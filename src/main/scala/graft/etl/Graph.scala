@@ -382,6 +382,31 @@ object Graph {
                         version: Option[Long] = None): DataFrame =
     graft.sources.ManifestTable.read(spark, table, version)
 
+  /** INCREMENTAL edge-artifact maintenance — the reason the committed
+    * graph stays cheap to keep current at 100 TB: a fact-growth batch
+    * does NOT rebuild the collapse; its symmetrized edges anti-join
+    * the CURRENT artifact (batch × artifact on 16-byte (src, dst)
+    * keys — the batch side is ingest-sized, the artifact side is
+    * semi-join-prunable) and only the genuinely NEW edges land as an
+    * atomic [[graft.sources.ManifestTable.commitAppend]]. Appended
+    * files carry their own src footer stats, so manifest-side pruning
+    * keeps working across base + increments; pinned readers of older
+    * versions are untouched; and the append-only version chain keeps
+    * [[graft.sources.ManifestTable.readAppendsSince]] sound for
+    * downstream incremental consumers of the GRAPH itself. Periodic
+    * [[graft.sources.ManifestTable.compactSorted]] re-clusters when
+    * increments accumulate. Returns the committed version. */
+  def appendEdges(spark: org.apache.spark.sql.SparkSession,
+                  table: String, newEdges: DataFrame,
+                  targetFiles: Int = 2): Long =
+    graft.sources.ManifestTable.commitAppend(spark, table,
+      symmetrize(newEdges)
+        .join(edgesFromManifest(spark, table), Seq("src", "dst"),
+          "left_anti")
+        .repartitionByRange(targetFiles, col("src"))
+        .sortWithinPartitions("src"),
+      statsCol = Some("src"))
+
   /** BUILD/COMMIT the WEIGHTED DIRECTED edge artifact — the
     * [[commitEdges]] twin for the kernels that walk a weighted graph
     * ([[hits]], [[weightedPageRank]], [[personalizedPageRank]]): the

@@ -60,6 +60,30 @@ class GraphArtifactSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 2L, 7L -> 1L))
   }
 
+  test("appendEdges: overlapping growth batch absorbed, not duplicated") {
+    val tbl = tempTable("edges_inc")
+    val v1 = Graph.commitEdges(spark, tbl,
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    // growth batch re-delivers (2,3) and brings (3,4); (2,3) must be
+    // absorbed by the anti-join, (3,4) appended
+    val v2 = Graph.appendEdges(spark, tbl,
+      Seq((2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    assert(v2 == v1 + 1)
+    val latest = Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toList
+    assert(latest.distinct.size == latest.size, "append duplicated edges")
+    assert(latest.toSet == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)))
+    // pinned v1 reader untouched by the increment
+    assert(Graph.edgesFromManifest(spark, tbl, Some(v1))
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    // the chain is append-only: the file-level CDC read stays sound
+    assert(graft.sources.ManifestTable
+      .readAppendsSince(spark, tbl, v1)
+      .as[(Long, Long)].collect().toSet == Set((3L, 4L), (4L, 3L)))
+  }
+
   test("commitWeightedEdges: typed (src,dst,w), pinned across rebuild") {
     val tbl = tempTable("wedges_mt")
     val e1 = Seq((1, 2, 5), (1, 3, 2), (2, 3, 1)).toDF("src", "dst", "w")
