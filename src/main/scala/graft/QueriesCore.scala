@@ -453,6 +453,46 @@ private[graft] object QueriesCore {
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       ORDER BY c_custkey"""))
 
+  /** METADATA-ONLY COUNT ([[graft.sources.ManifestTable.countRows]]):
+    * COUNT(*) answered from the manifest's commit-time footer row
+    * counts — zero data pages read, per version (time travel included)
+    * — the Delta/Iceberg count-from-stats fast path, sound because
+    * committed files are immutable. The row builds a 2-commit table,
+    * answers v1 and head counts from metadata, REQUIRES the head
+    * metadata count equal to an actual scan count (the cross-path
+    * proof), and the oracle recomputes both segment counts from the
+    * source — a staged file whose recorded count drifted from its
+    * contents would move the numbers. At 100 TB: the difference
+    * between a KB of manifest reads and a full-table scan, for the
+    * query every dashboard fires first. */
+  private[graft] val manifestCountPushdown = Q("manifest_count_pushdown",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_cnt")
+      val tbl = s"$root/cust_tbl"
+      val v1 = graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.filter(col("c_mktsegment") === "BUILDING").repartition(4))
+      graft.sources.ManifestTable.commitAppend(s, tbl,
+        c.filter(col("c_mktsegment") === "MACHINERY"))
+      val metaV1 = graft.sources.ManifestTable.countRows(s, tbl, Some(v1))
+        .getOrElse(sys.error("v1 manifest lacks row counts"))
+      val metaHead = graft.sources.ManifestTable.countRows(s, tbl)
+        .getOrElse(sys.error("head manifest lacks row counts"))
+      val scanned = graft.sources.ManifestTable.read(s, tbl).count()
+      require(metaHead == scanned,
+        s"metadata count $metaHead != scan count $scanned")
+      import s.implicits._
+      Seq((metaV1, metaHead, metaHead == scanned))
+        .toDF("v1_rows_meta", "head_rows_meta", "meta_equals_scan")
+    },
+    Some("""SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_mktsegment = 'BUILDING') AS v1_rows_meta,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        AS head_rows_meta,
+      TRUE AS meta_equals_scan"""))
+
   /** The DataSourceV2 metadata connector under the correctness gate:
     * build a two-commit manifest table (v1 with commit-time stats,
     * v2 a plain append), read it back through

@@ -94,52 +94,95 @@ object ManifestTable {
     }
   }
 
-  private def entryStats(line: String): Option[(String, Long, Long)] =
-    line.split('\t') match {
-      case Array(_, c, lo, hi) => Some((c, lo.toLong, hi.toLong))
-      case _ => None
-    }
+  /** Entry grammar (tab-separated, extended round 12 — every variant
+    * below parses under every reader, so manifests written by any
+    * engine version keep reading):
+    *   rel
+    *   rel  col  lo  hi
+    *   rel  #rows  n
+    *   rel  col  lo  hi  #rows  n
+    * `#rows` is a TAG, not a column name, so the stats parser can tell
+    * the two 3+-field forms apart without a format version bump. */
+  private def entryStats(line: String): Option[(String, Long, Long)] = {
+    val f = line.split('\t')
+    if (f.length >= 4 && f(1) != "#rows")
+      Some((f(1), f(2).toLong, f(3).toLong))
+    else None
+  }
 
-  /** (min, max) of a LONG column from the parquet FOOTER of one
-    * staged file — stats parquet already wrote; no data pages read.
-    * None when the column is absent, not INT64, or all-null. */
-  private def footerRange(spark: SparkSession, file: Path,
-                          column: String): Option[(Long, Long)] = {
+  private def entryRows(line: String): Option[Long] = {
+    val f = line.split('\t')
+    val i = f.indexOf("#rows")
+    if (i >= 0 && i + 1 < f.length) Some(f(i + 1).toLong) else None
+  }
+
+  /** METADATA-ONLY row count — COUNT(*) answered from the manifest's
+    * commit-time footer row counts without touching a single data
+    * page (the Delta/Iceberg "count from stats" fast path; at 100 TB
+    * the difference between a KB of manifest reads and a full-table
+    * scan). Sound because staged files are IMMUTABLE — the count
+    * recorded at commit is the count forever. Returns None when any
+    * entry predates row-count recording (mixed/legacy manifest):
+    * the caller falls back to the scan, never to a wrong number. */
+  def countRows(spark: SparkSession, table: String,
+                version: Option[Long] = None): Option[Long] = {
+    val t = new Path(table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    require(v > 0, s"$table has no committed version")
+    val counts = readManifest(spark, t, v).map(entryRows)
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Row count plus optional (min, max) of a LONG column, from the
+    * parquet FOOTER of one staged file in ONE footer open — stats
+    * parquet already wrote; no data pages read. The range is None when
+    * the column is absent, not INT64, or all-null. */
+  private def footerMeta(spark: SparkSession, file: Path,
+                         column: Option[String])
+  : (Long, Option[(Long, Long)]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val ranges = r.getFooter.getBlocks.asScala.iterator
-        .flatMap(_.getColumns.asScala)
-        .filter(c => c.getPath.toDotString == column &&
-          c.getPrimitiveType.getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
-        .flatMap { c =>
-          val st = c.getStatistics
-          if (st == null || !st.hasNonNullValue) None
-          else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-            st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
-        }.toList
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      val blocks = r.getFooter.getBlocks.asScala.toList
+      val nRows = blocks.iterator.map(_.getRowCount).sum
+      val range = column.flatMap { col =>
+        val ranges = blocks.iterator
+          .flatMap(_.getColumns.asScala)
+          .filter(c => c.getPath.toDotString == col &&
+            c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+          }.toList
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      }
+      (nRows, range)
     } finally r.close()
   }
 
-  /** Decorate staged relative paths with footer stats for `statsCol`
-    * (files whose footer yields no range stay bare — they are ALWAYS
-    * kept by the pruner, the safe fallback). */
+  /** Decorate staged relative paths with commit-time footer metadata:
+    * the row count ALWAYS (it powers [[countRows]]'s metadata-only
+    * COUNT), plus [min, max] range stats for `statsCol` when asked
+    * (files whose footer yields no range carry only the count — they
+    * are ALWAYS kept by the pruner, the safe fallback). One footer
+    * open per staged file, at commit time only. */
   private def withStats(spark: SparkSession, table: Path,
                         staged: Seq[String],
                         statsCol: Option[String]): Seq[String] =
-    statsCol match {
-      case None => staged
-      case Some(c) => staged.map { rel =>
-        footerRange(spark, new Path(table, rel), c) match {
-          case Some((lo, hi)) => s"$rel\t$c\t$lo\t$hi"
-          case None => rel
-        }
+    staged.map { rel =>
+      val (nRows, range) =
+        footerMeta(spark, new Path(table, rel), statsCol)
+      val statsPart = range match {
+        case Some((lo, hi)) => s"\t${statsCol.get}\t$lo\t$hi"
+        case None => ""
       }
+      s"$rel$statsPart\t#rows\t$nRows"
     }
 
   /** Stage `df` as immutable files under `data/` WITHOUT publishing

@@ -272,6 +272,34 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(!isCreateRace(new org.apache.hadoop.ipc.RemoteException(
       "org.apache.hadoop.security.AccessControlException", "denied")))
   }
+
+  test("countRows: metadata-only count per version; legacy entries -> None") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_cnt")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    val v1 = ManifestTable.commitOverwrite(spark, tbl,
+      (1 to 100).toDF("v").repartition(3))
+    val v2 = ManifestTable.commitAppend(spark, tbl,
+      (1 to 40).toDF("v"))
+    assert(ManifestTable.countRows(spark, tbl, Some(v1)).contains(100L))
+    assert(ManifestTable.countRows(spark, tbl, Some(v2)).contains(140L))
+    assert(ManifestTable.countRows(spark, tbl).contains(140L))
+    // a legacy manifest entry without the #rows tag poisons the fast
+    // path to None (fall back to the scan, never a wrong number)
+    val p = new org.apache.hadoop.fs.Path(s"$tbl/_manifests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = fs.listStatus(p).map(_.getPath)
+      .find(_.getName.endsWith(f"v$v2%09d.txt")).get
+    val lines = scala.io.Source.fromInputStream(fs.open(mf), "UTF-8")
+      .getLines().toList
+    val legacy = lines.head.split('\t').head +: lines.tail
+    val out = fs.create(mf, true)
+    try out.write((legacy.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(ManifestTable.countRows(spark, tbl, Some(v2)).isEmpty)
+    // the stats-free legacy entry still reads fine (kept-by-default)
+    assert(ManifestTable.read(spark, tbl, Some(v2)).count() == 140L)
+  }
 }
 
 /** Mimics org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException
