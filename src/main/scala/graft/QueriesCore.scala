@@ -493,6 +493,55 @@ private[graft] object QueriesCore {
         AS head_rows_meta,
       TRUE AS meta_equals_scan"""))
 
+  /** COPY-ON-WRITE row-level DELETE
+    * ([[graft.sources.ManifestTable.deleteRows]]): the compliance
+    * delete at lake scale — files whose commit-time stats cannot
+    * contain a doomed key are carried into the new version VERBATIM;
+    * only the overlapping files are rewritten, and the swap is one
+    * atomic manifest commit. The row builds a key-clustered table,
+    * deletes a low-key batch, and pins all four contract points: the
+    * surviving rows (hash-matched against DuckDB's filter — the
+    * delete removed exactly the doomed keys, nothing else), zero
+    * doomed keys present after, PRUNING happened (at least one file
+    * untouched — the stats ranges did their job), and the PINNED
+    * pre-delete version still serves every doomed key (the two-phase
+    * erasure clock: gone from new reads at commit, gone from storage
+    * at vacuum). */
+  private[graft] val manifestDeleteRows = Q("manifest_delete_rows",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_del")
+      val tbl = s"$root/cust_tbl"
+      val v1 = graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.repartitionByRange(3, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"),
+        statsCol = Some("c_custkey"))
+      val keys = (1L to 40L)
+      val res = graft.sources.ManifestTable.deleteRows(s, tbl,
+        "c_custkey", keys)
+      require(res.version == v1 + 1, s"delete must commit head+1")
+      require(res.untouchedFiles >= 1,
+        "stats pruning rewrote every file — the [min,max] ranges " +
+          "did nothing")
+      val after = graft.sources.ManifestTable.read(s, tbl)
+      val doomedAfter = after
+        .filter(col("c_custkey").isin(keys: _*)).count()
+      val pinnedDoomed = graft.sources.ManifestTable
+        .read(s, tbl, Some(v1))
+        .filter(col("c_custkey").isin(keys: _*)).count()
+      after
+        .withColumn("doomed_after", lit(doomedAfter))
+        .withColumn("pinned_doomed", lit(pinnedDoomed))
+        .withColumn("pruned", lit(res.untouchedFiles >= 1))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c.*, CAST(0 AS BIGINT) AS doomed_after,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_custkey BETWEEN 1 AND 40) AS pinned_doomed,
+      TRUE AS pruned
+      FROM customer c WHERE c_custkey NOT BETWEEN 1 AND 40
+      ORDER BY c_custkey"""))
+
   /** The DataSourceV2 metadata connector under the correctness gate:
     * build a two-commit manifest table (v1 with commit-time stats,
     * v2 a plain append), read it back through

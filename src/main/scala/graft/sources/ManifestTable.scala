@@ -487,6 +487,62 @@ object ManifestTable {
     }
   }
 
+  /** Result of a copy-on-write [[deleteRows]]: the committed version,
+    * how many files were rewritten (their stats ranges could contain a
+    * doomed key, or they carried no stats for `column`), and how many
+    * were carried forward UNTOUCHED — at 100 TB the untouched count is
+    * the whole point. */
+  final case class DeleteResult(version: Long, rewrittenFiles: Int,
+                                untouchedFiles: Int)
+
+  /** COPY-ON-WRITE row-level DELETE — the right-to-be-forgotten /
+    * compliance delete for a manifest table (the Delta/Iceberg DELETE
+    * shape, on commit-time footer stats): files whose recorded
+    * [min, max] for `column` cannot contain any doomed key are carried
+    * into the new version VERBATIM (never read, never rewritten);
+    * only the overlapping files (plus stats-less ones — pruning is an
+    * optimization, never a correctness filter) are scanned, key-
+    * filtered, re-clustered on `column` with fresh stats, and staged.
+    * The swap is one atomic manifest commit: pinned readers of older
+    * versions keep the pre-delete files until [[vacuum]] reclaims
+    * them — which is also the COMPLIANCE CLOCK: the data is gone from
+    * every new read at commit, gone from storage after the retention
+    * window, the same two-phase erasure contract the table formats
+    * document. `keys` is driver-held and bounded (a compliance batch,
+    * not a data-sized set) — for data-sized deletes use the anti-join
+    * formulation over partitions ([[Sources.deleteKeys]]). Concurrent
+    * commits rebase file-wise: entries another writer added meanwhile
+    * are kept. */
+  def deleteRows(spark: SparkSession, table: String, column: String,
+                 keys: Seq[Long]): DeleteResult = {
+    import org.apache.spark.sql.functions.col
+    val t = new Path(table)
+    val head = latestVersion(spark, table)
+    require(head > 0, s"$table has no committed version")
+    val lines = readManifest(spark, t, head)
+    val (touched, untouched) = lines.partition { line =>
+      entryStats(line) match {
+        case Some((c, lo, hi)) if c == column =>
+          keys.exists(k => k >= lo && k <= hi)
+        case _ => true // no usable stats: must assume it may match
+      }
+    }
+    if (touched.isEmpty)
+      return DeleteResult(head, 0, untouched.size)
+    val survivors = spark.read.parquet(
+        touched.map(l => new Path(t, entryPath(l)).toString): _*)
+      .filter(!col(column).isin(keys: _*))
+      .repartitionByRange(touched.size, col(column))
+      .sortWithinPartitions(column)
+    val staged = withStats(spark, t, stageFiles(spark, t, survivors),
+      Some(column))
+    val touchedSet = touched.toSet
+    val v = publish(spark, t, cur =>
+      (if (cur == 0) Nil
+       else readManifest(spark, t, cur).filterNot(touchedSet)) ++ staged)
+    DeleteResult(v, touched.size, untouched.size)
+  }
+
   /** Delete data files referenced by NO retained manifest (crash
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones

@@ -273,6 +273,47 @@ class ManifestTableSpec extends AnyFunSuite {
       "org.apache.hadoop.security.AccessControlException", "denied")))
   }
 
+  test("deleteRows: copy-on-write, stats-pruned, pinned version intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_del")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    val v1 = ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 300L).toDF("k").repartitionByRange(3, $"k")
+        .sortWithinPartitions("k"),
+      statsCol = Some("k"))
+    val v1Files = ManifestTable.read(spark, tbl, Some(v1))
+      .inputFiles.toSet
+    val res = ManifestTable.deleteRows(spark, tbl, "k", Seq(5L, 7L, 9L))
+    assert(res.version == v1 + 1)
+    // the doomed keys live in ONE range-clustered file: exactly one
+    // rewritten, the rest carried forward verbatim
+    assert(res.rewrittenFiles == 1 && res.untouchedFiles == 2,
+      s"expected 1 rewrite / 2 untouched, got $res")
+    val after = ManifestTable.read(spark, tbl)
+    assert(after.count() == 297)
+    assert(after.filter($"k".isin(5L, 7L, 9L)).count() == 0)
+    // untouched files are the SAME physical files (copy-on-write, not
+    // copy-everything)
+    assert((after.inputFiles.toSet & v1Files).size == 2)
+    // pinned pre-delete version still serves the doomed keys
+    assert(ManifestTable.read(spark, tbl, Some(v1))
+      .filter($"k".isin(5L, 7L, 9L)).count() == 3)
+    // rewritten file carries FRESH stats: pruning still works after
+    val pr = ManifestTable.readPruned(spark, tbl, "k", 1, 10)
+    assert(pr.filesKept < pr.filesTotal)
+    // a no-op delete (keys outside every range) rewrites nothing
+    val res2 = ManifestTable.deleteRows(spark, tbl, "k", Seq(9999L))
+    assert(res2.rewrittenFiles == 0 &&
+      res2.version == res.version) // no new version for a no-op
+    // keys on a STATS-LESS table rewrite everything (never prune blind)
+    val tbl2 = s"$dir/t2"
+    ManifestTable.commitOverwrite(spark, tbl2,
+      (1L to 100L).toDF("k").repartition(2))
+    val res3 = ManifestTable.deleteRows(spark, tbl2, "k", Seq(1L))
+    assert(res3.untouchedFiles == 0)
+    assert(ManifestTable.read(spark, tbl2).count() == 99)
+  }
+
   test("countRows: metadata-only count per version; legacy entries -> None") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_cnt")
     val tbl = s"$dir/t"
