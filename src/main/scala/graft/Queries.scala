@@ -33,7 +33,7 @@ object Queries {
     QueriesCore.variantJson, QueriesCore.regexpExtract, QueriesCore.filterValid, QueriesCore.windowDedup, QueriesCore.dupGroups,
     QueriesCore.qualityReport,
     QueriesCore.validateNulls, QueriesCore.dqExpectations, QueriesCore.quarantineDeadletter, QueriesCore.limitSample, QueriesCore.unionIds,
-    QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges, QueriesCore.manifestCountPushdown, QueriesCore.manifestDeleteRows,
+    QueriesCore.csvRoundtrip, QueriesCore.orcRoundtrip, QueriesCore.manifestSnapshot, QueriesCore.manifestChanges, QueriesCore.manifestCountPushdown, QueriesCore.manifestDeleteRows, QueriesCore.manifestMergeRows,
     QueriesCore.manifestSync, QueriesCore.bucketedJoin, QueriesCore.manifestMetaQ,
     QueriesCore.manifestEvolutionQ,
     QueriesCore.deleteKeysQ, QueriesCore.schemaMerge, QueriesCore.upsertPartition,

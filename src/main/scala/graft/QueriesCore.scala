@@ -542,6 +542,63 @@ private[graft] object QueriesCore {
       FROM customer c WHERE c_custkey NOT BETWEEN 1 AND 40
       ORDER BY c_custkey"""))
 
+  /** COPY-ON-WRITE MERGE (upsert,
+    * [[graft.sources.ManifestTable.mergeRows]]) — [[manifestDeleteRows]]'s
+    * DML sibling: updates REPLACE same-key rows, inserts land, files
+    * outside the update batch's key range carry forward verbatim, one
+    * atomic commit. The batch is range-LOCAL by design (updates on
+    * keys ≤ 40 plus one insert at the brand-new key -1) so the pruning
+    * contract is exercised, not bypassed; the update-key anti-join is
+    * distributed, so the batch could be any size. Oracle: DuckDB
+    * reconstructs the merged table independently (untouched rows ∪
+    * updated forms ∪ the insert); the pinned pre-merge version must
+    * still serve the ORIGINAL segments. */
+  private[graft] val manifestMergeRows = Q("manifest_merge_rows",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = QueriesStreaming.StreamTemp.dir("graft_manifest_mrg")
+      val tbl = s"$root/cust_tbl"
+      val v1 = graft.sources.ManifestTable.commitOverwrite(s, tbl,
+        c.repartitionByRange(3, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"),
+        statsCol = Some("c_custkey"))
+      val updates = c.filter(col("c_custkey") <= 40)
+        .withColumn("c_mktsegment", lit("MERGED"))
+        .unionByName(c.filter(col("c_custkey") === 1)
+          .withColumn("c_custkey", lit(-1L))
+          .withColumn("c_name", lit("NEWROW")))
+      val res = graft.sources.ManifestTable.mergeRows(s, tbl,
+        "c_custkey", updates)
+      require(res.version == v1 + 1, "merge must commit head+1")
+      require(res.untouchedFiles >= 1,
+        "range pruning rewrote every file for a range-local batch")
+      val after = graft.sources.ManifestTable.read(s, tbl)
+      val pinnedOriginal = graft.sources.ManifestTable
+        .read(s, tbl, Some(v1))
+        .filter(col("c_custkey") <= 40 &&
+          col("c_mktsegment") =!= "MERGED").count()
+      after
+        .withColumn("pinned_originals", lit(pinnedOriginal))
+        .withColumn("pruned", lit(res.untouchedFiles >= 1))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH merged AS (
+        SELECT * FROM customer WHERE c_custkey > 40
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+          'MERGED' AS c_mktsegment
+        FROM customer WHERE c_custkey <= 40
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), 'NEWROW', c_nationkey, c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_custkey = 1)
+      SELECT m.*,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+          WHERE c_custkey <= 40 AND c_mktsegment <> 'MERGED')
+          AS pinned_originals,
+        TRUE AS pruned
+      FROM merged m ORDER BY c_custkey"""))
+
   /** The DataSourceV2 metadata connector under the correctness gate:
     * build a two-commit manifest table (v1 with commit-time stats,
     * v2 a plain append), read it back through

@@ -543,6 +543,60 @@ object ManifestTable {
     DeleteResult(v, touched.size, untouched.size)
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) — [[deleteRows]]'s DML sibling,
+    * completing the triad (append / delete / merge): rows in `updates`
+    * REPLACE same-key rows and INSERT where the key is new. Files
+    * whose stats range cannot overlap the updates' overall [min, max]
+    * key range carry forward verbatim; overlapping (and stats-less)
+    * files are scanned once, anti-joined against the update keys — a
+    * DISTRIBUTED anti-join, so `updates` may be any size, unlike the
+    * driver-held compliance key list of [[deleteRows]] — unioned with
+    * the updates, re-clustered with fresh stats, and swapped in one
+    * atomic commit. Range-overlap pruning is coarser than per-key
+    * (one hot key at each end of the keyspace rewrites everything
+    * between); upsert-heavy workloads cluster commits so update
+    * batches arrive range-local, which is exactly why the rewrite
+    * re-sorts on `column`. Pinned readers keep pre-merge files until
+    * [[vacuum]]. */
+  def mergeRows(spark: SparkSession, table: String, column: String,
+                updates: DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val t = new Path(table)
+    val head = latestVersion(spark, table)
+    require(head > 0, s"$table has no committed version")
+    val bounds = updates.agg(
+      smin(col(column)).cast("long"), smax(col(column)).cast("long"))
+      .head()
+    if (bounds.isNullAt(0)) // empty updates: nothing to merge
+      return DeleteResult(head, 0,
+        readManifest(spark, t, head).size)
+    val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
+    val lines = readManifest(spark, t, head)
+    val (touched, untouched) = lines.partition { line =>
+      entryStats(line) match {
+        case Some((c, lo, hi)) if c == column => hi >= uLo && lo <= uHi
+        case _ => true
+      }
+    }
+    val existing =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read.parquet(
+        touched.map(l => new Path(t, entryPath(l)).toString): _*)
+    val merged = existing
+      .join(updates.select(col(column)).distinct(), Seq(column),
+        "left_anti")
+      .unionByName(updates)
+      .repartitionByRange(touched.size + 1, col(column))
+      .sortWithinPartitions(column)
+    val staged = withStats(spark, t, stageFiles(spark, t, merged),
+      Some(column))
+    val touchedSet = touched.toSet
+    val v = publish(spark, t, cur =>
+      (if (cur == 0) Nil
+       else readManifest(spark, t, cur).filterNot(touchedSet)) ++ staged)
+    DeleteResult(v, touched.size, untouched.size)
+  }
+
   /** Delete data files referenced by NO retained manifest (crash
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones

@@ -314,6 +314,40 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, tbl2).count() == 99)
   }
 
+  test("mergeRows: upsert with range pruning; empty merge is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_mrg")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    val v1 = ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 300L).map(k => (k, s"old$k")).toDF("k", "payload")
+        .repartitionByRange(3, $"k").sortWithinPartitions("k"),
+      statsCol = Some("k"))
+    val v1Files = ManifestTable.read(spark, tbl, Some(v1))
+      .inputFiles.toSet
+    // range-local batch: update keys 5/7, insert key 0 — only the low
+    // file overlaps [0, 7]
+    val res = ManifestTable.mergeRows(spark, tbl, "k",
+      Seq((5L, "new5"), (7L, "new7"), (0L, "new0"))
+        .toDF("k", "payload"))
+    assert(res.version == v1 + 1)
+    assert(res.rewrittenFiles == 1 && res.untouchedFiles == 2, s"$res")
+    val after = ManifestTable.read(spark, tbl)
+    assert(after.count() == 301) // 300 - 2 replaced + 2 new forms + 1 insert
+    val m = after.filter($"k".isin(0L, 5L, 7L, 9L))
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(0L -> "new0", 5L -> "new5", 7L -> "new7",
+      9L -> "old9"))
+    // copy-on-write: untouched files physically identical
+    assert((after.inputFiles.toSet & v1Files).size == 2)
+    // pinned pre-merge version unchanged
+    assert(ManifestTable.read(spark, tbl, Some(v1))
+      .filter($"k" === 5L).as[(Long, String)].head()._2 == "old5")
+    // empty updates: no-op, no new version
+    val res2 = ManifestTable.mergeRows(spark, tbl, "k",
+      Seq.empty[(Long, String)].toDF("k", "payload"))
+    assert(res2.version == res.version && res2.rewrittenFiles == 0)
+  }
+
   test("countRows: metadata-only count per version; legacy entries -> None") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_cnt")
     val tbl = s"$dir/t"
