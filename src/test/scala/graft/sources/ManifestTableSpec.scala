@@ -348,6 +348,45 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(res2.version == res.version && res2.rewrittenFiles == 0)
   }
 
+  test("DML idempotence + the compliance erasure clock end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_clock")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 300L).map(k => (k, s"p$k")).toDF("k", "payload")
+        .repartitionByRange(3, $"k").sortWithinPartitions("k"),
+      statsCol = Some("k"))
+    // crash-retry convergence: re-running the same delete converges on
+    // the same content (the retry of a failed orchestration step)
+    val d1 = ManifestTable.deleteRows(spark, tbl, "k", Seq(5L, 7L))
+    val afterOnce = ManifestTable.read(spark, tbl)
+      .as[(Long, String)].collect().toSet
+    val d2 = ManifestTable.deleteRows(spark, tbl, "k", Seq(5L, 7L))
+    assert(ManifestTable.read(spark, tbl)
+      .as[(Long, String)].collect().toSet == afterOnce)
+    // same for merge: the second identical merge rewrites, but content
+    // is byte-for-byte the same relation
+    ManifestTable.mergeRows(spark, tbl, "k",
+      Seq((9L, "new9")).toDF("k", "payload"))
+    val afterMerge = ManifestTable.read(spark, tbl)
+      .as[(Long, String)].collect().toSet
+    ManifestTable.mergeRows(spark, tbl, "k",
+      Seq((9L, "new9")).toDF("k", "payload"))
+    assert(ManifestTable.read(spark, tbl)
+      .as[(Long, String)].collect().toSet == afterMerge)
+    // erasure clock: after the retention window expires the pre-delete
+    // versions, vacuum physically reclaims the files that still held
+    // the doomed rows — and only then does the pinned reader break
+    val pinnedPre = ManifestTable.read(spark, tbl, Some(d1.version - 1))
+    val deleted = ManifestTable.vacuum(spark, tbl, keepVersions = 1)
+    assert(deleted.nonEmpty,
+      "vacuum must reclaim the rewritten-away pre-delete files")
+    assert(ManifestTable.read(spark, tbl)
+      .filter($"k".isin(5L, 7L)).count() == 0)
+    intercept[Exception] { pinnedPre.filter($"k" === 5L).count() }
+    assert(d2.version == d1.version + 1)
+  }
+
   test("countRows: metadata-only count per version; legacy entries -> None") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_cnt")
     val tbl = s"$dir/t"
