@@ -117,6 +117,7 @@ object Queries {
     QueriesStreaming.streamStaticEnrich, QueriesStreaming.streamDedup,
     QueriesStreaming.streamMvRefresh, QueriesStreaming.streamDedupCorpus,
     QueriesStreaming.streamManifestCdc,
+    QueriesStreaming.graphCdcIncremental,
     QueriesStreaming.streamStateInspect,
     QueriesAnalytics.rollingActiveUsers, QueriesAnalytics.dqReferential,
     QueriesAnalytics.audienceOverlap, QueriesAnalytics.featureLags,

@@ -37,6 +37,7 @@ private[graft] object QueriesStreaming {
     def registered: Seq[java.nio.file.Path] = synchronized(roots.toSeq)
     def cleanup(): Unit = synchronized {
       StreamStage.invalidate()
+      QueriesRelational.EdgeStage.invalidate()
       roots.foreach { root =>
         if (java.nio.file.Files.exists(root)) {
           import scala.jdk.CollectionConverters._
@@ -1026,5 +1027,86 @@ private[graft] object QueriesStreaming {
       SELECT version, CAST(1 AS BIGINT) AS n_files,
         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM buckets GROUP BY 1 ORDER BY 1"""))
+
+  /** The CDC feed COMPOSED with incremental graph maintenance —
+    * end-to-end proof of the loop a 100 TB deployment actually runs:
+    * fact growth lands as manifest commits; the DSv2 CDC source
+    * streams each version's NEW file entries; a foreachBatch consumer
+    * reads exactly those files (never the whole fact) and folds their
+    * edges into the committed graph artifact via
+    * [[graft.etl.Graph.appendEdges]] — the distinct-collapse is never
+    * rebuilt, redelivered edges are anti-joined out. Oracled against
+    * DuckDB recomputing degree stats from the FULL fact, plus a zero
+    * duplicate-edge count (an anti-join that missed or over-pruned
+    * moves both). `GraphCdcSpec` adds the kill-and-restart leg: the
+    * checkpointed version offset redelivers only unprocessed
+    * versions, and the anti-join makes redelivery idempotent —
+    * at-least-once delivery + idempotent fold = exactly-once
+    * artifact. */
+  private[graft] val graphCdcIncremental = Q("graph_cdc_incremental",
+    (s, dir) => {
+      withStreamConf(s) {
+        val root = StreamTemp.dir("graft_cdc_graph")
+        val fact = s"$root/fact"
+        val graph = s"$root/graph"
+        val fwd = t(s, dir, "lineitem").select(
+          (col("l_suppkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+        // bootstrap: the first fact batch is committed AND built into
+        // the graph (a deployment starts from one full build)
+        graft.sources.ManifestTable.commitAppend(s, fact,
+          fwd.filter(col("src") % 6 === 0), statsCol = Some("src"))
+        graft.etl.Graph.commitEdges(s, graph,
+          graft.sources.ManifestTable.read(s, fact))
+        // growth: two more fact batches land as manifest commits
+        // (src = 2*suppkey, so src % 6 covers {0, 2, 4} exactly)
+        Seq(2L, 4L).foreach { r =>
+          graft.sources.ManifestTable.commitAppend(s, fact,
+            fwd.filter(col("src") % 6 === r), statsCol = Some("src"))
+        }
+        val q = s.readStream.format("graft-manifest-cdc")
+          .option("path", fact).option("startingVersion", "1").load()
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              // file entries are KB-scale driver metadata, never rows
+              val files = batch.select("file").distinct()
+                .collect().map(r => s"$fact/${r.getString(0)}")
+              if (files.nonEmpty)
+                graft.etl.Graph.appendEdges(s, graph,
+                  s.read.parquet(files.toIndexedSeq: _*))
+              ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val latest = graft.etl.Graph.edgesFromManifest(s, graph)
+        val deg = latest.groupBy("src").agg(count(lit(1)).as("d"))
+        val dups = latest.groupBy("src", "dst")
+          .agg(count(lit(1)).as("k")).filter(col("k") > 1)
+          .agg(count(lit(1)).as("dup_edges"))
+        deg.agg(count(lit(1)).as("n_nodes"),
+            sum("d").as("n_directed_edges"),
+            max("d").as("max_degree"), min("d").as("min_degree"))
+          .crossJoin(broadcast(dups))
+      }
+    },
+    Some("""WITH fwd AS (
+        SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+          CAST(l_partkey AS BIGINT) * 2 + 1 AS dst FROM lineitem),
+      und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd) u
+        WHERE src <> dst),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(d) AS BIGINT) AS n_directed_edges,
+        CAST(MAX(d) AS BIGINT) AS max_degree,
+        CAST(MIN(d) AS BIGINT) AS min_degree,
+        CAST(0 AS BIGINT) AS dup_edges
+      FROM deg"""))
 
 }

@@ -56,7 +56,10 @@ object Ingest {
                           timeout: java.time.Duration =
                             java.time.Duration.ofSeconds(30),
                           client: java.net.http.HttpClient =
-                            java.net.http.HttpClient.newHttpClient())
+                            java.net.http.HttpClient.newBuilder()
+                              .followRedirects(
+                                java.net.http.HttpClient.Redirect.NORMAL)
+                              .build())
       extends Fetcher {
     import java.net.http.{HttpRequest, HttpResponse}
 
@@ -88,6 +91,15 @@ object Ingest {
           else Some(body)
         case 429 => throw new RateLimited
         case s if s >= 500 => throw new RateLimited
+        // 3xx: the default client follows redirects (NORMAL above), so
+        // one arriving here means a redirect the client would not
+        // follow (loop, https->http downgrade, disabled client).
+        // Treating it as NotFound would read as a permanent
+        // end-of-pages and silently truncate ingestion — exactly the
+        // reference's silent `break` this class exists to fix.
+        // Retryable instead: exhaustion throws RetriesExhausted and
+        // the watermark holds.
+        case s if s >= 300 && s < 400 => throw new RateLimited
         case _ => throw new NotFound
       }
     }

@@ -385,11 +385,27 @@ object ManifestTable {
   /** Logical compaction: rewrite the CURRENT snapshot into
     * `targetFiles` files and publish the swap as a new version. The
     * replaced small files stay on disk for older versions' readers —
-    * only `vacuum` reclaims them once their versions expire. */
+    * only `vacuum` reclaims them once their versions expire.
+    *
+    * A compaction is a logical NO-OP, so it must never change table
+    * content under concurrency — which rules out the overwrite
+    * (last-writer-wins) commit it once used: a compact committing
+    * after a concurrent deleteRows would republish the pre-delete
+    * rows (resurrection), and after a concurrent append would DROP
+    * the appended files. It therefore publishes through the same
+    * verified rebase as DML: exactly the files of the snapshot it
+    * read are replaced, concurrent appends are kept, and if a
+    * concurrent commit rewrote one of them the compact re-plans from
+    * the new head — Delta's OPTIMIZE-vs-DELETE conflict semantics. */
   def compact(spark: SparkSession, table: String,
               targetFiles: Int): Long =
-    commitOverwrite(spark, table,
-      read(spark, table).repartition(targetFiles))
+    publishDml(spark, new Path(table)) { head =>
+      val t = new Path(table)
+      val lines = readManifest(spark, t, head)
+      val staged = withStats(spark, t, stageFiles(spark, t,
+        read(spark, table, Some(head)).repartition(targetFiles)), None)
+      Right((lines.toSet, staged, 0))
+    }.version
 
   /** Sort-clustered compaction: like [[compact]], but the rewrite
     * RANGE-partitions and sorts by `clusterCol` and re-records footer
@@ -404,11 +420,15 @@ object ManifestTable {
   def compactSorted(spark: SparkSession, table: String,
                     targetFiles: Int, clusterCol: String): Long = {
     import org.apache.spark.sql.functions.col
-    commitOverwrite(spark, table,
-      read(spark, table)
-        .repartitionByRange(targetFiles, col(clusterCol))
-        .sortWithinPartitions(clusterCol),
-      statsCol = Some(clusterCol))
+    publishDml(spark, new Path(table)) { head =>
+      val t = new Path(table)
+      val lines = readManifest(spark, t, head)
+      val staged = withStats(spark, t, stageFiles(spark, t,
+        read(spark, table, Some(head))
+          .repartitionByRange(targetFiles, col(clusterCol))
+          .sortWithinPartitions(clusterCol)), Some(clusterCol))
+      Right((lines.toSet, staged, 0))
+    }.version
   }
 
   /** Incremental (CDC-lite) read: the rows APPENDED after
@@ -495,6 +515,62 @@ object ManifestTable {
   final case class DeleteResult(version: Long, rewrittenFiles: Int,
                                 untouchedFiles: Int)
 
+  /** Thrown inside the publish closure when a DML rewrite discovers
+    * that a concurrent commit already REMOVED or REWROTE one of the
+    * files it planned to replace (compact, overwrite, or another
+    * delete/merge won the race). Blindly proceeding would resurrect
+    * rows the winner deleted — or double-count rows it rewrote — so
+    * the loser must re-read the head and redo its plan against the
+    * new file set, the same conflict Delta/Iceberg surface as
+    * ConcurrentDeleteReadException. Internal: [[deleteRows]] and
+    * [[mergeRows]] catch it and retry the whole operation. */
+  private final class DmlRebaseConflict extends RuntimeException(
+    "concurrent commit removed/rewrote a file this DML planned to replace")
+
+  /** How many times a DML operation re-plans from a fresh head after
+    * losing a rewrite race before giving up. Each aborted attempt's
+    * staged files are referenced by no manifest — [[vacuum]] reclaims
+    * them like any crash leftover. */
+  private val DmlRetries = 5
+
+  /** Shared loser-path loop for COW DML: `plan` reads the current
+    * head and either finishes early (Left) or returns the touched
+    * entry set plus the staged replacement lines (Right). The publish
+    * closure re-verifies ON EVERY COMMIT ATTEMPT that the touched
+    * entries still exist in the head being rebased onto — appends by
+    * others are kept; a concurrent removal/rewrite of a touched file
+    * aborts the attempt and the whole plan is recomputed against the
+    * new head. Two concurrent disjoint-key deletes therefore BOTH
+    * land; a delete racing a compact re-plans over the compacted
+    * files instead of resurrecting doomed rows. */
+  private def publishDml(spark: SparkSession, t: Path)
+      (plan: Long => Either[DeleteResult, (Set[String], Seq[String], Int)])
+  : DeleteResult = {
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(spark, t.toString)
+      require(head > 0, s"$t has no committed version")
+      plan(head) match {
+        case Left(done) => return done
+        case Right((touchedSet, staged, untouched)) =>
+          try {
+            val v = publish(spark, t, cur => {
+              val curLines =
+                if (cur == 0) Nil else readManifest(spark, t, cur)
+              if (!touchedSet.subsetOf(curLines.toSet))
+                throw new DmlRebaseConflict
+              curLines.filterNot(touchedSet) ++ staged
+            })
+            return DeleteResult(v, touchedSet.size, untouched)
+          } catch {
+            case _: DmlRebaseConflict if attempt < DmlRetries =>
+              attempt += 1 // staged files of this attempt: vacuum fodder
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** COPY-ON-WRITE row-level DELETE — the right-to-be-forgotten /
     * compliance delete for a manifest table (the Delta/Iceberg DELETE
     * shape, on commit-time footer stats): files whose recorded
@@ -510,37 +586,48 @@ object ManifestTable {
     * window, the same two-phase erasure contract the table formats
     * document. `keys` is driver-held and bounded (a compliance batch,
     * not a data-sized set) — for data-sized deletes use the anti-join
-    * formulation over partitions ([[Sources.deleteKeys]]). Concurrent
-    * commits rebase file-wise: entries another writer added meanwhile
-    * are kept. */
+    * formulation over partitions ([[Sources.deleteKeys]]).
+    *
+    * Concurrency: appends by other writers rebase cleanly (their
+    * entries are kept); a concurrent commit that REMOVED or REWROTE a
+    * touched file (compact, overwrite, another delete/merge) aborts
+    * the publish attempt and the whole plan is recomputed against the
+    * new head (up to [[DmlRetries]] times) — never silently
+    * resurrecting the winner's deletions, the Delta/Iceberg
+    * ConcurrentDeleteRead contract. NULL-key rows are survivors:
+    * a NULL never equals any requested key, so the rewrite keeps them
+    * (a bare `!isin` would NULL them out of touched files only —
+    * inconsistent silent loss). */
   def deleteRows(spark: SparkSession, table: String, column: String,
                  keys: Seq[Long]): DeleteResult = {
     import org.apache.spark.sql.functions.col
     val t = new Path(table)
-    val head = latestVersion(spark, table)
-    require(head > 0, s"$table has no committed version")
-    val lines = readManifest(spark, t, head)
-    val (touched, untouched) = lines.partition { line =>
-      entryStats(line) match {
-        case Some((c, lo, hi)) if c == column =>
-          keys.exists(k => k >= lo && k <= hi)
-        case _ => true // no usable stats: must assume it may match
+    if (keys.isEmpty) { // nothing to delete: no rewrite, no commit
+      val head = latestVersion(spark, table)
+      require(head > 0, s"$table has no committed version")
+      return DeleteResult(head, 0, readManifest(spark, t, head).size)
+    }
+    publishDml(spark, t) { head =>
+      val lines = readManifest(spark, t, head)
+      val (touched, untouched) = lines.partition { line =>
+        entryStats(line) match {
+          case Some((c, lo, hi)) if c == column =>
+            keys.exists(k => k >= lo && k <= hi)
+          case _ => true // no usable stats: must assume it may match
+        }
+      }
+      if (touched.isEmpty) Left(DeleteResult(head, 0, untouched.size))
+      else {
+        val survivors = spark.read.parquet(
+            touched.map(l => new Path(t, entryPath(l)).toString): _*)
+          .filter(col(column).isNull || !col(column).isin(keys: _*))
+          .repartitionByRange(touched.size, col(column))
+          .sortWithinPartitions(column)
+        val staged = withStats(spark, t,
+          stageFiles(spark, t, survivors), Some(column))
+        Right((touched.toSet, staged, untouched.size))
       }
     }
-    if (touched.isEmpty)
-      return DeleteResult(head, 0, untouched.size)
-    val survivors = spark.read.parquet(
-        touched.map(l => new Path(t, entryPath(l)).toString): _*)
-      .filter(!col(column).isin(keys: _*))
-      .repartitionByRange(touched.size, col(column))
-      .sortWithinPartitions(column)
-    val staged = withStats(spark, t, stageFiles(spark, t, survivors),
-      Some(column))
-    val touchedSet = touched.toSet
-    val v = publish(spark, t, cur =>
-      (if (cur == 0) Nil
-       else readManifest(spark, t, cur).filterNot(touchedSet)) ++ staged)
-    DeleteResult(v, touched.size, untouched.size)
   }
 
   /** COPY-ON-WRITE MERGE (upsert) — [[deleteRows]]'s DML sibling,
@@ -557,44 +644,65 @@ object ManifestTable {
     * between); upsert-heavy workloads cluster commits so update
     * batches arrive range-local, which is exactly why the rewrite
     * re-sorts on `column`. Pinned readers keep pre-merge files until
-    * [[vacuum]]. */
+    * [[vacuum]].
+    *
+    * Input contract (checked in ONE aggregate pass): `updates` must
+    * carry no NULL keys (a NULL anti-join key matches nothing — the
+    * row would insert as an unreachable-by-merge duplicate forever;
+    * rejected loudly instead) and no duplicate keys (two source rows
+    * for one target key is nondeterministic "last writer" — Delta
+    * MERGE raises multiple-source-matches; so does this). Empty
+    * `updates` is a clean no-op: no rewrite, no commit. Concurrency:
+    * same rebase contract as [[deleteRows]] — concurrent appends are
+    * kept, a removed/rewritten touched file re-plans from the new
+    * head. */
   def mergeRows(spark: SparkSession, table: String, column: String,
                 updates: DataFrame): DeleteResult = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, max => smax, min => smin}
     val t = new Path(table)
-    val head = latestVersion(spark, table)
-    require(head > 0, s"$table has no committed version")
-    val bounds = updates.agg(
+    val shape = updates.agg(
+      count(lit(1)), count(col(column)), countDistinct(col(column)),
       smin(col(column)).cast("long"), smax(col(column)).cast("long"))
       .head()
-    if (bounds.isNullAt(0)) // empty updates: nothing to merge
-      return DeleteResult(head, 0,
-        readManifest(spark, t, head).size)
-    val (uLo, uHi) = (bounds.getLong(0), bounds.getLong(1))
-    val lines = readManifest(spark, t, head)
-    val (touched, untouched) = lines.partition { line =>
-      entryStats(line) match {
-        case Some((c, lo, hi)) if c == column => hi >= uLo && lo <= uHi
-        case _ => true
-      }
+    val (total, nonNull, distinct) =
+      (shape.getLong(0), shape.getLong(1), shape.getLong(2))
+    if (total == 0) { // empty updates: nothing to merge
+      val head = latestVersion(spark, table)
+      require(head > 0, s"$table has no committed version")
+      return DeleteResult(head, 0, readManifest(spark, t, head).size)
     }
-    val existing =
-      if (touched.isEmpty) updates.limit(0)
-      else spark.read.parquet(
-        touched.map(l => new Path(t, entryPath(l)).toString): _*)
-    val merged = existing
-      .join(updates.select(col(column)).distinct(), Seq(column),
-        "left_anti")
-      .unionByName(updates)
-      .repartitionByRange(touched.size + 1, col(column))
-      .sortWithinPartitions(column)
-    val staged = withStats(spark, t, stageFiles(spark, t, merged),
-      Some(column))
-    val touchedSet = touched.toSet
-    val v = publish(spark, t, cur =>
-      (if (cur == 0) Nil
-       else readManifest(spark, t, cur).filterNot(touchedSet)) ++ staged)
-    DeleteResult(v, touched.size, untouched.size)
+    require(nonNull == total,
+      s"mergeRows: ${total - nonNull} of $total update rows have NULL " +
+        s"$column — a NULL merge key matches no target row and would " +
+        "insert an unmergeable duplicate; filter or key them first")
+    require(distinct == total,
+      s"mergeRows: updates carry ${total - distinct} duplicate " +
+        s"$column keys — multiple source rows match one target row " +
+        "(Delta MERGE's multiple-source-matches error); dedupe first")
+    val (uLo, uHi) = (shape.getLong(3), shape.getLong(4))
+    publishDml(spark, t) { head =>
+      val lines = readManifest(spark, t, head)
+      val (touched, untouched) = lines.partition { line =>
+        entryStats(line) match {
+          case Some((c, lo, hi)) if c == column => hi >= uLo && lo <= uHi
+          case _ => true
+        }
+      }
+      val existing =
+        if (touched.isEmpty) updates.limit(0)
+        else spark.read.parquet(
+          touched.map(l => new Path(t, entryPath(l)).toString): _*)
+      val merged = existing
+        .join(updates.select(col(column)).distinct(), Seq(column),
+          "left_anti")
+        .unionByName(updates)
+        .repartitionByRange(touched.size + 1, col(column))
+        .sortWithinPartitions(column)
+      val staged = withStats(spark, t, stageFiles(spark, t, merged),
+        Some(column))
+      Right((touched.toSet, staged, untouched.size))
+    }
   }
 
   /** Delete data files referenced by NO retained manifest (crash
@@ -613,9 +721,22 @@ object ManifestTable {
     * footers are per-file (a file either resolves whole or errors).
     * `keepVersions` is therefore the retention knob that must cover
     * the longest-running reader — the same contract as Delta/Iceberg
-    * vacuum retention vs snapshot age. */
+    * vacuum retention vs snapshot age.
+    *
+    * Retention guard: a deployment declares `minRetainedVersions` (its
+    * longest-reader budget); a vacuum asked to keep fewer REFUSES
+    * rather than reclaim versions a pinned reader may still hold —
+    * the Delta `retentionDurationCheck` shape. `force = true` is the
+    * explicit override for operators who know no reader is pinned. */
   def vacuum(spark: SparkSession, table: String,
-             keepVersions: Int = 2): Seq[String] = {
+             keepVersions: Int = 2,
+             minRetainedVersions: Int = 1,
+             force: Boolean = false): Seq[String] = {
+    require(force || keepVersions >= minRetainedVersions,
+      s"vacuum(keepVersions = $keepVersions) would reclaim versions " +
+        s"inside the declared min-retained window of " +
+        s"$minRetainedVersions — a reader pinned to one of them would " +
+        "fail at action time; raise keepVersions or pass force = true")
     val t = new Path(table)
     val f = fs(spark, t)
     val head = latestVersion(spark, table)

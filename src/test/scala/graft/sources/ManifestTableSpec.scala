@@ -414,6 +414,144 @@ class ManifestTableSpec extends AnyFunSuite {
     // the stats-free legacy entry still reads fine (kept-by-default)
     assert(ManifestTable.read(spark, tbl, Some(v2)).count() == 140L)
   }
+
+  test("deleteRows keeps NULL-key rows; empty key list is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_null")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    // 10 keyed rows + 3 NULL-key rows, all in ONE file so the NULL
+    // rows sit inside a touched file (the failure mode: a bare !isin
+    // NULLs them out of the rewrite while identical rows in untouched
+    // files would survive — inconsistent silent loss)
+    val rows = (1L to 10L).map(k => (Some(k), s"p$k")) ++
+      Seq((None, "n1"), (None, "n2"), (None, "n3"))
+    ManifestTable.commitOverwrite(spark, tbl,
+      rows.toDF("k", "payload").repartition(1), statsCol = Some("k"))
+    val res = ManifestTable.deleteRows(spark, tbl, "k", Seq(5L))
+    assert(res.rewrittenFiles == 1)
+    val after = ManifestTable.read(spark, tbl)
+    assert(after.count() == 12, "NULL-key rows were silently deleted")
+    assert(after.filter($"k".isNull).count() == 3)
+    assert(after.filter($"k" === 5L).count() == 0)
+    // empty key list: nothing to delete — no rewrite, no commit (the
+    // old code rewrote EVERY stats-less file with an isin() that
+    // dropped its NULL rows)
+    val res2 = ManifestTable.deleteRows(spark, tbl, "k", Seq.empty)
+    assert(res2.version == res.version && res2.rewrittenFiles == 0)
+    assert(ManifestTable.read(spark, tbl).count() == 12)
+  }
+
+  test("mergeRows rejects NULL keys and duplicate keys loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_badmrg")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    val v1 = ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 20L).map(k => (k, s"old$k")).toDF("k", "payload"),
+      statsCol = Some("k"))
+    // all-NULL keys is NOT "empty updates": min(k) is NULL for both,
+    // but silently discarding real rows is data loss — reject
+    val eNull = intercept[IllegalArgumentException] {
+      ManifestTable.mergeRows(spark, tbl, "k",
+        Seq((None: Option[Long], "x")).toDF("k", "payload"))
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    // duplicate source keys: Delta MERGE's multiple-source-matches
+    val eDup = intercept[IllegalArgumentException] {
+      ManifestTable.mergeRows(spark, tbl, "k",
+        Seq((5L, "a"), (5L, "b")).toDF("k", "payload"))
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    // neither rejected call committed anything
+    assert(ManifestTable.latestVersion(spark, tbl) == v1)
+    assert(ManifestTable.read(spark, tbl)
+      .filter($"k" === 5L).as[(Long, String)].head()._2 == "old5")
+  }
+
+  test("two concurrent disjoint-key deletes BOTH land (loser re-plans)") {
+    // the first concurrency shape a compliance pipeline hits at scale:
+    // two erasure batches over the same table. Both threads plan
+    // against the same head and touch the SAME file; the commit-race
+    // loser must detect that its touched entry was rewritten and
+    // recompute against the winner's head — the old filterNot rebase
+    // silently resurrected the winner's deletions.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_dmlrace")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 100L).toDF("k").repartition(1), statsCol = Some("k"))
+    val keySets = Seq(Seq(3L, 5L), Seq(80L, 90L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = keySets.map { ks =>
+      new Thread(() => {
+        try { barrier.await(); ManifestTable.deleteRows(spark, tbl, "k", ks) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing delete threw: $errs")
+    val after = ManifestTable.read(spark, tbl)
+    assert(after.count() == 96, "a racing delete's rows were resurrected")
+    assert(after.filter($"k".isin(3L, 5L, 80L, 90L)).count() == 0)
+    // aborted attempts' staged files are plain vacuum fodder
+    ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true)
+    assert(ids(ManifestTable.read(spark, tbl).select($"k".as("id"))) ==
+      (1L to 100L).filterNot(Set(3L, 5L, 80L, 90L)))
+  }
+
+  test("deleteRows racing compact: doomed rows never resurrect, " +
+    "compact never drops a concurrent append") {
+    // compact is a logical no-op, so whatever the interleaving the
+    // final content must equal "delete applied, append applied". The
+    // old overwrite-based compact could republish pre-delete files
+    // (resurrection) or drop a concurrent append.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_cmprace")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 100L).toDF("k").repartition(4), statsCol = Some("k"))
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ops: Seq[() => Unit] = Seq(
+      () => { ManifestTable.deleteRows(spark, tbl, "k", Seq(10L, 20L)); () },
+      () => { ManifestTable.compact(spark, tbl, targetFiles = 1); () },
+      () => { ManifestTable.commitAppend(spark, tbl,
+        Seq(101L).toDF("k"), statsCol = Some("k")); () })
+    val threads = ops.map { op =>
+      new Thread(() => {
+        try { barrier.await(); op() }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing ops threw: $errs")
+    val got = ManifestTable.read(spark, tbl).select($"k")
+      .as[Long].collect().sorted.toSeq
+    assert(got == ((1L to 100L).filterNot(Set(10L, 20L)) :+ 101L),
+      "content diverged from the serial delete+append outcome")
+  }
+
+  test("vacuum refuses to reclaim inside the declared min-retained " +
+    "window; force overrides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_vgrd")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl, Seq(1L).toDF("id"))
+    ManifestTable.commitOverwrite(spark, tbl, Seq(2L).toDF("id"))
+    ManifestTable.commitOverwrite(spark, tbl, Seq(3L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+        minRetainedVersions = 3)
+    }
+    assert(e.getMessage.contains("min-retained"))
+    // refused vacuum deleted nothing: every version still reads
+    assert(ids(ManifestTable.read(spark, tbl, Some(1L))) == Seq(1L))
+    // the explicit operator override proceeds
+    val deleted = ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+      minRetainedVersions = 3, force = true)
+    assert(deleted.nonEmpty)
+    assert(ids(ManifestTable.read(spark, tbl)) == Seq(3L))
+  }
 }
 
 /** Mimics org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException
