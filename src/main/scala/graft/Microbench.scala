@@ -340,6 +340,29 @@ object Microbench {
     }
   }
 
+  /** `hrw` mode: per-row cost of the scan-side rendezvous-shard
+    * argmax as the FLEET grows (8 / 64 / 256 shards over a fixed row
+    * count) — pins that [[QueriesText.hrwShard]]'s cost is linear in
+    * fleet size (n md5s per row riding the scan, no exchange, no
+    * generator), so at 100 TB the only knob that prices the shard
+    * column is how many shards the fleet runs, never the corpus.
+    * Usage: `Microbench hrw [rows]`. */
+  private def hrwMode(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    // warm the range scan + noop sink so fleet=8 doesn't pay first-touch
+    spark.range(rows).select(col("id").as("doc_id"))
+      .write.format("noop").mode("overwrite").save()
+    Seq(8, 64, 256).foreach { n =>
+      val t0 = System.nanoTime()
+      spark.range(rows).select(col("id").as("doc_id"))
+        .select(QueriesText.hrwShard(n).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"hrw fleet=$n%3d rows=$rows%d  $s%6.2f s  " +
+        f"${s * 1e9 / rows / n}%6.1f ns/(row*shard)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kcore_conv")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -384,6 +407,14 @@ object Microbench {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       kcoreServeMode(spark, args(1))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("hrw")) {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      hrwMode(spark, args.lift(1).map(_.toLong).getOrElse(4L * 1000 * 1000))
       spark.stop(); return
     }
     if (args.headOption.contains("kcore")) {
