@@ -1333,14 +1333,21 @@ private[graft] object QueriesRelational {
   private[graft] val graphKcoreGate = Q("graph_kcore_gate",
     (s, dir) => {
       import org.apache.spark.sql.graft.CheckpointBridge
-      val edges = t(s, dir, "lineitem").select(
-        (col("l_suppkey").cast("long") * 2).as("src"),
-        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      // the certificate replays one extra round over the FINAL scores
+      // — independent of where the pinned edge set came from, so it
+      // serves from the shared committed artifact like kcore_serve
+      // (the family pays ONE collapse per run; graph_kcore remains
+      // the canonical build+kernel row)
+      val st = EdgeStage(s, dir, "kcore_edges") { tbl =>
+        graft.etl.Graph.commitEdges(s, tbl,
+          t(s, dir, "lineitem").select(
+            (col("l_suppkey").cast("long") * 2).as("src"),
+            (col("l_partkey").cast("long") * 2 + 1).as("dst")))
+      }
+      val und = graft.etl.Graph.edgesFromManifest(s, st.table,
+        Some(st.version))
       val superseded =
         scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      val und = graft.etl.Graph.symmetrize(edges)
-        .localCheckpoint(eager = false)
-      superseded += und
       val c6 = graft.etl.Graph.corenessOfUndirected(und, iterations = 6,
         onCheckpoint = superseded += _)
       val changed =

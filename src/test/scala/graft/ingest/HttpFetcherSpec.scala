@@ -122,6 +122,46 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("301 redirect is followed transparently (an API behind a " +
+    "permanent redirect keeps paginating)") {
+    withServer { ex =>
+      val path = ex.getRequestURI.getPath
+      if (!path.startsWith("/moved/")) {
+        // redirect the whole API to /moved/... preserving the query
+        val q = Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
+        ex.getResponseHeaders.set("Location", s"/moved$path$q")
+        respond(ex, 301, "")
+      } else {
+        val page = "page=(\\d+)".r.findFirstMatchIn(
+          ex.getRequestURI.getQuery).get.group(1).toInt
+        if (page <= 2) respond(ex, 200, s"""[{"visitor_key":"v$page"}]""")
+        else respond(ex, 200, "[]")
+      }
+    } { base =>
+      val f = new Ingest.HttpFetcher(base, apiToken = "t")
+      val pages = Ingest.fetchAllPages(f, "m1", "visitors", sleep = _ => ())
+      assert(pages.length == 2,
+        "a followed redirect must deliver the full pagination")
+    }
+  }
+
+  test("unfollowable 3xx (no Location) is retryable, NEVER " +
+    "end-of-pages — exhaustion throws and the watermark holds") {
+    // the silent-truncation bug class: a 3xx the client cannot follow
+    // used to map to NotFound = "no more data", committing the
+    // watermark past pages never seen
+    val hits = new AtomicInteger(0)
+    withServer { ex =>
+      hits.incrementAndGet(); respond(ex, 302, "") // no Location header
+    } { base =>
+      val f = new Ingest.HttpFetcher(base, apiToken = "t")
+      intercept[Ingest.RetriesExhausted] {
+        Ingest.fetchAllPages(f, "m1", "visitors", sleep = _ => ())
+      }
+      assert(hits.get() == 3, "3xx must burn retries, not end pages")
+    }
+  }
+
   test("connection refused (no server) is transient, not end-of-pages") {
     // bind-then-close to get a port with nothing listening
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
