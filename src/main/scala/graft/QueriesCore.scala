@@ -1036,7 +1036,7 @@ private[graft] object QueriesCore {
       val o = t(s, dir, "orders")
       // ranges scale with the fixture: W = maxKey/5 + 1 per commit, the
       // probe range sits strictly inside commit 2 at every SF
-      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
       val w = mx / 5 + 1
       val root = QueriesStreaming.StreamTemp.dir("graft_manifest_prune")
       val tbl = s"$root/orders_tbl"
@@ -1076,7 +1076,7 @@ private[graft] object QueriesCore {
   private[graft] val manifestCompactSorted = Q("manifest_compact_sorted",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
       val w = mx / 5 + 1 // fixture-scaled ranges, as in manifestPrune
       val root = QueriesStreaming.StreamTemp
         .dir("graft_manifest_compact_sorted")

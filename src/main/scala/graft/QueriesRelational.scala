@@ -2938,7 +2938,7 @@ private[graft] object QueriesRelational {
           .select(col("id"), lit(0L).as("hops"))
           .localCheckpoint(false)
         def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-          val r = df.agg(count(lit(1)), sum(col("hops"))).head
+          val r = df.agg(count(lit(1)), sum(col("hops"))).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         var prev = state(reached)
@@ -3751,7 +3751,7 @@ private[graft] object QueriesRelational {
           .select(col("id"), lit(0L).as("d"))
           .localCheckpoint(false)
         def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-          val r = df.agg(count(lit(1)), sum(col("d"))).head
+          val r = df.agg(count(lit(1)), sum(col("d"))).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         var prev = state(reached) // materializes the lazy checkpoint

@@ -44,7 +44,7 @@ object Materialized {
         delta.columns.mkString(","))
     val partials = stored.columns.filterNot(keys.contains)
     require(partials.nonEmpty, "no partial columns to merge")
-    val aggs = partials.map(c =>
+    val aggs = partials.toIndexedSeq.map(c =>
       sum(col(c)).cast(stored.schema(c).dataType).as(c))
     stored.unionByName(delta)
       .groupBy(keys.map(col): _*)

@@ -30,12 +30,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
 final class QueryMetricsListener(maxEntries: Int = 1000)
     extends QueryExecutionListener {
 
-  /** One completed action: `funcName` is the DataFrame action that
-    * triggered execution; rows are summed over like-named metrics in
-    * the executed plan tree (post-AQE final plan). */
-  final case class Entry(funcName: String, durationMs: Long,
-                         scanRows: Long, outputRows: Long,
-                         failed: Boolean)
+  import QueryMetricsListener.Entry
 
   private val entries = new ConcurrentLinkedQueue[Entry]()
 
@@ -96,6 +91,15 @@ final class QueryMetricsListener(maxEntries: Int = 1000)
 }
 
 object QueryMetricsListener {
+  /** One completed action: `funcName` is the DataFrame action that
+    * triggered execution; rows are summed over like-named metrics in
+    * the executed plan tree (post-AQE final plan). Lives on the
+    * companion (not the instance) so pattern matches need no outer
+    * reference. */
+  final case class Entry(funcName: String, durationMs: Long,
+                         scanRows: Long, outputRows: Long,
+                         failed: Boolean)
+
   /** Register a fresh listener on the session and return it (the
     * handle is what you snapshot/clear; deregister with
     * `spark.listenerManager.unregister`). */

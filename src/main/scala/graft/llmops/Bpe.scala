@@ -151,7 +151,7 @@ object Bpe {
         val (a, b, w) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         def totalSyms(v: DataFrame): Long =
-          v.agg(sum(col("freq") * size(col("syms")))).head.getLong(0)
+          v.agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
         val before = if (audit) totalSyms(vocab) else -1L
         superseded = vocab
         vocab = vocab

@@ -321,7 +321,7 @@ object Dedup {
       ColumnBridge.expr(xxhash64(col(fpColCorpus))),
       Literal(n), Literal(numBits)).toAggregateExpression())
     val blob = corpusFps.agg(bloomAgg.as("bloom"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val firstIn = batch
       .select(col(idCol), fpCol.as(fpAlias))
       .groupBy(fpAlias).agg(min(col(idCol)).as(idCol))

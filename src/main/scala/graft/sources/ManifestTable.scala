@@ -154,7 +154,8 @@ object ManifestTable {
             c.getPrimitiveType.getPrimitiveTypeName ==
               org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
           .flatMap { c =>
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
             if (st == null || !st.hasNonNullValue) None
             else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
               st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
