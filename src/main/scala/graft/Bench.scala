@@ -38,6 +38,11 @@ object Bench {
       // spark-warehouse dir in whatever cwd the harness launched from
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // SPARK_GRAFT_RELIABLE_CKPT=true prices reliable (checkpoint-dir)
+      // scratch checkpoints instead of localCheckpoint — the
+      // preemptible-fleet deployment shape (see graft.Scratch)
+      .config(Scratch.ReliableConf,
+        sys.env.getOrElse("SPARK_GRAFT_RELIABLE_CKPT", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

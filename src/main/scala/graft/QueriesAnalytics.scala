@@ -1,5 +1,6 @@
 package graft
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1001,7 +1002,7 @@ private[graft] object QueriesAnalytics {
       // eager checkpoint (items×5 rows, bounded) lets the capped
       // intermediate release deterministically instead of lingering
       // in executor storage until the ContextCleaner runs.
-      val capped = cfCap(cfInteractions(s, dir)).localCheckpoint(true)
+      val capped = cfCap(cfInteractions(s, dir)).scratchCheckpoint(true)
       try {
         cfPairs(capped)
           .withColumn("rank", row_number().over(
@@ -1011,7 +1012,7 @@ private[graft] object QueriesAnalytics {
           .select(col("i").as("item"), col("rank"),
             col("j").as("neighbor"), col("co"), col("cosine"))
           .orderBy("item", "rank")
-          .localCheckpoint(true)
+          .scratchCheckpoint(true)
       } finally CheckpointBridge.release(capped)
     },
     Some("""WITH inter AS (
@@ -1191,7 +1192,7 @@ private[graft] object QueriesAnalytics {
       // checkpoint (users×3 rows — the serving table you'd write
       // anyway) → capped releases deterministically, not at GC time.
       import org.apache.spark.sql.graft.CheckpointBridge
-      val capped = cfCap(cfInteractions(s, dir)).localCheckpoint(true)
+      val capped = cfCap(cfInteractions(s, dir)).scratchCheckpoint(true)
       try {
         cfRecScores(capped, cfNeighbors(cfPairs(capped)))
           .withColumn("rank", row_number().over(
@@ -1201,7 +1202,7 @@ private[graft] object QueriesAnalytics {
           .select(col("user_id"), col("rank"), col("cand").as("item"),
             col("score_d").cast("double").as("score"))
           .orderBy("user_id", "rank")
-          .localCheckpoint(true)
+          .scratchCheckpoint(true)
       } finally CheckpointBridge.release(capped)
     },
     Some("""WITH inter AS (
@@ -2426,13 +2427,13 @@ private[graft] object QueriesAnalytics {
       val marked = eligible.withColumn("held_rk", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("first_ts").desc, col("item").desc)))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       try {
         val heldout = marked.filter(col("held_rk") === 1)
           .select(col("user_id"), col("item").as("held_item"))
         val train = marked.filter(col("held_rk") > 1)
           .select(col("user_id"), col("item"), col("cnt"))
-        val capped = cfCap(train).localCheckpoint(true)
+        val capped = cfCap(train).scratchCheckpoint(true)
         try {
           val recs = cfRecScores(capped, cfNeighbors(cfPairs(capped)))
             .withColumn("rank", row_number().over(
@@ -2452,7 +2453,7 @@ private[graft] object QueriesAnalytics {
             .select(col("n_users"), col("n_hits"),
               (col("n_hits").cast("double") /
                 col("n_users").cast("double")).as("hit_rate"))
-            .localCheckpoint(true) // 1 row; lets both releases fire
+            .scratchCheckpoint(true) // 1 row; lets both releases fire
         } finally CheckpointBridge.release(capped)
       } finally CheckpointBridge.release(marked)
     },

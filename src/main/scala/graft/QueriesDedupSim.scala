@@ -1,5 +1,6 @@
 package graft
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -120,7 +121,7 @@ private[graft] object QueriesDedupSim {
       // recompute below must only ever run over docs IN pairs — not
       // the whole corpus (measured 2.5 s of wasted shingling at sf0.1)
       val pairs = Dedup.minhashDedup(docs, "text", "doc_id",
-        threshold = 0.4).localCheckpoint(true)
+        threshold = 0.4).scratchCheckpoint(true)
       val ids = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
       val k = 3
@@ -361,7 +362,7 @@ private[graft] object QueriesDedupSim {
         // pair demo bounded under rehearsal layouts that replicate
         // files id-and-all (100 copies/id would square the crossJoin)
         .dropDuplicates("doc_id")
-        .localCheckpoint(true) // feeds pairs AND the n_tokens join
+        .scratchCheckpoint(true) // feeds pairs AND the n_tokens join
       val docs = base.select(col("doc_id"),
         array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
       val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
@@ -619,7 +620,7 @@ private[graft] object QueriesDedupSim {
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
       val pairs = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.4, numPlanes = 6, numTables = 8)
-        .localCheckpoint(true) // feeds the recompute join AND the count
+        .scratchCheckpoint(true) // feeds the recompute join AND the count
       val rec = pairs
         .join(e.select(col("vec_id").as("id_a"),
           col("embedding").as("ea")), Seq("id_a"))
@@ -692,7 +693,7 @@ private[graft] object QueriesDedupSim {
     (s, dir) => {
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
       val out = Similarity.semanticDedup(e, "vec_id", "embedding",
-        threshold = 0.4).localCheckpoint(true)
+        threshold = 0.4).scratchCheckpoint(true)
       val ev = e.select(col("vec_id"), col("embedding"))
       val dropped = out.filter(col("dup_of").isNotNull)
       val prec = dropped
@@ -1053,7 +1054,7 @@ private[graft] object QueriesDedupSim {
         .select(col("query_id"), col("neighbor_id"))
       val lsh = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         dim = 64, k = 5, numPlanes = 6, numTables = 8)
-        .localCheckpoint(true) // feeds both the semi-join and the count
+        .scratchCheckpoint(true) // feeds both the semi-join and the count
       // eval sides are k × |queries| BY CONSTRUCTION — broadcast
       // explicitly (checkpoint stats default to huge → SMJ fallback);
       // the right-outer join builds its LEFT side, so that hint wraps
@@ -1150,7 +1151,7 @@ private[graft] object QueriesDedupSim {
         .select(col("query_id"), col("neighbor_id"))
       val hi = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         dim = 64, k = 5, numPlanes = 4, numTables = 16)
-        .localCheckpoint(true) // feeds both the semi-join and the count
+        .scratchCheckpoint(true) // feeds both the semi-join and the count
       // broadcast the bounded eval sides — see simLshRecallGate
       val recall = broadcast(exact
           .join(broadcast(hi.select("query_id", "neighbor_id")),
@@ -1234,7 +1235,7 @@ private[graft] object QueriesDedupSim {
         .select(col("query_id"), col("neighbor_id"))
       val ivfpq = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
         k = 5, rerankFactor = 10)
-        .localCheckpoint(true) // feeds both the semi-join and the count
+        .scratchCheckpoint(true) // feeds both the semi-join and the count
       // broadcast the bounded eval sides — see simLshRecallGate
       val recall = broadcast(exact
           .join(broadcast(ivfpq.select("query_id", "neighbor_id")),
@@ -1671,7 +1672,7 @@ private[graft] object QueriesDedupSim {
       // materialize once instead of re-scanning + re-shuffling per
       // action
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       try {
         val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_pq_mt")}/idx"
         val v1 = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
@@ -1688,7 +1689,7 @@ private[graft] object QueriesDedupSim {
           e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, version = Some(v1))
           .orderBy("query_id", "rank")
-          .localCheckpoint(true) // k×|queries| rows; frees the corpus
+          .scratchCheckpoint(true) // k×|queries| rows; frees the corpus
       } finally CheckpointBridge.release(e)
     },
     simTopkPq.oracle)
@@ -1714,10 +1715,10 @@ private[graft] object QueriesDedupSim {
       val tbl = s"${QueriesStreaming.StreamTemp.dir("graft_retr")}/idx"
       val v = Similarity.commitPqIndex(e, "vec_id", "embedding", tbl)
       val served = Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id",
-        "embedding", k = 5, version = Some(v)).localCheckpoint(true)
+        "embedding", k = 5, version = Some(v)).scratchCheckpoint(true)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
         k = 5).select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       // both eval sides are k × |queries| rows BY CONSTRUCTION —
       // broadcast explicitly (a localCheckpoint's stats default to
       // "huge", so the planner would fall back to sort-merge). The
@@ -1828,7 +1829,7 @@ private[graft] object QueriesDedupSim {
       // result is itself materialized (the reco_eval_hitrate pattern).
       import org.apache.spark.sql.graft.CheckpointBridge
       val assigned = Similarity.assignToCells(e, cents, "vec_id",
-        "embedding").localCheckpoint(true)
+        "embedding").scratchCheckpoint(true)
       try {
         val counts = assigned.groupBy("cell_id")
           .agg(count(lit(1)).as("n_cell"))
@@ -1845,7 +1846,7 @@ private[graft] object QueriesDedupSim {
             sum(when(col("kept"), col("id")).otherwise(0L))
               .as("kept_id_sum"))
           .orderBy("cell_id")
-          .localCheckpoint(true) // 16 rows; lets the release fire
+          .scratchCheckpoint(true) // 16 rows; lets the release fire
       } finally CheckpointBridge.release(assigned)
     },
     Some("""SELECT * FROM (VALUES
@@ -1881,7 +1882,7 @@ private[graft] object QueriesDedupSim {
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
       val qs = e.filter(col("vec_id") < 5)
       val pq = Similarity.pqTopK(e, qs, "vec_id", "embedding", k = 5)
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
         "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -1941,7 +1942,7 @@ private[graft] object QueriesDedupSim {
           col("doc_id") < 200)
         .dropDuplicates("doc_id")
         .select(col("doc_id"), Dedup.shingles(col("text"), k).as("sh"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -2084,7 +2085,7 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("rel").desc, col("vec_id"))
       val cand = scored.withColumn("crk", row_number().over(wRel))
         .filter(col("crk") <= 20).drop("crk")
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       val ce = cand.join(e, cand("vec_id") === e("vec_id"))
         .select(cand("query_id"), cand("vec_id").as("id"), e("q"))
       val sims = ce.as("x").join(ce.as("y"),
@@ -2093,12 +2094,12 @@ private[graft] object QueriesDedupSim {
         .select(col("x.query_id").as("query_id"), col("x.id").as("a"),
           col("y.id").as("b"),
           qcos(col("x.q"), col("y.q")).as("simv"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       var sel = cand.withColumn("rn", row_number().over(wRel))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id").as("id"),
           lit(1L).as("rank"), col("rel").as("score"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       for (k <- 2 to 5) {
         val selIds = sel.select(col("query_id"), col("id").as("b"))
         val mx = sims.join(selIds, Seq("query_id", "b"))
@@ -2120,7 +2121,7 @@ private[graft] object QueriesDedupSim {
           .filter(col("rn") === 1)
           .select(col("query_id"), col("vec_id").as("id"),
             lit(k.toLong).as("rank"), col("score"))
-        sel = sel.union(pick).localCheckpoint(true)
+        sel = sel.union(pick).scratchCheckpoint(true)
       }
       sel.select(col("query_id"), col("rank"),
           col("id").as("neighbor_id"), col("score"))

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1079,7 +1080,7 @@ private[graft] object QueriesRelational {
         .select(col("node"), col("n_name"), col("hub_micro"),
           col("auth_micro"))
         .orderBy(col("auth_micro").desc, col("node"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     Some("""WITH RECURSIVE
@@ -1168,7 +1169,7 @@ private[graft] object QueriesRelational {
           expr("node div 2").as("id"), // integer div: exact at any id
           col("c").as("core"))
         .orderBy(col("side"), col("id"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     Some("""WITH RECURSIVE
@@ -1312,7 +1313,7 @@ private[graft] object QueriesRelational {
           expr("node div 2").as("id"),
           col("c").as("core"))
         .orderBy(col("side"), col("id"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     graphKcore.oracle)
@@ -1490,7 +1491,7 @@ private[graft] object QueriesRelational {
         .select(col("node"), col("n_name"), col("hub_micro"),
           col("auth_micro"))
         .orderBy(col("auth_micro").desc, col("node"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     graphHits.oracle)
@@ -1598,7 +1599,7 @@ private[graft] object QueriesRelational {
           col("node") === col("n_nationkey"))
         .select(col("node"), col("n_name"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     Some("""WITH RECURSIVE
@@ -1672,7 +1673,7 @@ private[graft] object QueriesRelational {
         .join(t(s, dir, "nation"), col("node") === col("n_nationkey"))
         .select(col("node"), col("n_name"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally superseded.foreach(CheckpointBridge.release)
     },
     graphPpr.oracle)
@@ -2922,7 +2923,7 @@ private[graft] object QueriesRelational {
             (col("l_orderkey") * 2).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       try {
         // Δ-frontier loop state, exactly graph_sssp's round-11 shape
         // (q.v. for the blocked-convergence argument): the REACHED set
@@ -2936,7 +2937,7 @@ private[graft] object QueriesRelational {
         var reached = edges.select(col("src").as("id")).distinct()
           .orderBy("id").limit(10)
           .select(col("id"), lit(0L).as("hops"))
-          .localCheckpoint(false)
+          .scratchCheckpoint(false)
         def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
           val r = df.agg(count(lit(1)), sum(col("hops"))).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -2953,7 +2954,7 @@ private[graft] object QueriesRelational {
               .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
             reached = reached.union(cand)
               .groupBy("id").agg(min(col("hops")).as("hops"))
-              .localCheckpoint(false)
+              .scratchCheckpoint(false)
             superseded += reached
             j += 1
             i += 1
@@ -2973,7 +2974,7 @@ private[graft] object QueriesRelational {
           .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
           .unionByName(unreached)
           .orderBy("hops")
-          .localCheckpoint(true)
+          .scratchCheckpoint(true)
         finally CheckpointBridge.release(reached)
       } finally CheckpointBridge.release(edges)
     },
@@ -3742,14 +3743,14 @@ private[graft] object QueriesRelational {
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
         .agg(min(col("w")).as("w"))
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       try {
         // reached = (id, d) for touched nodes ONLY (see scaladoc);
         // seeds are the 10 smallest node ids at distance 0
         var reached = edges.select(col("src").as("id")).distinct()
           .orderBy("id").limit(10)
           .select(col("id"), lit(0L).as("d"))
-          .localCheckpoint(false)
+          .scratchCheckpoint(false)
         def state(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
           val r = df.agg(count(lit(1)), sum(col("d"))).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -3776,7 +3777,7 @@ private[graft] object QueriesRelational {
                 (col("d") + col("w")).as("d"))
             reached = reached.union(cand)
               .groupBy("id").agg(min(col("d")).as("d"))
-              .localCheckpoint(false)
+              .scratchCheckpoint(false)
             superseded += reached
             j += 1
             i += 1
@@ -3802,7 +3803,7 @@ private[graft] object QueriesRelational {
           .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
           .unionByName(unreached)
           .orderBy("d")
-          .localCheckpoint(true)
+          .scratchCheckpoint(true)
         finally CheckpointBridge.release(reached)
       } finally CheckpointBridge.release(edges)
     },

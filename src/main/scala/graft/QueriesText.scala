@@ -1,5 +1,6 @@
 package graft
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -694,7 +695,7 @@ private[graft] object QueriesText {
       val sg = docs.select(col("source"), explode(grams).as("gram"))
         .select(col("source"), xxhash64(col("gram")).as("gh"))
         .distinct()
-        .localCheckpoint(false)
+        .scratchCheckpoint(false)
       val tot = sg.groupBy("source").agg(count(lit(1)).as("total"))
       try sg.as("a")
         .join(sg.as("b"), col("a.gh") === col("b.gh") &&
@@ -711,7 +712,7 @@ private[graft] object QueriesText {
           expr("shared_grams * 1000 div least(total_a, total_b)")
             .as("overlap_permille"))
         .orderBy("source_a", "source_b")
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       finally CheckpointBridge.release(sg)
     },
     Some(raw"""WITH d AS (SELECT source, lower(trim(text)) AS txt

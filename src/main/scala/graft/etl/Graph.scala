@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,7 @@ object Graph {
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     var ranks = nodes.select(col(nodeCol).as("node"),
       lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iterations) {
@@ -63,7 +64,7 @@ object Graph {
           (lit(150000L) +
             expr("85 * coalesce(inflow, 0L) div 100").cast("long"))
             .as("rank_micro"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
     }
     ranks
   }
@@ -99,7 +100,7 @@ object Graph {
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     onCheckpoint(e)
     val seedSet = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("is_seed", lit(1L))
@@ -107,7 +108,7 @@ object Graph {
       .join(seedSet, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L))
         .as("is_seed"))
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     onCheckpoint(nodesSeeded)
     var ranks = nodesSeeded.select(col("node"),
       (col("is_seed") * lit(150000L)).as("rank_micro"))
@@ -124,7 +125,7 @@ object Graph {
           (col("is_seed") * lit(150000L) +
             expr("85 * coalesce(inflow, 0L) div 100").cast("long"))
             .as("rank_micro"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       onCheckpoint(ranks)
     }
     ranks
@@ -174,7 +175,7 @@ object Graph {
     val inw = edges.groupBy("dst").agg(sum("w").as("inw"))
     val e = edges.join(outw, "src").join(inw, "dst")
       .select(col("src"), col("dst"), col("w"), col("outw"), col("inw"))
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     onCheckpoint(e)
     val nodesOnly = nodes.select(col(nodeCol).as("node"))
     var hubs = nodesOnly.select(col("node"),
@@ -192,13 +193,13 @@ object Graph {
       val arawAll = nodesOnly
         .join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       onCheckpoint(arawAll)
       val amax = arawAll.agg(greatest(max("raw"), lit(1L)).as("mx"))
       auths = arawAll.crossJoin(broadcast(amax))
         .select(col("node"),
           expr("raw * 1000000 div mx").as("auth_micro"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       onCheckpoint(auths)
       // authority → hub half-step
       val hraw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
@@ -208,13 +209,13 @@ object Graph {
       val hrawAll = nodesOnly
         .join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       onCheckpoint(hrawAll)
       val hmax = hrawAll.agg(greatest(max("raw"), lit(1L)).as("mx"))
       hubs = hrawAll.crossJoin(broadcast(hmax))
         .select(col("node"),
           expr("raw * 1000000 div mx").as("hub_micro"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       onCheckpoint(hubs)
     }
     hubs.join(auths, "node")
@@ -277,7 +278,7 @@ object Graph {
     */
   def coreness(edges: DataFrame, iterations: Int,
                onCheckpoint: DataFrame => Unit = _ => ()): DataFrame = {
-    val und = symmetrize(edges).localCheckpoint(eager = false)
+    val und = symmetrize(edges).scratchCheckpoint(eager = false)
     onCheckpoint(und)
     corenessOfUndirected(und, iterations, onCheckpoint)
   }
@@ -311,10 +312,10 @@ object Graph {
   : DataFrame = {
     var c = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     onCheckpoint(c)
     for (_ <- 1 to iterations) {
-      c = hIndexRound(und, c).localCheckpoint(eager = false)
+      c = hIndexRound(und, c).scratchCheckpoint(eager = false)
       onCheckpoint(c)
     }
     c
@@ -453,7 +454,7 @@ object Graph {
       .union(edges.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .scratchCheckpoint(eager = false)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     var i = 0
@@ -468,7 +469,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("lab"))
-        .localCheckpoint(eager = false)
+        .scratchCheckpoint(eager = false)
       i += 1
     }
     labels

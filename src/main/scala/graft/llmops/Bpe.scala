@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -135,7 +136,7 @@ object Bpe {
     // lineage; TakeOrderedAndProject scans every partition, so the
     // top-pair job does materialize the full checkpoint).
     import org.apache.spark.sql.graft.CheckpointBridge
-    var vocab = vocabulary(docs, textCol).localCheckpoint(false)
+    var vocab = vocabulary(docs, textCol).scratchCheckpoint(false)
     var superseded: DataFrame = null
     val merges = Seq.newBuilder[Merge]
     var r = 1
@@ -156,7 +157,7 @@ object Bpe {
         superseded = vocab
         vocab = vocab
           .withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(false) // barrier: next round plans from here
+          .scratchCheckpoint(false) // barrier: next round plans from here
         val after = if (audit) totalSyms(vocab) else -1L
         merges += Merge(r, a, b, w, before, after)
       }

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -165,14 +166,14 @@ object Dedup {
     // up-front shuffle over the pair set buys rounds × smaller joins.
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .scratchCheckpoint(true)
     try {
       val edges = p
         .union(p.select(col("dst").as("src"), col("src").as("dst")))
       var labels = edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))
         .select(col("id"), least(col("id"), col("m")).as("comp"))
-        .localCheckpoint(false)
+        .scratchCheckpoint(false)
       var prevSum = compSum(labels) // materializes the lazy checkpoint
       var converged = false
       var i = 1 // init already propagated one hop
@@ -182,7 +183,7 @@ object Dedup {
           .select(col("dst").as("id"), col("comp"))
         val next = labels.union(viaEdges)
           .groupBy("id").agg(min(col("comp")).as("comp"))
-          .localCheckpoint(false)
+          .scratchCheckpoint(false)
         val s = compSum(next)
         CheckpointBridge.release(labels) // superseded round state
         labels = next

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -88,7 +89,7 @@ object QualityModel {
     * built) and `y` (0.0/1.0). */
   def trainLogReg(labeled: DataFrame, iters: Int, lr: Double): Fit = {
     val data = labeled.select(col("xs"), col("y"))
-      .localCheckpoint(true)
+      .scratchCheckpoint(true)
     val d = data.select(size(col("xs"))).head().getInt(0)
     val n = data.count()
     var w = Array.fill(d)(0.0)

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -385,7 +386,7 @@ object Similarity {
           .orderBy(col(idCol))) - 1)
       .select(col("s"), col("code_id"), col("centroid"))
     var cents: DataFrame =
-      if (iterations >= 1) init0.localCheckpoint(true) else init0
+      if (iterations >= 1) init0.scratchCheckpoint(true) else init0
     val init = cents
     try for (_ <- 1 to iterations) {
       // NOT carrySubv: timing is indistinguishable at this scale (both
@@ -483,7 +484,7 @@ object Similarity {
     // coarse quantizer: cosine cells, deterministic seed (shared with
     // ivfTopK so the routing behavior is the audited one)
     val coarse = trainCodebook(corpus, idCol, vecCol, numCells,
-      iterations).localCheckpoint(true)
+      iterations).scratchCheckpoint(true)
     val corpusCells = assignCells(corpus.select(col(idCol).as("vid"),
       col(vecCol).as("cv")), coarse, "vid", "cv", 1)
     // residual encode: PQ codebooks trained on (v - centroid), codes
@@ -492,9 +493,9 @@ object Similarity {
       .select(col("vid"), col("cell_id"),
         zip_with(col("cv"), col("centroid"),
           (x, c) => x.cast("double") - c).as("rv"))
-      .localCheckpoint(true) // two consumers: codebook train + encode
+      .scratchCheckpoint(true) // two consumers: codebook train + encode
     val pqCents = trainPqCodebooksImpl(resid, "vid", "rv", m,
-      codebookK, iterations, dim).localCheckpoint(true)
+      codebookK, iterations, dim).scratchCheckpoint(true)
     val codes = assignPqCodes(
       resid.select(col("vid"),
         posexplode(subvectors(col("rv"), m, sub)).as(Seq("s", "subv"))),
@@ -563,7 +564,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
-      codebookK, iterations, dim).localCheckpoint(true)
+      codebookK, iterations, dim).scratchCheckpoint(true)
     val codes = assignPqCodes(
       corpus.select(col(idCol).as("vid"),
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),
@@ -627,7 +628,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
-      codebookK, iterations, dim).localCheckpoint(true)
+      codebookK, iterations, dim).scratchCheckpoint(true)
     // the serve path reads the artifact back from disk, so the build's
     // model checkpoint releases as soon as both writes land
     try {
@@ -662,7 +663,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val cents = trainPqCodebooksImpl(corpus, idCol, vecCol, m,
-      codebookK, iterations, dim).localCheckpoint(true)
+      codebookK, iterations, dim).scratchCheckpoint(true)
     val codes = assignPqCodes(
       corpus.select(col(idCol).as("vid"),
         posexplode(subvectors(col(vecCol), m, sub)).as(Seq("s", "subv"))),

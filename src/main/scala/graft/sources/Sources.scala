@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Scratch.ScratchOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -212,7 +213,7 @@ object Sources {
         .filter(partPred)
         .filter(not(coalesce(col(keyCol).isin(keys: _*), lit(false))))
         // materialize before the overwrite deletes the files being read
-        .localCheckpoint(true)
+        .scratchCheckpoint(true)
       kept.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(path)
       // a partition whose every row was doomed writes nothing under

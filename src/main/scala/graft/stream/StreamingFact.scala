@@ -1,5 +1,6 @@
 package graft.stream
 
+import graft.Scratch.ScratchOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -321,7 +322,7 @@ object StreamingFact {
       // files. Hash-bucketing bounds files-per-date at 4 while
       // keeping >1 writer per hot date (pure repartition('date')
       // would serialize a skewed date through one task).
-      merged.localCheckpoint(eager = true)
+      merged.scratchCheckpoint(eager = true)
         .repartition(col("date"),
           pmod(xxhash64(keyCols.map(col): _*), lit(4)))
         .write.mode("overwrite")
