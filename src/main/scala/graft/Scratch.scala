@@ -50,7 +50,18 @@ object Scratch {
       * default, `checkpoint(eager)` when [[ReliableConf]] is true.
       * `eager = false` defers materialization to the first action —
       * iterative kernels use it so a whole checkpoint ladder
-      * materializes in the single job that consumes it. */
+      * materializes in the single job that consumes it.
+      *
+      * Reliable mode persists (memory-and-disk, spillable) BEFORE
+      * checkpointing — the pattern `RDD.checkpoint`'s own scaladoc
+      * recommends. Without it the checkpoint write is a SEPARATE job
+      * that recomputes the full lineage (recursively, for a lazy
+      * ladder), and the doubled pressure is not theoretical: the
+      * round-13 constrained-heap gate OOM'd the heaviest graph build
+      * at 128 MB/core un-persisted and passes persisted. Eager cuts
+      * unpersist as soon as the files are written; lazy cuts stay
+      * cached (spillable) until the kernel's existing
+      * CheckpointBridge.release discipline frees them. */
     def scratchCheckpoint(eager: Boolean = true): DataFrame = {
       val spark = df.sparkSession
       val reliable = java.lang.Boolean.parseBoolean(
@@ -61,7 +72,11 @@ object Scratch {
             java.nio.file.Files.createTempDirectory("graft_ckpt")
               .toString)
         }
-        df.checkpoint(eager)
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint(eager)
+        if (eager) cached.unpersist(blocking = false)
+        out
       } else {
         df.localCheckpoint(eager)
       }
