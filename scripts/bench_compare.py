@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Mechanical two-run bench adjudication (BASELINE.md steps 2 + 6).
+
+Usage:
+  python3 scripts/bench_compare.py PRIOR.json RUN_A.json RUN_B.json \
+      [--threshold 1.3]
+
+PRIOR is the previous round's committed full artifact (the bar);
+RUN_A / RUN_B are the current round's two committed canonical runs.
+A row BREACHES only if its min exceeds threshold x prior-min in BOTH
+current runs; a single-run exceedance is ambient spread, already
+cleared by the two-run rule. Output is the markdown adjudication
+table SCALE.md records per round, led by the `_canary_host`
+calibration row so host-condition skew (the step-5 "everything moved
+together" signature) is readable before any per-row verdict.
+"""
+import argparse
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
+
+
+def load_queries(path):
+    with open(path) as f:
+        d = json.loads(f.read().strip())
+    return d.get("queries", {}), d.get("failed_queries", [])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prior")
+    ap.add_argument("run_a")
+    ap.add_argument("run_b")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    args = ap.parse_args()
+
+    prior, prior_failed = load_queries(args.prior)
+    run_a, failed_a = load_queries(args.run_a)
+    run_b, failed_b = load_queries(args.run_b)
+    thr = args.threshold
+
+    canary = "_canary_host"
+    print(f"## Bench adjudication — threshold {thr}x, two-run rule\n")
+    print(f"prior: `{args.prior}`  run A: `{args.run_a}`  "
+          f"run B: `{args.run_b}`\n")
+
+    # --- host-noise calibration first -------------------------------
+    if canary in prior and canary in run_a and canary in run_b:
+        ca, cb = run_a[canary] / prior[canary], run_b[canary] / prior[canary]
+        print(f"Canary: prior {prior[canary]:.3f} s -> "
+              f"A {run_a[canary]:.3f} ({ca:.2f}x), "
+              f"B {run_b[canary]:.3f} ({cb:.2f}x).")
+        if max(ca, cb) > 1.15:
+            print("**Host-condition skew detected** — the canary is "
+                  "data-independent, so a moved canary means the box, "
+                  "not the plans; read per-row ratios against it.")
+        print()
+    elif canary in run_a and canary in run_b:
+        print(f"Canary (no prior reading): A {run_a[canary]:.3f} s, "
+              f"B {run_b[canary]:.3f} s — anchor for next round.\n")
+
+    common = sorted(set(prior) & set(run_a) & set(run_b) - {canary})
+    rows = []
+    for q in common:
+        p = prior[q]
+        if p <= 0:
+            continue
+        ra, rb = run_a[q] / p, run_b[q] / p
+        if ra > thr and rb > thr:
+            verdict = "BREACH"
+        elif ra > thr or rb > thr:
+            verdict = "ambient"
+        elif max(ra, rb) < 1 / thr:
+            verdict = "improved"
+        else:
+            verdict = "ok"
+        rows.append((q, p, run_a[q], run_b[q], ra, rb, verdict))
+
+    breaches = [r for r in rows if r[6] == "BREACH"]
+    ambient = [r for r in rows if r[6] == "ambient"]
+    improved = [r for r in rows if r[6] == "improved"]
+    movers = sorted(
+        (r for r in rows if r[6] != "ok"), key=lambda r: -max(r[4], r[5]))
+
+    new_rows = sorted((set(run_a) & set(run_b)) - set(prior) - {canary})
+    gone_rows = sorted(set(prior) - set(run_a) - set(run_b) - {canary})
+    failed = sorted(set(failed_a) | set(failed_b))
+
+    print(f"{len(common)} common rows: **{len(breaches)} breach**, "
+          f"{len(ambient)} ambient (one-run-only), "
+          f"{len(improved)} improved, "
+          f"{len(common) - len(movers)} flat. "
+          f"{len(new_rows)} new, {len(gone_rows)} removed, "
+          f"{len(failed)} failed.\n")
+
+    if movers:
+        print("| query | prior | run A | run B | A/prior | B/prior "
+              "| verdict |")
+        print("|---|---|---|---|---|---|---|")
+        for q, p, a, b, ra, rb, v in movers:
+            print(f"| {q} | {p:.3f} | {a:.3f} | {b:.3f} | {ra:.2f}x "
+                  f"| {rb:.2f}x | {v} |")
+        print()
+    if new_rows:
+        print("New rows (no prior bar): " + ", ".join(new_rows) + "\n")
+    if gone_rows:
+        print("Removed rows: " + ", ".join(gone_rows) + "\n")
+    if failed:
+        print("FAILED rows (zero completed attempts): "
+              + ", ".join(failed) + "\n")
+    sys.exit(1 if breaches or failed else 0)
+
+
+if __name__ == "__main__":
+    main()

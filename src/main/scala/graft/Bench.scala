@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   * for targeted scale rehearsals of the heavy queries (unset = all).
   */
 object Bench {
+
+  /** Fixed row count for the `_canary_host` calibration row — sized so
+    * the row reads ~0.5–1 s at the canonical local[32] invocation:
+    * long enough that CPU contention (the host-noise signal) dominates
+    * job-launch overhead, short enough to be free in the total. Never
+    * change this without re-anchoring prior rounds' canary readings. */
+  private val CanaryRows = 3200000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +50,12 @@ object Bench {
       // scratch checkpoints instead of localCheckpoint — the
       // preemptible-fleet deployment shape (see graft.Scratch)
       .config(Scratch.ReliableConf,
+        sys.env.getOrElse("SPARK_GRAFT_RELIABLE_CKPT", "false"))
+      // reliable mode writes real checkpoint files; released cuts are
+      // cleaned deterministically (CheckpointBridge.release), and this
+      // lets the ContextCleaner reclaim any cut that outlives its
+      // Dataset so a full-registry run's checkpoint dir stays bounded
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints",
         sys.env.getOrElse("SPARK_GRAFT_RELIABLE_CKPT", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -71,6 +85,34 @@ object Bench {
         spark.read.parquet(s"$sfDir/$tbl.parquet").count()
       }
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_PRESTAGE=name1,name2 — run the named queries ONCE,
+    // untimed, before any timing starts. The min-of-3 protocol already
+    // keeps one-time artifact builds (EdgeStage, StreamStage) out of a
+    // row's min, but single-attempt rehearsal tiers (REPEATS=1 at
+    // 1000x) have no second attempt: without prestaging, a serve row's
+    // only attempt pays the build and the tier records the build cost
+    // under the serve row's name (SCALE.md round-13: graph_hits_serve
+    // 99.2 s at 1000x was ~all one-time trade_w build). Rehearsals
+    // prestage the serve rows so their timed attempt measures what the
+    // row names; builds are priced by their own rows.
+    sys.env.get("SPARK_GRAFT_PRESTAGE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foreach { name =>
+        Queries.all.find(_.name == name).foreach { q =>
+          val t0 = System.nanoTime()
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite")
+              .save()
+            // stderr, not the artifact: the untimed staging pass IS the
+            // build cost — rehearsal logs record it as its own line
+            System.err.println(f"[bench] prestage $name: " +
+              f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] prestage $name failed: $e")
+          }
+        }
+      }
     val results = Queries.all
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -123,7 +165,34 @@ object Bench {
         Seq(BenchFormat.Row("pipeline_e2e", attempts.flatten,
           attempts.count(_.isEmpty)))
       } else Nil
-    val allResults = results ++ pipelineRow
+    // _canary_host: a FIXED data-independent calibration row (pure
+    // codegen CPU over a synthetic range — no I/O, no data skew, no
+    // plan to regress) present in every artifact. Host-condition skew
+    // (a co-tenant load, a throttled box — the BASELINE.md step-5
+    // "everything regressed, nothing changed" signature) moves this
+    // row with the rest; a real plan regression leaves it flat.
+    // scripts/bench_compare.py normalizes its adjudication with it.
+    val canaryRow = {
+      val attempts = (1 to repeats).map { _ =>
+        System.gc()
+        Thread.sleep(100)
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            // bit_xor, not sum: ANSI mode would overflow a 3.2B-long sum
+            spark.range(0L, CanaryRows, 1L, cpus.toInt)
+              .selectExpr("bit_xor(xxhash64(id)) as h").collect()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] _canary_host attempt failed: $e")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      BenchFormat.Row("_canary_host", attempts.flatten,
+        attempts.count(_.isEmpty))
+    }
+    val allResults = canaryRow +: (results ++ pipelineRow)
     // fullLine FIRST: the headline checksums the exact bytes the full
     // artifact gets (newline included), so a judge can verify the
     // committed BENCH_full.json against the driver's stdout.

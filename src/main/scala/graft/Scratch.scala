@@ -30,9 +30,14 @@ import org.apache.spark.sql.DataFrame
   * automatically if unset, which is only appropriate in local mode),
   * surviving executor loss at the price of one write+read per cut.
   * Deployments on preemptible fleets set this; deployments on stable
-  * fleets keep the default. Checkpoint files accumulate until JVM
-  * exit unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
-  * — long-lived sessions on reliable mode should set that too.
+  * fleets keep the default. Checkpoint files are deleted
+  * deterministically when the kernels release superseded cuts
+  * (CheckpointBridge.release cleans reliable checkpoint files along
+  * with the cache blocks), so the checkpoint directory stays bounded
+  * by the release-one-round-behind discipline; cuts that are never
+  * released fall back to the ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Bench
+  * sets it in reliable mode) or JVM exit.
   *
   * `Bench` exposes the knob as `SPARK_GRAFT_RELIABLE_CKPT=true` so the
   * constrained-heap gate can price reliable mode at the 100x tier.
@@ -58,10 +63,14 @@ object Scratch {
       * that recomputes the full lineage (recursively, for a lazy
       * ladder), and the doubled pressure is not theoretical: the
       * round-13 constrained-heap gate OOM'd the heaviest graph build
-      * at 128 MB/core un-persisted and passes persisted. Eager cuts
-      * unpersist as soon as the files are written; lazy cuts stay
-      * cached (spillable) until the kernel's existing
-      * CheckpointBridge.release discipline frees them. */
+      * at 128 MB/core un-persisted and passes persisted. The persist
+      * is on the cut's INTERNAL RDD, not the Dataset (a `df.persist`
+      * would key a CacheManager entry by plan equality — leaking for
+      * lazy cuts, and evicting a caller's independently-cached
+      * identical plan on unpersist): eager cuts unpersist as soon as
+      * the files are written; lazy cuts stay cached (spillable) until
+      * the kernel's existing CheckpointBridge.release discipline
+      * frees blocks AND checkpoint files together. */
     def scratchCheckpoint(eager: Boolean = true): DataFrame = {
       val spark = df.sparkSession
       val reliable = java.lang.Boolean.parseBoolean(
@@ -72,11 +81,8 @@ object Scratch {
             java.nio.file.Files.createTempDirectory("graft_ckpt")
               .toString)
         }
-        val cached = df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = cached.checkpoint(eager)
-        if (eager) cached.unpersist(blocking = false)
-        out
+        org.apache.spark.sql.graft.CheckpointBridge
+          .reliableCheckpoint(df, eager)
       } else {
         df.localCheckpoint(eager)
       }

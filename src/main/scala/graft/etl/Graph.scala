@@ -399,14 +399,36 @@ object Graph {
     * increments accumulate. Returns the committed version. */
   def appendEdges(spark: org.apache.spark.sql.SparkSession,
                   table: String, newEdges: DataFrame,
-                  targetFiles: Int = 2): Long =
-    graft.sources.ManifestTable.commitAppend(spark, table,
-      symmetrize(newEdges)
-        .join(edgesFromManifest(spark, table), Seq("src", "dst"),
-          "left_anti")
-        .repartitionByRange(targetFiles, col("src"))
-        .sortWithinPartitions("src"),
-      statsCol = Some("src"))
+                  targetFiles: Int = 2): Long = {
+    import graft.Scratch.ScratchOps
+    // The batch is ingest-sized; cut its lineage once so the src-range
+    // probe and the anti-join don't recompute the symmetrize collapse.
+    val sym = symmetrize(newEdges).scratchCheckpoint(eager = true)
+    try {
+      // The artifact side is src-range-clustered with footer stats
+      // (commitEdges/compactSorted record them; appends carry their
+      // own), so the anti-join only needs the files whose src range
+      // can contain a batch src — manifest-side pruning, the
+      // deleteRows pattern. A dropped file's whole src range misses
+      // the batch's [min, max], so it cannot hold a matching
+      // (src, dst): pruning never changes the anti-join's answer.
+      // This is what keeps incremental maintenance batch-sized at
+      // 100 TB — a narrow CDC batch touches a handful of artifact
+      // files, not the full edge set.
+      val range = sym.agg(min(col("src")), max(col("src"))).head()
+      val artifact =
+        if (range.isNullAt(0)) // empty batch: nothing can match anyway
+          edgesFromManifest(spark, table).limit(0)
+        else graft.sources.ManifestTable.readPruned(spark, table, "src",
+          range.getLong(0), range.getLong(1)).df
+      graft.sources.ManifestTable.commitAppend(spark, table,
+        sym.join(artifact.select(col("src"), col("dst")),
+            Seq("src", "dst"), "left_anti")
+          .repartitionByRange(targetFiles, col("src"))
+          .sortWithinPartitions("src"),
+        statsCol = Some("src"))
+    } finally org.apache.spark.sql.graft.CheckpointBridge.release(sym)
+  }
 
   /** BUILD/COMMIT the WEIGHTED DIRECTED edge artifact — the
     * [[commitEdges]] twin for the kernels that walk a weighted graph

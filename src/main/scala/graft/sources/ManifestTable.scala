@@ -300,8 +300,15 @@ object ManifestTable {
                    statsCol: Option[String] = None): Long = {
     val t = new Path(table)
     val staged = withStats(spark, t, stageFiles(spark, t, df), statsCol)
-    publish(spark, t, head =>
-      (if (head == 0) Nil else readManifest(spark, t, head)) ++ staged)
+    publish(spark, t, head => {
+      // see [[stagedLive]]: a racing vacuum reclaiming the staged files
+      // must fail THIS commit loudly, never land dangling references
+      require(stagedLive(fs(spark, t), t, staged),
+        s"commitAppend to $table: a concurrent vacuum reclaimed staged " +
+          "files before publish — retry the append (and give vacuum a " +
+          "minFileAgeMs grace window covering in-flight commits)")
+      (if (head == 0) Nil else readManifest(spark, t, head)) ++ staged
+    })
   }
 
   /** Atomic full overwrite: the new version references ONLY `df`'s
@@ -311,7 +318,13 @@ object ManifestTable {
                       statsCol: Option[String] = None): Long = {
     val t = new Path(table)
     val staged = withStats(spark, t, stageFiles(spark, t, df), statsCol)
-    publish(spark, t, _ => staged)
+    publish(spark, t, _ => {
+      require(stagedLive(fs(spark, t), t, staged),
+        s"commitOverwrite to $table: a concurrent vacuum reclaimed " +
+          "staged files before publish — retry the overwrite (and give " +
+          "vacuum a minFileAgeMs grace window covering in-flight commits)")
+      staged
+    })
   }
 
   /** Read a snapshot: the given version, or the latest. The file list
@@ -534,6 +547,28 @@ object ManifestTable {
     * them like any crash leftover. */
   private val DmlRetries = 5
 
+  /** Staged-but-uncommitted data files are referenced by NO manifest,
+    * so a concurrent [[vacuum]] classifies them as crash leftovers and
+    * may reclaim them between a commit's staging and its publish —
+    * for a DML rebase loser, between its re-plan and its retry commit.
+    * Every commit attempt therefore re-verifies its staged files still
+    * exist before publishing a manifest that would reference them.
+    * The residual check-to-create window is microseconds against
+    * vacuum's full directory listing — the same TOCTOU every
+    * object-store table format carries between its vacuum and an
+    * in-flight optimistic commit; the deployment-level guard is
+    * [[vacuum]]'s `minFileAgeMs` grace window sized to the longest
+    * in-flight commit. */
+  private def stagedLive(f: FileSystem, t: Path,
+                         staged: Seq[String]): Boolean =
+    staged.forall(line => f.exists(new Path(t, entryPath(line))))
+
+  /** Test seam: runs once after a DML attempt has STAGED its files but
+    * before it publishes — the exact window a racing vacuum can
+    * reclaim them. Self-disarming hooks let ManifestTableSpec stage
+    * the race deterministically; production never sets it. */
+  private[sources] var onDmlStaged: () => Unit = () => ()
+
   /** Shared loser-path loop for COW DML: `plan` reads the current
     * head and either finishes early (Left) or returns the touched
     * entry set plus the staged replacement lines (Right). The publish
@@ -554,11 +589,17 @@ object ManifestTable {
       plan(head) match {
         case Left(done) => return done
         case Right((touchedSet, staged, untouched)) =>
+          onDmlStaged()
           try {
             val v = publish(spark, t, cur => {
               val curLines =
                 if (cur == 0) Nil else readManifest(spark, t, cur)
               if (!touchedSet.subsetOf(curLines.toSet))
+                throw new DmlRebaseConflict
+              // a racing vacuum may have reclaimed this attempt's
+              // staged (manifest-less) files — publishing would commit
+              // dangling references; re-plan restages from live data
+              if (!stagedLive(fs(spark, t), t, staged))
                 throw new DmlRebaseConflict
               curLines.filterNot(touchedSet) ++ staged
             })
@@ -728,11 +769,26 @@ object ManifestTable {
     * longest-reader budget); a vacuum asked to keep fewer REFUSES
     * rather than reclaim versions a pinned reader may still hold —
     * the Delta `retentionDurationCheck` shape. `force = true` is the
-    * explicit override for operators who know no reader is pinned. */
+    * explicit override for operators who know no reader is pinned.
+    *
+    * Vacuum-vs-WRITER contract: an unreferenced file is not
+    * necessarily garbage — it may be STAGED by an in-flight commit
+    * (append, overwrite, or a DML rebase loser between re-plan and
+    * retry) that has not published yet. `minFileAgeMs` is the grace
+    * window (Delta's vacuum file-retention shape, on modification
+    * time): unreferenced files younger than it are skipped, so a
+    * vacuum sized to the longest in-flight commit never steals a
+    * live writer's staging. The default 0 reclaims everything
+    * (crash-leftover cleanup in tests and single-writer maintenance
+    * windows); concurrent deployments pass their commit SLA. Even at
+    * 0 the table cannot be corrupted: every commit re-verifies its
+    * staged files exist at publish and fails loudly (appends) or
+    * re-plans (DML) instead of committing dangling references. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 2,
              minRetainedVersions: Int = 1,
-             force: Boolean = false): Seq[String] = {
+             force: Boolean = false,
+             minFileAgeMs: Long = 0L): Seq[String] = {
     require(force || keepVersions >= minRetainedVersions,
       s"vacuum(keepVersions = $keepVersions) would reclaim versions " +
         s"inside the declared min-retained window of " +
@@ -748,8 +804,13 @@ object ManifestTable {
       .map(line => new Path(t, entryPath(line)).getName).toSet
     val dataDir = new Path(t, "data")
     if (!f.exists(dataDir)) Nil
-    else f.listStatus(dataDir).iterator.map(_.getPath)
-      .filterNot(p => referenced(p.getName))
-      .map { p => f.delete(p, false); p.getName }.toList
+    else {
+      val cutoff = System.currentTimeMillis() - minFileAgeMs
+      f.listStatus(dataDir).iterator
+        .filter(st => !referenced(st.getPath.getName) &&
+          st.getModificationTime <= cutoff)
+        .map { st => f.delete(st.getPath, false); st.getPath.getName }
+        .toList
+    }
   }
 }

@@ -84,6 +84,37 @@ class GraphArtifactSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == Set((3L, 4L), (4L, 3L)))
   }
 
+  test("appendEdges stats-prune is an optimization, never a filter: a " +
+    "narrow batch dedups against the ONE overlapping artifact file and " +
+    "a far-range batch (all files pruned) appends in full") {
+    val tbl = tempTable("edges_prune")
+    // range-clustered build: targetFiles=2 puts the low cluster and the
+    // high cluster in different files with disjoint src footer stats
+    Graph.commitEdges(spark, tbl,
+      Seq((1L, 2L), (2L, 3L), (100L, 101L), (101L, 102L))
+        .toDF("src", "dst"), targetFiles = 2)
+    // narrow low-range batch: (2,3) is a duplicate living in the low
+    // file — the prune must KEEP that file and absorb the edge
+    Graph.appendEdges(spark, tbl, Seq((2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val afterLow = Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toList
+    assert(afterLow.distinct.size == afterLow.size,
+      "pruned anti-join resurrected a duplicate edge")
+    assert(afterLow.toSet.contains((3L, 4L)) && afterLow.size == 10)
+    // far-range batch overlapping NO committed file: everything is new
+    Graph.appendEdges(spark, tbl, Seq((500L, 501L)).toDF("src", "dst"))
+    val afterFar = Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toList
+    assert(afterFar.distinct.size == afterFar.size)
+    assert(afterFar.toSet.contains((500L, 501L)) && afterFar.size == 12)
+    // empty growth batch: a clean no-op version, no crash on the
+    // null min/max probe
+    Graph.appendEdges(spark, tbl,
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+    assert(Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().size == 12)
+  }
+
   test("commitWeightedEdges: typed (src,dst,w), pinned across rebuild") {
     val tbl = tempTable("wedges_mt")
     val e1 = Seq((1, 2, 5), (1, 3, 2), (2, 3, 1)).toDF("src", "dst", "w")

@@ -531,6 +531,66 @@ class ManifestTableSpec extends AnyFunSuite {
       "content diverged from the serial delete+append outcome")
   }
 
+  test("vacuum racing a DML rebase loser: staged files reclaimed " +
+    "between re-plan and retry commit force another re-plan — the " +
+    "delete lands on live files, never as dangling references") {
+    // The last DML/vacuum corner: attempt 1 loses to a concurrent
+    // compact (its touched files were rewritten); attempt 2 re-plans
+    // and re-stages, and a vacuum then reclaims those staged (still
+    // manifest-less) files before the retry commit. Publishing anyway
+    // would commit a manifest referencing deleted files — the
+    // stagedLive re-check must instead force attempt 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_vacrace")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl,
+      (1L to 100L).toDF("k").repartition(2), statsCol = Some("k"))
+    var stagings = 0
+    ManifestTable.onDmlStaged = () => {
+      stagings += 1
+      val n = stagings
+      val saved = ManifestTable.onDmlStaged
+      ManifestTable.onDmlStaged = () => () // compact re-enters publishDml
+      try {
+        if (n == 1) // attempt 1 becomes the rebase LOSER
+          ManifestTable.compactSorted(spark, tbl, targetFiles = 1,
+            clusterCol = "k")
+        else if (n == 2) // vacuum eats the loser's re-staged files
+          ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true)
+      } finally ManifestTable.onDmlStaged = saved
+    }
+    try {
+      val res = ManifestTable.deleteRows(spark, tbl, "k", Seq(7L, 42L))
+      assert(stagings == 3,
+        s"expected attempt 3 to commit (got $stagings stagings)")
+      assert(res.version == ManifestTable.latestVersion(spark, tbl))
+    } finally ManifestTable.onDmlStaged = () => ()
+    // the committed head references only LIVE files and correct content
+    val after = ManifestTable.read(spark, tbl).select($"k")
+      .as[Long].collect().sorted.toSeq
+    assert(after == (1L to 100L).filterNot(Set(7L, 42L)),
+      "delete content diverged after the vacuum race")
+    after.foreach(_ => ()) // full scan above already proves readability
+  }
+
+  test("vacuum minFileAgeMs grace window: fresh unreferenced files " +
+    "(an in-flight commit's staging) survive; aged ones reclaim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_vage")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    ManifestTable.commitOverwrite(spark, tbl, Seq(1L, 2L).toDF("k"))
+    // orphan file, as an in-flight writer's staging would look
+    val orphan = java.nio.file.Paths.get(s"$tbl/data/part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+      minFileAgeMs = 3600L * 1000).isEmpty,
+      "grace window must not reclaim a fresh unreferenced file")
+    assert(java.nio.file.Files.exists(orphan))
+    assert(ManifestTable.vacuum(spark, tbl, keepVersions = 1) ==
+      Seq("part-orphan.parquet"),
+      "age-expired orphan must reclaim with the window off")
+  }
+
   test("vacuum refuses to reclaim inside the declared min-retained " +
     "window; force overrides") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_vgrd")
