@@ -363,7 +363,56 @@ object Microbench {
     }
   }
 
+  /** Scale-path rehearsal for the embedding LSH near-dup family
+    * (`graft.Microbench embedding_lsh <sfDir> [targetBucketPop]
+    * [numTables]`): reads the layout's embeddings, derives numPlanes
+    * from the corpus count ([[graft.llmops.Similarity.planesFor]] —
+    * the rule a deployment applies at planning time), runs
+    * lshNearDupPairs at threshold 0.4 and prints corpus size, derived
+    * planes, verified pair count and wall-clock. The REGISTRY row
+    * (dedup_embedding_lsh) pins semantics at numPlanes=6 against a
+    * frozen oracle — correct at the bench tier, quadratic by
+    * construction at 1000x (2^6 buckets for 2M vectors); this mode
+    * measures the OPERATOR at the parameters the tier calls for. */
+  private def embeddingLshMode(spark: SparkSession, sfDir: String,
+                               targetBucketPop: Int, numTables: Int,
+                               threshold: Double): Unit = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .dropDuplicates("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val planes = llmops.Similarity.planesFor(n, targetBucketPop)
+    System.gc(); Thread.sleep(100)
+    val t0 = System.nanoTime()
+    val pairs = llmops.Similarity.lshNearDupPairs(
+      e, "vec_id", "embedding", threshold = threshold,
+      numPlanes = planes, numTables = numTables).count()
+    println(f"embedding_lsh: n=$n%d planes=$planes%d " +
+      f"(target bucket pop $targetBucketPop%d) tables=$numTables%d " +
+      f"threshold=$threshold%.2f pairs=$pairs%d  " +
+      f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+    e.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("embedding_lsh")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      // AQE + skew-join split, matching the Bench session: LSH bucket
+      // population is power-law-ish, and without the skew split the
+      // join's hot (table, bucket) partitions serialize onto a handful
+      // of cores (observed: 6 of 32 busy through a 20-minute tail)
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      embeddingLshMode(spark, args(1),
+        args.lift(2).map(_.toInt).getOrElse(32),
+        args.lift(3).map(_.toInt).getOrElse(8),
+        args.lift(4).map(_.toDouble).getOrElse(0.4))
+      spark.stop(); return
+    }
     if (args.headOption.contains("kcore_conv")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
       val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -367,12 +367,22 @@ object Graph {
     */
   def commitEdges(spark: org.apache.spark.sql.SparkSession,
                   table: String, edges: DataFrame,
-                  targetFiles: Int = 8): Long =
-    graft.sources.ManifestTable.commitOverwrite(spark, table,
-      symmetrize(edges)
-        .repartitionByRange(targetFiles, col("src"))
+                  targetFiles: Int = 8): Long = {
+    import graft.Scratch.ScratchOps
+    // Cut lineage between the collapse and the clustered write:
+    // repartitionByRange SAMPLES its child in a separate pass to pick
+    // range bounds, so a lazy collapse would run the fact-sized
+    // distinct TWICE per build (sample + write) — the round-14 1000x
+    // adjudication measured the double-pay at ~2x build wall-clock.
+    // Checkpointed, the sample and the write both read the dim-sized
+    // collapsed edges.
+    val sym = symmetrize(edges).scratchCheckpoint(eager = true)
+    try graft.sources.ManifestTable.commitOverwrite(spark, table,
+      sym.repartitionByRange(targetFiles, col("src"))
         .sortWithinPartitions("src"),
       statsCol = Some("src"))
+    finally org.apache.spark.sql.graft.CheckpointBridge.release(sym)
+  }
 
   /** SERVE the committed edge artifact: the pinned (or latest)
     * snapshot, columns (src, dst), already symmetrized and collapsed —
@@ -401,8 +411,12 @@ object Graph {
                   table: String, newEdges: DataFrame,
                   targetFiles: Int = 2): Long = {
     import graft.Scratch.ScratchOps
-    // The batch is ingest-sized; cut its lineage once so the src-range
-    // probe and the anti-join don't recompute the symmetrize collapse.
+    // Cut the batch collapse's lineage ONCE: without it the fold runs
+    // the fact-sized distinct up to three times — the src-range probe,
+    // repartitionByRange's bound-sampling pass, and the staged write
+    // each re-derive a lazy symmetrize (the round-14 1000x
+    // adjudication measured the un-cut fold at 2-3x this cost).
+    // Checkpointed, every downstream pass reads the dim-sized edges.
     val sym = symmetrize(newEdges).scratchCheckpoint(eager = true)
     try {
       // The artifact side is src-range-clustered with footer stats
@@ -444,14 +458,21 @@ object Graph {
     * whole kernel family — hits and ppr read the SAME artifact. */
   def commitWeightedEdges(spark: org.apache.spark.sql.SparkSession,
                           table: String, edges: DataFrame,
-                          targetFiles: Int = 8): Long =
-    graft.sources.ManifestTable.commitOverwrite(spark, table,
-      edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"),
-          col("w").cast("long").as("w"))
-        .repartitionByRange(targetFiles, col("src"))
+                          targetFiles: Int = 8): Long = {
+    import graft.Scratch.ScratchOps
+    // Same lineage cut as [[commitEdges]]: the caller's edge list is
+    // typically a fact-sized aggregation, and repartitionByRange's
+    // sampling pass would re-run it wholesale before the write does.
+    val typed = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"))
+      .scratchCheckpoint(eager = true)
+    try graft.sources.ManifestTable.commitOverwrite(spark, table,
+      typed.repartitionByRange(targetFiles, col("src"))
         .sortWithinPartitions("src"),
       statsCol = Some("src"))
+    finally org.apache.spark.sql.graft.CheckpointBridge.release(typed)
+  }
 
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made DETERMINISTIC: every round each node adopts the

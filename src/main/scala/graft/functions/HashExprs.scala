@@ -279,17 +279,34 @@ case class RandomProjectionBits(child: Expression, numPlanes: Int,
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 
+  // The plane weights are a pure function of (plane, dim) — memoize
+  // the numPlanes x dims table on first eval instead of re-hashing
+  // per ELEMENT per ROW: at a 2M x 64-dim corpus with 16 tables x 20
+  // planes that is 6e11 avalanche hashes re-derived for ~41k distinct
+  // values, and it dominated the round-14 fourth-decade LSH wall-clock.
+  // Growth is monotone (dims are corpus-constant in practice); a
+  // concurrent re-build races benignly — both threads write identical
+  // values and the reference swap is atomic.
+  @transient private var wcache: Array[Array[Double]] = null
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    var w = wcache
+    if (w == null || w(0).length < n) {
+      w = Array.tabulate(numPlanes)(p =>
+        Array.tabulate(n)(i => weight(planeOffset + p, i)))
+      wcache = w
+    }
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
+      val wp = w(p)
       var proj = 0.0
       var i = 0
       while (i < n) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        proj += x * weight(planeOffset + p, i)
+        proj += x * wp(i)
         i += 1
       }
       if (proj >= 0) bucket |= (1L << p)

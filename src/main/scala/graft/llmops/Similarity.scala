@@ -267,7 +267,39 @@ object Similarity {
     * LSH index, candidate RECALL is the probabilistic part (tuned by
     * numPlanes/numTables). The id-pair dedup runs on two longs before
     * the vectors are rejoined for scoring — the shuffle that dedups
-    * candidates never carries the 256-byte arrays. */
+    * candidates never carries the 256-byte arrays.
+    *
+    * numPlanes must SCALE WITH THE CORPUS ([[planesFor]]): bucket
+    * count is 2^numPlanes per table, so a fixed plane count at a
+    * growing corpus grows bucket population linearly and candidate
+    * pairs QUADRATICALLY — the same n/numCells rule
+    * [[semanticDedup]]'s scaladoc states for its IVF cells (the
+    * round-14 1000x rehearsal measured the fixed-plane blowup: 6
+    * planes at 2M vectors is 31k vectors/bucket and a ~10^11-pair
+    * candidate set that spills past local disk).
+    *
+    * Plan shape: the cosine verify runs INSIDE the bucket self-join —
+    * vectors cross one exchange at corpus x numTables cardinality and
+    * candidate pairs stream through the in-task filter, so only the
+    * VERIFIED pairs (true near-dups, linear in the corpus) reach the
+    * pair-dedup shuffle. The rejected alternative (dedup candidate id
+    * pairs first, rejoin vectors to score) keeps the dedup shuffle
+    * slim but pays TWO candidate-cardinality exchanges carrying the
+    * vectors — at the fourth decade that is ~10^8 candidates x ~300 B
+    * = a >100 GB shuffle for a ~10^5-row answer (measured: it filled
+    * local disk where this shape completes). Collisions across tables
+    * re-verify the same pair up to numTables times — pure in-task CPU,
+    * the right price for never shuffling candidates with payloads. */
+  /** Plane count that holds expected LSH bucket population at
+    * `targetBucketPop` for an `n`-vector corpus: ceil(log2(n/target)),
+    * floored at 1. This is the knob a deployment derives from its
+    * corpus count (one metadata-only count at planning time) so
+    * within-bucket candidate pairs stay O(n·targetBucketPop) instead
+    * of O(n²/2^planes) — the LSH twin of scaling IVF's numCells. */
+  def planesFor(n: Long, targetBucketPop: Int = 32): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucketPop) /
+      math.log(2.0)).toInt)
+
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 6,
                       numTables: Int = 8): DataFrame = {
@@ -276,20 +308,18 @@ object Similarity {
         lit(t).as("table_id"),
         graft.functions.HashExprs.randomProjectionBits(col(vecCol),
           numPlanes, t * numPlanes).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("tb.table_id"), col("tb.bucket"))
-    val cand = b.select(col("id").as("id_a"), col("table_id"),
-        col("bucket"))
-      .join(b.select(col("id").as("id_b"), col("table_id"),
-        col("bucket")), Seq("table_id", "bucket"))
+      .select(col("id"), col("v"), col("tb.table_id"), col("tb.bucket"))
+    b.select(col("id").as("id_a"), col("v").as("va"),
+        col("table_id"), col("bucket"))
+      .join(b.select(col("id").as("id_b"), col("v").as("vb"),
+        col("table_id"), col("bucket")), Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+      // same-pair hits from other tables carry the same exact cosine,
+      // so keep-any dedup is deterministic
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SemDeDup-style semantic deduplication (the public recipe of
