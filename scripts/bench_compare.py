@@ -41,27 +41,41 @@ def main():
     run_b, failed_b = load_queries(args.run_b)
     thr = args.threshold
 
-    canary = "_canary_host"
+    # Calibration rows lead every artifact: _canary_host (pure-CPU
+    # codegen — co-tenant CPU load) and _canary_io (fixed shuffle +
+    # parquet round-trip — memory-bandwidth/disk contention, the
+    # channel round 14's +25% skew used while the CPU leg read quiet).
+    # Any `_`-prefixed row is calibration: excluded from per-row
+    # adjudication, printed up front.
+    canaries = sorted(k for k in (set(run_a) | set(run_b) | set(prior))
+                      if k.startswith("_"))
     print(f"## Bench adjudication — threshold {thr}x, two-run rule\n")
     print(f"prior: `{args.prior}`  run A: `{args.run_a}`  "
           f"run B: `{args.run_b}`\n")
 
     # --- host-noise calibration first -------------------------------
-    if canary in prior and canary in run_a and canary in run_b:
-        ca, cb = run_a[canary] / prior[canary], run_b[canary] / prior[canary]
-        print(f"Canary: prior {prior[canary]:.3f} s -> "
-              f"A {run_a[canary]:.3f} ({ca:.2f}x), "
-              f"B {run_b[canary]:.3f} ({cb:.2f}x).")
-        if max(ca, cb) > 1.15:
-            print("**Host-condition skew detected** — the canary is "
-                  "data-independent, so a moved canary means the box, "
-                  "not the plans; read per-row ratios against it.")
+    skewed = False
+    for canary in canaries:
+        if canary in prior and canary in run_a and canary in run_b:
+            ca = run_a[canary] / prior[canary]
+            cb = run_b[canary] / prior[canary]
+            print(f"Canary `{canary}`: prior {prior[canary]:.3f} s -> "
+                  f"A {run_a[canary]:.3f} ({ca:.2f}x), "
+                  f"B {run_b[canary]:.3f} ({cb:.2f}x).")
+            skewed = skewed or max(ca, cb) > 1.15
+        elif canary in run_a and canary in run_b:
+            print(f"Canary `{canary}` (no prior reading): "
+                  f"A {run_a[canary]:.3f} s, "
+                  f"B {run_b[canary]:.3f} s — anchor for next round.")
+    if skewed:
+        print("**Host-condition skew detected** — calibration rows are "
+              "data-independent, so a moved canary means the box, "
+              "not the plans; read per-row ratios against it.")
+    if canaries:
         print()
-    elif canary in run_a and canary in run_b:
-        print(f"Canary (no prior reading): A {run_a[canary]:.3f} s, "
-              f"B {run_b[canary]:.3f} s — anchor for next round.\n")
 
-    common = sorted(set(prior) & set(run_a) & set(run_b) - {canary})
+    common = sorted(set(prior) & set(run_a) & set(run_b)
+                    - set(canaries))
     rows = []
     for q in common:
         p = prior[q]
@@ -84,8 +98,10 @@ def main():
     movers = sorted(
         (r for r in rows if r[6] != "ok"), key=lambda r: -max(r[4], r[5]))
 
-    new_rows = sorted((set(run_a) & set(run_b)) - set(prior) - {canary})
-    gone_rows = sorted(set(prior) - set(run_a) - set(run_b) - {canary})
+    new_rows = sorted(
+        (set(run_a) & set(run_b)) - set(prior) - set(canaries))
+    gone_rows = sorted(
+        set(prior) - set(run_a) - set(run_b) - set(canaries))
     failed = sorted(set(failed_a) | set(failed_b))
 
     print(f"{len(common)} common rows: **{len(breaches)} breach**, "

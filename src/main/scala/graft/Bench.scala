@@ -30,6 +30,16 @@ object Bench {
     * change this without re-anchoring prior rounds' canary readings. */
   private val CanaryRows = 3200000000L
 
+  /** Fixed row count for the `_canary_io` calibration row — a
+    * shuffle + parquet write/read round-trip of a synthetic frame
+    * (~0.3 GB through the shuffle at 80 B/row), reading ~1 s at the
+    * canonical local[32] invocation (job-launch + file IO dominate;
+    * the bytes keep it honest about the memory/disk channel). The CPU canary
+    * reads "quiet" under memory-bandwidth or disk contention (round
+    * 14: suite +25%, CPU canary 0.77×) — this row moves with the
+    * memory/IO channel instead. Never change without re-anchoring. */
+  private val CanaryIoRows = 4000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +79,19 @@ object Bench {
     // rows), so the runtime line carries no remaining signal here.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    // Every CheckpointBridge.release of a superseded iteration cut
+    // logs "RDD n was locally checkpointed … cannot be recomputed
+    // after unpersisting" — one line per released cut per attempt,
+    // hundreds per full run, burying real warnings in the official
+    // tail. The releases are deliberate (the kernels' one-round-behind
+    // discipline frees ONLY cuts whose contents are consumed —
+    // CheckpointBridge's scaladoc contract, exercised by the kernel
+    // specs), so the runtime line carries no remaining signal here;
+    // the logger is the RDD's concrete class, which logs nothing else
+    // at WARN in this workload.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
     // Warmup: JIT + codegen + parquet footer/file-listing caches, so
     // per-query timings measure the queries, not first-touch JVM costs.
@@ -165,34 +188,72 @@ object Bench {
         Seq(BenchFormat.Row("pipeline_e2e", attempts.flatten,
           attempts.count(_.isEmpty)))
       } else Nil
-    // _canary_host: a FIXED data-independent calibration row (pure
-    // codegen CPU over a synthetic range — no I/O, no data skew, no
-    // plan to regress) present in every artifact. Host-condition skew
-    // (a co-tenant load, a throttled box — the BASELINE.md step-5
-    // "everything regressed, nothing changed" signature) moves this
-    // row with the rest; a real plan regression leaves it flat.
-    // scripts/bench_compare.py normalizes its adjudication with it.
-    val canaryRow = {
-      val attempts = (1 to repeats).map { _ =>
-        System.gc()
-        Thread.sleep(100)
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            // bit_xor, not sum: ANSI mode would overflow a 3.2B-long sum
-            spark.range(0L, CanaryRows, 1L, cpus.toInt)
-              .selectExpr("bit_xor(xxhash64(id)) as h").collect()
-            true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] _canary_host attempt failed: $e")
-            false
-          }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    // Calibration rows: FIXED data-independent computations present in
+    // every artifact so host-condition skew (the BASELINE.md step-5
+    // "everything regressed, nothing changed" signature) is readable
+    // from the artifact alone. Two legs because contention has two
+    // channels a suite can feel independently:
+    //  - _canary_host: pure codegen CPU over a synthetic range (no
+    //    I/O, no data, no plan to regress) — co-tenant CPU load moves
+    //    it, a real plan regression leaves it flat.
+    //  - _canary_io: a shuffle + parquet write/read round-trip of a
+    //    fixed synthetic frame — memory-bandwidth/disk contention
+    //    moves it while the CPU leg stays quiet (round 14's lesson:
+    //    the suite skewed +25% with the CPU canary QUIETER than its
+    //    anchor, so the skew's channel was invisible to the artifact).
+    // scripts/bench_compare.py leads its adjudication with both; both
+    // are EXCLUDED from the headline total (BenchFormat drops `_` rows
+    // from `value`/`n_queries`, so totals compare across rounds and
+    // core counts without carrying calibration cost). Skipped when
+    // SPARK_GRAFT_ONLY targets a row subset that doesn't name them —
+    // a single-query debug run at CPUS=4 shouldn't pay seconds of
+    // canary per invocation.
+    def calibrationRow(name: String)(body: => Unit): Option[BenchFormat.Row] =
+      if (!only.forall(_.contains(name))) None
+      else {
+        val attempts = (1 to repeats).map { _ =>
+          System.gc()
+          Thread.sleep(100)
+          val t0 = System.nanoTime()
+          val ok =
+            try { body; true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name attempt failed: $e")
+              false
+            }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        Some(BenchFormat.Row(name, attempts.flatten,
+          attempts.count(_.isEmpty)))
       }
-      BenchFormat.Row("_canary_host", attempts.flatten,
-        attempts.count(_.isEmpty))
-    }
-    val allResults = canaryRow +: (results ++ pipelineRow)
+    val canaryRows = Seq(
+      calibrationRow("_canary_host") {
+        // bit_xor, not sum: ANSI mode would overflow a 3.2B-long sum
+        spark.range(0L, CanaryRows, 1L, cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id)) as h").collect()
+      },
+      calibrationRow("_canary_io") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_canary_io")
+        try {
+          // md5 hex payload widens rows to ~80 B so the round-trip
+          // moves real bytes: full shuffle (hash repartition), parquet
+          // encode + fsync, then a scan + hash back. Deterministic.
+          spark.range(0L, CanaryIoRows, 1L, cpus.toInt)
+            .selectExpr("id", "md5(cast(id as string)) as payload")
+            .repartition(cpus.toInt, org.apache.spark.sql.functions.col("id"))
+            .write.mode("overwrite").parquet(dir.toString)
+          spark.read.parquet(dir.toString)
+            .selectExpr("bit_xor(xxhash64(id, payload)) as h").collect()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }).flatten
+    val allResults = canaryRows ++ results ++ pipelineRow
     // fullLine FIRST: the headline checksums the exact bytes the full
     // artifact gets (newline included), so a judge can verify the
     // committed BENCH_full.json against the driver's stdout.

@@ -22,7 +22,15 @@ package graft
   * thrown attempt contributes NO time; its count lands in an `errs`
   * map in both artifacts, and a query whose every attempt failed is
   * excluded from `queries`/`spread`/total entirely — a poisoned row
-  * is visible, never averaged away. */
+  * is visible, never averaged away.
+  *
+  * Why `_`-prefixed rows are excluded from `value`/`n_queries`:
+  * calibration rows (`_canary_host`, `_canary_io`) measure the HOST,
+  * not the engine — folding them into the headline total would skew
+  * cross-round total comparisons between runs at different core
+  * counts (the CPU canary alone costs seconds per attempt at
+  * CPUS=4). They still appear in `queries`/`spread`, which is where
+  * `bench_compare.py` reads them. */
 private[graft] object BenchFormat {
 
   /** One query's bench outcome: `times` are seconds of the attempts
@@ -90,9 +98,10 @@ private[graft] object BenchFormat {
   def headline(sfDir: String, results: Seq[Row],
                fullSha256: String): String = {
     val good = results.filter(_.ok)
+    val counted = good.filterNot(_.name.startsWith("_"))
     val bySlow = good.sortBy(-_.min)
     s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${good.size},"value":${d3(good.map(_.min).sum)},""" +
+      s""""n_queries":${counted.size},"value":${d3(counted.map(_.min).sum)},""" +
       s""""queries":${minMap(bySlow.take(25))},""" +
       s""""spread":${spreadMap(bySlow.take(12))},""" +
       s""""queries_omitted":${math.max(0, good.size - 25)},""" +
@@ -107,8 +116,9 @@ private[graft] object BenchFormat {
     * (`failed_queries` — their timing is poison, not data). */
   def fullLine(sfDir: String, results: Seq[Row]): String = {
     val good = results.filter(_.ok)
+    val counted = good.filterNot(_.name.startsWith("_"))
     s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${good.size},"value":${d3(good.map(_.min).sum)},""" +
+      s""""n_queries":${counted.size},"value":${d3(counted.map(_.min).sum)},""" +
       s""""queries":${minMap(good)},""" +
       s""""spread":${spreadMap(good)},""" +
       s""""errs":${errMap(results)},""" +

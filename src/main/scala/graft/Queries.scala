@@ -53,6 +53,7 @@ object Queries {
     QueriesDedupSim.dedupIncrementalBloom, QueriesDedupSim.dedupEmbedding,
     QueriesDedupSim.decontaminateSemantic,
     QueriesDedupSim.dedupEmbeddingLsh, QueriesDedupSim.dedupEmbeddingLshGate,
+    QueriesDedupSim.dedupEmbeddingLshScaled,
     QueriesDedupSim.dedupSemantic, QueriesDedupSim.dedupSemanticGate,
     QueriesDedupSim.simTopkBrute, QueriesDedupSim.simTopkAgg, QueriesDedupSim.simRangeSearch, QueriesDedupSim.simTopkInt8, QueriesDedupSim.simTopkLsh, QueriesDedupSim.simTopkIvf, QueriesDedupSim.simLshRecall,
     QueriesDedupSim.simScoreCheck, QueriesDedupSim.simLshRecallGate,

@@ -645,6 +645,62 @@ private[graft] object QueriesDedupSim {
   /** sf0.01 pair count of dedup_embedding_lsh, frozen 2026-08-12. */
   private val DedupEmbeddingLshFloor = 23L
 
+  /** The SCALE-PARAMETERIZED twin of `dedup_embedding_lsh`: planes
+    * derived from the corpus count via [[Similarity.planesFor]]
+    * (ceil(log2(n/target)), target bucket population 2 — the
+    * operating point SCALE.md's salted rehearsals pinned) instead of
+    * the frozen row's numPlanes=6, which is quadratic BY CONSTRUCTION
+    * at a 2M-vector corpus (measured round 14: 63 GB of spilled
+    * candidates, disk-full). This row is the registry exercising the
+    * DEPLOYMENT RULE: the one metadata-sized `count()` at planning
+    * time is the rule's input (dim-sized scalar job, not a
+    * collect-and-loop), and the emitted `n_planes` column pins in the
+    * oracle that the rule computed the tier's value (8 at the sf0.01
+    * corpus of 500 vectors; 10 at sf0.1's 2000 — the bench row runs
+    * the bigger operating point with no oracle change needed).
+    * numTables=16 buys back the recall the extra planes cost, the
+    * planes/tables trade documented in SCALE.md's round-14 LSH
+    * parameterization law. Oracle: frozen sf0.01 VALUES at exactly
+    * this operating point (captured 2026-08-16), precision covered by
+    * the exact cos_sim values like the fixed twin. */
+  /** Frozen sf0.01 result of dedup_embedding_lsh_scaled (18 pairs at
+    * the planesFor operating point: n=500 -> 8 planes, 16 tables;
+    * captured 2026-08-16). */
+  private val DedupEmbeddingLshScaledOracle: String =
+    """SELECT * FROM (VALUES
+      (CAST(24 AS BIGINT), CAST(384 AS BIGINT), CAST('0.4145163121789919' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(28 AS BIGINT), CAST(305 AS BIGINT), CAST('0.4564322360693374' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(35 AS BIGINT), CAST(351 AS BIGINT), CAST('0.40653282290929493' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(45 AS BIGINT), CAST(298 AS BIGINT), CAST('0.4555501766574249' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(83 AS BIGINT), CAST(310 AS BIGINT), CAST('0.4024361035786049' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(150 AS BIGINT), CAST(152 AS BIGINT), CAST('0.41825457548289297' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(156 AS BIGINT), CAST(438 AS BIGINT), CAST('0.4748975935812026' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(159 AS BIGINT), CAST(202 AS BIGINT), CAST('0.4031424785766' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(172 AS BIGINT), CAST(440 AS BIGINT), CAST('0.4314924378106927' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(183 AS BIGINT), CAST(399 AS BIGINT), CAST('0.4032567048050842' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(195 AS BIGINT), CAST(317 AS BIGINT), CAST('0.4494482735608698' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(198 AS BIGINT), CAST(468 AS BIGINT), CAST('0.42922837951725396' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(205 AS BIGINT), CAST(485 AS BIGINT), CAST('0.4074213863005626' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(207 AS BIGINT), CAST(326 AS BIGINT), CAST('0.41677282445831315' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(238 AS BIGINT), CAST(287 AS BIGINT), CAST('0.4515679816465742' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(290 AS BIGINT), CAST(331 AS BIGINT), CAST('0.41294382149985975' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(338 AS BIGINT), CAST(406 AS BIGINT), CAST('0.4826603508971818' AS DOUBLE), CAST(8 AS BIGINT)),
+      (CAST(350 AS BIGINT), CAST(395 AS BIGINT), CAST('0.40708608034117577' AS DOUBLE), CAST(8 AS BIGINT))
+      ) v(id_a, id_b, cos_sim, n_planes) ORDER BY id_a, id_b"""
+
+  private[graft] val dedupEmbeddingLshScaled =
+    Q("dedup_embedding_lsh_scaled",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
+        val planes = Similarity.planesFor(e.count(), targetBucketPop = 2)
+        Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.4, numPlanes = planes, numTables = 16)
+          .withColumn("n_planes", lit(planes.toLong))
+          .orderBy("id_a", "id_b")
+      },
+      Some(DedupEmbeddingLshScaledOracle))
+
+
   /** SemDeDup semantic dedup ([[Similarity.semanticDedup]], the
     * public Abbas et al. 2023 recipe): seeded-codebook clustering,
     * within-cell cosine, greedy min-id survivor. Emits the DROPPED

@@ -18,6 +18,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same two benign-noise filters Bench applies (see the rationale
+    // there): global windows over bounded aggregates are statically
+    // guarded, and CheckpointBridge.release's deliberate unpersist of
+    // consumed cuts logs one WARN per release — hundreds of identical
+    // lines that bury real warnings in the driver tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=name1,name2 dumps a subset — targeted re-checks
     // while iterating on one query (mirrors Bench's flag; unset = all)

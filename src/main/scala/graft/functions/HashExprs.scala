@@ -263,6 +263,10 @@ case class RandomProjectionBits(child: Expression, numPlanes: Int,
                                 planeOffset: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(numPlanes >= 1 && numPlanes <= 64,
+    s"random_projection_bits needs 1..64 planes (one sign bit each " +
+      s"in a long bucket), got $numPlanes")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "random_projection_bits"
 
@@ -286,8 +290,13 @@ case class RandomProjectionBits(child: Expression, numPlanes: Int,
   // values, and it dominated the round-14 fourth-decade LSH wall-clock.
   // Growth is monotone (dims are corpus-constant in practice); a
   // concurrent re-build races benignly — both threads write identical
-  // values and the reference swap is atomic.
-  @transient private var wcache: Array[Array[Double]] = null
+  // values. @volatile makes the reference store a SAFE PUBLICATION:
+  // the element writes happen-before the volatile write, so a thread
+  // sharing this expression instance can never observe the array
+  // reference before its contents (a plain field has no such JMM
+  // guarantee — the torn read would silently mis-bucket vectors,
+  // costing recall that the downstream cosine verify can't restore).
+  @volatile @transient private var wcache: Array[Array[Double]] = null
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

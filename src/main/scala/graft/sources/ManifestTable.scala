@@ -364,6 +364,21 @@ object ManifestTable {
   final case class PrunedScan(df: DataFrame, filesTotal: Int,
                               filesKept: Int)
 
+  /** Data-file count of a snapshot — one driver-side manifest read,
+    * no data IO. Lets a caller decide whether stats pruning is worth
+    * its probe cost: [[readPruned]] saves file IO proportional to the
+    * files it drops, so against a handful-of-files artifact a caller
+    * whose [lo, hi] needs its own Spark job to compute (e.g.
+    * [[graft.etl.Graph.appendEdges]]'s batch-range probe) spends more
+    * on the probe than the pruning can return. */
+  def fileCount(spark: SparkSession, table: String,
+                version: Option[Long] = None): Int = {
+    val t = new Path(table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    require(v > 0, s"$table has no committed version")
+    readManifest(spark, t, v).size
+  }
+
   /** MANIFEST-SIDE FILE SKIPPING: resolve the snapshot, drop every
     * file whose recorded [min, max] for `column` cannot intersect
     * [lo, hi], and scan only the survivors — the Iceberg/Delta
@@ -546,6 +561,14 @@ object ManifestTable {
     * staged files are referenced by no manifest — [[vacuum]] reclaims
     * them like any crash leftover. */
   private val DmlRetries = 5
+
+  /** Default [[vacuum]] staging-grace window: unreferenced files
+    * younger than this survive a vacuum, so a concurrent commit that
+    * publishes within 15 min cannot lose its staged files to the
+    * [[stagedLive]] check-to-create TOCTOU. Deployments with a longer
+    * commit SLA pass a larger value; tests and exclusive maintenance
+    * windows pass 0 for immediate crash-leftover reclaim. */
+  val DefaultVacuumFileAgeMs: Long = 15L * 60L * 1000L
 
   /** Staged-but-uncommitted data files are referenced by NO manifest,
     * so a concurrent [[vacuum]] classifies them as crash leftovers and
@@ -778,17 +801,22 @@ object ManifestTable {
     * window (Delta's vacuum file-retention shape, on modification
     * time): unreferenced files younger than it are skipped, so a
     * vacuum sized to the longest in-flight commit never steals a
-    * live writer's staging. The default 0 reclaims everything
-    * (crash-leftover cleanup in tests and single-writer maintenance
-    * windows); concurrent deployments pass their commit SLA. Even at
-    * 0 the table cannot be corrupted: every commit re-verifies its
-    * staged files exist at publish and fails loudly (appends) or
-    * re-plans (DML) instead of committing dangling references. */
+    * live writer's staging. The default (15 min, Delta-style
+    * retention) makes a concurrent vacuum safe for any commit that
+    * publishes inside that SLA; single-writer maintenance windows
+    * and tests pass 0 explicitly to reclaim crash leftovers
+    * immediately. At 0 the protection narrows to [[stagedLive]]'s
+    * publish-time re-verify — every commit checks its staged files
+    * still exist and fails loudly (appends) or re-plans (DML) — but
+    * that check-to-create window is a genuine TOCTOU (microseconds
+    * vs vacuum's directory listing; see the [[stagedLive]] note): a
+    * vacuum landing inside it can still strand an in-flight commit,
+    * so 0 is only sound when no writer is concurrent. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 2,
              minRetainedVersions: Int = 1,
              force: Boolean = false,
-             minFileAgeMs: Long = 0L): Seq[String] = {
+             minFileAgeMs: Long = DefaultVacuumFileAgeMs): Seq[String] = {
     require(force || keepVersions >= minRetainedVersions,
       s"vacuum(keepVersions = $keepVersions) would reclaim versions " +
         s"inside the declared min-retained window of " +

@@ -102,6 +102,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(head.get("value").asDouble - 2.0) < 0.001)
   }
 
+  test("calibration rows (_-prefixed) stay in queries/spread but are " +
+    "excluded from value and n_queries in BOTH artifacts") {
+    val rows = Seq(
+      BenchFormat.Row("_canary_host", Seq(0.5, 0.6), errs = 0),
+      BenchFormat.Row("_canary_io", Seq(0.8, 0.9), errs = 0),
+      BenchFormat.Row("q_ok", Seq(2.0, 2.5), errs = 0))
+    val full = mapper.readTree(BenchFormat.fullLine("/x", rows))
+    // total compares across rounds/core counts: host-measurement cost
+    // must not be folded in
+    assert(full.get("n_queries").asInt == 1)
+    assert(math.abs(full.get("value").asDouble - 2.0) < 0.001)
+    // but bench_compare.py reads the canaries from the queries map
+    assert(full.get("queries").get("_canary_host").asDouble == 0.5)
+    assert(full.get("queries").get("_canary_io").asDouble == 0.8)
+    assert(full.get("spread").get("_canary_io").size == 2)
+    val head = mapper.readTree(BenchFormat.headline("/x", rows, fullSha))
+    assert(head.get("n_queries").asInt == 1)
+    assert(math.abs(head.get("value").asDouble - 2.0) < 0.001)
+    assert(head.get("queries").get("_canary_host") != null)
+  }
+
   test("formatting is locale-independent (comma-decimal default)") {
     val prev = java.util.Locale.getDefault
     try {

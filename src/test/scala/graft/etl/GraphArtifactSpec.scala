@@ -115,6 +115,40 @@ class GraphArtifactSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().size == 12)
   }
 
+  test("appendEdges probe path (artifact above the file threshold): " +
+    "range prune still absorbs duplicates and keeps far appends whole") {
+    val tbl = tempTable("edges_prune_big")
+    // 60 disjoint src clusters range-partitioned into 24 files — above
+    // ProbeSkipMaxFiles (16), so the batch min/max probe + manifest
+    // prune path runs (the small-artifact fast path is covered above)
+    Graph.commitEdges(spark, tbl,
+      (1L to 60L).map(k => (k * 10, k * 10 + 1)).toDF("src", "dst"),
+      targetFiles = 24)
+    assert(graft.sources.ManifestTable.fileCount(spark, tbl) > 16,
+      "test setup must exceed the probe-skip threshold")
+    // batch with one duplicate (100,101) and one new edge in the same
+    // narrow range: the prune keeps only overlapping files, and the
+    // anti-join still absorbs the duplicate
+    Graph.appendEdges(spark, tbl,
+      Seq((100L, 101L), (105L, 106L)).toDF("src", "dst"))
+    val after = Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toList
+    assert(after.distinct.size == after.size,
+      "probe-path anti-join resurrected a duplicate edge")
+    assert(after.toSet.contains((105L, 106L)) && after.size == 122)
+    // far-range batch overlapping NO file: prune drops everything,
+    // the append lands in full
+    Graph.appendEdges(spark, tbl, Seq((9000L, 9001L)).toDF("src", "dst"))
+    assert(Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().size == 124)
+    // empty growth batch through the probe path: the empty-batch guard
+    // fires before the null min/max can reach readPruned
+    Graph.appendEdges(spark, tbl,
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+    assert(Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().size == 124)
+  }
+
   test("commitWeightedEdges: typed (src,dst,w), pinned across rebuild") {
     val tbl = tempTable("wedges_mt")
     val e1 = Seq((1, 2, 5), (1, 3, 2), (2, 3, 1)).toDF("src", "dst", "w")

@@ -255,7 +255,8 @@ class SimilaritySpec extends AnyFunSuite {
     // vacuum retiring v1 under a still-held pin fails the reader with
     // a loud missing-file error (never silently serves mixed files);
     // the survivor version keeps serving
-    graft.sources.ManifestTable.vacuum(spark, tbl, keepVersions = 1)
+    graft.sources.ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+      minFileAgeMs = 0L)
     intercept[Exception] {
       Similarity.pqTopKFromManifest(tbl, e, qs, "vec_id", "embedding",
         k = 4, version = Some(v1)).collect()

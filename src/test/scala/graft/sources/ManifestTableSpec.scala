@@ -57,7 +57,8 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.compact(spark, t, targetFiles = 1)
     ManifestTable.commitAppend(spark, t, (51L to 60L).toDF("id"))
     // keep v2 (compacted) + v3 (append): v1's four small files orphan
-    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2,
+      minFileAgeMs = 0L)
     assert(deleted.length == 4, s"deleted: $deleted")
     assert(ids(ManifestTable.read(spark, t)) == (1L to 60L))
     assert(ids(ManifestTable.read(spark, t, Some(2L))) == (1L to 50L))
@@ -77,7 +78,8 @@ class ManifestTableSpec extends AnyFunSuite {
     val pinnedRetained = ManifestTable.read(spark, t, Some(2L))
     // keep v2+v3: v1 expires and its 4 exclusive files are reclaimed
     // WHILE both readers hold their frozen file lists
-    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2)
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 2,
+      minFileAgeMs = 0L)
     assert(deleted.length == 4, s"deleted: $deleted")
     // retained-version reader: completely unaffected by the vacuum
     assert(ids(pinnedRetained) == (1L to 40L))
@@ -159,7 +161,8 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, t)) == (1L to 3L),
       "reader listed data/ instead of the manifest")
     // vacuum reclaims the crash leftover
-    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 1)
+    val deleted = ManifestTable.vacuum(spark, t, keepVersions = 1,
+      minFileAgeMs = 0L)
     assert(deleted.contains("orphan.parquet"))
   }
 
@@ -378,7 +381,8 @@ class ManifestTableSpec extends AnyFunSuite {
     // versions, vacuum physically reclaims the files that still held
     // the doomed rows — and only then does the pinned reader break
     val pinnedPre = ManifestTable.read(spark, tbl, Some(d1.version - 1))
-    val deleted = ManifestTable.vacuum(spark, tbl, keepVersions = 1)
+    val deleted = ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+      minFileAgeMs = 0L)
     assert(deleted.nonEmpty,
       "vacuum must reclaim the rewritten-away pre-delete files")
     assert(ManifestTable.read(spark, tbl)
@@ -494,7 +498,8 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(after.count() == 96, "a racing delete's rows were resurrected")
     assert(after.filter($"k".isin(3L, 5L, 80L, 90L)).count() == 0)
     // aborted attempts' staged files are plain vacuum fodder
-    ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true)
+    ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true,
+      minFileAgeMs = 0L)
     assert(ids(ManifestTable.read(spark, tbl).select($"k".as("id"))) ==
       (1L to 100L).filterNot(Set(3L, 5L, 80L, 90L)))
   }
@@ -556,7 +561,8 @@ class ManifestTableSpec extends AnyFunSuite {
           ManifestTable.compactSorted(spark, tbl, targetFiles = 1,
             clusterCol = "k")
         else if (n == 2) // vacuum eats the loser's re-staged files
-          ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true)
+          ManifestTable.vacuum(spark, tbl, keepVersions = 1, force = true,
+            minFileAgeMs = 0L)
       } finally ManifestTable.onDmlStaged = saved
     }
     try {
@@ -586,7 +592,8 @@ class ManifestTableSpec extends AnyFunSuite {
       minFileAgeMs = 3600L * 1000).isEmpty,
       "grace window must not reclaim a fresh unreferenced file")
     assert(java.nio.file.Files.exists(orphan))
-    assert(ManifestTable.vacuum(spark, tbl, keepVersions = 1) ==
+    assert(ManifestTable.vacuum(spark, tbl, keepVersions = 1,
+      minFileAgeMs = 0L) ==
       Seq("part-orphan.parquet"),
       "age-expired orphan must reclaim with the window off")
   }
@@ -608,7 +615,7 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids(ManifestTable.read(spark, tbl, Some(1L))) == Seq(1L))
     // the explicit operator override proceeds
     val deleted = ManifestTable.vacuum(spark, tbl, keepVersions = 1,
-      minRetainedVersions = 3, force = true)
+      minRetainedVersions = 3, force = true, minFileAgeMs = 0L)
     assert(deleted.nonEmpty)
     assert(ids(ManifestTable.read(spark, tbl)) == Seq(3L))
   }
