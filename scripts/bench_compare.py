@@ -25,7 +25,8 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 def load_queries(path):
     with open(path) as f:
         d = json.loads(f.read().strip())
-    return d.get("queries", {}), d.get("failed_queries", [])
+    return (d.get("queries", {}), d.get("failed_queries", []),
+            d.get("tables", {}))
 
 
 def main():
@@ -36,9 +37,9 @@ def main():
     ap.add_argument("--threshold", type=float, default=1.3)
     args = ap.parse_args()
 
-    prior, prior_failed = load_queries(args.prior)
-    run_a, failed_a = load_queries(args.run_a)
-    run_b, failed_b = load_queries(args.run_b)
+    prior, prior_failed, tab_p = load_queries(args.prior)
+    run_a, failed_a, tab_a = load_queries(args.run_a)
+    run_b, failed_b, tab_b = load_queries(args.run_b)
     thr = args.threshold
 
     # Calibration rows lead every artifact: _canary_host (pure-CPU
@@ -73,6 +74,33 @@ def main():
               "not the plans; read per-row ratios against it.")
     if canaries:
         print()
+
+    # --- data identity (round 15): fingerprints separate "the box
+    # changed" from "the testdata regenerated" without a cross-code
+    # control experiment. Same bytes -> ratios are host/plan; moved
+    # fingerprints -> the bar itself moved, re-baseline.
+    if tab_a and tab_b:
+        if tab_a != tab_b:
+            diff = sorted(k for k in set(tab_a) | set(tab_b)
+                          if tab_a.get(k) != tab_b.get(k))
+            print("**Run A and run B read DIFFERENT data** ("
+                  + ", ".join(diff) + ") — the pair is not a pair; "
+                  "re-run on one dataset.\n")
+        elif not tab_p:
+            print("Data: run pair fingerprints match each other; prior "
+                  "has no fingerprint (pre-round-15 artifact) — "
+                  "data identity vs prior UNKNOWN, prefer the "
+                  "cross-code control if ratios look uniform.\n")
+        elif tab_p == tab_a:
+            print("Data: IDENTICAL to prior (all "
+                  f"{len(tab_a)} table fingerprints match) — read "
+                  "ratios as host/plan.\n")
+        else:
+            diff = sorted(k for k in set(tab_p) | set(tab_a)
+                          if tab_p.get(k) != tab_a.get(k))
+            print("**Data CHANGED vs prior** (" + ", ".join(diff)
+                  + ") — per-row bars moved with the data; "
+                  "re-baseline rather than chase breaches.\n")
 
     common = sorted(set(prior) & set(run_a) & set(run_b)
                     - set(canaries))

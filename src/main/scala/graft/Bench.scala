@@ -254,12 +254,35 @@ object Bench {
         }
       }).flatten
     val allResults = canaryRows ++ results ++ pipelineRow
+    // Data fingerprint (full runs only — a targeted debug run skips
+    // the ~10 table scans): per-table row count + order-independent
+    // content hash, recorded in the artifact so the NEXT round's
+    // adjudication can separate "the box changed" from "the driver
+    // regenerated the testdata" mechanically — the distinction this
+    // round needed a cross-code control experiment to make (see
+    // SCALE.md round 15). Untimed; runs after all timings complete so
+    // the scans cannot disturb any query's attempts.
+    val tablesJson = BenchFormat.tablesMap(
+      if (only.isDefined) Nil
+      else Tables.names.flatMap { n =>
+        try {
+          val df = Tables.load(spark, sfDir, n)
+          val cols = df.columns.map(c => s"`$c`").mkString(",")
+          val r = df.selectExpr("count(1) as c",
+            s"bit_xor(xxhash64($cols)) as h").head()
+          Some(BenchFormat.TableFp(n, r.getLong(0),
+            f"${r.getLong(1)}%016x"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] fingerprint $n failed: $e")
+          None
+        }
+      })
     // fullLine FIRST: the headline checksums the exact bytes the full
     // artifact gets (newline included), so a judge can verify the
     // committed BENCH_full.json against the driver's stdout.
-    val fullLine = BenchFormat.fullLine(sfDir, allResults) + "\n"
+    val fullLine = BenchFormat.fullLine(sfDir, allResults, tablesJson) + "\n"
     val headline = BenchFormat.headline(sfDir, allResults,
-      BenchFormat.sha256Hex(fullLine))
+      BenchFormat.sha256Hex(fullLine), tablesJson)
     println(headline)
     // Targeted SPARK_GRAFT_ONLY runs (rehearsals, single-query checks)
     // must NOT clobber the full-registry artifact; they only write

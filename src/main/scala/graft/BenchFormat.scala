@@ -95,8 +95,27 @@ private[graft] object BenchFormat {
     * (0 on a clean run); per-row counts live in the full artifact's
     * `errs` map. A row with zero successful attempts is excluded from
     * `queries`/`spread`/`value` and counted in `failed_queries`. */
+  /** One table's content fingerprint: row count + an order-independent
+    * content hash (bit_xor of xxhash64 over every column — commutative,
+    * so partitioning/order can't move it; any row or value change
+    * does). */
+  final case class TableFp(name: String, rows: Long, hashHex: String)
+
+  /** `{"lineitem":[600572,"a1b2..."],...}` — the full artifact's
+    * `tables` field. Round 15's adjudication spent a cross-code
+    * control experiment proving a diffuse +26% was environment, not
+    * plans — and could still not separate "the box changed" from "the
+    * driver regenerated /root/testdata differently" because no
+    * committed artifact records what data a run read. With this field
+    * the next round's `bench_compare.py` answers that mechanically:
+    * fingerprints equal → same bytes, read ratios as host/plan;
+    * fingerprints moved → the bar itself moved, re-baseline. */
+  def tablesMap(fps: Seq[TableFp]): String =
+    fps.map(f => jstr(f.name) + ":[" + f.rows + "," + jstr(f.hashHex) + "]")
+      .mkString("{", ",", "}")
+
   def headline(sfDir: String, results: Seq[Row],
-               fullSha256: String): String = {
+               fullSha256: String, tablesJson: String = "{}"): String = {
     val good = results.filter(_.ok)
     val counted = good.filterNot(_.name.startsWith("_"))
     val bySlow = good.sortBy(-_.min)
@@ -107,6 +126,11 @@ private[graft] object BenchFormat {
       s""""queries_omitted":${math.max(0, good.size - 25)},""" +
       s""""err_attempts":${results.map(_.errs).sum},""" +
       s""""failed_queries":${results.count(!_.ok)},""" +
+      // the headline stays tail-sized: it carries only a CHECKSUM of
+      // the tables map (full map lives in BENCH_full.json), enough to
+      // see from two stdout lines alone whether two runs read the
+      // same data
+      s""""data_sha256":"${sha256Hex(tablesJson)}",""" +
       s""""full":"BENCH_full.json","full_sha256":"$fullSha256"}"""
   }
 
@@ -114,11 +138,13 @@ private[graft] object BenchFormat {
     * [min, max] spread, plus per-row failed-attempt counts (`errs`)
     * and the names of rows with no completed attempt at all
     * (`failed_queries` — their timing is poison, not data). */
-  def fullLine(sfDir: String, results: Seq[Row]): String = {
+  def fullLine(sfDir: String, results: Seq[Row],
+               tablesJson: String = "{}"): String = {
     val good = results.filter(_.ok)
     val counted = good.filterNot(_.name.startsWith("_"))
     s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${counted.size},"value":${d3(counted.map(_.min).sum)},""" +
+      s""""tables":$tablesJson,""" +
       s""""queries":${minMap(good)},""" +
       s""""spread":${spreadMap(good)},""" +
       s""""errs":${errMap(results)},""" +

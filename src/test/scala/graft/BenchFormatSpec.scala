@@ -123,6 +123,28 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(head.get("queries").get("_canary_host") != null)
   }
 
+  test("data fingerprint: tables map lands in the full artifact, its " +
+    "checksum in the headline, and both stay parseable when absent") {
+    val rows = Seq(BenchFormat.Row("q_ok", Seq(1.0), errs = 0))
+    val fps = Seq(
+      BenchFormat.TableFp("lineitem", 600572L, "00ff00ff00ff00ff"),
+      BenchFormat.TableFp("nation", 25L, "a1b2c3d4e5f60718"))
+    val tj = BenchFormat.tablesMap(fps)
+    val full = mapper.readTree(BenchFormat.fullLine("/x", rows, tj))
+    assert(full.get("tables").get("lineitem").get(0).asLong == 600572L)
+    assert(full.get("tables").get("lineitem").get(1).asText
+      == "00ff00ff00ff00ff")
+    assert(full.get("tables").size == 2)
+    val head = mapper.readTree(
+      BenchFormat.headline("/x", rows, fullSha, tj))
+    // headline carries only the checksum — two stdout lines suffice to
+    // see whether two runs read the same data
+    assert(head.get("data_sha256").asText == BenchFormat.sha256Hex(tj))
+    // targeted runs skip the fingerprint: empty map, stable schema
+    val bare = mapper.readTree(BenchFormat.fullLine("/x", rows))
+    assert(bare.get("tables").size == 0)
+  }
+
   test("formatting is locale-independent (comma-decimal default)") {
     val prev = java.util.Locale.getDefault
     try {
