@@ -1289,9 +1289,10 @@ private[graft] object QueriesRelational {
     * build/serve split the ANN family ships (`sim_topk_pq_versioned`).
     * Both artifacts build once per JVM (EdgeStage), so the timed body
     * prices SERVING; the edge build is priced in
-    * `graph_edges_artifact` and the kernel in `graph_kcore` /
-    * `graph_kcore_gate` (which still re-runs it over the pinned edges
-    * — the certificate's job). Same frozen oracle as `graph_kcore`:
+    * `graph_edges_artifact` and the kernel in `graph_kcore` (the
+    * canonical build+kernel row — since round 15 the gate serves the
+    * same committed scores and pays only its one certificate round).
+    * Same frozen oracle as `graph_kcore`:
     * served scores must be bit-identical to a fresh kernel run, the
     * guarantee that lets the deployment trust the artifact. */
   private[graft] val graphKcoreServe = Q("graph_kcore_serve",
@@ -1341,29 +1342,54 @@ private[graft] object QueriesRelational {
   private[graft] val graphKcoreGate = Q("graph_kcore_gate",
     (s, dir) => {
       import org.apache.spark.sql.graft.CheckpointBridge
-      // the certificate replays one extra round over the FINAL scores
-      // — independent of where the pinned edge set came from, so it
-      // serves from the shared committed artifact like kcore_serve
-      // (the family pays ONE collapse per run; graph_kcore remains
-      // the canonical build+kernel row)
-      val st = EdgeStage(s, dir, "kcore_edges") { tbl =>
+      // The certificate replays one extra round over the FINAL scores
+      // — and the final scores a deployment actually trusts are the
+      // COMMITTED score artifact (the thing graph_kcore_serve reads),
+      // so the gate certifies THAT: served scores + pinned edges +
+      // ONE hIndexRound + diff. Re-running the whole 6-round kernel
+      // here (the pre-round-15 shape) certified a throwaway
+      // recomputation and priced the kernel twice per run —
+      // graph_kcore remains the canonical build+kernel pricing row,
+      // and the serve/gate pair shares its artifacts (EdgeStage:
+      // one edge collapse + one kernel per JVM, min-of-3 keeps the
+      // first-touch build out of the row's min).
+      val edgesSt = EdgeStage(s, dir, "kcore_edges") { tbl =>
         graft.etl.Graph.commitEdges(s, tbl,
           t(s, dir, "lineitem").select(
             (col("l_suppkey").cast("long") * 2).as("src"),
             (col("l_partkey").cast("long") * 2 + 1).as("dst")))
       }
-      val und = graft.etl.Graph.edgesFromManifest(s, st.table,
-        Some(st.version))
-      val superseded =
-        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      val c6 = graft.etl.Graph.corenessOfUndirected(und, iterations = 6,
-        onCheckpoint = superseded += _)
-      val changed =
-        try graft.etl.Graph.hIndexRound(und, c6)
-          .withColumnRenamed("c", "c7")
-          .join(c6.withColumnRenamed("c", "c6"), "node")
-          .filter(col("c6") =!= col("c7")).count()
+      // sequential stages, never nested (see graphKcoreServe); the
+      // build closure is byte-identical to serve's, so whichever row
+      // runs first builds the ONE shared scores artifact
+      val scoresSt = EdgeStage(s, dir, "kcore_scores") { tbl =>
+        val und = graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+          Some(edgesSt.version))
+        val superseded =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        val c = graft.etl.Graph.corenessOfUndirected(und,
+          iterations = 6, onCheckpoint = superseded += _)
+        try graft.sources.ManifestTable.commitAppend(s, tbl,
+          c.select(
+            when(col("node") % 2 === 1, lit("part"))
+              .otherwise(lit("supplier")).as("side"),
+            expr("node div 2").as("id"),
+            col("c").as("core")))
         finally superseded.foreach(CheckpointBridge.release)
+      }
+      val und = graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+        Some(edgesSt.version))
+      // undo the serve projection: node = 2*id (+1 for parts) — the
+      // exact inverse of the artifact's parity encoding
+      val c6 = graft.sources.ManifestTable.read(s, scoresSt.table,
+          Some(scoresSt.version))
+        .select((col("id") * 2 +
+          when(col("side") === "part", 1L).otherwise(0L)).as("node"),
+          col("core").as("c"))
+      val changed = graft.etl.Graph.hIndexRound(und, c6)
+        .withColumnRenamed("c", "c7")
+        .join(c6.withColumnRenamed("c", "c6"), "node")
+        .filter(col("c6") =!= col("c7")).count()
       require(changed == 0,
         s"kcore budget 6 NOT converged: $changed nodes still " +
           "contracting — raise the iteration budget")

@@ -38,6 +38,7 @@ private[graft] object QueriesStreaming {
     def cleanup(): Unit = synchronized {
       StreamStage.invalidate()
       QueriesRelational.EdgeStage.invalidate()
+      QueriesText.FitStage.invalidate()
       roots.foreach { root =>
         if (java.nio.file.Files.exists(root)) {
           import scala.jdk.CollectionConverters._
