@@ -79,26 +79,39 @@ def main():
     # changed" from "the testdata regenerated" without a cross-code
     # control experiment. Same bytes -> ratios are host/plan; moved
     # fingerprints -> the bar itself moved, re-baseline.
+    # Round-16 format adds a third element (sum-mod-2^64) per table;
+    # compare the common prefix so a 2-element pre-round-16 artifact
+    # still pairs with a 3-element one on count+xor.
+    def fp_diff(t1, t2):
+        def common(v1, v2):
+            n = min(len(v1), len(v2))
+            return tuple(v1[:n]) == tuple(v2[:n])
+        return sorted(k for k in set(t1) | set(t2)
+                      if k not in t1 or k not in t2
+                      or not common(t1[k], t2[k]))
+
     if tab_a and tab_b:
-        if tab_a != tab_b:
-            diff = sorted(k for k in set(tab_a) | set(tab_b)
-                          if tab_a.get(k) != tab_b.get(k))
+        diff = fp_diff(tab_a, tab_b)
+        if diff:
+            # exit immediately: adjudicating ratios between runs that
+            # read different bytes produces meaningless breach/improve
+            # verdicts someone might act on (round-15 advice)
             print("**Run A and run B read DIFFERENT data** ("
                   + ", ".join(diff) + ") — the pair is not a pair; "
-                  "re-run on one dataset.\n")
+                  "re-run on one dataset. No adjudication.\n")
+            sys.exit(2)
         elif not tab_p:
             print("Data: run pair fingerprints match each other; prior "
                   "has no fingerprint (pre-round-15 artifact) — "
                   "data identity vs prior UNKNOWN, prefer the "
                   "cross-code control if ratios look uniform.\n")
-        elif tab_p == tab_a:
+        elif not fp_diff(tab_p, tab_a):
             print("Data: IDENTICAL to prior (all "
                   f"{len(tab_a)} table fingerprints match) — read "
                   "ratios as host/plan.\n")
         else:
-            diff = sorted(k for k in set(tab_p) | set(tab_a)
-                          if tab_p.get(k) != tab_a.get(k))
-            print("**Data CHANGED vs prior** (" + ", ".join(diff)
+            print("**Data CHANGED vs prior** ("
+                  + ", ".join(fp_diff(tab_p, tab_a))
                   + ") — per-row bars moved with the data; "
                   "re-baseline rather than chase breaches.\n")
 

@@ -67,32 +67,22 @@ object Bench {
       // Dataset so a full-registry run's checkpoint dir stays bounded
       .config("spark.cleaner.referenceTracking.cleanCheckpoints",
         sys.env.getOrElse("SPARK_GRAFT_RELIABLE_CKPT", "false"))
+      // Streaming state snapshot files are written without checksum
+      // side-files, so the read-side verification can never succeed —
+      // it WARNs "No checksum file found" once per state file per
+      // attempt, hundreds of lines in the round-15 driver tail. Local
+      // temp checkpoints gain nothing from corruption detection;
+      // disable the feature rather than filter its noise.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The registry's ~20 reviewed global windows (all over bounded
-    // aggregates — Qdsl.boundedWindow sites) each log "No Partition
-    // Defined" per attempt, hundreds of identical benign lines that
-    // bury any REAL new warning in the official tail. Scale discipline
-    // for global windows is enforced STATICALLY (PlanGuardrailSpec
-    // rejects any unallowlisted empty- or constant-key window over raw
-    // rows), so the runtime line carries no remaining signal here.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    // Every CheckpointBridge.release of a superseded iteration cut
-    // logs "RDD n was locally checkpointed … cannot be recomputed
-    // after unpersisting" — one line per released cut per attempt,
-    // hundreds per full run, burying real warnings in the official
-    // tail. The releases are deliberate (the kernels' one-round-behind
-    // discipline frees ONLY cuts whose contents are consumed —
-    // CheckpointBridge's scaladoc contract, exercised by the kernel
-    // specs), so the runtime line carries no remaining signal here;
-    // the logger is the RDD's concrete class, which logs nothing else
-    // at WARN in this workload.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // Drop the two known-benign WARN flood classes BY MESSAGE REGEX —
+    // not by logger level, which also swallowed real warnings those
+    // loggers might emit (round-15 advice). Rationale per line lives
+    // in LogNoise's scaladoc.
+    LogNoise.suppressKnownBenign()
     // Warmup: JIT + codegen + parquet footer/file-listing caches, so
     // per-query timings measure the queries, not first-touch JVM costs.
     try {
@@ -268,10 +258,21 @@ object Bench {
         try {
           val df = Tables.load(spark, sfDir, n)
           val cols = df.columns.map(c => s"`$c`").mkString(",")
+          // TWO commutative reducers per table: bit_xor alone is
+          // multiplicity-blind (identical rows XOR-cancel in pairs —
+          // round-15 advice), so the sum-mod-2^64 leg travels with it;
+          // fabricating a collision now needs the same count, xor AND
+          // sum. decimal(38,0) sum cannot overflow (2^63 x row count
+          // << 10^38), which keeps ANSI mode happy.
           val r = df.selectExpr("count(1) as c",
-            s"bit_xor(xxhash64($cols)) as h").head()
+            s"bit_xor(xxhash64($cols)) as h",
+            s"sum(cast(xxhash64($cols) as decimal(38,0))) as s").head()
+          val sumMod = Option(r.getDecimal(2))
+            .map(d => d.toBigInteger.mod(
+              java.math.BigInteger.ONE.shiftLeft(64)))
+            .getOrElse(java.math.BigInteger.ZERO)
           Some(BenchFormat.TableFp(n, r.getLong(0),
-            f"${r.getLong(1)}%016x"))
+            f"${r.getLong(1)}%016x", f"$sumMod%016x"))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] fingerprint $n failed: $e")
           None

@@ -95,13 +95,20 @@ private[graft] object BenchFormat {
     * (0 on a clean run); per-row counts live in the full artifact's
     * `errs` map. A row with zero successful attempts is excluded from
     * `queries`/`spread`/`value` and counted in `failed_queries`. */
-  /** One table's content fingerprint: row count + an order-independent
-    * content hash (bit_xor of xxhash64 over every column — commutative,
-    * so partitioning/order can't move it; any row or value change
-    * does). */
-  final case class TableFp(name: String, rows: Long, hashHex: String)
+  /** One table's content fingerprint: row count + TWO order-independent
+    * content hashes over xxhash64 of every column — bit_xor and
+    * sum-mod-2^64. Both are commutative, so partitioning/order can't
+    * move them. Neither alone is change-complete: xor is
+    * multiplicity-blind (identical rows cancel in pairs, so swapping
+    * one duplicated row for a different duplicated row leaves count
+    * and xor unchanged — round-15 advice), while sum misses
+    * xor-visible changes like bit-flips that cancel additively.
+    * Together with the count, a silent collision needs a dataset
+    * matching all three simultaneously — implausible by accident. */
+  final case class TableFp(name: String, rows: Long, hashHex: String,
+                           sumHex: String)
 
-  /** `{"lineitem":[600572,"a1b2..."],...}` — the full artifact's
+  /** `{"lineitem":[600572,"a1b2...","c3d4..."],...}` — the full artifact's
     * `tables` field. Round 15's adjudication spent a cross-code
     * control experiment proving a diffuse +26% was environment, not
     * plans — and could still not separate "the box changed" from "the
@@ -111,7 +118,8 @@ private[graft] object BenchFormat {
     * fingerprints equal → same bytes, read ratios as host/plan;
     * fingerprints moved → the bar itself moved, re-baseline. */
   def tablesMap(fps: Seq[TableFp]): String =
-    fps.map(f => jstr(f.name) + ":[" + f.rows + "," + jstr(f.hashHex) + "]")
+    fps.map(f => jstr(f.name) + ":[" + f.rows + "," + jstr(f.hashHex)
+        + "," + jstr(f.sumHex) + "]")
       .mkString("{", ",", "}")
 
   def headline(sfDir: String, results: Seq[Row],

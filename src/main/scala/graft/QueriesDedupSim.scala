@@ -68,6 +68,70 @@ private[graft] object QueriesDedupSim {
       (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST('0.9827586206896551' AS DOUBLE)))
       AS t(id_a, id_b, jaccard) ORDER BY id_a, id_b"""))
 
+  /** The SCALE-PARAMETERIZED twin of `dedup_minhash_lsh` (mirror of
+    * `dedup_embedding_lsh_scaled`, round-15 verdict item 3): band
+    * geometry derived from the corpus count via [[Dedup.bandsFor]] —
+    * rowsPerBand is the scale knob (background pairs collide with
+    * prob s0^r, so r grows ~log n to hold false candidates at O(n)),
+    * bands re-centers the S-curve midpoint (1/b)^(1/r) on the target
+    * threshold, and numPerm = b·r follows. The rule REPRODUCES the
+    * frozen row's hand-chosen 16×4/64-perm geometry at n=5000
+    * (sf0.1's corpus) and derives 8×3/24-perm at sf0.01's 500 docs —
+    * the emitted `n_bands`/`rows_per_band` columns pin in the oracle
+    * that the rule computed the tier's value, exactly like the
+    * embedding twin's `n_planes`. The one `count()` at planning time
+    * is the rule's input: a metadata-sized scalar job, not a
+    * collect-and-loop. Oracle: frozen sf0.01 VALUES at this operating
+    * point (captured 2026-08-16) — EXACTLY the fixed row's 25 pairs
+    * with identical exact-Jaccard scores: at this tier the derived
+    * 8×3 geometry (S-curve midpoint 0.5, same as 16×4's) recalls the
+    * same near-dup set from a third of the signature hashes. */
+  /** Frozen sf0.01 result of dedup_minhash_lsh_scaled (captured
+    * 2026-08-16 at the bandsFor operating point: n=500 -> 8 bands x 3
+    * rows, 24 perms). */
+  private val DedupMinhashScaledOracle: String =
+    """SELECT * FROM (VALUES
+      (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST('0.9878048780487805' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST('0.9' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST('0.9761904761904762' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST('0.9565217391304348' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST('0.974025974025974' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST('0.987012987012987' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST('0.9857142857142858' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST('0.9824561403508771' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST('0.975609756097561' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST('0.9545454545454546' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST('0.9583333333333334' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST('0.9736842105263158' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST('0.9714285714285714' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST('0.972972972972973' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST('0.9833333333333333' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST('0.9868421052631579' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST('0.9891304347826086' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST('0.9666666666666667' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST('0.9615384615384616' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST('0.9714285714285714' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST('0.9873417721518988' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST('0.9666666666666667' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST('0.9827586206896551' AS DOUBLE), CAST(8 AS BIGINT), CAST(3 AS BIGINT)))
+      AS t(id_a, id_b, jaccard, n_bands, rows_per_band)
+      ORDER BY id_a, id_b"""
+
+  private[graft] val dedupMinhashScaled = Q("dedup_minhash_lsh_scaled",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (bands, rowsPerBand) =
+        Dedup.bandsFor(docs.count(), targetJaccard = 0.5)
+      Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.4,
+        numPerm = bands * rowsPerBand, bands = bands)
+        .withColumn("n_bands", lit(bands.toLong))
+        .withColumn("rows_per_band", lit(rowsPerBand.toLong))
+        .orderBy("id_a", "id_b")
+    },
+    Some(DedupMinhashScaledOracle))
+
   /** SimHash near-dup pairs (Hamming <= 3 of 64 bits): 4 × 16-bit chunk
     * pigeonhole is COMPLETE at this radius (the previous Hamming-16
     * setting silently missed pairs differing in every chunk) — and the

@@ -15,20 +15,17 @@ object Verify {
       // spark-warehouse dir in whatever cwd the harness launched from
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // streaming state snapshots carry no checksum side-files, so
+      // read-side verification can only WARN-flood; see Bench
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Same two benign-noise filters Bench applies (see the rationale
-    // there): global windows over bounded aggregates are statically
-    // guarded, and CheckpointBridge.release's deliberate unpersist of
-    // consumed cuts logs one WARN per release — hundreds of identical
-    // lines that bury real warnings in the driver tail.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // Same two benign-noise MESSAGE filters Bench applies (rationale
+    // in LogNoise's scaladoc): regex-targeted DENY, not whole-logger
+    // ERROR, so any other warning those loggers emit stays visible.
+    LogNoise.suppressKnownBenign()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=name1,name2 dumps a subset — targeted re-checks
     // while iterating on one query (mirrors Bench's flag; unset = all)

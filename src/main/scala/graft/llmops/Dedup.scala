@@ -99,11 +99,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard. */
+  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard.
+    * `numPerm`/`bands` override the frozen default geometry — derive
+    * them from the corpus via [[bandsFor]] at deployment scale. */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double = 0.7): DataFrame =
-    jaccardVerify(df, minhashCandidates(df, textCol, idCol), textCol,
-      idCol, threshold = threshold)
+                   threshold: Double = 0.7, numPerm: Int = 64,
+                   bands: Int = 16): DataFrame =
+    jaccardVerify(df, minhashCandidates(df, textCol, idCol,
+      numPerm = numPerm, bands = bands), textCol, idCol,
+      threshold = threshold)
+
+  /** MinHash-LSH band geometry `(bands, rowsPerBand)` derived from
+    * corpus size and target Jaccard — the banding twin of
+    * [[Similarity.planesFor]]'s deployment rule, replacing the frozen
+    * 16×4 default where the corpus count is known (one metadata-sized
+    * `count()` at planning time).
+    *
+    * Why the geometry must scale with n: a random background pair
+    * (Jaccard ≈ `s0`) collides in one band with probability s0^r, so
+    * the FALSE-candidate count is ~ n²/2 · b · s0^r — quadratic in
+    * the corpus at any FIXED geometry. Holding it at
+    * `candidateBudget` candidates per doc needs
+    * r ≥ log(n·b / (2·budget)) / log(1/s0): rowsPerBand is the SCALE
+    * knob (steeper S-curve, exponentially fewer random collisions —
+    * the analogue of planesFor's bucket-population bound). bands is
+    * the RECALL knob: the S-curve midpoint sits at (1/b)^(1/r), so
+    * b = ceil(t^(-r)) re-centers it at-or-below the target threshold
+    * after every r step (ceil, not round: rounding b DOWN pushes the
+    * midpoint above t — the recall-unsafe side) — the analogue of
+    * numTables buying back recall. The
+    * signature length numPerm = b·r then grows ~log(n): the price of
+    * linear candidate volume is a logarithmically longer signature,
+    * exactly the MMDS ch.3 trade. b is capped at `maxBands` (64 —
+    * 448 hashes/doc at r=7, the cost ceiling a signature pass should
+    * respect); past the cap the midpoint drifts above t and recall at
+    * the margin decays, the same documented trade planesFor makes at
+    * its operating point.
+    *
+    * The rule REPRODUCES the hand-frozen default at its own tier:
+    * bandsFor(5000, 0.5) = (16, 4) — the 64-perm 16×4 geometry
+    * `dedup_minhash_lsh` has always run — and derives (8, 3) at the
+    * sf0.01 corpus (n=500) and (64, 7) at n=5·10⁶. Fixed-point loop:
+    * r's bound depends log-weakly on b, b monotonically on r, so
+    * iterating r ↑ converges in a handful of steps. */
+  def bandsFor(n: Long, targetJaccard: Double, s0: Double = 0.05,
+               candidateBudget: Double = 1.0,
+               maxBands: Int = 64): (Int, Int) = {
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"targetJaccard must be in (0,1): $targetJaccard")
+    require(s0 > 0.0 && s0 < targetJaccard,
+      s"background similarity s0 must be in (0, targetJaccard): $s0")
+    def bandsAt(r: Int): Int =
+      math.min(maxBands,
+        math.max(1, math.ceil(math.pow(targetJaccard, -r)).toInt))
+    def rNeeded(b: Int): Int =
+      math.max(1, math.ceil(
+        math.log(math.max(1.0, n.toDouble * b / (2.0 * candidateBudget)))
+          / math.log(1.0 / s0)).toInt)
+    var r = 1
+    var b = bandsAt(r)
+    var steps = 0
+    while (rNeeded(b) > r && steps < 64) {
+      r = rNeeded(b)
+      b = bandsAt(r)
+      steps += 1
+    }
+    (b, r)
+  }
 
   // --- Clustering ------------------------------------------------------
 

@@ -127,13 +127,18 @@ class BenchFormatSpec extends AnyFunSuite {
     "checksum in the headline, and both stay parseable when absent") {
     val rows = Seq(BenchFormat.Row("q_ok", Seq(1.0), errs = 0))
     val fps = Seq(
-      BenchFormat.TableFp("lineitem", 600572L, "00ff00ff00ff00ff"),
-      BenchFormat.TableFp("nation", 25L, "a1b2c3d4e5f60718"))
+      BenchFormat.TableFp("lineitem", 600572L, "00ff00ff00ff00ff",
+        "123456789abcdef0"),
+      BenchFormat.TableFp("nation", 25L, "a1b2c3d4e5f60718",
+        "0000000000000019"))
     val tj = BenchFormat.tablesMap(fps)
     val full = mapper.readTree(BenchFormat.fullLine("/x", rows, tj))
     assert(full.get("tables").get("lineitem").get(0).asLong == 600572L)
     assert(full.get("tables").get("lineitem").get(1).asText
       == "00ff00ff00ff00ff")
+    // the sum-mod-2^64 leg (round-16: xor alone is multiplicity-blind)
+    assert(full.get("tables").get("lineitem").get(2).asText
+      == "123456789abcdef0")
     assert(full.get("tables").size == 2)
     val head = mapper.readTree(
       BenchFormat.headline("/x", rows, fullSha, tj))

@@ -244,4 +244,77 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.incrementalNearDup(corpus, empty, "text", "doc_id")
       .count() == 0L)
   }
+
+  // --- bandsFor: the scale-parameterized band geometry ----------------
+
+  test("bandsFor pins its deployment fixed points: reproduces the " +
+    "hand-frozen 16x4 at sf0.1's corpus, derives 8x3 at sf0.01's") {
+    // these exact values are what dedup_minhash_lsh_scaled's oracle
+    // pins at sf0.01 and what the frozen dedup_minhash_lsh geometry
+    // has always been — the rule DERIVES the historical hand choice
+    assert(Dedup.bandsFor(500L, 0.5) == (8, 3))
+    assert(Dedup.bandsFor(5000L, 0.5) == (16, 4))
+    // the fourth-decade tier hits the band cap: r keeps climbing, b
+    // saturates at maxBands and the midpoint drifts above target (the
+    // documented recall-for-tractability trade)
+    assert(Dedup.bandsFor(5000000L, 0.5) == (64, 7))
+  }
+
+  test("bandsFor scale law: rowsPerBand is nondecreasing in n, and " +
+    "expected background collisions stay within budget") {
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+    val geos = ns.map(n => Dedup.bandsFor(n, 0.5))
+    val rs = geos.map(_._2)
+    assert(rs == rs.sorted, s"rowsPerBand not monotone: $geos")
+    // the rule's own contract: n·b·s0^r / 2 <= budget (1 candidate
+    // per doc) at every tier — the bound that keeps verification O(n)
+    ns.zip(geos).foreach { case (n, (b, r)) =>
+      val fpPerDoc = n.toDouble * b * math.pow(0.05, r) / 2.0
+      assert(fpPerDoc <= 1.0 + 1e-9,
+        s"n=$n geometry ($b,$r) expects $fpPerDoc false cands/doc")
+    }
+  }
+
+  test("bandsFor recall contract: below the band cap the S-curve " +
+    "midpoint (1/b)^(1/r) never exceeds the target threshold") {
+    for (n <- Seq(100L, 5000L, 50000L); t <- Seq(0.4, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.bandsFor(n, t)
+      if (b < 64) {
+        val midpoint = math.pow(1.0 / b, 1.0 / r)
+        // b = ceil(t^-r) guarantees b >= t^-r, hence midpoint <= t —
+        // pairs AT the target threshold collide with prob >= 50%
+        assert(midpoint <= t + 1e-12,
+          s"n=$n t=$t ($b,$r) midpoint $midpoint")
+      }
+    }
+  }
+
+  test("bandsFor rejects out-of-range thresholds and backgrounds") {
+    intercept[IllegalArgumentException](Dedup.bandsFor(100L, 0.0))
+    intercept[IllegalArgumentException](Dedup.bandsFor(100L, 1.0))
+    intercept[IllegalArgumentException](
+      Dedup.bandsFor(100L, 0.5, s0 = 0.6))
+  }
+
+  test("minhashDedup at the bandsFor(n=500) geometry recalls exactly " +
+    "the frozen default geometry's pair set on a doc corpus") {
+    import org.apache.spark.sql.functions._
+    // 6 docs: 2 near-dup pairs + 2 singletons; both geometries must
+    // find the same verified pairs (the sf0.01 registry row pins the
+    // full-corpus equality; this is the unit-sized witness)
+    val d = Seq(
+      (1L, base), (2L, base.replace("dog", "hound")),
+      (3L, "completely different short text"),
+      (4L, base.replace("quick", "swift").replace("dog", "hound")),
+      (5L, "another unrelated fragment of prose"),
+      (6L, base + " with a small appended tail")
+    ).toDF("doc_id", "text")
+    def pairs(numPerm: Int, bands: Int) =
+      Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5,
+        numPerm = numPerm, bands = bands)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (b, r) = Dedup.bandsFor(500L, 0.5)
+    assert(pairs(b * r, b) == pairs(64, 16))
+  }
 }
