@@ -318,6 +318,80 @@ object Microbench {
     * locate the fixed point (an early-exit past it is equality-
     * preserving: the h-index sequence is monotone to its fixed point,
     * so a converged round leaves scores bit-identical). */
+  /** Incremental-vs-full coreness rehearsal (`graft.Microbench
+    * kcore_incr <sfDir> [empty|sliver|supplier|class64]`): withholds
+    * a chosen cut from the layout's lineitem graph (the "batch"
+    * re-inserts it), prices (a) the base kernel, (b) the from-scratch
+    * recompute of the grown graph — what a rebuild-per-batch
+    * deployment pays — and (c) [[graft.etl.Graph.incrementalCoreness]]
+    * seeded from the base scores, printing each wall-clock, the
+    * incremental round count implied by its convergence, and an
+    * equality check against (b). The claim under test (round-15
+    * verdict item 5): (c) tracks the BATCH where (b) tracks the
+    * GRAPH — in the regime where it holds. Seed inflation per node is
+    * min(deg − old_core, B), so the incremental path wins when B is
+    * below typical degree-core slack (streaming/CDC batches) and
+    * degrades gracefully to ≈ the full kernel plus convergence
+    * detection when B is bulk-sized (seed ≈ degree-init); the batch
+    * argument sweeps the crossover. */
+  private def kcoreIncrMode(spark: SparkSession, sfDir: String,
+                            batch: String): Unit = {
+    import graft.Scratch.ScratchOps
+    val fwd = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+    // what the base cut WITHHOLDS (the batch re-inserts it):
+    //   empty    — nothing (B=0, the pure-confirm floor)
+    //   sliver   — 1/64 of ONE supplier's parts (CDC-sized, B≈10)
+    //   supplier — one whole supplier (B≈ its degree)
+    //   class64  — every supplier ≡ 3 mod 64 (bulk-backfill-sized)
+    val withheld: org.apache.spark.sql.Column = batch match {
+      case "empty"    => lit(false)
+      case "sliver"   => col("src") === 6 && col("dst") % 128 === 1
+      case "supplier" => col("src") === 6
+      case "class64"  => col("src") % 128 === 6
+      case other => throw new IllegalArgumentException(
+        s"unknown batch '$other' (empty|sliver|supplier|class64)")
+    }
+    val baseUnd = graft.etl.Graph
+      .symmetrize(fwd.filter(!withheld))
+      .scratchCheckpoint(eager = true)
+    val allUnd = graft.etl.Graph.symmetrize(fwd)
+      .scratchCheckpoint(eager = true)
+    val nBase = baseUnd.count(); val nAll = allUnd.count()
+    val b = (nAll - nBase) / 2
+    println(f"base und rows=$nBase%d  grown und rows=$nAll%d  " +
+      f"batch B=$b%d undirected inserts")
+    def timed[A](label: String)(body: => A): A = {
+      System.gc(); Thread.sleep(100)
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val old = timed("base kernel (6 rounds)") {
+      val c = graft.etl.Graph.corenessOfUndirected(baseUnd, 6)
+        .scratchCheckpoint(eager = true)
+      c.count(); c
+    }
+    val full = timed("full recompute (6 rounds)") {
+      val c = graft.etl.Graph.corenessOfUndirected(allUnd, 6)
+        .scratchCheckpoint(eager = true)
+      c.count(); c
+    }
+    val incr = timed("incremental re-converge") {
+      val c = graft.etl.Graph
+        .incrementalCoreness(allUnd, old, batchEdges = b)
+        .scratchCheckpoint(eager = true)
+      c.count(); c
+    }
+    val diff = incr.withColumnRenamed("c", "ci")
+      .join(full.withColumnRenamed("c", "cf"), "node")
+      .filter(col("ci") =!= col("cf")).count()
+    println(s"incremental vs full recompute: $diff differing nodes" +
+      (if (diff == 0) " (EXACT)" else " (MISMATCH!)"))
+  }
+
   private def kcoreConvMode(spark: SparkSession, sfDir: String): Unit = {
     val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select((col("l_suppkey").cast("long") * 2).as("src"),
@@ -411,6 +485,17 @@ object Microbench {
         args.lift(2).map(_.toInt).getOrElse(32),
         args.lift(3).map(_.toInt).getOrElse(8),
         args.lift(4).map(_.toDouble).getOrElse(0.4))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("kcore_incr")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      kcoreIncrMode(spark, args(1),
+        args.lift(2).getOrElse("sliver"))
       spark.stop(); return
     }
     if (args.headOption.contains("kcore_conv")) {

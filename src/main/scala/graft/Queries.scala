@@ -96,6 +96,7 @@ object Queries {
     QueriesRelational.graphHits, QueriesRelational.graphKcore,
     QueriesRelational.graphEdgesArtifact, QueriesRelational.graphKcoreServe, QueriesRelational.graphKcoreGate,
     QueriesRelational.graphHitsServe, QueriesRelational.graphPprServe, QueriesRelational.graphEdgesIncremental,
+    QueriesRelational.graphKcoreIncremental,
     QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,

@@ -812,8 +812,26 @@ private[graft] object QueriesDedupSim {
   private[graft] val dedupSemanticGate = Q("dedup_semantic_gate",
     (s, dir) => {
       val e = t(s, dir, "embeddings").dropDuplicates("vec_id")
-      val out = Similarity.semanticDedup(e, "vec_id", "embedding",
-        threshold = 0.4).scratchCheckpoint(true)
+      // Round-16 gate-audit conversion (the graph_kcore_gate /
+      // quality_classifier_gate pattern): the drop set a deployment
+      // trusts is the COMMITTED artifact, so the gate certifies THAT
+      // instead of re-running semanticDedup through the identical
+      // code path per attempt — a recompute that adds no check while
+      // pricing the kernel twice (the base row `dedup_semantic`
+      // remains the kernel's pricing row). The INDEPENDENT legs —
+      // interpreted-HOF cosine recomputation, survivor-pair sweep,
+      // partition counts — are untouched: they are the certificate,
+      // and they now audit the artifact bytes rather than a throwaway
+      // in-memory twin.
+      val st = QueriesRelational.EdgeStage(s, dir, "semdedup_scores") {
+        tbl =>
+          graft.sources.ManifestTable.commitAppend(s, tbl,
+            Similarity.semanticDedup(e, "vec_id", "embedding",
+              threshold = 0.4))
+      }
+      val out = graft.sources.ManifestTable
+        .read(s, st.table, Some(st.version))
+        .scratchCheckpoint(true)
       val ev = e.select(col("vec_id"), col("embedding"))
       val dropped = out.filter(col("dup_of").isNotNull)
       val prec = dropped

@@ -1480,6 +1480,98 @@ private[graft] object QueriesRelational {
         CAST(0 AS BIGINT) AS dup_edges
       FROM deg"""))
 
+  /** INCREMENTAL k-core maintenance over the append-only edge
+    * artifact ([[graft.etl.Graph.incrementalCoreness]]) — the row
+    * that closes the graph family's last rebuild-shaped gap: edges
+    * already updated incrementally (`graph_edges_incremental`), but
+    * coreness recomputed from scratch per build. The timed body is
+    * the MAINTENANCE SERVE path a deployment runs per CDC batch:
+    * read the pinned post-append snapshot, size B from the
+    * artifact's own change feed (readAppendsSince — the rows the
+    * append actually LANDED, not what the at-least-once batch
+    * claimed), then RE-CONVERGE from the COMMITTED base scores: seed
+    * min(deg_new, old + B), clamped frontier-restricted h-index
+    * rounds to the fixed point (exactness argued in
+    * incrementalCoreness's scaladoc — the seed is a sound upper
+    * bound, clamped rounds preserve upper bounds, and any reached
+    * fixed point is never above the true coreness, so fixed point =
+    * exact). The one-time base build + base kernel + sliver append
+    * are staged per JVM (EdgeStage — priced by `graph_kcore` /
+    * `graph_edges_incremental`, excluded from this row's min like
+    * every serve row's artifacts). Oracle is `graph_kcore`'s
+    * recursive CTE over the FULL fact: the strongest possible pin
+    * that incremental maintenance equals the from-scratch recompute,
+    * checked cross-engine. The withheld cut is a CDC-SIZED SLIVER
+    * (1/64 of ONE supplier's parts, ~17 undirected edges) because
+    * that is the regime incremental maintenance exists for: seed
+    * inflation per node is min(deg − old_core, B), so a
+    * streaming-sized B re-converges in a handful of frontier rounds,
+    * while a bulk-sized B degenerates the seed to degree-init and
+    * the honest answer is the full kernel — the measured crossover
+    * sweep is SCALE.md's round-16 table. */
+  private[graft] val graphKcoreIncremental = Q("graph_kcore_incremental",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      def fwd = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      // Staged ONCE per JVM (the EdgeStage economics every serve row
+      // uses): base edge artifact v1 = everything except supplier 3's
+      // parts ≡ 0 (mod 64) — src is 2·suppkey, dst is 2·partkey+1, a
+      // ~10-edge CDC sliver — then the base kernel's scores, then the
+      // sliver lands via appendEdges as v2 (absorption exercised: the
+      // "batch" is the ENTIRE fact, ~99.99% re-delivered; only the
+      // sliver survives the anti-join). The timed body below is the
+      // MAINTENANCE SERVE path: pinned post-append read + committed
+      // base scores + re-convergence — per-attempt idempotent because
+      // every input is a pinned version, never mutated state.
+      val edgesSt = EdgeStage(s, dir, "kcore_inc_edges") { tbl =>
+        graft.etl.Graph.commitEdges(s, tbl,
+          fwd.filter(!(col("src") === 6 && col("dst") % 128 === 1)))
+      }
+      val scoresSt = EdgeStage(s, dir, "kcore_inc_scores") { tbl =>
+        val und = graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+          Some(edgesSt.version))
+        val superseded =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        val c = graft.etl.Graph.corenessOfUndirected(und,
+          iterations = 6, onCheckpoint = superseded += _)
+        try graft.sources.ManifestTable.commitAppend(s, tbl, c)
+        finally superseded.foreach(CheckpointBridge.release)
+      }
+      val appendSt = EdgeStage(s, dir, "kcore_inc_append") { _ =>
+        graft.etl.Graph.appendEdges(s, edgesSt.table, fwd)
+      }
+      require(appendSt.version == edgesSt.version + 1,
+        s"increment did not append: ${edgesSt.version} -> " +
+          s"${appendSt.version}")
+      // B = undirected insertions, from the artifact's own change
+      // feed (appended rows are direction pairs — symmetrize
+      // guarantees it): the bound prices what LANDED, not what the
+      // at-least-once batch claimed to deliver
+      val b = graft.sources.ManifestTable
+        .readAppendsSince(s, edgesSt.table, edgesSt.version)
+        .count() / 2
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      try {
+        val oldScores = graft.sources.ManifestTable
+          .read(s, scoresSt.table, Some(scoresSt.version))
+        val c = graft.etl.Graph.incrementalCoreness(
+          graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+            Some(appendSt.version)),
+          oldScores, batchEdges = b, onCheckpoint = superseded += _)
+        c.select(
+            when(col("node") % 2 === 1, lit("part"))
+              .otherwise(lit("supplier")).as("side"),
+            expr("node div 2").as("id"),
+            col("c").as("core"))
+          .orderBy(col("side"), col("id"))
+          .scratchCheckpoint(true)
+      } finally superseded.foreach(CheckpointBridge.release)
+    },
+    graphKcore.oracle)
+
   /** The nation-level trade graph (customer nation → supplier nation,
     * weight = lineitem count) that [[graphHits]] and [[graphPpr]] both
     * aggregate from the fact — factored out because the WEIGHTED edge

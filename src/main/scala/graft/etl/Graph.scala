@@ -357,6 +357,127 @@ object Graph {
       .agg(max(least(col("cv"), col("cum"))).as("c"))
   }
 
+  /** INCREMENTAL k-core maintenance for an INSERTION batch — closes
+    * the last rebuild-shaped gap in the graph family (round-15
+    * verdict item 5): the edge artifact already updates incrementally
+    * ([[appendEdges]]), but coreness recomputed from scratch per
+    * build, paying the full degree-init contraction (budget rounds ×
+    * job latency) for a batch that moved a handful of scores.
+    *
+    * Seed + clamped re-convergence, exact by two lemmas over the
+    * h-index operator T(c)(v) = H({c(u) : u ∈ N(v)}):
+    *
+    *  - SEED is a sound upper bound on the new coreness:
+    *    c₀(v) = min(deg_new(v), core_old(v) + B), B = undirected
+    *    edges actually inserted. Coreness never exceeds degree, and
+    *    one edge insertion raises any node's coreness by at most 1
+    *    (Sarıyüce et al. 2013), so B insertions raise it by at most
+    *    B; new nodes (core_old = 0) are covered because all their
+    *    edges are new, hence deg ≤ B.
+    *  - UPPER BOUNDS ARE INVARIANT: T is monotone (H is monotone in
+    *    every argument) and the true coreness c* is a fixed point of
+    *    T (Lü et al. 2016), so c ≥ c* pointwise implies
+    *    min(c, T(c)) ≥ min(c*, T(c*)) = c* — every clamped round
+    *    stays above c*.
+    *  - TERMINATION IS EXACTNESS: when a clamped round changes
+    *    nothing, T(c) ≥ c pointwise; then for any k the set
+    *    S_k = {v : c(v) ≥ k} has induced min-degree ≥ k (v has ≥
+    *    c(v) ≥ k neighbors scoring ≥ c(v) ≥ k), so S_k sits inside
+    *    the k-core and c ≤ c* pointwise. With the invariant, c = c*.
+    *
+    * The iteration is FRONTIER-RESTRICTED after the first round:
+    * round 1 recomputes every node (establishing c ≤ T(c_prev)
+    * everywhere), then each round recomputes only nodes with a
+    * neighbor whose score changed last round — any other node's
+    * stored score is stale-valid (its inputs did not move), the
+    * standard chaotic-iteration argument. Cost therefore tracks the
+    * BATCH: round count is bounded by how far the seed sits above the
+    * fixed point (≤ B + the contraction the deg-clamp already did,
+    * instead of the full degree→core descent), and per-round shuffles
+    * after round 1 carry the changed frontier's neighborhoods, not
+    * the graph. A batch that inserts nothing new converges in exactly
+    * one confirming round.
+    *
+    * Throws if `maxRounds` is exhausted before the fixed point — an
+    * unconverged result is an upper bound, not coreness, and callers
+    * certifying served artifacts must get a red row, not a silently
+    * loose one (the graph_kcore_gate contract).
+    *
+    * @param und       post-insertion symmetrized collapsed edges
+    *                  (typically [[edgesFromManifest]] after an
+    *                  [[appendEdges]] commit)
+    * @param oldScores (node, c) committed coreness of the
+    *                  pre-insertion graph
+    * @param batchEdges number of UNDIRECTED edges the batch actually
+    *                  inserted (appended artifact rows / 2 — e.g.
+    *                  count of [[graft.sources.ManifestTable.readAppendsSince]])
+    * @return (node, c) exact coreness of the post-insertion graph
+    */
+  def incrementalCoreness(und: DataFrame, oldScores: DataFrame,
+                          batchEdges: Long, maxRounds: Int = 32,
+                          onCheckpoint: DataFrame => Unit = _ => ())
+  : DataFrame = {
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var c = deg
+      .join(oldScores.select(col("node"), col("c").as("c_old")),
+        Seq("node"), "left")
+      .select(col("node"),
+        least(col("deg"),
+          coalesce(col("c_old"), lit(0L)) + lit(batchEdges)).as("c"))
+      .scratchCheckpoint(eager = false)
+    onCheckpoint(c)
+    // node count for the wide-frontier shortcut below — one
+    // node-sized job, also forces the seed checkpoint so the first
+    // round's plan starts from the cut
+    val nNodes = c.count()
+    var frontier: Option[DataFrame] = None // None = recompute all
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // frontier-restricted edge set: a candidate keeps ALL its
+      // neighbor rows (H needs the full neighborhood), non-candidates
+      // contribute none and keep their stale-valid stored score
+      val scope = frontier match {
+        case None => und
+        case Some(f) =>
+          val cand = und
+            .join(f.withColumnRenamed("node", "dst"), Seq("dst"),
+              "left_semi")
+            .select(col("src")).distinct()
+          und.join(cand, Seq("src"), "left_semi")
+      }
+      val step = c
+        .join(hIndexRound(scope, c).withColumnRenamed("c", "h"),
+          Seq("node"), "left")
+        .select(col("node"), col("c").as("c_prev"),
+          least(col("c"), coalesce(col("h"), col("c"))).as("c"))
+        .scratchCheckpoint(eager = false)
+      onCheckpoint(step)
+      // the convergence-signal count is the round's one materializing
+      // action (the connectedComponents discipline)
+      val changed = step.filter(col("c") =!= col("c_prev"))
+        .select(col("node"))
+      val nChanged = changed.count()
+      if (sys.env.contains("SPARK_GRAFT_KCORE_DEBUG"))
+        System.err.println(s"[incrementalCoreness] round ${round + 1}: " +
+          s"$nChanged changed")
+      c = step.select(col("node"), col("c"))
+      if (nChanged == 0) converged = true
+      // wide-frontier shortcut: when more than 1/8 of nodes changed,
+      // the candidates' neighborhoods cover ~the whole edge set and
+      // the two semi-joins cost more than they prune — recompute all
+      else frontier =
+        if (nChanged * 8 > nNodes) None else Some(changed)
+      round += 1
+    }
+    require(converged,
+      s"incremental coreness not converged within $maxRounds rounds " +
+        "— raise maxRounds (result would be an upper bound, not " +
+        "coreness)")
+    c
+  }
+
   /** BUILD/COMMIT the symmetrized edge set as a versioned
     * [[graft.sources.ManifestTable]] artifact — the graph family's
     * instance of the PQ-index build/serve split

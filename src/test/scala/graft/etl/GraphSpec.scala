@@ -158,4 +158,81 @@ class GraphSpec extends AnyFunSuite {
     assert(labels(2L) == 1L)
     assert(labels(1L) == 2L && labels(3L) == 2L) // their only neighbor
   }
+
+  // --- incrementalCoreness ---------------------------------------------
+
+  /** Incremental coreness over (base ∪ batch) seeded from the base's
+    * converged scores, compared against a from-scratch recompute of
+    * the union — the equality the registry row pins at corpus scale. */
+  private def incrVsFull(base: Seq[(Long, Long)],
+                         batch: Seq[(Long, Long)]): Unit = {
+    val baseUnd = Graph.symmetrize(base.toDF("src", "dst"))
+    val old = Graph.corenessOfUndirected(baseUnd, iterations = 8)
+    val allUnd = Graph.symmetrize((base ++ batch).toDF("src", "dst"))
+    // B from the actually-new undirected edges, as the registry row
+    // sizes it from the artifact's change feed
+    val b = (allUnd.count() - baseUnd.count()) / 2
+    val incr = Graph.incrementalCoreness(allUnd, old, batchEdges = b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.coreness((base ++ batch).toDF("src", "dst"),
+        iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, s"incremental $incr != full recompute $full")
+  }
+
+  test("incrementalCoreness: batch completing a clique equals the " +
+    "full recompute (path -> K4)") {
+    incrVsFull(
+      base = Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      batch = Seq((1L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("incrementalCoreness: a rise with ZERO new edges at the rising " +
+    "node (star center lifted by a leaf clique) — the case that " +
+    "falsifies any per-node incident-edge bound") {
+    // star 0—{1..5}: all cores 1. Batch = K5 among the leaves; the
+    // CENTER's core rises 1 -> 5 though no new edge touches it — only
+    // the global +B seed covers this, which is why incrementalCoreness
+    // uses min(deg, old + B) rather than old + incident-delta.
+    incrVsFull(
+      base = (1L to 5L).map(l => (0L, l)),
+      batch = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b))
+  }
+
+  test("incrementalCoreness: growth far from a stable dense region " +
+    "leaves the region's scores intact") {
+    // K4 on {1..4} plus a remote path 10—11; batch extends the path
+    // into a triangle {10,11,12}: K4 cores stay 3, triangle becomes 2
+    incrVsFull(
+      base = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+        yield (a, b)) ++ Seq((10L, 11L)),
+      batch = Seq((11L, 12L), (12L, 10L)))
+  }
+
+  test("incrementalCoreness: empty batch converges in one confirming " +
+    "round to the old scores") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val und = Graph.symmetrize(base.toDF("src", "dst"))
+    val old = Graph.corenessOfUndirected(und, iterations = 8)
+    val incr = Graph.incrementalCoreness(und, old, batchEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldMap = old.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == oldMap)
+  }
+
+  test("incrementalCoreness: batch introducing entirely NEW nodes " +
+    "(old scores absent) equals the full recompute") {
+    incrVsFull(
+      base = Seq((1L, 2L), (2L, 3L)),
+      batch = Seq((3L, 20L), (20L, 21L), (21L, 3L)))
+  }
+
+  test("incrementalCoreness throws rather than return an unconverged " +
+    "upper bound when maxRounds is exhausted") {
+    val und = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val old = Graph.corenessOfUndirected(und, iterations = 8)
+    intercept[IllegalArgumentException] {
+      Graph.incrementalCoreness(und, old, batchEdges = 0L, maxRounds = 0)
+    }
+  }
 }
