@@ -448,6 +448,68 @@ object Microbench {
     * frozen oracle — correct at the bench tier, quadratic by
     * construction at 1000x (2^6 buckets for 2M vectors); this mode
     * measures the OPERATOR at the parameters the tier calls for. */
+  /** `embedding_lsh_cand` — candidate-MASS diagnostic for the LSH
+    * near-dup plan, separating the two ways the pairs row can go
+    * superlinear at a tier: (a) bucket skew — Σ pop·(pop−1)/2 growing
+    * faster than the corpus (clustered data concentrating in few
+    * buckets, which planesFor's uniform-hash expectation cannot see),
+    * vs (b) the exchange — candidate mass linear but the wide
+    * (vector-carrying) shuffle/sort spilling. Computes the signature
+    * build and the per-(table, bucket) histogram WITHOUT carrying
+    * vectors, so its cost is the slim half of the plan only; the gap
+    * between this and the full pairs row is the vector-exchange +
+    * verify share. Prints n, derived planes, per-table candidate mass
+    * sum, max bucket population, and the p99.9 population. */
+  private def embeddingLshCandMode(spark: SparkSession, sfDir: String,
+                                   targetBucketPop: Int,
+                                   numTables: Int): Unit = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .dropDuplicates("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val planes = llmops.Similarity.planesFor(n, targetBucketPop)
+    System.gc(); Thread.sleep(100)
+    val t0 = System.nanoTime()
+    val b = e.select(col("vec_id"),
+      explode(array((0 until numTables).map(t => struct(
+        lit(t).as("table_id"),
+        graft.functions.HashExprs.randomProjectionBits(col("embedding"),
+          planes, t * planes).as("bucket"))): _*)).as("tb"))
+      .select(col("tb.table_id"), col("tb.bucket"))
+      .groupBy("table_id", "bucket").agg(count(lit(1)).as("pop"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = b.agg(
+      sum(col("pop") * (col("pop") - 1) / 2).as("mass"),
+      max(col("pop")).as("max_pop"),
+      expr("approx_percentile(pop, 0.999)").as("p999"),
+      count(lit(1)).as("n_buckets")).head()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"embedding_lsh_cand: n=$n%d planes=$planes%d " +
+      f"tables=$numTables%d buckets=${r.getLong(3)}%d " +
+      f"cand_mass=${r.getAs[java.math.BigDecimal]("mass")}%s " +
+      f"max_pop=${r.getLong(1)}%d p999_pop=${r.getLong(2)}%d " +
+      f"slim_path=$dt%.3f s")
+    // Identical-FULL-SIGNATURE groups: vectors agreeing on every plane
+    // of every table. Their within-group pairs are generated by ALL
+    // numTables per-table joins (the join can't tell tables apart for
+    // them), so their mass share bounds what a group-level
+    // decomposition can save: per-table mass counts them numTables
+    // times, a full-signature join counts them once.
+    val g = e.select(col("vec_id"),
+        array((0 until numTables).map(t => struct(
+          graft.functions.HashExprs.randomProjectionBits(col("embedding"),
+            planes, t * planes).as("b"))): _*).as("sig"))
+      .groupBy("sig").agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("gmass"),
+        max(col("m")).as("gmax"),
+        count(lit(1)).as("n_groups")).head()
+    println(f"embedding_lsh_cand: identical-sig groups=" +
+      f"${g.getLong(2)}%d gmax=${g.getLong(1)}%d " +
+      f"within_group_mass=${g.getAs[java.math.BigDecimal]("gmass")}%s " +
+      f"(counted ${numTables}%dx in per-table cand_mass)")
+    b.unpersist(); e.unpersist()
+  }
+
   private def embeddingLshMode(spark: SparkSession, sfDir: String,
                                targetBucketPop: Int, numTables: Int,
                                threshold: Double): Unit = {
@@ -485,6 +547,18 @@ object Microbench {
         args.lift(2).map(_.toInt).getOrElse(32),
         args.lift(3).map(_.toInt).getOrElse(8),
         args.lift(4).map(_.toDouble).getOrElse(0.4))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("embedding_lsh_cand")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      embeddingLshCandMode(spark, args(1),
+        args.lift(2).map(_.toInt).getOrElse(32),
+        args.lift(3).map(_.toInt).getOrElse(8))
       spark.stop(); return
     }
     if (args.headOption.contains("kcore_incr")) {

@@ -67,6 +67,45 @@ object HashExprs {
                            planeOffset: Int): Column =
     ColumnBridge.column(RandomProjectionBits(ColumnBridge.expr(vec),
       numPlanes, planeOffset))
+
+  def firstEqualIndex(a: Column, b: Column): Column =
+    ColumnBridge.column(FirstEqualIndex(ColumnBridge.expr(a),
+      ColumnBridge.expr(b)))
+}
+
+/** Index (0-based) of the first position where two array<long> columns
+  * hold equal elements; -1 when no position matches, null on length
+  * mismatch. The per-candidate predicate of the LSH first-collision
+  * discipline ([[graft.llmops.Similarity.lshNearDupPairs]]): a pair
+  * colliding in k of the T hash tables must be VERIFIED exactly once,
+  * not k times, and "the table whose index equals the first signature
+  * agreement" picks that once without any exchange. Early-exit loop —
+  * for the projection-stable clusters that make first-collision worth
+  * running, the agreement is at index 0 and the scan costs ONE
+  * comparison; a zip_with/array_position formulation materializes a
+  * T-element boolean array per CANDIDATE (billions at the rehearsal
+  * tiers) before looking at it. */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_equal_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return java.lang.Integer.valueOf(i)
+      i += 1
+    }
+    java.lang.Integer.valueOf(-1)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+  : FirstEqualIndex = copy(left = l, right = r)
 }
 
 /** MinHash signature: array<string> shingles → array<long> of

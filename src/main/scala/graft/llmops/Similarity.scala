@@ -282,14 +282,41 @@ object Similarity {
     * vectors cross one exchange at corpus x numTables cardinality and
     * candidate pairs stream through the in-task filter, so only the
     * VERIFIED pairs (true near-dups, linear in the corpus) reach the
-    * pair-dedup shuffle. The rejected alternative (dedup candidate id
-    * pairs first, rejoin vectors to score) keeps the dedup shuffle
-    * slim but pays TWO candidate-cardinality exchanges carrying the
-    * vectors — at the fourth decade that is ~10^8 candidates x ~300 B
-    * = a >100 GB shuffle for a ~10^5-row answer (measured: it filled
-    * local disk where this shape completes). Collisions across tables
-    * re-verify the same pair up to numTables times — pure in-task CPU,
-    * the right price for never shuffling candidates with payloads. */
+    * output. The rejected alternative (dedup candidate id pairs
+    * first, rejoin vectors to score) keeps the dedup shuffle slim but
+    * pays TWO candidate-cardinality exchanges carrying the vectors —
+    * at the fourth decade that is ~10^8 candidates x ~300 B = a
+    * >100 GB shuffle for a ~10^5-row answer (measured: it filled
+    * local disk where this shape completes).
+    *
+    * BUCKET-LOOP EXECUTION (round-16 rehearsal finding): real corpora
+    * carry projection-DENSE cones — large vector populations agreeing
+    * on most hyperplane signs without being near-dups (the 1000x
+    * salted tier measured an 82k-population bucket at 20 planes; even
+    * the 2k-vector base corpus holds a 174-member one — and the
+    * identical-signature decomposition hypothesis was tested and
+    * REJECTED: fully-identical signatures carry 0.1% of the mass, so
+    * the skew is sub-threshold cone physics, not exact clusters). At
+    * planesFor parameters the candidate mass is therefore far above
+    * O(n) (measured 1.16e9 at the 100x tier, 7.8e10 at 1000x), and a
+    * sort-merge self-join pays ~45 ns of buffered-row iteration per
+    * CANDIDATE before any scoring — the measured dominant cost of the
+    * whole operator (3597 s at 1000x; the slim signature/shuffle half
+    * is 37 s). So candidates never pass through a join: rows hash-
+    * partition once on (table, bucket), sort within partitions, and a
+    * mapPartitions loop enumerates each bucket's pairs over primitive
+    * arrays — the one place quadratic-within-group imperative
+    * iteration genuinely beats every declarative shape. In-loop, each
+    * pair is verified ONLY in the table of its first signature
+    * agreement (early-exit scan of the two signature arrays), so a
+    * pair colliding in k tables is scored once, not k times, and no
+    * terminal dedup shuffle exists. Vectors are widened float→double
+    * BEFORE the loop (exact), and the dot/norm accumulation order
+    * matches [[graft.functions.CosineSim]] exactly, so the emitted
+    * (pair, cosine) set is BIT-IDENTICAL to the join shape's — pinned
+    * by the parity test in SimilaritySpec and by the frozen oracles.
+    * Non-integral id types fall back to the join shape
+    * ([[lshNearDupPairsJoin]]), which remains the semantic reference. */
   /** Plane count that holds expected LSH bucket population at
     * `targetBucketPop` for an `n`-vector corpus: ceil(log2(n/target)),
     * floored at 1. This is the knob a deployment derives from its
@@ -303,23 +330,169 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 6,
                       numTables: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType,
+      IntegerType, LongType}
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val vecIsFloat = df.select(col(vecCol)).schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    // the loop path keeps float vectors as FLOATS end-to-end (half
+    // the shuffle bytes and half the per-candidate cache traffic of a
+    // double widening — the vectors are touched once per CANDIDATE,
+    // not once per row), converting per element inside the loop
+    // exactly as CosineSim's float path does
+    (idType, vecIsFloat) match {
+      case (LongType, true) =>
+        lshNearDupPairsBucketLoop(df, idCol, vecCol, threshold,
+          numPlanes, numTables, castIdsBackTo = None)
+      case (IntegerType, true) =>
+        lshNearDupPairsBucketLoop(df, idCol, vecCol, threshold,
+          numPlanes, numTables, castIdsBackTo = Some(IntegerType))
+      case _ =>
+        lshNearDupPairsJoin(df, idCol, vecCol, threshold, numPlanes,
+          numTables)
+    }
+  }
+
+  /** The bucket-loop execution of [[lshNearDupPairs]] (integral ids).
+    * One exchange (hash on (table, bucket)), one within-partition
+    * sort, then per-bucket pair enumeration over primitive arrays
+    * with in-loop first-collision + exact cosine. Emission is a lazy
+    * iterator — a low threshold on a dense bucket streams its pairs
+    * instead of materializing them. */
+  private def lshNearDupPairsBucketLoop(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int, numTables: Int,
+      castIdsBackTo: Option[org.apache.spark.sql.types.DataType])
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = array((0 until numTables).map(t =>
+      graft.functions.HashExprs.randomProjectionBits(col(vecCol),
+        numPlanes, t * numPlanes)): _*)
+    // bucket null ⇔ vector null/empty: the join shape's equi-join
+    // dropped null keys, so the loop path filters them for parity
+    val exploded = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"), sig.as("sig"))
+      .select(col("id"), col("v"), col("sig"),
+        posexplode(col("sig")).as(Seq("table_id", "bucket")))
+      .filter(col("bucket").isNotNull && col("v").isNotNull)
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket")
+      .as[(Long, Array[Float], Array[Long], Int, Long)]
+    val pairs = exploded.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Long, Double)] {
+        // current group state
+        private var ids: Array[Long] = Array.empty
+        private var vs: Array[Array[Float]] = Array.empty
+        private var sigs: Array[Array[Long]] = Array.empty
+        private var m = 0
+        private var i = 0
+        private var j = 0
+        private var pending: (Long, Long, Double) = null
+
+        private def loadNextGroup(): Boolean = {
+          if (!it.hasNext) return false
+          val t0 = it.head._4; val b0 = it.head._5
+          val bi = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val bv = scala.collection.mutable.ArrayBuffer
+            .empty[Array[Float]]
+          val bs = scala.collection.mutable.ArrayBuffer
+            .empty[Array[Long]]
+          while (it.hasNext && it.head._4 == t0 && it.head._5 == b0) {
+            val r = it.next()
+            bi += r._1; bv += r._2; bs += r._3
+          }
+          ids = bi.toArray; vs = bv.toArray; sigs = bs.toArray
+          m = ids.length; i = 0; j = 1
+          // groupTable: which table's partition this group belongs to —
+          // the first-collision test compares against it
+          groupTable = t0
+          true
+        }
+        private var groupTable = -1
+
+        private def advance(): Unit = {
+          pending = null
+          while (pending == null) {
+            if (i >= m - 1) {
+              if (!loadNextGroup()) return
+            }
+            while (pending == null && i < m - 1) {
+              val si = sigs(i); val sj = sigs(j)
+              var f = -1; var k = 0
+              val t = math.min(si.length, sj.length)
+              while (f < 0 && k < t) {
+                if (si(k) == sj(k)) f = k else k += 1
+              }
+              if (f == groupTable && ids(i) != ids(j)) {
+                val x = vs(i); val y = vs(j)
+                if (x.length == y.length) {
+                  var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+                  while (d < x.length) {
+                    // float→double per element, CosineSim's exact order
+                    val xd = x(d).toDouble; val yd = y(d).toDouble
+                    dot += xd * yd; nx += xd * xd; ny += yd * yd
+                    d += 1
+                  }
+                  val denom = math.sqrt(nx) * math.sqrt(ny)
+                  if (denom != 0.0) {
+                    val c = dot / denom
+                    if (c >= threshold) {
+                      pending = if (ids(i) < ids(j)) (ids(i), ids(j), c)
+                                else (ids(j), ids(i), c)
+                    }
+                  }
+                }
+              }
+              j += 1
+              if (j >= m) { i += 1; j = i + 1 }
+            }
+          }
+        }
+
+        advance()
+        override def hasNext: Boolean = pending != null
+        override def next(): (Long, Long, Double) = {
+          val r = pending; advance(); r
+        }
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
+    castIdsBackTo match {
+      case Some(t) => pairs.select(col("id_a").cast(t).as("id_a"),
+        col("id_b").cast(t).as("id_b"), col("cos_sim"))
+      case None => pairs
+    }
+  }
+
+  /** The join-shape execution of [[lshNearDupPairs]] — the semantic
+    * reference (any comparable id type), and the parity baseline the
+    * bucket-loop path is tested against. Pays candidate-mass row
+    * iteration inside the sort-merge join; see the scaladoc above for
+    * why the loop path replaces it on the hot id types. */
+  private[llmops] def lshNearDupPairsJoin(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int, numTables: Int): DataFrame = {
+    val sig = array((0 until numTables).map(t =>
+      graft.functions.HashExprs.randomProjectionBits(col(vecCol),
+        numPlanes, t * numPlanes)): _*)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until numTables).map(t => struct(
-        lit(t).as("table_id"),
-        graft.functions.HashExprs.randomProjectionBits(col(vecCol),
-          numPlanes, t * numPlanes).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.table_id"), col("tb.bucket"))
+        sig.as("sig"))
+      .select(col("id"), col("v"), col("sig"),
+        posexplode(col("sig")).as(Seq("table_id", "bucket")))
     b.select(col("id").as("id_a"), col("v").as("va"),
-        col("table_id"), col("bucket"))
+        col("sig").as("sa"), col("table_id"), col("bucket"))
       .join(b.select(col("id").as("id_b"), col("v").as("vb"),
-        col("table_id"), col("bucket")), Seq("table_id", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+        col("sig").as("sb"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        graft.functions.HashExprs.firstEqualIndex(col("sa"), col("sb"))
+          === col("table_id"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-      // same-pair hits from other tables carry the same exact cosine,
-      // so keep-any dedup is deterministic
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SemDeDup-style semantic deduplication (the public recipe of

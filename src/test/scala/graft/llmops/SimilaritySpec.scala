@@ -141,6 +141,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshPairs.contains((0L, 1L)))
   }
 
+  test("lshNearDupPairs: bucket-loop path is BIT-identical to the " +
+    "join shape (pairs and cosines), int ids keep their type") {
+    // a denser deterministic corpus than `vecs` so buckets hold real
+    // populations and several pairs clear the threshold
+    val dense = spark.range(400).selectExpr("id as vec_id",
+      "transform(sequence(0, 7), d -> " +
+        "cast((id % 7) * 0.13 + d * 0.05 + (id * 37 % 11) * 0.02 " +
+        "as float)) as embedding")
+    val loop = Similarity.lshNearDupPairs(dense, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, numTables = 6).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val join = Similarity.lshNearDupPairsJoin(dense, "vec_id",
+      "embedding", threshold = 0.9, numPlanes = 4, numTables = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    assert(loop.nonEmpty, "fixture found no pairs — weaken it")
+    assert(loop == join) // exact doubles: same accumulation order
+    // integer ids dispatch through the loop path and cast back
+    val intIds = dense.selectExpr("cast(vec_id as int) as vec_id",
+      "embedding")
+    val outInt = Similarity.lshNearDupPairs(intIds, "vec_id",
+      "embedding", threshold = 0.9, numPlanes = 4, numTables = 6)
+    assert(outInt.schema("id_a").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(outInt.collect().map(r => (r.getAs[Int]("id_a").toLong,
+      r.getAs[Int]("id_b").toLong, r.getAs[Double]("cos_sim"))).toSet
+      == loop)
+  }
+
   test("semanticDedup: greedy min-id survivor within cells, full " +
     "partition of the corpus") {
     val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
