@@ -81,4 +81,31 @@ class HashExprsSpec extends AnyFunSuite {
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
     assert(out(1).isNullAt(0))
   }
+
+  test("FirstEqualIndex: first agreement position, -1 when disjoint, " +
+    "null on length mismatch or null input") {
+    val df = Seq(
+      (1L, Seq(7L, 8L, 9L), Seq(7L, 0L, 0L)),  // agree at 0
+      (2L, Seq(7L, 8L, 9L), Seq(0L, 8L, 9L)),  // first agreement is 1
+      (3L, Seq(7L, 8L, 9L), Seq(0L, 0L, 9L)),  // only the last: 2
+      (4L, Seq(7L, 8L, 9L), Seq(0L, 1L, 2L)),  // disjoint: -1
+      (5L, Seq.empty[Long], Seq.empty[Long])   // empty arrays: -1
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      HashExprs.firstEqualIndex(col("a"), col("b")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> -1, 5L -> -1))
+    // length mismatch → null (the DotLong convention)
+    val mm = Seq((Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b")
+      .select(HashExprs.firstEqualIndex(col("a"), col("b")).as("f"))
+      .collect()
+    assert(mm(0).isNullAt(0))
+    // null input → null (BinaryExpression null propagation)
+    val nn = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(HashExprs.firstEqualIndex(col("a"), col("b")).as("f"))
+      .collect()
+    assert(nn(0).isNullAt(0))
+  }
 }
