@@ -97,6 +97,7 @@ object Queries {
     QueriesRelational.graphEdgesArtifact, QueriesRelational.graphKcoreServe, QueriesRelational.graphKcoreGate,
     QueriesRelational.graphHitsServe, QueriesRelational.graphPprServe, QueriesRelational.graphEdgesIncremental,
     QueriesRelational.graphKcoreIncremental,
+    QueriesRelational.graphKcoreIncrementalDel,
     QueriesRelational.graphPpr, QueriesRelational.graphAssortativity, QueriesRelational.statsWeightedMedian,
     QueriesRelational.anomalyZscore, QueriesRelational.winsorizeClip,
     QueriesRelational.anomalyMad, QueriesRelational.statsLinfit,

@@ -1572,6 +1572,103 @@ private[graft] object QueriesRelational {
     },
     graphKcore.oracle)
 
+  /** INCREMENTAL k-core under a MIXED insert+DELETE CDC batch — the
+    * deletion half [[graphKcoreIncremental]] left open (round-16
+    * verdict item 3): real change feeds carry retractions
+    * ([[graft.sources.ManifestCdcSource]] emits them), coreness can
+    * only FALL under deletion, and the seed argument extends (see
+    * [[graft.etl.Graph.incrementalCoreness]]'s lemmas: deletions are
+    * monotone-decreasing so they need NO seed allowance — B counts
+    * insertions only). Staged once per JVM: base artifact v1 = the
+    * fact's edges MINUS a CDC-sized sliver PLUS a synthetic
+    * supplier–supplier K8 clique (nodes 4..18 even — impossible in
+    * the bipartite supplier–part fact, so the batch's deletion is
+    * guaranteed non-trivial and forces a real re-descent on its 8
+    * members); exact base scores via degree-seeded descent to fixed
+    * point; then the batch lands as v2 = [[graft.etl.Graph.appendEdges]]
+    * of the full fact (sliver inserts, ~99.99% absorbed) and
+    * v3 = [[graft.etl.Graph.removeEdges]] of the clique — so the
+    * post-batch graph is EXACTLY the fact's edge set and the oracle
+    * is `graph_kcore`'s full recursive-CTE recompute, the strongest
+    * cross-engine pin that mixed maintenance equals rebuild. B is
+    * metadata-only ([[graft.sources.ManifestTable.countRows]] delta
+    * across the append version — readAppendsSince would rightly
+    * refuse to span the delete's rewrite). The timed body is the
+    * maintenance serve: pinned post-batch read + committed base
+    * scores + re-convergence, per-attempt idempotent. */
+  private[graft] val graphKcoreIncrementalDel =
+    Q("graph_kcore_incremental_del",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.CheckpointBridge
+      def fwd = t(s, dir, "lineitem").select(
+        (col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      // K8 on supplier nodes 4..18: even–even edges cannot occur in
+      // the even–odd bipartite fact, so retraction applies exactly
+      def clique = {
+        import s.implicits._
+        (for { a <- 2 to 9; b <- 2 to 9 if a < b }
+          yield (a.toLong * 2, b.toLong * 2)).toDF("src", "dst")
+      }
+      val edgesSt = EdgeStage(s, dir, "kcore_del_edges") { tbl =>
+        graft.etl.Graph.commitEdges(s, tbl,
+          fwd.filter(!(col("src") === 6 && col("dst") % 128 === 3))
+            .unionByName(clique))
+      }
+      // EXACT base scores (the seed lemma needs true old coreness):
+      // degree-seeded descent to FIXED POINT — incrementalCoreness
+      // with empty old scores and an unbounded allowance degenerates
+      // to degree init, and its converged-or-throw contract certifies
+      // exactness, unlike a fixed budget
+      val scoresSt = EdgeStage(s, dir, "kcore_del_scores") { tbl =>
+        val und = graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+          Some(edgesSt.version))
+        val superseded =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        val noScores = und.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("c")).limit(0)
+        val c = graft.etl.Graph.incrementalCoreness(und, noScores,
+          batchEdges = 1L << 40, maxRounds = 64,
+          onCheckpoint = superseded += _)
+        try graft.sources.ManifestTable.commitAppend(s, tbl, c)
+        finally superseded.foreach(CheckpointBridge.release)
+      }
+      val batchSt = EdgeStage(s, dir, "kcore_del_batch") { _ =>
+        val v2 = graft.etl.Graph.appendEdges(s, edgesSt.table, fwd)
+        require(v2 == edgesSt.version + 1,
+          s"insert batch did not append: ${edgesSt.version} -> $v2")
+        val v3 = graft.etl.Graph.removeEdges(s, edgesSt.table, clique)
+        require(v3 == v2 + 1,
+          s"retraction did not commit: $v2 -> $v3")
+        v3
+      }
+      // B = undirected INSERTIONS only (deletions need no allowance):
+      // manifest row-count delta across the pure-append version
+      val vAppend = batchSt.version - 1
+      val b = (graft.sources.ManifestTable
+        .countRows(s, edgesSt.table, Some(vAppend)).get -
+        graft.sources.ManifestTable
+          .countRows(s, edgesSt.table, Some(edgesSt.version)).get) / 2
+      val superseded =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      try {
+        val oldScores = graft.sources.ManifestTable
+          .read(s, scoresSt.table, Some(scoresSt.version))
+        val c = graft.etl.Graph.incrementalCoreness(
+          graft.etl.Graph.edgesFromManifest(s, edgesSt.table,
+            Some(batchSt.version)),
+          oldScores, batchEdges = b, onCheckpoint = superseded += _)
+        c.select(
+            when(col("node") % 2 === 1, lit("part"))
+              .otherwise(lit("supplier")).as("side"),
+            expr("node div 2").as("id"),
+            col("c").as("core"))
+          .orderBy(col("side"), col("id"))
+          .scratchCheckpoint(true)
+      } finally superseded.foreach(CheckpointBridge.release)
+    },
+    graphKcore.oracle)
+
   /** The nation-level trade graph (customer nation → supplier nation,
     * weight = lineitem count) that [[graphHits]] and [[graphPpr]] both
     * aggregate from the fact — factored out because the WEIGHTED edge

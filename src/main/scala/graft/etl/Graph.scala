@@ -357,10 +357,11 @@ object Graph {
       .agg(max(least(col("cv"), col("cum"))).as("c"))
   }
 
-  /** INCREMENTAL k-core maintenance for an INSERTION batch — closes
-    * the last rebuild-shaped gap in the graph family (round-15
-    * verdict item 5): the edge artifact already updates incrementally
-    * ([[appendEdges]]), but coreness recomputed from scratch per
+  /** INCREMENTAL k-core maintenance for a CDC batch — insertions,
+    * deletions ([[removeEdges]]), or a MIX — closing the last
+    * rebuild-shaped gap in the graph family (round-15 verdict item 5;
+    * deletion support round-16 item 3): the edge artifact already
+    * updates incrementally, but coreness recomputed from scratch per
     * build, paying the full degree-init contraction (budget rounds ×
     * job latency) for a batch that moved a handful of scores.
     *
@@ -369,11 +370,18 @@ object Graph {
     *
     *  - SEED is a sound upper bound on the new coreness:
     *    c₀(v) = min(deg_new(v), core_old(v) + B), B = undirected
-    *    edges actually inserted. Coreness never exceeds degree, and
-    *    one edge insertion raises any node's coreness by at most 1
-    *    (Sarıyüce et al. 2013), so B insertions raise it by at most
-    *    B; new nodes (core_old = 0) are covered because all their
-    *    edges are new, hence deg ≤ B.
+    *    edges actually INSERTED (deletions contribute NOTHING to B).
+    *    Coreness never exceeds degree; one edge insertion raises any
+    *    node's coreness by at most 1 (Sarıyüce et al. 2013), so B
+    *    insertions raise it by at most B; and edge DELETION is
+    *    monotone — removing an edge never raises any coreness (every
+    *    k-core of the smaller graph is a subgraph of the larger
+    *    graph's k-core) — so ordering the batch deletions-first,
+    *    c_new ≤ c_afterDel + B ≤ c_old + B, and the deg_new clamp
+    *    absorbs the rest. New nodes (core_old = 0) are covered
+    *    because all their edges are new, hence deg ≤ B. Deleted
+    *    nodes (no remaining edges) leave the node set with the
+    *    degree groupBy, matching the full recompute's domain.
     *  - UPPER BOUNDS ARE INVARIANT: T is monotone (H is monotone in
     *    every argument) and the true coreness c* is a fixed point of
     *    T (Lü et al. 2016), so c ≥ c* pointwise implies
@@ -391,27 +399,40 @@ object Graph {
     * neighbor whose score changed last round — any other node's
     * stored score is stale-valid (its inputs did not move), the
     * standard chaotic-iteration argument. Cost therefore tracks the
-    * BATCH: round count is bounded by how far the seed sits above the
-    * fixed point (≤ B + the contraction the deg-clamp already did,
-    * instead of the full degree→core descent), and per-round shuffles
-    * after round 1 carry the changed frontier's neighborhoods, not
-    * the graph. A batch that inserts nothing new converges in exactly
-    * one confirming round.
+    * BATCH: for insertions, round count is bounded by how far the
+    * seed sits above the fixed point (≤ B + the contraction the
+    * deg-clamp already did, instead of the full degree→core descent),
+    * and per-round shuffles after round 1 carry the changed
+    * frontier's neighborhoods, not the graph. A batch that changes
+    * nothing converges in exactly one confirming round. DELETIONS
+    * descend at one frontier hop per round, so their round count is
+    * the CASCADE DEPTH, not the batch size — usually shallow (a
+    * retraction's effect is absorbed where surplus degree exists),
+    * but adversarially long (deleting one edge of a 2k-core cycle
+    * re-descends the whole ring): `maxRounds` is the honest budget
+    * guard for that regime, and a caller hitting it should rebuild
+    * via [[corenessOfUndirected]] rather than raise the budget
+    * blindly — past the cascade-depth crossover the full kernel is
+    * the cheaper exact path (the same crossover honesty as the
+    * bulk-batch regime below).
     *
     * Throws if `maxRounds` is exhausted before the fixed point — an
     * unconverged result is an upper bound, not coreness, and callers
     * certifying served artifacts must get a red row, not a silently
     * loose one (the graph_kcore_gate contract).
     *
-    * @param und       post-insertion symmetrized collapsed edges
-    *                  (typically [[edgesFromManifest]] after an
-    *                  [[appendEdges]] commit)
-    * @param oldScores (node, c) committed coreness of the
-    *                  pre-insertion graph
+    * @param und       post-batch symmetrized collapsed edges
+    *                  (typically [[edgesFromManifest]] after
+    *                  [[appendEdges]] / [[removeEdges]] commits)
+    * @param oldScores (node, c) committed coreness of the pre-batch
+    *                  graph
     * @param batchEdges number of UNDIRECTED edges the batch actually
-    *                  inserted (appended artifact rows / 2 — e.g.
-    *                  count of [[graft.sources.ManifestTable.readAppendsSince]])
-    * @return (node, c) exact coreness of the post-insertion graph
+    *                  INSERTED (appended artifact rows / 2 — e.g.
+    *                  count of [[graft.sources.ManifestTable.readAppendsSince]]).
+    *                  Deletions are NOT counted: they never raise
+    *                  coreness, so they need no seed allowance —
+    *                  a pure-deletion batch passes 0.
+    * @return (node, c) exact coreness of the post-batch graph
     */
   def incrementalCoreness(und: DataFrame, oldScores: DataFrame,
                           batchEdges: Long, maxRounds: Int = 32,
@@ -583,6 +604,35 @@ object Graph {
           .sortWithinPartitions("src"),
         statsCol = Some("src"))
     } finally org.apache.spark.sql.graft.CheckpointBridge.release(sym)
+  }
+
+  /** INCREMENTAL edge-artifact DELETION — [[appendEdges]]'s CDC
+    * sibling for retractions (the `op = delete` rows a change feed
+    * like [[graft.sources.ManifestCdcSource]] carries): the doomed
+    * batch is symmetrized exactly like an insert batch — BOTH
+    * directions of every pair land in the doomed set, so the
+    * artifact's two orientation rows are deleted together and the
+    * undirected invariant survives — then removed copy-on-write via
+    * [[graft.sources.ManifestTable.deleteMatching]] on (src, dst)
+    * with file pruning on the batch's src range: a range-local CDC
+    * retraction rewrites only the artifact files whose src stats
+    * overlap it (both orientations are covered because each is its
+    * own row with its own src), never the full edge set. Edges not
+    * present in the artifact delete to nothing (idempotent — the
+    * at-least-once retraction twin of appendEdges' absorb-on-
+    * redelivery). Pinned readers of older versions keep serving
+    * pre-delete files until vacuum; the new version is the
+    * post-deletion graph. Returns the committed version. */
+  def removeEdges(spark: org.apache.spark.sql.SparkSession,
+                  table: String, doomedEdges: DataFrame): Long = {
+    import graft.Scratch.ScratchOps
+    // one lineage cut: deleteMatching's shape pass + anti-join would
+    // otherwise re-run the batch collapse per consumer (the
+    // appendEdges economics)
+    val sym = symmetrize(doomedEdges).scratchCheckpoint(eager = true)
+    try graft.sources.ManifestTable
+      .deleteMatching(spark, table, "src", sym).version
+    finally org.apache.spark.sql.graft.CheckpointBridge.release(sym)
   }
 
   /** BUILD/COMMIT the WEIGHTED DIRECTED edge artifact — the

@@ -90,6 +90,12 @@ case class FirstEqualIndex(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_equal_index"
+  // nullSafeEval returns null on a LENGTH MISMATCH even when both
+  // children are non-nullable, so nullability cannot be inherited from
+  // the children (the default): a non-nullable declaration would let
+  // codegen elide the consumer's null check and NPE where eval
+  // contract says null (round-16 advice).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -194,6 +200,9 @@ case class DotLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
+  // returns null on LENGTH MISMATCH even with non-nullable children —
+  // nullability cannot be inherited (see FirstEqualIndex's note)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -221,6 +230,11 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // returns null on LENGTH MISMATCH or ZERO NORM even with
+  // non-nullable children — inheriting child nullability lets a
+  // downstream codegen predicate (e.g. isnan) elide its null check
+  // and NPE (measured: the SimilaritySpec zero-norm fixture)
+  override def nullable: Boolean = true
 
   private lazy val leftIsFloat = left.dataType match {
     case ArrayType(FloatType, _) => true

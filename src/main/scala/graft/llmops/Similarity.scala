@@ -327,6 +327,29 @@ object Similarity {
     math.max(1, math.ceil(math.log(n.toDouble / targetBucketPop) /
       math.log(2.0)).toInt)
 
+  /** Default population cap above which a (table, bucket) group is
+    * TILED (see [[lshNearDupPairs]]'s mega-bucket paragraph): 8192
+    * rows ≈ 33M in-tile pairs worst-case — small enough that one tile
+    * is a sub-second task, large enough that the overwhelming majority
+    * of buckets at every measured tier stay single-task (the 1000x
+    * salted tier's bucket-population distribution has its mass far
+    * below 8k; only the cone mega-buckets cross it). */
+  private[llmops] val LshMegaBucketCap = 8192
+
+  /** Emitted-pair contract (both execution paths):
+    *  - ids must be UNIQUE and NON-NULL per row. Null-id rows are
+    *    dropped (the join shape's equi/inequality predicates never
+    *    match nulls; the loop path filters them identically).
+    *    Duplicate ids are a caller error: each UNDERLYING ROW PAIR
+    *    emits its own (id_a, id_b, cos_sim) row — duplicates therefore
+    *    yield repeated id pairs (with possibly different cosines).
+    *    Every in-repo caller dedups (`dropDuplicates("vec_id")`)
+    *    upstream.
+    *  - a pair whose cosine is undefined (zero-norm vector) or NaN
+    *    (NaN vector element) is NEVER emitted: an undefined similarity
+    *    is not evidence of near-duplication. (Spark SQL's `>=` would
+    *    rank NaN above every threshold — the join shape filters
+    *    `isnan` explicitly to pin the sane semantics.) */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 6,
                       numTables: Int = 8): DataFrame = {
@@ -355,111 +378,226 @@ object Similarity {
     }
   }
 
+  /** Lazy pair enumerator over ONE loaded (table, bucket[, tile])
+    * group: i<j scan over primitive arrays, in-loop first-collision
+    * (pair verified only in the table of its first signature
+    * agreement), exact cosine with [[graft.functions.CosineSim]]'s
+    * accumulation order (float→double per element). `chunks` is null
+    * for an untiled group; for an OFF-DIAGONAL tile
+    * (`crossChunkOnly = true`) only cross-chunk pairs are scored —
+    * the tiling decomposition's each-pair-exactly-once rule. */
+  private final class LshPairEnum(
+      ids: Array[Long], vs: Array[Array[Float]],
+      sigs: Array[Array[Long]], chunks: Array[Int], groupTable: Int,
+      threshold: Double, crossChunkOnly: Boolean)
+    extends Iterator[(Long, Long, Double)] {
+    private val m = ids.length
+    private var i = 0
+    private var j = 1
+    private var pending: (Long, Long, Double) = _
+
+    private def advance(): Unit = {
+      pending = null
+      while (pending == null && i < m - 1) {
+        if (!(crossChunkOnly && chunks(i) == chunks(j))) {
+          val si = sigs(i); val sj = sigs(j)
+          var f = -1; var k = 0
+          val t = math.min(si.length, sj.length)
+          while (f < 0 && k < t) {
+            if (si(k) == sj(k)) f = k else k += 1
+          }
+          if (f == groupTable && ids(i) != ids(j)) {
+            val x = vs(i); val y = vs(j)
+            if (x.length == y.length) {
+              var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+              while (d < x.length) {
+                // float→double per element, CosineSim's exact order
+                val xd = x(d).toDouble; val yd = y(d).toDouble
+                dot += xd * yd; nx += xd * xd; ny += yd * yd
+                d += 1
+              }
+              val denom = math.sqrt(nx) * math.sqrt(ny)
+              if (denom != 0.0) {
+                val c = dot / denom
+                // Java `>=` is false for NaN: a NaN cosine (NaN vector
+                // element) is never a near-dup — the join shape's
+                // !isnan filter pins the same semantics
+                if (c >= threshold) {
+                  pending = if (ids(i) < ids(j)) (ids(i), ids(j), c)
+                            else (ids(j), ids(i), c)
+                }
+              }
+            }
+          }
+        }
+        j += 1
+        if (j >= m) { i += 1; j = i + 1 }
+      }
+    }
+
+    advance()
+    override def hasNext: Boolean = pending != null
+    override def next(): (Long, Long, Double) = {
+      val r = pending; advance(); r
+    }
+  }
+
+  /** Streams the consecutive (table_id, bucket) groups of a partition
+    * sorted on those keys, capped: with `keepMega = false` it yields
+    * only groups of population ≤ cap (buffering ABORTS at cap+1 rows
+    * and drains the rest of the group payload-free, so heap stays
+    * O(cap) regardless of bucket skew); with `keepMega = true` it
+    * yields only the > cap groups, fully buffered (one mega group's
+    * payload at a time — the replication pass that feeds the tiled
+    * second exchange). */
+  private final class LshGroupReader(
+      it: scala.collection.BufferedIterator[
+        (Long, Array[Float], Array[Long], Int, Long)],
+      cap: Int, keepMega: Boolean)
+    extends Iterator[
+      (Int, Long, Array[Long], Array[Array[Float]], Array[Array[Long]])] {
+    private var g:
+      (Int, Long, Array[Long], Array[Array[Float]], Array[Array[Long]]) = _
+
+    private def load(): Unit = {
+      g = null
+      while (g == null && it.hasNext) {
+        val t0 = it.head._4; val b0 = it.head._5
+        val bi = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val bv = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val bs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        var over = false
+        while (it.hasNext && it.head._4 == t0 && it.head._5 == b0) {
+          val r = it.next()
+          if (!over || keepMega) {
+            bi += r._1; bv += r._2; bs += r._3
+            if (!over && bi.length > cap) {
+              over = true
+              if (!keepMega) { bi.clear(); bv.clear(); bs.clear() }
+            }
+          }
+        }
+        val want = if (keepMega) over else !over && bi.length > 1
+        if (want) g = (t0, b0, bi.toArray, bv.toArray, bs.toArray)
+      }
+    }
+
+    load()
+    override def hasNext: Boolean = g != null
+    override def next()
+    : (Int, Long, Array[Long], Array[Array[Float]], Array[Array[Long]]) = {
+      val r = g; load(); r
+    }
+  }
+
   /** The bucket-loop execution of [[lshNearDupPairs]] (integral ids).
     * One exchange (hash on (table, bucket)), one within-partition
     * sort, then per-bucket pair enumeration over primitive arrays
     * with in-loop first-collision + exact cosine. Emission is a lazy
     * iterator — a low threshold on a dense bucket streams its pairs
-    * instead of materializing them. */
-  private def lshNearDupPairsBucketLoop(
+    * instead of materializing them.
+    *
+    * MEGA-BUCKET TILING (round-16 residual, closed here): a
+    * cone-cluster bucket of population m is m(m−1)/2 pairs of work —
+    * 3.4e9 for the 1000x tier's 82k-population bucket — and an
+    * untiled loop runs it as ONE task, the measured tail-skew behind
+    * ~25% core utilization at the rehearsal tiers. Buckets above
+    * `megaBucketCap` are therefore decomposed IN-FLIGHT (no pre-pass
+    * job): the same sorted partition is read twice off one reused
+    * exchange — pass A enumerates the ≤cap buckets directly (heap
+    * O(cap): buffering aborts at cap+1), pass B buffers only the
+    * mega groups and REPLICATES each row into its tile row-set
+    * {(i,j) : i ≤ j, i = c ∨ j = c} for chunk c = floorMod(id, K),
+    * K = ⌈m/cap⌉ — K output rows per input row, K(K+1)/2 tiles per
+    * bucket. A second hash exchange on (table, bucket, tile_i,
+    * tile_j) then spreads the tiles across the cluster; each tile's
+    * loop enumerates all pairs (diagonal) or cross-chunk pairs only
+    * (off-diagonal), so every unordered pair lands in EXACTLY one
+    * tile — (c,c) when both chunks agree, (min,max) otherwise — and
+    * the first-collision/cosine/threshold semantics are untouched:
+    * the emitted pair set is bit-identical to the untiled loop and to
+    * the join shape (SimilaritySpec parity tests, both cap regimes).
+    * Memory: pass A and every tile buffer O(cap) rows; only pass B's
+    * replication holds one full mega-bucket payload at a time. */
+  private[llmops] def lshNearDupPairsBucketLoop(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numPlanes: Int, numTables: Int,
-      castIdsBackTo: Option[org.apache.spark.sql.types.DataType])
-  : DataFrame = {
+      castIdsBackTo: Option[org.apache.spark.sql.types.DataType],
+      megaBucketCap: Int = LshMegaBucketCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sig = array((0 until numTables).map(t =>
       graft.functions.HashExprs.randomProjectionBits(col(vecCol),
         numPlanes, t * numPlanes)): _*)
-    // bucket null ⇔ vector null/empty: the join shape's equi-join
-    // dropped null keys, so the loop path filters them for parity
+    // bucket null ⇔ vector null/empty, and null ids never match the
+    // join shape's predicates: the loop path filters both for parity
+    // (a null id would otherwise crash the non-nullable Long decode)
     val exploded = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"), sig.as("sig"))
       .select(col("id"), col("v"), col("sig"),
         posexplode(col("sig")).as(Seq("table_id", "bucket")))
-      .filter(col("bucket").isNotNull && col("v").isNotNull)
+      .filter(col("id").isNotNull && col("bucket").isNotNull &&
+        col("v").isNotNull)
       .repartition(col("table_id"), col("bucket"))
       .sortWithinPartitions("table_id", "bucket")
       .as[(Long, Array[Float], Array[Long], Int, Long)]
-    val pairs = exploded.mapPartitions { rows =>
-      val it = rows.buffered
-      new Iterator[(Long, Long, Double)] {
-        // current group state
-        private var ids: Array[Long] = Array.empty
-        private var vs: Array[Array[Float]] = Array.empty
-        private var sigs: Array[Array[Long]] = Array.empty
-        private var m = 0
-        private var i = 0
-        private var j = 0
-        private var pending: (Long, Long, Double) = null
-
-        private def loadNextGroup(): Boolean = {
-          if (!it.hasNext) return false
-          val t0 = it.head._4; val b0 = it.head._5
+    val cap = megaBucketCap
+    val thr = threshold
+    // pass A: small buckets, enumerated in place (the common case —
+    // zero extra exchanges). Reads the same shuffle output as pass B
+    // (ReuseExchange): the duplicate cost is one linear re-scan, paid
+    // only when the plan also has mega buckets to find.
+    val smallPairs = exploded.mapPartitions { rows =>
+      new LshGroupReader(rows.buffered, cap, keepMega = false)
+        .flatMap { case (t0, _, ids, vs, sigs) =>
+          new LshPairEnum(ids, vs, sigs, null, t0, thr,
+            crossChunkOnly = false)
+        }
+    }
+    // pass B: mega-bucket rows replicated into their tile row-sets.
+    // K depends only on the group's population (stable across task
+    // retries) and chunk only on the row's id, so the emitted row SET
+    // is deterministic — shuffle-retry-safe.
+    val megaRows = exploded.mapPartitions { rows =>
+      new LshGroupReader(rows.buffered, cap, keepMega = true)
+        .flatMap { case (t0, b0, ids, vs, sigs) =>
+          val m = ids.length
+          val k = (m + cap - 1) / cap
+          Iterator.range(0, m).flatMap { r =>
+            val c = java.lang.Math.floorMod(ids(r), k.toLong).toInt
+            Iterator.range(0, k).map { o =>
+              val (ti, tj) = if (o < c) (o, c) else (c, o)
+              (ids(r), vs(r), sigs(r), t0, b0, ti, tj, c)
+            }
+          }
+        }
+    }.toDF("id", "v", "sig", "table_id", "bucket", "tile_i", "tile_j",
+      "chunk")
+    val megaPairs = megaRows
+      .repartition(col("table_id"), col("bucket"), col("tile_i"),
+        col("tile_j"))
+      .sortWithinPartitions("table_id", "bucket", "tile_i", "tile_j")
+      .as[(Long, Array[Float], Array[Long], Int, Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+          val h = it.head
+          val t0 = h._4; val b0 = h._5; val ti = h._6; val tj = h._7
           val bi = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val bv = scala.collection.mutable.ArrayBuffer
-            .empty[Array[Float]]
-          val bs = scala.collection.mutable.ArrayBuffer
-            .empty[Array[Long]]
-          while (it.hasNext && it.head._4 == t0 && it.head._5 == b0) {
+          val bv = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          val bs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          val bc = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (it.hasNext && it.head._4 == t0 && it.head._5 == b0 &&
+            it.head._6 == ti && it.head._7 == tj) {
             val r = it.next()
-            bi += r._1; bv += r._2; bs += r._3
+            bi += r._1; bv += r._2; bs += r._3; bc += r._8
           }
-          ids = bi.toArray; vs = bv.toArray; sigs = bs.toArray
-          m = ids.length; i = 0; j = 1
-          // groupTable: which table's partition this group belongs to —
-          // the first-collision test compares against it
-          groupTable = t0
-          true
-        }
-        private var groupTable = -1
-
-        private def advance(): Unit = {
-          pending = null
-          while (pending == null) {
-            if (i >= m - 1) {
-              if (!loadNextGroup()) return
-            }
-            while (pending == null && i < m - 1) {
-              val si = sigs(i); val sj = sigs(j)
-              var f = -1; var k = 0
-              val t = math.min(si.length, sj.length)
-              while (f < 0 && k < t) {
-                if (si(k) == sj(k)) f = k else k += 1
-              }
-              if (f == groupTable && ids(i) != ids(j)) {
-                val x = vs(i); val y = vs(j)
-                if (x.length == y.length) {
-                  var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
-                  while (d < x.length) {
-                    // float→double per element, CosineSim's exact order
-                    val xd = x(d).toDouble; val yd = y(d).toDouble
-                    dot += xd * yd; nx += xd * xd; ny += yd * yd
-                    d += 1
-                  }
-                  val denom = math.sqrt(nx) * math.sqrt(ny)
-                  if (denom != 0.0) {
-                    val c = dot / denom
-                    if (c >= threshold) {
-                      pending = if (ids(i) < ids(j)) (ids(i), ids(j), c)
-                                else (ids(j), ids(i), c)
-                    }
-                  }
-                }
-              }
-              j += 1
-              if (j >= m) { i += 1; j = i + 1 }
-            }
-          }
-        }
-
-        advance()
-        override def hasNext: Boolean = pending != null
-        override def next(): (Long, Long, Double) = {
-          val r = pending; advance(); r
+          new LshPairEnum(bi.toArray, bv.toArray, bs.toArray,
+            bc.toArray, t0, thr, crossChunkOnly = ti != tj)
         }
       }
-    }.toDF("id_a", "id_b", "cos_sim")
+    val pairs = smallPairs.union(megaPairs)
+      .toDF("id_a", "id_b", "cos_sim")
     castIdsBackTo match {
       case Some(t) => pairs.select(col("id_a").cast(t).as("id_a"),
         col("id_b").cast(t).as("id_b"), col("cos_sim"))
@@ -491,7 +629,11 @@ object Similarity {
         graft.functions.HashExprs.firstEqualIndex(col("sa"), col("sb"))
           === col("table_id"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
+      // Spark SQL's ordering ranks NaN ABOVE every double, so a bare
+      // `>=` would emit pairs whose cosine is NaN (NaN vector
+      // element); the loop path's Java `>=` rejects NaN — !isnan pins
+      // the shared contract (undefined similarity is not a near-dup)
+      .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
       .select("id_a", "id_b", "cos_sim")
   }
 

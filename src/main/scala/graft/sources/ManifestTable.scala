@@ -770,6 +770,99 @@ object ManifestTable {
     }
   }
 
+  /** COPY-ON-WRITE MULTI-COLUMN anti-join DELETE — completes the DML
+    * family for DATA-SIZED doomed sets on COMPOSITE keys: where
+    * [[deleteRows]] takes a driver-held single-column key list (the
+    * compliance shape), `deleteMatching` takes a DataFrame of doomed
+    * key tuples (its columns ARE the match key — e.g. (src, dst) edge
+    * pairs from a CDC feed) and anti-joins it DISTRIBUTED against the
+    * touched files, so the batch may be any size and the key any
+    * arity. File pruning is on `column`'s recorded [min, max] vs the
+    * doomed batch's overall range — one aggregate pass over the batch
+    * — so a range-local delete rewrites only the files it can touch;
+    * stats-less files are conservatively scanned (pruning is an
+    * optimization, never a correctness filter). Range overlap is
+    * COARSE, so a second, exact phase scopes the rewrite: one
+    * semi-join scan of the range-touched files (match columns only —
+    * column-pruned) finds the files that actually CONTAIN a doomed
+    * tuple, and ONLY those are rewritten — a redelivered retraction
+    * whose tuples are already gone is a clean NO-OP (no rewrite, no
+    * version: the at-least-once CDC idempotence contract), and an
+    * overlapping-but-unmatched file carries forward verbatim instead
+    * of being copied (write amplification tracks the rows actually
+    * deleted, not the key range). Doomed tuples with a NULL `column`
+    * key are rejected loudly (a NULL anti-join key matches no row —
+    * the "delete" would silently do nothing); duplicate doomed tuples
+    * are fine (anti-join is idempotent). Target rows with NULL in any
+    * match column always SURVIVE (the join condition can never
+    * evaluate true — consistent across touched and untouched files,
+    * unlike a bare !isin). Empty batch = clean no-op. Same
+    * [[publishDml]] rebase contract as its siblings: concurrent
+    * appends are kept, a removed/rewritten touched file re-plans from
+    * the new head. */
+  def deleteMatching(spark: SparkSession, table: String, column: String,
+                     doomed: DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit,
+      max => smax, min => smin}
+    val t = new Path(table)
+    val matchCols = doomed.columns.toSeq
+    require(matchCols.contains(column),
+      s"deleteMatching: pruning column $column must be one of the " +
+        s"doomed batch's match columns ${matchCols.mkString(",")}")
+    val shape = doomed.agg(count(lit(1)), count(col(column)),
+      smin(col(column)).cast("long"), smax(col(column)).cast("long"))
+      .head()
+    val (total, nonNull) = (shape.getLong(0), shape.getLong(1))
+    if (total == 0) { // empty batch: no rewrite, no commit
+      val head = latestVersion(spark, table)
+      require(head > 0, s"$table has no committed version")
+      return DeleteResult(head, 0, readManifest(spark, t, head).size)
+    }
+    require(nonNull == total,
+      s"deleteMatching: ${total - nonNull} of $total doomed rows have " +
+        s"NULL $column — a NULL key matches no target row; filter or " +
+        "key them first")
+    val (dLo, dHi) = (shape.getLong(2), shape.getLong(3))
+    val doomedKeys = doomed.select(matchCols.map(col): _*).distinct()
+    publishDml(spark, t) { head =>
+      val lines = readManifest(spark, t, head)
+      val (inRange, disjoint) = lines.partition { line =>
+        entryStats(line) match {
+          case Some((c, lo, hi)) if c == column => hi >= dLo && lo <= dHi
+          case _ => true
+        }
+      }
+      if (inRange.isEmpty) Left(DeleteResult(head, 0, disjoint.size))
+      else {
+        // phase 2 (exact): which in-range files actually HOLD a doomed
+        // tuple — staged file names are unique within the table dir,
+        // so the file-path tail identifies the manifest entry
+        val nameOf = (l: String) => new Path(entryPath(l)).getName
+        val scan = spark.read.parquet(
+          inRange.map(l => new Path(t, entryPath(l)).toString): _*)
+        val hitNames = scan
+          .select(expr("element_at(split(_metadata.file_path, '/'), -1)")
+            .as("__f") +: matchCols.map(col): _*)
+          .join(doomedKeys, matchCols, "left_semi")
+          .select("__f").distinct()
+          .collect().map(_.getString(0)).toSet
+        val (touched, carried) = inRange.partition(l => hitNames(nameOf(l)))
+        if (touched.isEmpty) // redelivered/absent tuples: clean no-op
+          Left(DeleteResult(head, 0, disjoint.size + carried.size))
+        else {
+          val survivors = spark.read.parquet(
+              touched.map(l => new Path(t, entryPath(l)).toString): _*)
+            .join(doomedKeys, matchCols, "left_anti")
+            .repartitionByRange(touched.size, col(column))
+            .sortWithinPartitions(column)
+          val staged = withStats(spark, t,
+            stageFiles(spark, t, survivors), Some(column))
+          Right((touched.toSet, staged, disjoint.size + carried.size))
+        }
+      }
+    }
+  }
+
   /** Delete data files referenced by NO retained manifest (crash
     * leftovers, compacted-away or overwritten files whose versions
     * expired). Keeps the newest `keepVersions` manifests; older ones

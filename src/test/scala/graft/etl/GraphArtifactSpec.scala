@@ -84,6 +84,39 @@ class GraphArtifactSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == Set((3L, 4L), (4L, 3L)))
   }
 
+  test("removeEdges: both orientations retracted together, absent " +
+    "edges absorbed, pinned pre-delete version intact") {
+    val tbl = tempTable("edges_del")
+    val v1 = Graph.commitEdges(spark, tbl,
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    // CDC retraction delivers (3,2) — REVERSED vs the commit's (2,3) —
+    // plus (7,8), absent from the artifact: symmetrize must kill both
+    // orientation rows of 2—3; the absent edge must be a clean absorb
+    val v2 = Graph.removeEdges(spark, tbl,
+      Seq((3L, 2L), (7L, 8L)).toDF("src", "dst"))
+    assert(v2 == v1 + 1)
+    assert(Graph.edgesFromManifest(spark, tbl)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+    // pinned v1 reader still serves the pre-delete graph
+    assert(Graph.edgesFromManifest(spark, tbl, Some(v1))
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)))
+    // retraction is idempotent: redelivery commits nothing new
+    val v3 = Graph.removeEdges(spark, tbl,
+      Seq((2L, 3L)).toDF("src", "dst"))
+    assert(v3 == v2, "re-delivered retraction should be a no-op")
+    // end-to-end maintenance: incremental coreness over the
+    // post-delete artifact equals a fresh recompute
+    val old = Graph.corenessOfUndirected(
+      Graph.edgesFromManifest(spark, tbl, Some(v1)), iterations = 8)
+    val after = Graph.edgesFromManifest(spark, tbl)
+    val incr = Graph.incrementalCoreness(after, old, batchEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(incr == Graph.corenessOfUndirected(after, iterations = 8)
+      .as[(Long, Long)].collect().toMap)
+  }
+
   test("appendEdges stats-prune is an optimization, never a filter: a " +
     "narrow batch dedups against the ONE overlapping artifact file and " +
     "a far-range batch (all files pruned) appends in full") {

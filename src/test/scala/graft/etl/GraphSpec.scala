@@ -235,4 +235,83 @@ class GraphSpec extends AnyFunSuite {
       Graph.incrementalCoreness(und, old, batchEdges = 0L, maxRounds = 0)
     }
   }
+
+  // --- incrementalCoreness under DELETIONS / mixed batches -------------
+
+  /** Incremental coreness over ((base ∪ inserts) \ deletes) seeded
+    * from the base's converged scores, B = INSERTED undirected edges
+    * only (deletions need no seed allowance — they never raise
+    * coreness), compared against a from-scratch recompute — the
+    * equality the graph_kcore_incremental_del registry row pins at
+    * corpus scale. */
+  private def incrVsFullMixed(base: Seq[(Long, Long)],
+                              inserts: Seq[(Long, Long)],
+                              deletes: Seq[(Long, Long)]): Unit = {
+    val baseUnd = Graph.symmetrize(base.toDF("src", "dst"))
+    val old = Graph.corenessOfUndirected(baseUnd, iterations = 8)
+    val withIns = Graph.symmetrize((base ++ inserts).toDF("src", "dst"))
+    val allUnd = withIns.join(Graph.symmetrize(deletes.toDF("src", "dst")),
+      Seq("src", "dst"), "left_anti")
+    val b = (withIns.count() - baseUnd.count()) / 2
+    val incr = Graph.incrementalCoreness(allUnd, old, batchEdges = b,
+        maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.corenessOfUndirected(allUnd, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, s"incremental $incr != full recompute $full")
+  }
+
+  test("incrementalCoreness: pure deletion with a full-ring cascade " +
+    "(cycle -> path drops every core 2 -> 1, one frontier hop per " +
+    "round)") {
+    incrVsFullMixed(
+      base = (1L to 5L).map(i => (i, i + 1)) :+ (6L, 1L),
+      inserts = Nil,
+      deletes = Seq((6L, 1L)))
+  }
+
+  test("incrementalCoreness: a FALL with zero deleted edges at the " +
+    "falling node (star center dropped by deleting the leaf clique) " +
+    "— the deletion mirror of the star-center rise") {
+    // base = star 0—{1..5} + K5 among the leaves: center core 5.
+    // Deleting the K5 (no deleted edge touches 0) drops the center
+    // 5 -> 1: only re-descent covers this, not incident-edge deltas.
+    incrVsFullMixed(
+      base = (1L to 5L).map(l => (0L, l)) ++
+        (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)),
+      inserts = Nil,
+      deletes = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b))
+  }
+
+  test("incrementalCoreness: deleting a node's last edge removes it " +
+    "from the result domain (matches the full recompute's node set)") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val baseUnd = Graph.symmetrize(base.toDF("src", "dst"))
+    val old = Graph.corenessOfUndirected(baseUnd, iterations = 8)
+    val allUnd = baseUnd.join(
+      Graph.symmetrize(Seq((3L, 4L)).toDF("src", "dst")),
+      Seq("src", "dst"), "left_anti")
+    val incr = Graph.incrementalCoreness(allUnd, old, batchEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!incr.contains(4L), s"isolated node survived: $incr")
+    assert(incr == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("incrementalCoreness: MIXED batch (insert a triangle while " +
+    "deleting a clique edge) equals the full recompute") {
+    incrVsFullMixed(
+      base = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+        yield (a, b)) ++ Seq((10L, 11L)),
+      inserts = Seq((11L, 12L), (12L, 10L)),
+      deletes = Seq((1L, 2L)))
+  }
+
+  test("incrementalCoreness: deletion of a NON-EXISTENT edge is " +
+    "absorbed (idempotent retraction — the at-least-once CDC twin)") {
+    // "deleting" (7,8), absent from the graph, must change nothing
+    incrVsFullMixed(
+      base = Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      inserts = Nil,
+      deletes = Seq((7L, 8L)))
+  }
 }

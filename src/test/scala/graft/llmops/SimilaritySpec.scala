@@ -172,6 +172,67 @@ class SimilaritySpec extends AnyFunSuite {
       == loop)
   }
 
+  test("lshNearDupPairs: MEGA-BUCKET TILING is bit-identical to the " +
+    "untiled loop and the join shape (every unordered pair in " +
+    "exactly one tile)") {
+    // same dense fixture as the parity test above: at numPlanes = 4
+    // its buckets hold up to ~hundreds of rows, so a cap of 7 forces
+    // K >= 2 tiling on every real bucket while a cap of 10^6 keeps
+    // everything on the untiled pass — both must agree with the join
+    val dense = spark.range(400).selectExpr("id as vec_id",
+      "transform(sequence(0, 7), d -> " +
+        "cast((id % 7) * 0.13 + d * 0.05 + (id * 37 % 11) * 0.02 " +
+        "as float)) as embedding")
+    def run(cap: Int) = Similarity.lshNearDupPairsBucketLoop(dense,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 4,
+      numTables = 6, castIdsBackTo = None, megaBucketCap = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val untiled = run(1000000)
+    val tiled = run(7)
+    val tiledTiny = run(2) // K large: off-diagonal tiles dominate
+    val join = Similarity.lshNearDupPairsJoin(dense, "vec_id",
+      "embedding", threshold = 0.9, numPlanes = 4, numTables = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    assert(untiled.nonEmpty, "fixture found no pairs — weaken it")
+    assert(tiled == untiled)
+    assert(tiledTiny == untiled)
+    assert(untiled == join)
+  }
+
+  test("lshNearDupPairs: null ids are dropped (not a crash), NaN and " +
+    "zero-norm vectors never emit — both execution paths agree") {
+    // ids 0 and 1 are near-identical (the emitted pair); id 2 carries
+    // a NaN element (cosine NaN against everything); id 3 is all-zero
+    // (cosine undefined); one row has a null id but a valid vector
+    // identical to id 0's (would pair with 0/1 if not dropped)
+    val dirty = spark.sql(
+      """SELECT * FROM VALUES
+        (0L, array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float), cast(4.0 as float))),
+        (1L, array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float), cast(4.05 as float))),
+        (2L, array(cast('NaN' as float), cast(2.0 as float), cast(3.0 as float), cast(4.0 as float))),
+        (3L, array(cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float))),
+        (CAST(NULL AS BIGINT), array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float), cast(4.0 as float)))
+        AS t(vec_id, embedding)""")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // threshold -1 would admit ANY defined cosine: only NaN/zero-norm
+    // exclusion keeps ids 2 and 3 out of the answer
+    val loop = pairsOf(Similarity.lshNearDupPairs(dirty, "vec_id",
+      "embedding", threshold = -1.0, numPlanes = 1, numTables = 2))
+    val join = pairsOf(Similarity.lshNearDupPairsJoin(dirty, "vec_id",
+      "embedding", threshold = -1.0, numPlanes = 1, numTables = 2))
+    assert(loop == join)
+    assert(loop.contains((0L, 1L)))
+    assert(!loop.exists(p => p._1 == 2L || p._2 == 2L),
+      s"NaN-element vector emitted: $loop")
+    assert(!loop.exists(p => p._1 == 3L || p._2 == 3L),
+      s"zero-norm vector emitted: $loop")
+  }
+
   test("semanticDedup: greedy min-id survivor within cells, full " +
     "partition of the corpus") {
     val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",

@@ -351,6 +351,65 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(res2.version == res.version && res2.rewrittenFiles == 0)
   }
 
+  test("deleteMatching: composite-key anti-join delete with range " +
+    "pruning; NULL-key targets survive; absent tuples absorbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_delm")
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    // (k, sub) composite rows, range-clustered on k into 3 files;
+    // one row carries a NULL sub — it must survive ANY delete
+    val rows = (1L to 300L).map(k => (k, k % 3, s"p$k")) :+
+      (301L, -1L, "nullsub")
+    val v1 = ManifestTable.commitOverwrite(spark, tbl,
+      rows.toDF("k", "sub", "payload")
+        .withColumn("sub", org.apache.spark.sql.functions
+          .when($"sub" === -1L, org.apache.spark.sql.functions.lit(null))
+          .otherwise($"sub"))
+        .repartitionByRange(3, $"k").sortWithinPartitions("k"),
+      statsCol = Some("k"))
+    val v1Files = ManifestTable.read(spark, tbl, Some(v1))
+      .inputFiles.toSet
+    // doomed batch: (5, 2) and (7, 1) exist; (5, 0) does NOT (sub
+    // mismatch — composite key semantics); (12, 0) exists. All in the
+    // low range file; duplicates in the batch are fine.
+    val res = ManifestTable.deleteMatching(spark, tbl, "k",
+      Seq((5L, 2L), (7L, 1L), (5L, 0L), (12L, 0L), (5L, 2L))
+        .toDF("k", "sub"))
+    assert(res.version == v1 + 1)
+    assert(res.rewrittenFiles == 1 && res.untouchedFiles == 2, s"$res")
+    val after = ManifestTable.read(spark, tbl)
+    assert(after.count() == 298) // 301 - 3 matching tuples
+    assert(after.filter($"k" === 5L || $"k" === 7L || $"k" === 12L)
+      .count() == 0)
+    assert(after.filter($"k" === 6L).count() == 1) // neighbors intact
+    // NULL-sub target row survives (null never matches a doomed tuple)
+    assert(after.filter($"sub".isNull).count() == 1)
+    // copy-on-write: untouched files physically identical
+    assert((after.inputFiles.toSet & v1Files).size == 2)
+    // pinned pre-delete version still serves the doomed tuples
+    assert(ManifestTable.read(spark, tbl, Some(v1))
+      .filter($"k" === 5L).count() == 1)
+    // empty batch: no-op, no new version
+    val res2 = ManifestTable.deleteMatching(spark, tbl, "k",
+      Seq.empty[(Long, Long)].toDF("k", "sub"))
+    assert(res2.version == res.version && res2.rewrittenFiles == 0)
+    // out-of-range batch: pruned to a no-op (no file overlaps)
+    val res3 = ManifestTable.deleteMatching(spark, tbl, "k",
+      Seq((9999L, 0L)).toDF("k", "sub"))
+    assert(res3.rewrittenFiles == 0 && res3.version == res.version)
+    // NULL pruning keys rejected loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteMatching(spark, tbl, "k",
+        Seq((Some(1L), 0L), (None, 2L))
+          .toDF("k", "sub"))
+    }
+    // pruning column must be part of the match key
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteMatching(spark, tbl, "k",
+        Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
   test("DML idempotence + the compliance erasure clock end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_clock")
     val tbl = s"$dir/t"
