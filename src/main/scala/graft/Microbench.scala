@@ -345,21 +345,32 @@ object Microbench {
     //   sliver   — 1/64 of ONE supplier's parts (CDC-sized, B≈10)
     //   supplier — one whole supplier (B≈ its degree)
     //   class64  — every supplier ≡ 3 mod 64 (bulk-backfill-sized)
-    val withheld: org.apache.spark.sql.Column = batch match {
+    // DELETION kinds (del_*): base = FULL graph, batch RETRACTS the
+    // named cut (B = 0 — deletions need no seed allowance), so the
+    // measured path is the round-17 deletion-maintenance serve:
+    //   del_sliver   — retract the CDC-sized sliver
+    //   del_supplier — retract one whole supplier (node removal)
+    val isDel = batch.startsWith("del_")
+    val cutName = if (isDel) batch.stripPrefix("del_") else batch
+    val withheld: org.apache.spark.sql.Column = cutName match {
       case "empty"    => lit(false)
       case "sliver"   => col("src") === 6 && col("dst") % 128 === 1
       case "supplier" => col("src") === 6
       case "class64"  => col("src") % 128 === 6
       case other => throw new IllegalArgumentException(
-        s"unknown batch '$other' (empty|sliver|supplier|class64)")
+        s"unknown batch '$other' " +
+          "(empty|sliver|supplier|class64|del_sliver|del_supplier|del_class64)")
     }
+    // insertion kinds: base = fact minus cut, target = full fact.
+    // deletion kinds: base = full fact, target = fact minus cut.
     val baseUnd = graft.etl.Graph
-      .symmetrize(fwd.filter(!withheld))
+      .symmetrize(if (isDel) fwd else fwd.filter(!withheld))
       .scratchCheckpoint(eager = true)
-    val allUnd = graft.etl.Graph.symmetrize(fwd)
+    val allUnd = graft.etl.Graph
+      .symmetrize(if (isDel) fwd.filter(!withheld) else fwd)
       .scratchCheckpoint(eager = true)
     val nBase = baseUnd.count(); val nAll = allUnd.count()
-    val b = (nAll - nBase) / 2
+    val b = math.max(0L, (nAll - nBase) / 2)
     println(f"base und rows=$nBase%d  grown und rows=$nAll%d  " +
       f"batch B=$b%d undirected inserts")
     def timed[A](label: String)(body: => A): A = {
@@ -512,7 +523,8 @@ object Microbench {
 
   private def embeddingLshMode(spark: SparkSession, sfDir: String,
                                targetBucketPop: Int, numTables: Int,
-                               threshold: Double): Unit = {
+                               threshold: Double,
+                               megaCap: Option[Int]): Unit = {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .dropDuplicates("vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -520,13 +532,23 @@ object Microbench {
     val planes = llmops.Similarity.planesFor(n, targetBucketPop)
     System.gc(); Thread.sleep(100)
     val t0 = System.nanoTime()
-    val pairs = llmops.Similarity.lshNearDupPairs(
-      e, "vec_id", "embedding", threshold = threshold,
-      numPlanes = planes, numTables = numTables).count()
+    // optional 5th arg = mega-bucket tiling cap OVERRIDE (diagnostic
+    // A/B only: <= 0 disables tiling entirely, reproducing the
+    // round-16 single-task-per-bucket loop); absent = engine default
+    val pairs = megaCap match {
+      case None => llmops.Similarity.lshNearDupPairs(
+        e, "vec_id", "embedding", threshold = threshold,
+        numPlanes = planes, numTables = numTables).count()
+      case Some(cap) => llmops.Similarity.lshNearDupPairsBucketLoop(
+        e, "vec_id", "embedding", threshold = threshold,
+        numPlanes = planes, numTables = numTables,
+        castIdsBackTo = None,
+        megaBucketCap = if (cap <= 0) Int.MaxValue else cap).count()
+    }
     println(f"embedding_lsh: n=$n%d planes=$planes%d " +
       f"(target bucket pop $targetBucketPop%d) tables=$numTables%d " +
-      f"threshold=$threshold%.2f pairs=$pairs%d  " +
-      f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      f"threshold=$threshold%.2f cap=${megaCap.getOrElse(-1)}%d " +
+      f"pairs=$pairs%d  ${(System.nanoTime() - t0) / 1e9}%.3f s")
     e.unpersist()
   }
 
@@ -546,7 +568,8 @@ object Microbench {
       embeddingLshMode(spark, args(1),
         args.lift(2).map(_.toInt).getOrElse(32),
         args.lift(3).map(_.toInt).getOrElse(8),
-        args.lift(4).map(_.toDouble).getOrElse(0.4))
+        args.lift(4).map(_.toDouble).getOrElse(0.4),
+        args.lift(5).map(_.toInt))
       spark.stop(); return
     }
     if (args.headOption.contains("embedding_lsh_cand")) {

@@ -519,7 +519,7 @@ object Similarity {
     * the join shape (SimilaritySpec parity tests, both cap regimes).
     * Memory: pass A and every tile buffer O(cap) rows; only pass B's
     * replication holds one full mega-bucket payload at a time. */
-  private[llmops] def lshNearDupPairsBucketLoop(
+  private[graft] def lshNearDupPairsBucketLoop(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numPlanes: Int, numTables: Int,
       castIdsBackTo: Option[org.apache.spark.sql.types.DataType],
