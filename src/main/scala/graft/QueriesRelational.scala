@@ -3136,15 +3136,20 @@ private[graft] object QueriesRelational {
       // reached side broadcasts each round, so the edge checkpoint is
       // read in place — see graph_sssp's plan-audit note for why a
       // src pre-repartition was dropped.
+      // Collapse BEFORE mirroring (round 17, the Graph.symmetrize
+      // shape): the distinct shuffles the N directed pairs once and
+      // the explode emits both directions narrowly from the collapsed
+      // set — the previous explode-first shape shuffled 2N rows into
+      // the same aggregate for an identical output set.
       val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
-        .select(explode(array(
-          struct((col("l_orderkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst")),
-          struct((col("l_partkey") * 2 + 1).as("src"),
-            (col("l_orderkey") * 2).as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .scratchCheckpoint(true)
       try {
         // Δ-frontier loop state, exactly graph_sssp's round-11 shape
@@ -3955,16 +3960,25 @@ private[graft] object QueriesRelational {
       // outgrows broadcast, the SMJ re-exchanges edges per round;
       // pinning exchange reuse then means bucketing the edge table,
       // not an in-plan repartition.)
+      // Collapse BEFORE mirroring (round 17, the Graph.symmetrize
+      // shape): min(w) is direction-symmetric, so aggregating the N
+      // directed pairs on their canonical form and exploding both
+      // directions from the E collapsed rows emits the identical
+      // weighted edge set while the exchange carries half the rows of
+      // the previous explode-first shape.
       val edges = t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 2)
-        .select(explode(array(
-          struct((col("l_orderkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst")),
-          struct((col("l_partkey") * 2 + 1).as("src"),
-            (col("l_orderkey") * 2).as("dst")))).as("e"),
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
           col("l_quantity").cast("long").as("w"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy(col("src"), col("dst"))
         .agg(min(col("w")).as("w"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"),
+          col("w"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("w"))
         .scratchCheckpoint(true)
       try {
         // reached = (id, d) for touched nodes ONLY (see scaladoc);

@@ -303,10 +303,24 @@ object Graph {
   def symmetrize(edges: DataFrame): DataFrame = {
     val fwd = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
+    // Collapse on the CANONICAL (min, max) form and mirror AFTER the
+    // distinct: the collapse is this family's one data-sized shuffle
+    // (guide §2.3 — shuffle fewer bytes), and mirroring first would
+    // double both the exchange and the aggregate's input (the previous
+    // shape: union both directions, then distinct over 2N rows). The
+    // canonical distinct shuffles the N input rows once and the
+    // explode emits both directions narrowly from the E collapsed
+    // rows — the output SET is identical (same self-loop drop, same
+    // parallel-edge collapse, both directions of every edge).
+    val canon = fwd.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    canon
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** The h-index rounds of [[coreness]] over an ALREADY symmetrized

@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Session conf: partition count for the CPU-bound per-row stages
+    * ([[bytesToPngBlobs]] and everything narrow downstream of it —
+    * decode, aHash). Default = `sparkContext.defaultParallelism` (the
+    * cluster's total cores). The spread exists because AQE's
+    * bytes-based partition coalescing is blind to per-row decode cost:
+    * a few MB of payload coalesce to ONE post-shuffle partition, and
+    * the codec then runs serialized on one core while the rest of the
+    * cluster idles (measured at sf0.1: the PNG encode + decode stages
+    * ran as single 3.4 s / 1.7 s tasks). Deployments whose blob frame
+    * is already wider than the core count set this higher (or to the
+    * incoming partition count) — the conf is the knob, the default is
+    * scale-adaptive, never a local constant. */
+  val ParallelismConf = "spark.graft.multimodal.parallelism"
+
+  /** Spread a blob frame across the compute-stage partition count —
+    * hash on `blob_id` (deterministic; unique ids spread evenly), not
+    * round-robin, so retried tasks reproduce the same row placement
+    * (guide §2.5: keyless repartition pays a defensive sort and
+    * re-draws under retry). */
+  private def spreadForCompute(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val n = spark.conf.getOption(ParallelismConf).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    blobs.repartition(n, col("blob_id"))
+  }
+
   case class Blob(blob_id: Long, kind: String, payload: Array[Byte])
   case class DecodedMeta(blob_id: Long, kind: String, n_bytes: Long,
                          width: Int, height: Int, n_frames: Int,
@@ -128,7 +154,15 @@ object Multimodal {
     import spark.implicits._
     blobs.as[Blob].mapPartitions { it =>
       // per-partition codec init: ImageIO's plugin registry scan happens
-      // once per executor JVM on first use; nothing else to warm up
+      // once per executor JVM on first use. setUseCache(false) keeps
+      // stream caches IN MEMORY: the default wraps every
+      // createImageInputStream/ImageOutputStream in a FILE-backed
+      // cache — one temp-file create/write/delete per image — which
+      // is pure overhead for byte-array payloads and collapses under
+      // concurrent tasks on a contended disk (measured: the spread
+      // decode stage went 540 s of task-time across 32 tasks with the
+      // disk cache vs sub-second in memory).
+      javax.imageio.ImageIO.setUseCache(false)
       it.map(decodeOne)
     }
   }
@@ -143,7 +177,11 @@ object Multimodal {
   def bytesToPngBlobs(spark: SparkSession, blobs: DataFrame,
                       width: Int = 16): DataFrame = {
     import spark.implicits._
-    blobs.as[Blob].mapPartitions { it =>
+    // the encode is the head of every heavy chain (decode/aHash are
+    // narrow downstream), so the one spread here parallelizes the
+    // whole binary pipeline — see [[ParallelismConf]]
+    spreadForCompute(blobs).as[Blob].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see [[decode]]
       it.map { b =>
         val h = math.max(1, (b.payload.length + width - 1) / width)
         val img = new java.awt.image.BufferedImage(width, h,
@@ -223,6 +261,7 @@ object Multimodal {
   def aHash64(spark: SparkSession, blobs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs.as[Blob].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see [[decode]]
       it.map { b =>
         val img =
           try javax.imageio.ImageIO.read(
