@@ -51,6 +51,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescing floor (minPartitionSize) stays at its 1 MB
+      // default DELIBERATELY: a round-17 A/B at 16 KB spread every
+      // small post-shuffle stage cores-wide and made a 20-row mixed
+      // subset 1.8× SLOWER (e.g. sim_matryoshka_eval 2.14 → 6.67 s) —
+      // per-task launch overhead across every widened stage swamps
+      // the single-task CPU it recovers. Compute-dense stages that
+      // genuinely need width get a TARGETED spread instead
+      // (graft.Spread, Multimodal.ParallelismConf); see
+      // OPTIMIZATION_r17.md.
       .config("spark.sql.session.timeZone", "UTC")
       // saveAsTable queries (bucketed_join) must not drop a
       // spark-warehouse dir in whatever cwd the harness launched from

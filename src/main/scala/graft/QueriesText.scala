@@ -747,7 +747,13 @@ private[graft] object QueriesText {
     * ENTIRE composition is hash-gated, not just its pieces. */
   private[graft] val corpusCurate = Q("corpus_curate",
     (s, dir) =>
-      graft.llmops.CorpusPipeline.curate(t(s, dir, "documents"))
+      // layout-conditional spread: the normalize→regex-gate→scrub
+      // chain is CPU-dense and ran twice on the single-split scan's
+      // one task (profiled ~3 s single-core); no-op on a multi-split
+      // production layout, preserving curate's text-never-shuffles
+      // contract at scale — see graft.Spread.ensureWideScan
+      graft.llmops.CorpusPipeline.curate(
+        Spread.ensureWideScan(t(s, dir, "documents"), col("doc_id")))
         .orderBy("doc_id"),
     Some {
       val stop = TextAnalysis.StopwordPattern
@@ -1025,8 +1031,14 @@ private[graft] object QueriesText {
   private[graft] val dedupRepeatedSpans = Q("dedup_repeated_spans",
     (s, dir) => {
       val k = 8
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      // layout-conditional spread: the tokenize+explode+digest chain
+      // is the measured 1-task hot stage over the single-split scan
+      // (1.17 s, 15.8 MB emitted from one core); on a multi-split
+      // production layout this is a no-op and text still never
+      // shuffles — see graft.Spread.ensureWideScan
+      val docs = Spread.ensureWideScan(t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= ""),
+        col("doc_id"))
       val spans = graft.functions.ColOps.bound(
         split(trim(lower(col("text"))), "\\s+")) { toks =>
         when(size(toks) >= k,
